@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (O-rows)
+and §2.b (X-rows) to a (spark, sf_dir) → DataFrame callable;
+``oracle_sql()`` provides the DuckDB twin for each. Column names and
+integer/double types are aligned on both sides (BIGINT for counts/ids,
+doubles rounded to 6 dp before the driver's 9-sig-digit canonicalization).
+
+The DuckDB twins intentionally re-express the *semantics* (not the Spark
+plan): tokenization via regexp+string_split, hashes via the portable
+md5-hex60 integer (functions/hashing.py), LSH constructions replayed
+arithmetically.
 """
 
 from __future__ import annotations
@@ -12,27 +17,602 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from map_reduce_using_cloud_functions_spark.sources import load_table, load_tables, documents_as_corpus
+from map_reduce_using_cloud_functions_spark.operators import index as ix
+from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
+from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
+from map_reduce_using_cloud_functions_spark.plans import relational as rel
+from map_reduce_using_cloud_functions_spark.plans import events as ev
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's whole job — inverted index over the
+    corpus (SURVEY §2 O7–O14) + the vocabulary-level rollup."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    postings = ix.build_index(documents_as_corpus(docs))
+    return (
+        postings.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("count").alias("total_count"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("word"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- helpers
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_as_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _q_index_build(spark, sf):
+    return ix.build_index(_corpus(spark, sf))
+
+
+def _q_index_partition_invariance(spark, sf):
+    # O5/O6/O11: result must be invariant to input partitioning — the
+    # property the reference's splitter/LPT/routing machinery preserves.
+    return ix.build_index(_corpus(spark, sf).repartition(8))
+
+
+def _q_index_lookup(spark, sf):
+    return ix.lookup(_q_index_build(spark, sf), "The!")  # normalization folds to 'the'
+
+
+def _q_index_distinct_words(spark, sf):
+    return ix.distinct_words(_q_index_build(spark, sf)).agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+
+
+def _q_index_top_words(spark, sf):
+    return (
+        _q_index_build(spark, sf)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("count").alias("total_count"))
+        .orderBy(F.desc("total_count"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def _q_index_incremental_additive(spark, sf):
+    # O15 reference bit-parity: re-indexing docs < 50 on top of the full
+    # index ADDS their counts (the reference's double-count behavior,
+    # master/main.py:112-121).
+    corpus = _corpus(spark, sf)
+    old = ix.build_index(corpus)
+    delta = ix.build_index(corpus.where(F.col("document").cast("bigint") < 50))
+    return ix.merge_index(old, delta, additive=True)
+
+
+def _q_index_incremental_upsert(spark, sf):
+    # O15 sane default: overlapping re-index replaces per-document
+    # postings; two overlapping batches == one-shot build.
+    corpus = _corpus(spark, sf)
+    old = ix.build_index(corpus.where(F.col("document").cast("bigint") < 300))
+    delta = ix.build_index(corpus.where(F.col("document").cast("bigint") >= 250))
+    return ix.merge_index(old, delta, additive=False)
+
+
+def _tables(spark, sf):
+    return load_tables(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # ---- inverted-index core (SURVEY §2 O1–O17) ----
+        "index_build": _q_index_build,
+        "index_partition_invariance": _q_index_partition_invariance,
+        "index_lookup": _q_index_lookup,
+        "index_distinct_words": _q_index_distinct_words,
+        "index_top_words": _q_index_top_words,
+        "index_incremental_additive": _q_index_incremental_additive,
+        "index_incremental_upsert": _q_index_incremental_upsert,
+        # ---- relational core (X6) ----
+        "q1_pricing_summary": lambda s, d: rel.q1_pricing_summary(_tables(s, d)),
+        "revenue_by_region": lambda s, d: rel.revenue_by_region(_tables(s, d)),
+        "segment_order_stats": lambda s, d: rel.segment_order_stats(_tables(s, d)),
+        "customers_without_orders": lambda s, d: rel.customers_without_orders(_tables(s, d)),
+        "customers_with_big_orders": lambda s, d: rel.customers_with_big_orders(_tables(s, d)),
+        "top_orders_per_customer": lambda s, d: rel.top_orders_per_customer(_tables(s, d)),
+        "running_order_totals": lambda s, d: rel.running_order_totals(_tables(s, d)),
+        "nation_set_ops": lambda s, d: rel.nation_set_ops(_tables(s, d)),
+        "rollup_acctbal": lambda s, d: rel.rollup_acctbal(_tables(s, d)),
+        "top_expensive_orders": lambda s, d: rel.top_expensive_orders(_tables(s, d)),
+        "scalar_function_sampler": lambda s, d: rel.scalar_function_sampler(_tables(s, d)),
+        "part_type_margins": lambda s, d: rel.part_type_margins(_tables(s, d)),
+        "order_priority_counts": lambda s, d: rel.order_priority_counts(_tables(s, d)),
+        # ---- event/window analytics (X7 batch twins) ----
+        "events_tumbling_hourly": lambda s, d: ev.tumbling_hourly(load_table(s, d, "events")),
+        "events_sliding_daily": lambda s, d: ev.sliding_daily_by_user(load_table(s, d, "events")),
+        "events_sessionize": lambda s, d: ev.sessionize(load_table(s, d, "events")),
+        "events_json_rollup": lambda s, d: ev.json_props_rollup(load_table(s, d, "events")),
+        "events_funnel": lambda s, d: ev.event_type_funnel(load_table(s, d, "events")),
+        # ---- dedup family (X1/X2) ----
+        "dedup_exact_groups": lambda s, d: dd.exact_dedup_groups(load_table(s, d, "documents")),
+        "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(load_table(s, d, "documents")),
+        "dedup_minhash_pairs": lambda s, d: dd.minhash_dedup_pairs(load_table(s, d, "documents"), threshold=0.25),
+        "dedup_simhash": lambda s, d: dd.simhash_fingerprints(load_table(s, d, "documents")),
+        "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(load_table(s, d, "documents"), threshold=0.9),
+        "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
+        # ---- similarity search (X3) ----
+        "ann_topk_bruteforce": lambda s, d: sim.brute_force_topk(
+            load_table(s, d, "embeddings"),
+            sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
+        ),
+        "ann_topk_lsh": lambda s, d: sim.lsh_bucketed_topk(
+            load_table(s, d, "embeddings"),
+            sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
+        ),
+        # ---- text analysis (X4) ----
+        "text_stats": lambda s, d: ta.text_stats(load_table(s, d, "documents")),
+        "text_quality": lambda s, d: ta.quality_score(load_table(s, d, "documents")),
+        "text_language_guess": lambda s, d: ta.language_guess(load_table(s, d, "documents")),
+        "text_token_counts": lambda s, d: ta.token_counts(load_table(s, d, "documents")),
+        "text_fingerprints": lambda s, d: ta.fingerprints(load_table(s, d, "documents")),
+        # ---- multimodal (X5) ----
+        "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
+        "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+# Tokenizer twin (functions/text.py TOKEN_SQL): reference-exact pipeline.
+_TOKS_LIST = (
+    "list_filter(string_split(regexp_replace(lower(regexp_replace({col}, '\\s+', ' ', 'g')),"
+    " '[^a-z0-9 ]', '', 'g'), ' '), w -> w <> '')"
+)
+_HEX64 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+_TOK_CTE = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS VARCHAR) AS document,
+         unnest({_TOKS_LIST.format(col="text")}) AS word
+  FROM documents
+)
+"""
+
+_POSTINGS_CTE = (
+    _TOK_CTE
+    + ", postings AS (SELECT word, document, count(*) AS count FROM tok GROUP BY 1, 2)"
+)
+
+# Shared doc→token-list and shingle CTEs for dedup oracles.
+_DOCTOKS = f"SELECT doc_id, {_TOKS_LIST.format(col='text')} AS l FROM documents"
+_SHINGLES = f"""
+WITH doctoks AS ({_DOCTOKS}),
+grams AS (
+  SELECT doc_id, l, unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS i
+  FROM doctoks WHERE len(l) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, (l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS shingle
+  FROM grams
+)
+"""
+
+_MINHASH_SQL = (
+    _SHINGLES
+    + f""",
+seeded AS (
+  SELECT doc_id, shingle, unnest(range(0, 16)) AS seed FROM shingles
+),
+sigs AS (
+  SELECT doc_id, seed,
+         min({_HEX64.format(col="(seed::VARCHAR || '|' || shingle)")}) AS minhash
+  FROM seeded GROUP BY 1, 2
+)
+"""
+)
+
+_LSH_SKETCH = f"""
+comp AS (
+  SELECT vec_id, embedding, unnest(range(0, 8)) AS plane FROM embeddings
+),
+dims AS (
+  SELECT vec_id, plane, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM comp
+),
+dots AS (
+  SELECT vec_id, plane,
+         sum(embedding[i]::DOUBLE *
+             ((({_HEX64.format(col="(plane::VARCHAR || '|' || (i-1)::VARCHAR)")}) % 2001 - 1000)::DOUBLE / 1000.0)) AS dot
+  FROM dims GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY 1
+)
+"""
+
+_COS = "(list_inner_product({a}::DOUBLE[], {b}::DOUBLE[]) / (sqrt(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[])) * sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["index_build"] = _POSTINGS_CTE + "SELECT word, document, count FROM postings"
+    sql["index_partition_invariance"] = sql["index_build"]
+    sql["index_lookup"] = (
+        _POSTINGS_CTE
+        + "SELECT document, count FROM postings WHERE word = 'the' "
+        + "ORDER BY count DESC, document"
+    )
+    sql["index_distinct_words"] = (
+        _POSTINGS_CTE + "SELECT count(DISTINCT word) AS n_words FROM postings"
+    )
+    sql["index_top_words"] = (
+        _POSTINGS_CTE
+        + "SELECT word, count(*) AS n_docs, sum(count)::BIGINT AS total_count "
+        + "FROM postings GROUP BY word ORDER BY total_count DESC, word LIMIT 20"
+    )
+    sql["index_incremental_additive"] = (
+        _POSTINGS_CTE
+        + """
+SELECT word, document,
+       (count * CASE WHEN document::BIGINT < 50 THEN 2 ELSE 1 END)::BIGINT AS count
+FROM postings
+"""
+    )
+    sql["index_incremental_upsert"] = sql["index_build"]
+
+    # ---- relational ----
+    sql["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    sql["revenue_by_region"] = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    sql["segment_order_stats"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS total_price,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+    sql["customers_without_orders"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+    sql["customers_with_big_orders"] = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+    sql["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+    sql["running_order_totals"] = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+FROM orders
+"""
+    sql["nation_set_ops"] = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+"""
+    sql["rollup_acctbal"] = """
+SELECT r_name, n_name, round(sum(c_acctbal), 6) AS total_bal, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+    sql["top_expensive_orders"] = """
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+    sql["scalar_function_sampler"] = """
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS o_year,
+       month(o_orderdate)::INT AS o_month,
+       day(o_orderdate)::INT AS o_day,
+       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+       date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::INT AS days_to_eoy,
+       round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
+       floor(o_totalprice / 1000)::BIGINT AS price_k,
+       round(ln(o_totalprice + 1), 6) AS ln_price,
+       upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+       length(o_orderstatus)::INT AS status_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       CASE WHEN o_totalprice > 150000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS price_band,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+FROM orders
+"""
+    sql["part_type_margins"] = """
+SELECT string_split(p_type, ' ')[1] AS type_head,
+       round(avg(l_extendedprice * (1 - l_discount) - p_retailprice), 6) AS avg_margin,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+    sql["order_priority_counts"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1995-01-01')
+GROUP BY o_orderpriority
+"""
+
+    # ---- events ----
+    sql["events_tumbling_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+    sql["events_sliding_daily"] = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n,
+       round(avg(n) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+FROM daily
+"""
+    sql["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM sess GROUP BY 1, 2
+"""
+    sql["events_json_rollup"] = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+    sql["events_funnel"] = """
+SELECT user_id,
+       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_click,
+       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
+FROM events GROUP BY user_id
+"""
+
+    # ---- dedup ----
+    sql["dedup_exact_groups"] = f"""
+SELECT {_HEX64.format(col='text')} AS text_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+    sql["dedup_minhash_signatures"] = _MINHASH_SQL + "SELECT doc_id, seed::BIGINT AS seed, minhash FROM sigs"
+    sql["dedup_minhash_pairs"] = (
+        _MINHASH_SQL
+        + f""",
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         {_HEX64.format(col="string_agg(minhash::VARCHAR, ',' ORDER BY seed)")} AS band_hash
+  FROM sigs GROUP BY doc_id, (seed // 4)::INT
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         (sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0) AS est_jaccard
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM verified WHERE est_jaccard >= 0.25
+"""
+    )
+    sql["dedup_simhash"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (
+  SELECT doc_id, unnest(l) AS word FROM doctoks
+),
+cnts AS (
+  SELECT doc_id, word, count(*) AS cnt, {_HEX64.format(col='word')} AS h
+  FROM tok GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, cnt, h, unnest(range(0, 32)) AS bit FROM cnts
+),
+sums AS (
+  SELECT doc_id, bit, sum(cnt * (2 * ((h >> bit) & 1) - 1)) AS s
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM sums GROUP BY doc_id
+"""
+    sql["dedup_jaccard_pairs"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (SELECT DISTINCT doc_id, unnest(l) AS word FROM doctoks),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE common / (na.n + nb.n - common) >= 0.9
+"""
+    sql["dedup_embedding_pairs"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+"""
+
+    # ---- similarity ----
+    sql["ann_topk_bruteforce"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a='q.qe', b='e.embedding')} AS score
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)::INT AS rank,
+         score
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
+"""
+    sql["ann_topk_lsh"] = f"""
+WITH {_LSH_SKETCH.strip().lstrip()},
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  WHERE e.vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a='q.qe', b='e.embedding')} AS score
+  FROM embeddings e
+  JOIN buckets eb ON e.vec_id = eb.vec_id
+  JOIN q ON eb.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)::INT AS rank,
+         score
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
+"""
+
+    # ---- text analysis ----
+    _stop_en = "'the','and','of','to','in','is','that','with','a','an','it','on','for','as','at','by'"
+    sql["text_stats"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks)
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct,
+       round(avg(length(word)), 6) AS avg_token_len,
+       round(avg(CASE WHEN word IN ({_stop_en}) THEN 1 ELSE 0 END), 6) AS stopword_ratio,
+       round(avg(CASE WHEN regexp_full_match(word, '[0-9]+') THEN 1 ELSE 0 END), 6) AS digit_ratio
+FROM tok GROUP BY doc_id
+"""
+    sql["text_quality"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct,
+         round(avg(CASE WHEN word IN ({_stop_en}) THEN 1 ELSE 0 END), 6) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       round(least(n_tokens / 200.0, 1.0) * 0.4
+             + (n_distinct / n_tokens::DOUBLE) * 0.3
+             + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+FROM stats
+"""
+    _langscore = {
+        lang: "sum(CASE WHEN word IN (%s) THEN 1 ELSE 0 END)::BIGINT"
+        % ",".join(f"'{w}'" for w in words)
+        for lang, words in sorted(ta.LANG_STOPWORDS.items())
+    }
+    sql["text_language_guess"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks),
+scored AS (
+  SELECT doc_id,
+         {_langscore['de']} AS s_de,
+         {_langscore['en']} AS s_en,
+         {_langscore['es']} AS s_es,
+         {_langscore['fr']} AS s_fr
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       greatest(s_de, s_en, s_es, s_fr) AS best_score
+FROM scored
+"""
+    sql["text_token_counts"] = f"""
+SELECT doc_id,
+       len({_TOKS_LIST.format(col='text')})::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))::INT AS bpe_tokens,
+       length(text)::INT AS n_chars_measured
+FROM documents
+"""
+    _norm = "regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g')"
+    sql["text_fingerprints"] = f"""
+WITH norms AS (SELECT doc_id, {_norm} AS norm FROM documents),
+grams AS (
+  SELECT doc_id, substr(norm, i, 8) AS g
+  FROM (SELECT doc_id, norm, unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS i FROM norms)
+)
+SELECT doc_id, min({_HEX64.format(col='g')}) AS min_fp,
+       max({_HEX64.format(col='g')}) AS max_fp,
+       count(DISTINCT g) AS n_grams
+FROM grams GROUP BY doc_id
+"""
+
+    # ---- multimodal ----
+    sql["multimodal_asset_stats"] = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+         encode(text) AS payload,
+         (n_chars % 640)::INT AS width,
+         (n_chars % 480)::INT AS height
+  FROM documents
+)
+SELECT kind, count(*) AS n_assets,
+       sum(octet_length(payload))::BIGINT AS total_bytes,
+       max(width) AS max_width, round(avg(height), 6) AS avg_height
+FROM assets GROUP BY kind
+"""
+    # multimodal_decode intentionally has no oracle: mapInPandas decode
+    # path (stubbed codec) → driver records the weaker rows-only check.
+    return sql

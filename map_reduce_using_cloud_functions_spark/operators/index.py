@@ -1,0 +1,127 @@
+"""Inverted index with per-document term frequencies — the reference's
+entire job (SURVEY.md §2 O7–O17), as one declarative DataFrame program.
+
+Reference pipeline (6 GCS buckets, 4 FaaS stages, ~780 LoC):
+
+    split files → mappers emit (word, doc, 1) CSV      mapper/main.py:54-74
+    → combiners group to {word:{doc:[1,1,..]}}         create_json_file/main.py:44-53
+    → global single-process merge                      groupby/main.py:70-105
+    → SHA-256 routing table → reducers sum             groupby/main.py:16-21, reducer/main.py:37-41
+    → master merges reducer outputs (+ old index)      master/main.py:82-126
+
+Spark restatement: the whole thing is
+
+    tokenize → groupBy(word, document).count()
+
+Catalyst plans it as HashAggregate(partial) → Exchange
+hashpartitioning(word, document) → HashAggregate(final): the combiner is
+the partial aggregate (and *pre-sums*, unlike the reference, which ships
+``[1,1,...]`` lists), the routing table is the shuffle hash partitioner,
+the reducer-output merge disappears because one job owns the lineage.
+At 100 TB: one wide shuffle whose payload is already-summed (word, doc)
+pairs — strictly smaller than the corpus — and no single-process merge
+bottleneck (the reference's groupby stage holds the whole index in one
+function's memory; here the final aggregate is partitioned).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import tokens_array, normalize_query_word
+
+
+def tokenize(corpus: DataFrame, text_col: str = "text", doc_col: str = "document") -> DataFrame:
+    """corpus(document, text) → one row per token occurrence.
+
+    The map phase (reference ``mapper/main.py:54-63``) as a generator
+    expression: ``explode`` is the flatMap, ``lit(1)`` is implicit (a
+    token row *is* the 1). Stays entirely in whole-stage codegen.
+    """
+    return corpus.select(
+        F.col(doc_col).alias("document"),
+        F.explode(tokens_array(F.col(text_col))).alias("word"),
+    )
+
+
+def build_index(corpus: DataFrame, text_col: str = "text", doc_col: str = "document") -> DataFrame:
+    """corpus → postings(word, document, count).
+
+    Replaces reference stages O9–O14 (combiner, global merge, hash
+    routing, reducer sum, master merge) with one ``groupBy``; Spark's
+    partial aggregation *is* the combiner, the shuffle *is* the routing.
+    """
+    return (
+        tokenize(corpus, text_col, doc_col)
+        .groupBy("word", "document")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def merge_index(old: DataFrame, delta: DataFrame, additive: bool = False) -> DataFrame:
+    """Incremental index maintenance (reference ``master/main.py:106-126``).
+
+    additive=True  — reference bit-parity: counts *add* per (word, doc),
+        so re-indexing the same document double-counts (SURVEY.md §2
+        quirk 2, bug-as-behavior).
+    additive=False (default) — replace-document semantics: a document's
+        new postings supersede its old ones (anti-join old against
+        delta's documents, then union). The sane upsert.
+
+    Both are shuffle-on-key plans; at scale the anti join broadcasts the
+    delta's (small) distinct-document set.
+    """
+    if additive:
+        return (
+            old.unionByName(delta)
+            .groupBy("word", "document")
+            .agg(F.sum("count").alias("count"))
+        )
+    delta_docs = delta.select("document").distinct()
+    # Re-select old's column order: a USING join promotes the join key
+    # to the first column, which would make the merged schema unstable.
+    kept = old.join(F.broadcast(delta_docs), "document", "left_anti").select(*old.columns)
+    return kept.unionByName(delta.select(*old.columns))
+
+
+def lookup(index: DataFrame, word: str) -> DataFrame:
+    """Exact-word query (reference ``main/app.py:67-77``): normalize the
+    probe exactly like the corpus, equality filter, sort count-desc.
+
+    The reference downloads the whole index per query; here the filter
+    is pushed into the scan (word-partitioned/bucketed storage prunes
+    files). ``document`` added as explicit tiebreak — the reference
+    leaves ties unspecified (SURVEY.md §2 quirk 4).
+    """
+    probe = normalize_query_word(F.lit(word))
+    return (
+        index.where(F.col("word") == probe)
+        .select("document", "count")
+        .orderBy(F.desc("count"), F.asc("document"))
+    )
+
+
+def distinct_words(index: DataFrame) -> DataFrame:
+    """Vocabulary (reference iterates dict keys, ``groupby/main.py:116-119``)."""
+    return index.select("word").distinct()
+
+
+def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
+    """Persist the index for point lookups: partitioned by first letter
+    (coarse pruning) — a lookup touches one directory, not the table.
+
+    (Bucketing by word would be tighter but needs a metastore table;
+    first-letter partitioning works on bare parquet paths.)
+    """
+    (
+        index.withColumn("first", F.substring("word", 1, 1))
+        .repartition("first")
+        .write.mode("overwrite")
+        .partitionBy("first")
+        .parquet(path)
+    )
+
+
+def read_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("word", "document", "count")

@@ -1,0 +1,140 @@
+"""Similarity search over embeddings (SURVEY.md §2.b X3).
+
+Two strategies over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the full corpus, score with JVM-side ``zip_with``/
+  ``aggregate`` arithmetic, rank with a window partitioned by query.
+  At 100 TB this is the correct baseline when |queries| is small: one
+  broadcast, one scan, no shuffle of the corpus (the window partitions
+  by query id, so the shuffle moves only (query, candidate, score) rows).
+
+- ``lsh_bucketed_topk`` — the scale path for large query sets: random-
+  hyperplane LSH (sign sketch) buckets both sides; candidates only meet
+  inside a bucket (equi-join), then exact cosine re-ranks. Hyperplane
+  components are derived from the portable hash (deterministic, engine-
+  reproducible — no RNG state), so the oracle can replay the bucketing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.hashing import hex64
+from ..functions.vectors import cosine
+
+LSH_PLANES = 8
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries``: (query_id, q_embedding). Self-matches (same id) are
+    excluded. Deterministic under ties via neighbor-id tiebreak.
+    Returns (query_id, neighbor_id, rank, score).
+    """
+    scored = (
+        embeddings.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def queries_from_ids(embeddings: DataFrame, max_id: int) -> DataFrame:
+    """Fixture query set: vectors with vec_id < max_id."""
+    return embeddings.where(F.col("vec_id") < max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+
+def _sign_sketch(df: DataFrame, vec_col: str, planes: int = LSH_PLANES) -> DataFrame:
+    """Append ``bucket``: integer of sign bits of <v, u_p> for p random-
+    but-deterministic hyperplanes.
+
+    u_p[d] = (hash(p|d) mod 2001 - 1000) / 1000 ∈ [-1, 1] — derived from
+    the portable hash so any engine rebuilds the exact planes.
+    """
+    p = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane")
+    d = F.posexplode(F.col(vec_col))
+    comp = df.select("*", p).select("*", d.alias("dim", "x"))
+    u = (
+        hex64(F.concat_ws("|", F.col("plane"), F.col("dim"))) % 2001 - 1000
+    ).cast("double") / 1000.0
+    dots = (
+        comp.withColumn("c", F.col("x").cast("double") * u)
+        .groupBy(*df.columns, "plane")
+        .agg(F.sum("c").alias("dot"))
+    )
+    return (
+        dots.withColumn(
+            "bit",
+            F.when(F.col("dot") > 0, F.expr("shiftleft(cast(1 as bigint), plane)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy(*df.columns)
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, planes: int = LSH_PLANES
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall < 1.0 by construction (that is the approximation); the win is
+    the equi-join on ``bucket`` replacing the full cross product —
+    corpus-side sketches are computed once and reusable across query
+    batches. Returns (query_id, neighbor_id, rank, score).
+    """
+    corpus_b = _sign_sketch(embeddings.select("vec_id", "embedding"), "embedding", planes)
+    queries_b = _sign_sketch(queries, "q_embedding", planes)
+    scored = (
+        corpus_b.join(queries_b, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def pairwise_near_dup(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """X2 embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+
+    Exact all-pairs (the oracle-checkable form). The scale path is the
+    same scoring after an LSH-bucket equi-join (see lsh_bucketed_topk) —
+    identical expression, restricted candidate space.
+    Returns (vec_a, vec_b, score).
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("score", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+    )

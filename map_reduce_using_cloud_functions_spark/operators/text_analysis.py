@@ -1,0 +1,122 @@
+"""Text-analysis operators (SURVEY.md §2.b X4) over ``documents``.
+
+All built-in Column expressions (whole-stage codegen); each has a DuckDB
+twin in the oracle. These are the LLM-pipeline per-document featurizers:
+stats/quality, language ID, token counting, content fingerprinting.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.hashing import hex64
+from ..functions.text import tokens_array, normalize_text
+
+# Tiny per-language stopword inventories for the n-gram/stopword-hit
+# language heuristic. Fixed and mirrored in the oracle SQL — the point
+# is agreement and plan shape, not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "es": ("el", "la", "los", "de", "que", "es", "un", "con"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ("a", "an", "it", "on", "for", "as", "at", "by")
+
+# BPE-ish pre-tokenization classes (GPT-2-style coarse split): letter
+# runs, single digits, other non-space symbols. Counting matches via
+# regexp_count keeps it JVM-side.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality features: token counts, length ratios,
+    stopword ratio, digit-token ratio. Single-pass projection + one
+    groupBy on exploded tokens."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("word")
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct"),
+            F.round(F.avg(F.length("word")), 6).alias("avg_token_len"),
+            F.round(
+                F.avg(F.col("word").isin(*STOPWORDS_EN).cast("int")), 6
+            ).alias("stopword_ratio"),
+            F.round(
+                F.avg(F.col("word").rlike("^[0-9]+$").cast("int")), 6
+            ).alias("digit_ratio"),
+        )
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]-ish: rewards mid-length docs,
+    lexical diversity, sane stopword rate. Pure arithmetic over
+    text_stats — the shape of a production quality filter."""
+    s = text_stats(documents)
+    score = (
+        F.least(F.col("n_tokens") / 200.0, F.lit(1.0)) * 0.4
+        + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+    )
+    return s.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def language_guess(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: score each language by token hits,
+    argmax with deterministic tiebreak (score desc, language asc).
+    One explode + one groupBy; langs folded map-side."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("word")
+    )
+    aggs = [
+        F.sum(F.col("word").isin(*words).cast("int")).alias(f"s_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = toks.groupBy("doc_id").agg(*aggs)
+    # argmax via greatest + cascaded CASE in ascending language order —
+    # mirrored verbatim in the oracle SQL.
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    guess = F.lit(None).cast("string")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        guess = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(guess)
+    return scored.select(
+        "doc_id",
+        F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+        best.alias("best_score"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish pieces
+    (regexp_count of the GPT-2-style coarse classes) + chars — the
+    standard 'how big is this corpus in tokens' accounting."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens_array(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
+    """Content fingerprint: min/max portable hash over ``gram``-char
+    windows of normalized text (winnowing-style min-sampling, window
+    count as a size proxy). Equal fingerprints ⇒ near-certain shared
+    substring — the cheap first pass before pairwise verification."""
+    norm = normalize_text(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, gram),
+    )
+    g = documents.select("doc_id", F.explode(grams).alias("g"))
+    return g.groupBy("doc_id").agg(
+        F.min(hex64(F.col("g"))).alias("min_fp"),
+        F.max(hex64(F.col("g"))).alias("max_fp"),
+        F.countDistinct("g").alias("n_grams"),
+    )

@@ -1,0 +1,110 @@
+"""Event-stream analytics in batch form (SURVEY.md §2.b X7 semantics on
+the ``events`` fixture). The same aggregations run as Structured
+Streaming plans in ``streaming/windows.py``; these batch twins are the
+oracle-checkable versions — identical window semantics, no watermark
+needed because the batch is complete.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+SESSION_GAP_MINUTES = 30
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + value sum.
+    ``date_trunc`` is the batch twin of ``window(ts, '1 hour')`` —
+    identical bucket boundaries in UTC."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def sliding_daily_by_user(events: DataFrame) -> DataFrame:
+    """Per-user daily activity + 3-day moving average of event counts —
+    the sliding-window pattern via an analytic frame over day buckets."""
+    daily = (
+        events.groupBy(
+            F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("day"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("ma3"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Session windows via gaps-and-islands: a session breaks when the
+    gap since the user's previous event exceeds ``gap_minutes``.
+
+    Expressed with lag + running sum (not ``session_window``) so the
+    batch plan is the *definition* both engines share bit-for-bit; the
+    streaming module uses the built-in ``session_window`` for the same
+    semantics under watermarks. Returns one row per session."""
+    w_ord = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord)
+    starts = events.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = starts.withColumn("session_id", F.sum("is_start").over(w_run))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def json_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column and aggregate per event type (get_json_object stays
+    JVM-side; no Python JSON parsing)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+    )
+
+
+def event_type_funnel(events: DataFrame) -> DataFrame:
+    """Per-user funnel flags (did view→click→purchase) via conditional
+    aggregation — the pivot-like pattern without a shuffle per stage."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("did_view"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("did_click"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("did_purchase"),
+        )
+    )

@@ -1,0 +1,10 @@
+from .tables import load_table, load_tables, register_views
+from .text_corpus import read_text_corpus, documents_as_corpus
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_text_corpus",
+    "documents_as_corpus",
+]

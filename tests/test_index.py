@@ -1,0 +1,102 @@
+"""Inverted-index golden + incremental tests (SURVEY.md §5 items 3/4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from map_reduce_using_cloud_functions_spark.operators.index import (
+    build_index,
+    distinct_words,
+    lookup,
+    merge_index,
+    tokenize,
+)
+
+
+def as_nested(index_df) -> dict:
+    """Export shape parity: {word: {document: count}} (reference
+    final_results.json, master/main.py:82-126)."""
+    out: dict = {}
+    for row in index_df.collect():
+        out.setdefault(row["word"], {})[row["document"]] = row["count"]
+    return out
+
+
+def test_golden_index(golden_corpus):
+    idx = as_nested(build_index(golden_corpus))
+    assert idx["the"] == {"doc1.txt": 3, "doc4.txt": 1}
+    assert idx["electronic"] == {"doc3.txt": 3}
+    assert idx["stateoftheart"] == {"doc2.txt": 1}
+    assert idx["dont"] == {"doc2.txt": 1}
+    assert idx["degradegracefully"] == {"doc2.txt": 1}
+    assert idx["2023"] == {"doc5.txt": 1}
+    assert idx["fox"] == {"doc1.txt": 1, "doc4.txt": 1}
+    assert "naïve" not in idx and "nave" in idx
+
+
+def test_lookup_order_and_normalization(golden_corpus):
+    idx = build_index(golden_corpus)
+    rows = lookup(idx, "  The!  ").collect()  # normalizes to 'the'
+    assert [(r["document"], r["count"]) for r in rows] == [
+        ("doc1.txt", 3),
+        ("doc4.txt", 1),
+    ]
+    assert lookup(idx, "missingword").count() == 0
+
+
+def test_incremental_equals_batch(golden_corpus):
+    """index(docs 1–3) + add(docs 4–5) == one-shot index(docs 1–5)."""
+    first = golden_corpus.where(F.col("document") <= "doc3.txt")
+    rest = golden_corpus.where(F.col("document") > "doc3.txt")
+    merged = merge_index(build_index(first), build_index(rest), additive=True)
+    batch = build_index(golden_corpus)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_additive_double_counts_like_reference(golden_corpus):
+    """Reference parity (master/main.py:112-121): re-adding doc1 doubles it."""
+    idx = build_index(golden_corpus)
+    doc1 = build_index(golden_corpus.where(F.col("document") == "doc1.txt"))
+    merged = as_nested(merge_index(idx, doc1, additive=True))
+    assert merged["the"]["doc1.txt"] == 6  # was 3
+    assert merged["the"]["doc4.txt"] == 1  # untouched
+
+
+def test_upsert_replaces_document(golden_corpus, spark):
+    """Default semantics: re-indexing a changed doc replaces its postings."""
+    idx = build_index(golden_corpus)
+    changed = spark.createDataFrame(
+        [("doc1.txt", "completely new words")], "document string, text string"
+    )
+    merged = as_nested(merge_index(idx, build_index(changed), additive=False))
+    assert merged["completely"] == {"doc1.txt": 1}
+    assert "doc1.txt" not in merged.get("the", {})  # old postings gone
+    assert merged["the"]["doc4.txt"] == 1  # other docs untouched
+
+
+def test_partition_invariance(golden_corpus):
+    """O5/O6/O11: identical results under any input partitioning."""
+    base = sorted(map(tuple, build_index(golden_corpus).collect()))
+    for n in (1, 4, 16):
+        got = sorted(map(tuple, build_index(golden_corpus.repartition(n)).collect()))
+        assert got == base
+
+
+def test_distinct_words(golden_corpus):
+    n = distinct_words(build_index(golden_corpus)).count()
+    toks = tokenize(golden_corpus).select("word").distinct().count()
+    assert n == toks > 0
+
+
+def test_index_roundtrip_parquet(golden_corpus, tmp_path):
+    """O2 sink + O1 re-scan: write/read round-trip preserves postings."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        read_index,
+        write_index,
+    )
+
+    idx = build_index(golden_corpus)
+    path = str(tmp_path / "index")
+    write_index(idx, path)
+    back = read_index(idx.sparkSession, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, idx.collect()))

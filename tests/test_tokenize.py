@@ -1,0 +1,88 @@
+"""Tokenizer parity tests (SURVEY.md §2 O7, quirks 1).
+
+The executable spec: the reference's exact regex pipeline re-implemented
+in pure Python (from mapper/main.py:56-60), compared against the Spark
+expression on golden and property-generated inputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from map_reduce_using_cloud_functions_spark.functions.text import (
+    tokens_array,
+    normalize_query_word,
+)
+
+
+def reference_tokenize(content: str) -> list[str]:
+    """Pure-Python executable spec of reference mapper/main.py:56-60."""
+    processed = re.sub(r"\s+", " ", content).lower()
+    processed = re.sub(r"[^a-zA-Z0-9\s]", "", processed)
+    return processed.split()
+
+
+def spark_tokenize(spark, texts: list[str]) -> list[list[str]]:
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(tokens_array(F.col("text")).alias("toks")).collect()
+    return [r["toks"] for r in rows]
+
+
+GOLDEN_CASES = {
+    # punctuation deleted WITHOUT space insertion
+    "State-of-the-art systems don't fail": ["stateoftheart", "systems", "dont", "fail"],
+    # case folding + digits kept
+    "electronic Electronic ELECTRONIC 123 abc123 123abc": [
+        "electronic", "electronic", "electronic", "123", "abc123", "123abc",
+    ],
+    # whitespace collapse across newlines/tabs
+    "Multi\nline\n\n  spaced\ttabbed   text": ["multi", "line", "spaced", "tabbed", "text"],
+    # non-ASCII stripped entirely (no transliteration)
+    "naïve café résumé — über cool ©2023": ["nave", "caf", "rsum", "ber", "cool", "2023"],
+    "": [],
+    "!!! ---": [],
+}
+
+
+def test_golden_tokenization(spark):
+    texts = list(GOLDEN_CASES)
+    got = spark_tokenize(spark, texts)
+    for text, toks in zip(texts, got):
+        assert toks == GOLDEN_CASES[text], text
+        assert toks == reference_tokenize(text), text
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_property_matches_reference_spec(spark, texts):
+    got = spark_tokenize(spark, texts)
+    for text, toks in zip(texts, got):
+        assert toks == reference_tokenize(text)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("  The!  ", "the"),
+        ("don't", "dont"),
+        ("ELECTRONIC", "electronic"),
+        ("abc123", "abc123"),
+    ],
+)
+def test_query_word_normalization(spark, raw, expected):
+    # main/app.py:67-68 — probe word normalized like the corpus.
+    row = spark.range(1).select(normalize_query_word(F.lit(raw)).alias("w")).first()
+    assert row["w"] == expected
