@@ -164,9 +164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ------------------------------------------------------------- oracle SQL
 
-# Tokenizer twin (functions/text.py TOKEN_SQL): reference-exact pipeline.
+# Tokenizer twin (functions/text.py TOKEN_SQL): reference-exact pipeline,
+# including Python's wider-than-ASCII \s set (see functions/text.py).
+from map_reduce_using_cloud_functions_spark.functions.text import PY_WS_RE2
+
+# Brace-escaped so .format(col=...) leaves the RE2 \x{..} escapes alone.
+_PY_WS_RE2 = PY_WS_RE2.replace("{", "{{").replace("}", "}}")
+
 _TOKS_LIST = (
-    "list_filter(string_split(regexp_replace(lower(regexp_replace({col}, '\\s+', ' ', 'g')),"
+    "list_filter(string_split(regexp_replace(lower(regexp_replace({col}, '" + _PY_WS_RE2 + "', ' ', 'g')),"
     " '[^a-z0-9 ]', '', 'g'), ' '), w -> w <> '')"
 )
 _HEX64 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
@@ -585,7 +591,10 @@ SELECT doc_id,
        length(text)::INT AS n_chars_measured
 FROM documents
 """
-    _norm = "regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g')"
+    # raw (unescaped) pattern: _norm is concatenated into f-strings, never .format()ed
+    _norm = (
+        "regexp_replace(lower(regexp_replace(text, '" + PY_WS_RE2 + "', ' ', 'g')), '[^a-z0-9 ]', '', 'g')"
+    )
     sql["text_fingerprints"] = f"""
 WITH norms AS (SELECT doc_id, {_norm} AS norm FROM documents),
 grams AS (

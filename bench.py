@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (results are not
+collected to the driver — we're timing the engine, not IPC). A warmup
+query first pays JVM/codegen startup so per-query numbers reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from map_reduce_using_cloud_functions_spark.session import get_spark
+
+# Headline queries: one per operator family — index build (the
+# reference's whole job), scan-heavy agg, star join, window, sessionize,
+# dedup sketches, similarity, text featurizers.
+BENCH_QUERIES = [
+    "index_build",
+    "index_lookup",
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "top_orders_per_customer",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "text_stats",
+    "text_token_counts",
+    "multimodal_asset_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warmup: pay session/codegen startup outside the timed region.
+    qs["index_distinct_words"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,17 @@ from pyspark.sql import Column
 # Collapse-then-delete order matters (reference applies \s+ first); since
 # the deletion class preserves spaces, the composed result equals
 # delete-then-collapse, but we keep the reference's order verbatim.
-_WS = r"\s+"
+#
+# The reference runs PYTHON re, where \s is the str.isspace() set —
+# including \x1c-\x1f, \x85, \xa0 and the Unicode space blocks. Java's
+# \s is ASCII-only, so we spell out Python's set (chars embedded
+# literally; valid in both Java regex and RE2). Found by the
+# property test: '0\x1f0' must tokenize to ['0','0'], not ['00'].
+_PY_WS_CHARS = (
+    "\t\n\x0b\f\r \x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+_WS = f"[{_PY_WS_CHARS}]+"
 _NON_ALNUM = "[^a-zA-Z0-9 ]"  # after collapsing, the only whitespace left is ' '
 
 
@@ -41,6 +51,16 @@ def tokens_array(text: Column) -> Column:
     return F.filter(F.split(normalize_text(text), " "), lambda w: w != "")
 
 
+def normalize_query_word_py(word: str) -> str:
+    """Driver-side twin of ``normalize_query_word`` (the executable spec
+    of reference ``main/app.py:67-68``). Used where the engine needs the
+    normalized probe as a plain value — e.g. to derive the partition key
+    for index-file pruning before the query ships to executors."""
+    import re
+
+    return re.sub(r"[^a-zA-Z0-9\s]", "", word.strip().lower())
+
+
 def normalize_query_word(word: Column) -> Column:
     """Probe-word normalization (reference ``main/app.py:67-68``):
     strip, lower, delete non-alphanumerics (whitespace kept by the regex
@@ -50,9 +70,18 @@ def normalize_query_word(word: Column) -> Column:
 
 # DuckDB twin of tokens_array(text): produces one row per token when
 # wrapped in unnest(...). DuckDB regexp_replace needs the explicit 'g'
-# flag for global replacement (Spark is global by default).
+# flag for global replacement (Spark is global by default). RE2's \s is
+# ASCII-only like Java's, so the same Python-whitespace extras are
+# spelled out in \x{...} form.
+PY_WS_RE2 = (
+    "[\\s\\x{1c}-\\x{1f}\\x{85}\\x{a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+)
+# Brace-escaped so the template survives str.format (the RE2 \x{..}
+# escapes would otherwise be eaten as format fields).
+_PY_WS_RE2_TMPL = PY_WS_RE2.replace("{", "{{").replace("}", "}}")
 TOKEN_SQL = (
     "unnest(list_filter("
-    "string_split(regexp_replace(lower(regexp_replace({col}, '\\s+', ' ', 'g')),"
+    "string_split(regexp_replace(lower(regexp_replace({col}, '" + _PY_WS_RE2_TMPL + "', ' ', 'g')),"
     " '[^a-z0-9 ]', '', 'g'), ' '), w -> w <> ''))"
 )

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.text import tokens_array, normalize_query_word
+from ..functions.text import tokens_array, normalize_query_word_py
 
 
 def tokenize(corpus: DataFrame, text_col: str = "text", doc_col: str = "document") -> DataFrame:
@@ -94,11 +94,14 @@ def lookup(index: DataFrame, word: str) -> DataFrame:
     files). ``document`` added as explicit tiebreak — the reference
     leaves ties unspecified (SURVEY.md §2 quirk 4).
     """
-    probe = normalize_query_word(F.lit(word))
-    return (
-        index.where(F.col("word") == probe)
-        .select("document", "count")
-        .orderBy(F.desc("count"), F.asc("document"))
+    w = normalize_query_word_py(word)
+    filtered = index.where(F.col("word") == F.lit(w))
+    # Persisted index (write_index) carries a 'first' partition column:
+    # add the partition predicate so the scan prunes to one directory.
+    if "first" in index.columns:
+        filtered = filtered.where(F.col("first") == F.lit(w[:1]))
+    return filtered.select("document", "count").orderBy(
+        F.desc("count"), F.asc("document")
     )
 
 

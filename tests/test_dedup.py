@@ -1,0 +1,78 @@
+"""Dedup-family property tests (SURVEY.md §5 items 1/4): planted
+duplicates must be found; clean corpora must not produce false exact
+groups; sketches must behave like the similarity they approximate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_token_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # one-token edit → high Jaccard
+    far = "completely different content about spark query engines and shuffles"
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0
+        (3, far),
+        (4, base.upper()),  # exact dup after normalization? NO — dedup is on raw text
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(corpus_with_dups):
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(corpus_with_dups).collect()}
+    assert groups[0] == 2          # docs 0,1 identical
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+    kept = sorted(r["doc_id"] for r in exact_dedup(corpus_with_dups).collect())
+    assert kept == [0, 2, 3, 4]    # min doc_id survives
+
+
+def test_minhash_finds_planted_near_dup(corpus_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(corpus_with_dups, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # identical text → identical sigs
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5   # near dup caught by LSH
+    assert not any(3 in p for p in pairs)             # unrelated doc never pairs
+
+
+def test_minhash_signature_shape(corpus_with_dups):
+    sigs = minhash_signatures(corpus_with_dups)
+    assert sigs.groupBy("doc_id").count().select(F.min("count")).first()[0] == 16
+    # deterministic across runs
+    a = sorted(map(tuple, sigs.collect()))
+    b = sorted(map(tuple, minhash_signatures(corpus_with_dups).collect()))
+    assert a == b
+
+
+def test_simhash_distance_tracks_similarity(spark, corpus_with_dups):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(corpus_with_dups).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert fp[0] == fp[1]                      # identical docs → identical fingerprint
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])  # near dup closer than unrelated
+
+
+def test_jaccard_pairs_exact_values(corpus_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_token_pairs(corpus_with_dups, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # base has tokens {the,quick,brown,fox,jumps,over,lazy,dog,again,and,today} (11 distinct)
+    # near swaps today→tomorrow: |∩|=10, |∪|=12
+    assert pairs[(0, 2)] == round(10 / 12, 6)
+    assert (0, 3) not in pairs

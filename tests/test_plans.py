@@ -1,0 +1,94 @@
+"""Plan-shape assertions (the 100 TB design points, SURVEY.md §7):
+broadcast joins for dims, pushdown reaching the parquet scan, partial
+aggregation, no cartesian products where an equi-join exists. These
+guard the *physical* properties the oracle value-checks can't see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators.index import build_index
+from map_reduce_using_cloud_functions_spark.plans import relational as rel
+from map_reduce_using_cloud_functions_spark.sources import (
+    documents_as_corpus,
+    load_table,
+    load_tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, SF)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(tables):
+    plan = plan_of(rel.revenue_by_region(tables))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle for the join
+
+
+def test_aggregation_is_partial_then_final(tables):
+    plan = plan_of(rel.q1_pricing_summary(tables))
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    plan = plan_of(
+        tables["lineitem"].where(F.col("l_quantity") > 40).select("l_quantity")
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+
+
+def test_column_pruning_reaches_scan(tables):
+    plan = plan_of(tables["lineitem"].select("l_orderkey"))
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_index_build_is_single_shuffle(spark):
+    """The whole reference pipeline must compile to ONE exchange
+    (partial agg → shuffle on (word, document) → final agg)."""
+    corpus = documents_as_corpus(load_table(spark, SF, "documents"))
+    plan = plan_of(build_index(corpus))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_index_lookup_prunes_partitions(spark, tmp_path):
+    """Point lookup on the persisted index touches one first-letter
+    partition, not the whole table."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        lookup,
+        read_index,
+        write_index,
+    )
+
+    corpus = documents_as_corpus(load_table(spark, SF, "documents"))
+    path = str(tmp_path / "idx")
+    write_index(build_index(corpus), path)
+    looked = lookup(spark.read.parquet(path), "table")
+    assert looked.count() > 0
+    plan = plan_of(looked)
+    # lookup() must emit the partition predicate so the scan prunes to
+    # one first-letter directory (PartitionFilters, not a post-scan Filter)
+    assert "PartitionFilters" in plan
+    assert "first" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_whole_stage_codegen_covers_index_build(spark):
+    corpus = documents_as_corpus(load_table(spark, SF, "documents"))
+    df = build_index(corpus)
+    df.collect()  # AQE finalizes only on execution of *this* plan
+    plan = plan_of(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan;
+    # both aggregate stages must be inside codegen regions.
+    assert "isFinalPlan=true" in plan
+    import re
+
+    assert len(re.findall(r"\*\(\d+\) HashAggregate", plan)) >= 2

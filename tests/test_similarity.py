@@ -1,0 +1,76 @@
+"""Similarity-search tests (X3): brute-force top-k is the ground truth;
+the LSH path is approximate but must rank whatever it returns exactly
+like brute force does."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    pairwise_near_dup,
+    queries_from_ids,
+)
+from map_reduce_using_cloud_functions_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb)
+
+
+def test_bruteforce_matches_python_oracle(spark, embeddings):
+    got = brute_force_topk(embeddings, queries_from_ids(embeddings, 2), k=3).collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in embeddings.collect()}
+    for qid in (0, 1):
+        expected = sorted(
+            ((py_cosine(vecs[qid], v), -nid) for nid, v in vecs.items() if nid != qid),
+            reverse=True,
+        )[:3]
+        mine = [r for r in got if r["query_id"] == qid]
+        mine.sort(key=lambda r: r["rank"])
+        for row, (score, neg_nid) in zip(mine, expected):
+            assert row["neighbor_id"] == -neg_nid
+            assert abs(row["score"] - round(score, 6)) < 2e-6
+
+
+def test_lsh_results_are_subset_with_consistent_scores(embeddings):
+    """Every LSH hit must carry the exact brute-force score (the rank may
+    differ because the candidate pool is restricted — that's the
+    approximation, scores must not be)."""
+    q = queries_from_ids(embeddings, 8)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    lsh = lsh_bucketed_topk(embeddings, q, k=5).collect()
+    assert lsh, "LSH returned nothing — buckets degenerate"
+    for r in lsh:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["score"]
+
+
+def test_pairwise_near_dup_symmetric_and_thresholded(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0]),   # nearly parallel to 0
+            (2, [0.0, 1.0, 0.0]),    # orthogonal
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]): r["score"] for r in pairwise_near_dup(df, 0.9).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.999

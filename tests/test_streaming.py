@@ -1,0 +1,140 @@
+"""Streaming tests (SURVEY.md §5 item 5): the O19 file-trigger path and
+the X7 windowed aggregations, checked against their batch twins."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from map_reduce_using_cloud_functions_spark.operators.index import build_index
+from map_reduce_using_cloud_functions_spark.plans.events import tumbling_hourly
+from map_reduce_using_cloud_functions_spark.sources import load_table, read_text_corpus
+from map_reduce_using_cloud_functions_spark.streaming.file_index import (
+    start_file_index_stream,
+)
+from map_reduce_using_cloud_functions_spark.streaming.windows import (
+    streaming_session_values,
+    streaming_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(path: str, text: str) -> None:
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def test_file_drop_builds_and_extends_index(spark, tmp_path):
+    """t1-style smoke mirroring filladdtrigger: drop file → index updated."""
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(str(watch / "a.txt"), "hello world hello")
+    _write(str(watch / "b.txt"), "world of spark")
+    start_file_index_stream(spark, str(watch), index_path, ckpt).awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    assert got == [
+        ("hello", "a.txt", 2),
+        ("of", "b.txt", 1),
+        ("spark", "b.txt", 1),
+        ("world", "a.txt", 1),
+        ("world", "b.txt", 1),
+    ]
+
+    # new file arrives → incremental update touches only the new doc
+    _write(str(watch / "c.txt"), "hello again")
+    start_file_index_stream(spark, str(watch), index_path, ckpt).awaitTermination(120)
+    df = spark.read.parquet(index_path)
+    assert df.schema.simpleString() == "struct<word:string,document:string,count:bigint>"
+    assert sorted(map(tuple, df.where(F.col("document") == "c.txt").collect())) == [
+        ("again", "c.txt", 1),
+        ("hello", "c.txt", 1),
+    ]
+    # pre-existing postings untouched
+    assert df.where((F.col("word") == "hello") & (F.col("document") == "a.txt")).first()[
+        "count"
+    ] == 2
+
+
+def test_streaming_index_equals_batch(spark, tmp_path):
+    """Stream-built index over a dir == batch build over the same dir."""
+    watch = tmp_path / "corpus"
+    watch.mkdir()
+    for i, text in enumerate(["alpha beta", "beta gamma gamma", "alpha alpha delta"]):
+        _write(str(watch / f"d{i}.txt"), text)
+    index_path = str(tmp_path / "index")
+    start_file_index_stream(
+        spark, str(watch), index_path, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    streamed = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert streamed == batch
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    """Windowed streaming agg (availableNow over the events fixture as a
+    file stream) == the batch date_trunc aggregation."""
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_json")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "event_type", "value"
+    ).coalesce(2).write.json(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        )
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_tumbling_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM tumbling_test").collect()))
+    batch = sorted(map(tuple, tumbling_hourly(events).collect()))
+    assert streamed == batch
+
+
+def test_streaming_session_window_runs(spark, tmp_path):
+    """session_window streaming plan executes and produces sane sessions
+    (exact parity with the gaps-and-islands batch twin is not required —
+    session_window merges on event-time identically here, so check
+    invariants: per-user coverage and total event conservation)."""
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_json2")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "event_type", "value"
+    ).coalesce(2).write.json(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        )
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        streaming_session_values(stream)
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM session_test")
+    assert got.agg(F.sum("n_events")).first()[0] == events.count()
+    assert got.select("user_id").distinct().count() == events.select(
+        "user_id"
+    ).distinct().count()
