@@ -204,15 +204,20 @@ shingles AS (
 )
 """
 
+# MinHash family twin (operators/dedup.py): base = md5-hex60 of the
+# shingle mod p (p = 2^31-1), then h_i = ((2i+1)·base + 7919i+13) mod p.
 _MINHASH_SQL = (
     _SHINGLES
     + f""",
+based AS (
+  SELECT doc_id, ({_HEX64.format(col="shingle")} % 2147483647) AS h FROM shingles
+),
 seeded AS (
-  SELECT doc_id, shingle, unnest(range(0, 16)) AS seed FROM shingles
+  SELECT doc_id, h, unnest(range(0, 16)) AS seed FROM based
 ),
 sigs AS (
   SELECT doc_id, seed,
-         min({_HEX64.format(col="(seed::VARCHAR || '|' || shingle)")}) AS minhash
+         min(((2 * seed + 1) * h + 7919 * seed + 13) % 2147483647) AS minhash
   FROM seeded GROUP BY 1, 2
 )
 """

@@ -1,0 +1,94 @@
+"""User-facing engine facade — the reference's whole product surface
+(upload corpus → build/extend index → query a word) as one class.
+
+Reference UX being replaced (``main/app.py``):
+- upload ``.txt`` files to a bucket → trigger re-index
+  (``main/app.py:81-102``, ``filladdtrigger/main.py``)
+- query a word → per-document counts, most-frequent first
+  (``main/app.py:104-124``)
+- input validation: reject whitespace in the probe (``main/app.py:43-44``)
+
+A user of the reference switches by pointing this at a directory of
+text files instead of a GCS bucket; every behavior (tokenization,
+normalization, sort order, incremental semantics) is preserved, with
+``additive=True`` available for bug-level parity of the double-count
+merge (SURVEY.md §2 quirk 2).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.index import build_index, lookup, merge_index, read_index, write_index
+from .sources.text_corpus import read_text_corpus
+
+# Reference main/app.py:43-44 — a valid probe has no whitespace/newlines.
+_VALID_QUERY = re.compile(r"^[^\s\n]+$")
+
+
+class InvertedIndexEngine:
+    """Index lifecycle + query API over a persisted, partition-pruned
+    parquet index table."""
+
+    def __init__(self, spark: SparkSession, index_path: str, additive: bool = False):
+        self.spark = spark
+        self.index_path = index_path
+        self.additive = additive
+
+    # ---- build / maintain -------------------------------------------
+
+    def build(self, corpus_path: str) -> None:
+        """One-shot index build from a directory/glob of text files."""
+        corpus = read_text_corpus(self.spark, corpus_path)
+        write_index(build_index(corpus), self.index_path)
+
+    def build_from_dataframe(self, corpus: DataFrame) -> None:
+        """Build from any corpus(document, text) DataFrame."""
+        write_index(build_index(corpus), self.index_path)
+
+    def add(self, corpus_path: str) -> None:
+        """Incremental update (reference trigger path, O15/O19): index
+        the new files and merge into the stored index. Default
+        replace-per-document; additive=True for reference parity."""
+        corpus = read_text_corpus(self.spark, corpus_path)
+        delta = build_index(corpus)
+        try:
+            old = read_index(self.spark, self.index_path)
+        except Exception:
+            write_index(delta, self.index_path)
+            return
+        merged = merge_index(old, delta, additive=self.additive)
+        # Two-phase write: the merge plan reads the index it overwrites.
+        tmp = self.index_path + ".__new__"
+        write_index(merged, tmp)
+        import shutil
+
+        shutil.rmtree(self.index_path)
+        import os
+
+        os.rename(tmp, self.index_path)
+
+    # ---- query -------------------------------------------------------
+
+    def is_valid_query(self, word: str) -> bool:
+        """O18 predicate validation (reference main/app.py:43-44)."""
+        return bool(_VALID_QUERY.match(word))
+
+    def find_occurrences(self, word: str) -> DataFrame:
+        """The reference's 'Find Occurances' (sic) query: documents
+        containing the normalized word, count-descending
+        (main/app.py:104-124). Raises on invalid input rather than
+        silently returning nothing."""
+        if not self.is_valid_query(word):
+            raise ValueError(
+                "query must be a single word without whitespace "
+                "(reference main/app.py:43-44 semantics)"
+            )
+        index = self.spark.read.parquet(self.index_path)
+        return lookup(index, word)
+
+    def vocabulary_size(self) -> int:
+        index = read_index(self.spark, self.index_path)
+        return index.select("word").distinct().count()

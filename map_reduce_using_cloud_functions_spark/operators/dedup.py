@@ -32,6 +32,21 @@ MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 SIMHASH_BITS = 32
 
+# Seeded hash family for MinHash: ONE md5 per shingle, then k linear
+# transforms h_i = (a_i·(h mod p) + b_i) mod p over the Mersenne prime
+# p = 2³¹−1. a_i·(h mod p) < 2⁶² keeps everything in int64; the
+# transforms are pure whole-stage-codegen arithmetic (k× cheaper than
+# k seeded md5 calls) and trivially reproducible in the DuckDB oracle.
+MINHASH_P = 2147483647
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 1
+
+
+def _mh_b(i: int) -> int:
+    return i * 7919 + 13
+
 
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     """X1 exact dedup: group identical texts by 64-bit content hash.
@@ -64,8 +79,9 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct word n-grams per document.
+def _shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle): word n-grams per document (distinct by default;
+    duplicate-insensitive consumers like MinHash skip the dedup shuffle).
 
     Built from the same tokenizer as the index so dedup and indexing
     agree on text normalization."""
@@ -82,62 +98,81 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    out = documents.select(
+        "doc_id", tokens_array(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode(gram).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def minhash_signatures_wide(
+    documents: DataFrame, k: int = MINHASH_K, shingle_n: int = 3
+) -> DataFrame:
+    """X2 MinHash signatures, one row per doc: (doc_id, sig: array<k longs>).
+
+    Scale design: the k seeded hashes are computed per shingle as an
+    array projection (no k× row blowup), and the groupBy carries k
+    ``min`` partial aggregates — so the only wide shuffle moves k longs
+    per document, not k×|shingles| rows. The shingle set is NOT
+    deduplicated first: min() is duplicate-insensitive, and skipping
+    ``distinct`` saves a full shuffle of the shingle relation.
+    """
+    sh = _shingles(documents, shingle_n, distinct=False)
+    base = sh.select("doc_id", (hex64(F.col("shingle")) % MINHASH_P).alias("h"))
+    hashes = [
+        ((F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % MINHASH_P).alias(f"h{i}")
+        for i in range(k)
+    ]
+    mins = [F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(k)]
     return (
-        documents.select("doc_id", tokens_array(F.col("text")).alias("toks"))
-        .select("doc_id", F.explode(gram).alias("shingle"))
-        .distinct()
+        base.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
     )
 
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K, shingle_n: int = 3) -> DataFrame:
-    """X2 MinHash: (doc_id, seed, minhash) long-format signatures —
-    min over shingles of the seeded portable hash, one row per seed.
-
-    Long format keeps the plan a single explode + groupBy (no 16-column
-    pivot) and matches the oracle SQL shape 1:1."""
-    sh = _shingles(documents, shingle_n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            hex64(
-                F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """Long-format view (doc_id, seed, minhash) of the wide signatures —
+    the oracle-friendly shape; posexplode after the aggregate is cheap
+    (k rows per doc, produced map-side from the agg result)."""
+    return minhash_signatures_wide(documents, k, shingle_n).select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
     )
 
 
-def minhash_lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Band the k-row signatures and equi-join on (band, band_hash):
-    only documents colliding in ≥1 band become candidate pairs.
-
-    band_hash = portable hash of the band's minhashes joined in seed
-    order — computed with sort_array(collect_list(struct(seed, minhash)))
-    so the concatenation order is deterministic under any partitioning.
-    """
-    rows_per_band = MINHASH_K // bands
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+def _band_hashes(sig_wide: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, band, band_hash) from wide signatures — a pure
+    projection (no shuffle): each band hashes its slice of the array."""
+    rows_per_band = k // bands
+    cols = [
+        F.struct(
+            F.lit(b).alias("band"),
             hex64(
                 F.array_join(
                     F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda m: m.cast("string"),
                     ),
                     ",",
                 )
-            ).alias("band_hash")
+            ).alias("band_hash"),
         )
-    )
-    other = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_hash"
-    )
+        for b in range(bands)
+    ]
+    return sig_wide.select(
+        "doc_id", F.explode(F.array(*cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_candidates(
+    sig_wide: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Equi-join documents on (band, band_hash): only bucket collisions
+    become candidate pairs — the step that replaces the O(n²) pair space.
+    Bucket skew (e.g. many empty docs sharing a signature) is handled by
+    AQE skew-join splitting at runtime."""
+    banded = _band_hashes(sig_wide, bands, k)
+    other = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
         banded.join(other, ["band", "band_hash"])
         .where(F.col("doc_id") < F.col("doc_b"))
@@ -149,21 +184,26 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> Dat
 def minhash_dedup_pairs(
     documents: DataFrame, threshold: float = 0.5, k: int = MINHASH_K
 ) -> DataFrame:
-    """X2 end-to-end: LSH candidates verified by estimated Jaccard
-    (fraction of agreeing signature rows). Returns
+    """X2 end-to-end: LSH candidates verified by estimated Jaccard =
+    fraction of agreeing signature positions, compared as arrays
+    (zip_with + filter — no per-seed join). Returns
     ``(doc_a, doc_b, est_jaccard)`` with est_jaccard ≥ threshold."""
-    sigs = minhash_signatures(documents, k)
-    cands = minhash_lsh_candidates(sigs)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b"))
+    sigs = minhash_signatures_wide(documents, k)
+    cands = minhash_lsh_candidates(sigs, k=k)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
     return (
         cands.join(a, "doc_a")
-        .join(b, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(k)).alias(
-                "est_jaccard"
-            )
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(k)).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
     )
@@ -172,31 +212,36 @@ def minhash_dedup_pairs(
 def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """X2 SimHash: one integer fingerprint per document.
 
-    bit_b = sign of Σ_token count(token) · (2·bit_b(hash(token)) − 1);
-    fingerprint = Σ bit_b · 2^b. One explode(bits) + two aggregations,
-    all JVM-side bitwise ops — matches the oracle's >>/& arithmetic."""
-    tok = (
-        documents.select("doc_id", F.explode(tokens_array(F.col("text"))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", hex64(F.col("word")))
-    )
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # shiftright/shiftleft with a *column* shift amount needs the SQL
-    # form (the Python wrappers only take int literals).
-    return (
-        tok.select("doc_id", "cnt", "h", b)
-        .withColumn("contrib", F.col("cnt") * (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("simhash")
+    bit_b = sign of Σ_occurrence (2·bit_b(hash(token)) − 1);
+    fingerprint = Σ_{b: bit_b set} 2^b. (Summing ±1 per occurrence is
+    identical to weighting distinct tokens by their counts, so no
+    per-(doc, word) pre-aggregation is needed.)
+
+    Scale design: the per-bit contributions are ``bits`` sum aggregates
+    over a projection of the token stream — ONE shuffle whose payload is
+    ``bits`` partial sums per document, with no bits× row explosion and
+    no intermediate (doc, bit) relation."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("word")
+    ).select("doc_id", hex64(F.col("word")).alias("h"))
+    contribs = [
+        (
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    sums = [F.sum(F.col(f"c{b}")).alias(f"s{b}") for b in range(bits)]
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return (
+        tok.select("doc_id", *contribs)
+        .groupBy("doc_id")
+        .agg(*sums)
+        .select("doc_id", fingerprint.alias("simhash"))
     )
 
 

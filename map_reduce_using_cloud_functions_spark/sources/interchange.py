@@ -1,0 +1,100 @@
+"""Interchange formats (SURVEY.md §2 O2–O4): the reference's on-the-wire
+shapes, re-expressed as Spark read/write round-trips.
+
+The reference moves data between stages as:
+- CSV with header ``Word,Document,Count`` (mapper output,
+  ``mapper/main.py:63-70``)
+- nested JSON ``{word: {document: count}}`` (grouped/final index,
+  ``reducer/main.py:37-49``, ``master/main.py:82-126``)
+
+Internally this engine keeps postings flat (the idiomatic Spark shape);
+these functions exist at the boundary so any artifact the reference
+produced can be imported, and any index this engine builds can be
+exported byte-compatible for the reference's consumers (e.g. its
+Streamlit UI reading ``final_results.json``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import POSTINGS
+
+
+def write_postings_csv(postings: DataFrame, path: str) -> None:
+    """Reference mapper CSV shape: header ``Word,Document,Count``."""
+    (
+        postings.select(
+            F.col("word").alias("Word"),
+            F.col("document").alias("Document"),
+            F.col("count").alias("Count"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def read_postings_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Parse reference-shaped CSV back to flat postings. Rows for the
+    same (word, document) are re-aggregated — the mapper emits one row
+    per occurrence with Count=1 (``mapper/main.py:63``), so a raw
+    mapper file and an aggregated export both import correctly."""
+    df = spark.read.option("header", True).csv(
+        path, schema="Word string, Document string, Count long"
+    )
+    return (
+        df.select(
+            F.col("Word").alias("word"),
+            F.col("Document").alias("document"),
+            F.col("Count").alias("count"),
+        )
+        .groupBy("word", "document")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def write_index_json(index: DataFrame, path: str) -> None:
+    """Export the nested ``{word: {document: count}}`` shape
+    (reference ``final_results.json``), one JSON object per line keyed
+    by word: ``{"word": w, "postings": {doc: count}}``.
+
+    A single giant dict (the reference's literal shape) cannot scale —
+    it must fit one process's memory, which is exactly the reference's
+    groupby bottleneck (``groupby/main.py:70-98``). One-object-per-word
+    lines keep the export distributed and streamable; a consumer wanting
+    the exact reference bytes folds the lines client-side.
+    """
+    (
+        index.groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("document", "count")))
+            ).alias("postings")
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+
+
+def read_index_json(spark: SparkSession, path: str) -> DataFrame:
+    """Import the nested export back to flat postings."""
+    df = spark.read.json(
+        path, schema="word string, postings map<string, long>"
+    )
+    return df.select(
+        "word", F.explode("postings").alias("document", "count")
+    )
+
+
+def postings_from_nested_dict(spark: SparkSession, nested: dict) -> DataFrame:
+    """Adapt an in-memory reference index dict ({word:{doc:n}}, e.g.
+    a parsed legacy ``final_results.json``) to a postings DataFrame.
+    Driver-side by nature — only for migrating small legacy artifacts."""
+    rows = [
+        (word, doc, int(count))
+        for word, docs in nested.items()
+        for doc, count in docs.items()
+    ]
+    return spark.createDataFrame(rows, POSTINGS)

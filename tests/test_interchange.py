@@ -1,0 +1,115 @@
+"""Interchange round-trips (O2–O4) and the engine facade (the
+reference's end-user surface)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from map_reduce_using_cloud_functions_spark.engine import InvertedIndexEngine
+from map_reduce_using_cloud_functions_spark.operators.index import build_index
+from map_reduce_using_cloud_functions_spark.sources.interchange import (
+    postings_from_nested_dict,
+    read_index_json,
+    read_postings_csv,
+    write_index_json,
+    write_postings_csv,
+)
+
+
+def _postings(df):
+    return sorted(map(tuple, df.select("word", "document", "count").collect()))
+
+
+def test_csv_roundtrip(golden_corpus, tmp_path):
+    idx = build_index(golden_corpus)
+    path = str(tmp_path / "postings_csv")
+    write_postings_csv(idx, path)
+    back = read_postings_csv(idx.sparkSession, path)
+    assert _postings(back) == _postings(idx)
+
+
+def test_csv_import_reaggregates_mapper_rows(spark, tmp_path):
+    """A raw reference mapper file (one row per occurrence, Count=1,
+    mapper/main.py:63) imports to summed postings."""
+    p = tmp_path / "mapper0.csv"
+    p.write_text("Word,Document,Count\nthe,doc1.txt,1\nthe,doc1.txt,1\nfox,doc1.txt,1\n")
+    back = read_postings_csv(spark, str(p))
+    assert _postings(back) == [("fox", "doc1.txt", 1), ("the", "doc1.txt", 2)]
+
+
+def test_json_roundtrip_and_shape(golden_corpus, tmp_path):
+    idx = build_index(golden_corpus)
+    path = str(tmp_path / "index_json")
+    write_index_json(idx, path)
+    back = read_index_json(idx.sparkSession, path)
+    assert _postings(back) == _postings(idx)
+    # per-line shape is the reference's nested dict, keyed by word
+    line = json.loads(
+        next(
+            l
+            for f in (tmp_path / "index_json").glob("part-*.json")
+            for l in f.read_text().splitlines()
+            if '"the"' in l
+        )
+    )
+    assert line["word"] == "the"
+    assert line["postings"] == {"doc1.txt": 3, "doc4.txt": 1}
+
+
+def test_legacy_dict_import(spark):
+    nested = {"electronic": {"doc3.txt": 3}, "fox": {"doc1.txt": 1, "doc4.txt": 1}}
+    df = postings_from_nested_dict(spark, nested)
+    assert _postings(df) == [
+        ("electronic", "doc3.txt", 3),
+        ("fox", "doc1.txt", 1),
+        ("fox", "doc4.txt", 1),
+    ]
+
+
+# ---------------------------------------------------------------- facade
+
+
+def test_engine_facade_end_to_end(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("the quick fox and the dog")
+    (corpus / "b.txt").write_text("fox fox fox")
+
+    eng = InvertedIndexEngine(spark, str(tmp_path / "index"))
+    eng.build(str(corpus))
+
+    rows = [(r["document"], r["count"]) for r in eng.find_occurrences("Fox!").collect()]
+    assert rows == [("b.txt", 3), ("a.txt", 1)]  # count desc, doc tiebreak
+
+    # incremental add of a new file
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "c.txt").write_text("fox again")
+    eng.add(str(more))
+    rows = [(r["document"], r["count"]) for r in eng.find_occurrences("fox").collect()]
+    assert rows == [("b.txt", 3), ("a.txt", 1), ("c.txt", 1)]
+
+    assert eng.vocabulary_size() > 0
+
+
+def test_engine_rejects_invalid_query(spark, tmp_path):
+    eng = InvertedIndexEngine(spark, str(tmp_path / "i"))
+    assert not eng.is_valid_query("two words")
+    assert not eng.is_valid_query("line\nbreak")
+    assert eng.is_valid_query("word")
+    with pytest.raises(ValueError):
+        eng.find_occurrences("two words")
+
+
+def test_engine_additive_parity(spark, tmp_path):
+    """additive=True reproduces the reference's double-count merge."""
+    corpus = tmp_path / "c1"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("hello hello world")
+    eng = InvertedIndexEngine(spark, str(tmp_path / "index2"), additive=True)
+    eng.build(str(corpus))
+    eng.add(str(corpus))  # re-add same file → counts double (quirk 2)
+    rows = {r["document"]: r["count"] for r in eng.find_occurrences("hello").collect()}
+    assert rows == {"a.txt": 4}
