@@ -187,8 +187,14 @@ def minhash_dedup_pairs(
     """X2 end-to-end: LSH candidates verified by estimated Jaccard =
     fraction of agreeing signature positions, compared as arrays
     (zip_with + filter — no per-seed join). Returns
-    ``(doc_a, doc_b, est_jaccard)`` with est_jaccard ≥ threshold."""
-    sigs = minhash_signatures_wide(documents, k)
+    ``(doc_a, doc_b, est_jaccard)`` with est_jaccard ≥ threshold.
+
+    The signature relation is persisted: it appears four times in the
+    plan (banding self-join + both verify sides), and at any scale the
+    signatures (k longs per doc) are tiny relative to the corpus —
+    materializing them once is exactly what a production pipeline does
+    (write the signature table, then band and verify against it)."""
+    sigs = minhash_signatures_wide(documents, k).persist()
     cands = minhash_lsh_candidates(sigs, k=k)
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
