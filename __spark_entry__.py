@@ -128,12 +128,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_function_sampler": lambda s, d: rel.scalar_function_sampler(_tables(s, d)),
         "part_type_margins": lambda s, d: rel.part_type_margins(_tables(s, d)),
         "order_priority_counts": lambda s, d: rel.order_priority_counts(_tables(s, d)),
+        "customer_order_left_join": lambda s, d: rel.customer_order_left_join(_tables(s, d)),
+        "cube_order_counts": lambda s, d: rel.cube_order_counts(_tables(s, d)),
+        "orders_above_global_avg": lambda s, d: rel.orders_above_global_avg(_tables(s, d)),
+        "deterministic_sample_agg": lambda s, d: rel.deterministic_sample_agg(_tables(s, d)),
+        "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
+        "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
+        "big_customers_having": lambda s, d: rel.big_customers_having(_tables(s, d)),
+        "top_customer_per_nation": lambda s, d: rel.top_customer_per_nation(_tables(s, d)),
+        "embedding_array_features": lambda s, d: rel.embedding_array_features(_tables(s, d)),
         # ---- event/window analytics (X7 batch twins) ----
         "events_tumbling_hourly": lambda s, d: ev.tumbling_hourly(load_table(s, d, "events")),
         "events_sliding_daily": lambda s, d: ev.sliding_daily_by_user(load_table(s, d, "events")),
         "events_sessionize": lambda s, d: ev.sessionize(load_table(s, d, "events")),
         "events_json_rollup": lambda s, d: ev.json_props_rollup(load_table(s, d, "events")),
         "events_funnel": lambda s, d: ev.event_type_funnel(load_table(s, d, "events")),
+        "events_pivot": lambda s, d: ev.events_pivot(load_table(s, d, "events")),
+        "events_approx_distinct": lambda s, d: ev.approx_distinct_users(load_table(s, d, "events")),
         # ---- dedup family (X1/X2) ----
         "dedup_exact_groups": lambda s, d: dd.exact_dedup_groups(load_table(s, d, "documents")),
         "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(load_table(s, d, "documents")),
@@ -377,7 +388,76 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 """
 
+    sql["customer_order_left_join"] = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 6) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+    sql["cube_order_counts"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 6) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+    sql["orders_above_global_avg"] = """
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+"""
+    sql["deterministic_sample_agg"] = f"""
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_extendedprice), 6) AS sampled_revenue
+FROM lineitem
+WHERE {_HEX64.format(col="concat_ws('-', l_orderkey, l_linenumber)")} % 100 < 5
+GROUP BY l_returnflag
+"""
+    sql["order_value_statistics"] = """
+SELECT round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+FROM lineitem
+"""
+    sql["price_percentiles"] = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+    sql["big_customers_having"] = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) > 12
+"""
+    sql["top_customer_per_nation"] = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey AS top_custkey, round(c_acctbal, 6) AS top_bal
+FROM ranked WHERE rn = 1
+"""
+    sql["embedding_array_features"] = """
+SELECT vec_id,
+       len(embedding)::INT AS dim,
+       round(embedding[1]::DOUBLE, 6) AS first_component,
+       round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
+       round(list_sum(list_reverse_sort(embedding::DOUBLE[])[1:3]), 6) AS top3_sum
+FROM embeddings
+"""
+
     # ---- events ----
+    sql["events_pivot"] = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY user_id
+"""
+    # events_approx_distinct: no oracle (HLL sketches are engine-specific)
     sql["events_tumbling_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value

@@ -97,6 +97,29 @@ def json_props_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: one row per user, one count column per event type
+    (explicit value list keeps the plan static — no discovery pass)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """Approximate aggregates (HLL): distinct users per event type.
+    No cross-engine oracle — sketch implementations differ — so this is
+    a rows-only contract; the exact companion rides along for the test
+    suite to bound the estimate."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def event_type_funnel(events: DataFrame) -> DataFrame:
     """Per-user funnel flags (did view→click→purchase) via conditional
     aggregation — the pivot-like pattern without a shuffle per stage."""

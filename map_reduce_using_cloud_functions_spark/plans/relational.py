@@ -219,3 +219,123 @@ def order_priority_counts(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+def customer_order_left_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Outer join with null handling: every customer, order count and
+    value (0 for the orderless) — count(col) skips nulls, coalesce
+    fills the sum."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias("total_spent"),
+        )
+    )
+
+
+def cube_order_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE grouping sets: all 4 combinations of (status, priority)."""
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+    )
+
+
+def orders_above_global_avg(t: dict[str, DataFrame]) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 1.5x the global mean
+    price. DataFrame form: broadcast the 1-row aggregate and cross-join
+    (what the SQL scalar subquery plans to)."""
+    avg_df = t["orders"].agg(F.avg("o_totalprice").alias("global_avg"))
+    return (
+        t["orders"]
+        .crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("global_avg") * 1.5)
+        .select("o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice"))
+    )
+
+
+def deterministic_sample_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Sampling at scale, deterministically: hash-mod of the row key
+    selects a stable ~5% — reproducible across engines/runs/cluster
+    sizes, unlike TABLESAMPLE. Aggregates over the sample."""
+    from ..functions.hashing import hex64
+
+    li = t["lineitem"]
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.where(hex64(key) % 100 < 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sampled_revenue"),
+        )
+    )
+
+
+def order_value_statistics(t: dict[str, DataFrame]) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance
+    (sample forms — same definitions in DuckDB)."""
+    li = t["lineitem"]
+    return li.agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+    )
+
+
+def price_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles per order status (percentile ==
+    DuckDB quantile_cont)."""
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+def big_customers_having(t: dict[str, DataFrame]) -> DataFrame:
+    """HAVING clause: customers with more than 12 orders."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") > 12)
+    )
+
+
+def top_customer_per_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Argmax per group, deterministically: highest-balance customer per
+    nation, min custkey on balance ties (max_by with a struct key —
+    struct comparison is lexicographic, custkey negated for min)."""
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_custkey, struct(c_acctbal, -c_custkey))").alias("top_custkey"),
+            F.round(F.max("c_acctbal"), 6).alias("top_bal"),
+        )
+    )
+
+
+def embedding_array_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Array-function surface over array<float>: length, element access,
+    L2 norm, sum of the 3 largest components."""
+    from ..functions.vectors import l2_norm
+
+    e = t["embeddings"]
+    emb = F.col("embedding")
+    top3 = F.slice(F.sort_array(F.transform(emb, lambda x: x.cast("double")), asc=False), 1, 3)
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_component"),
+        F.round(l2_norm(emb), 6).alias("l2"),
+        F.round(F.aggregate(top3, F.lit(0.0), lambda a, x: a + x), 6).alias("top3_sum"),
+    )

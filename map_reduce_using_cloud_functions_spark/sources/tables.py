@@ -15,21 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import ALL_FIXTURE_TABLES
 
-# The fixture parquet files carry INT64 TIMESTAMP(NANOS) columns (pyarrow
-# default), which Spark's vectorized reader rejects. We read them as raw
-# longs (legacy nanosAsLong) and convert ns → µs at the scan edge —
-# lossless here (all fixture timestamps are µs-aligned) and still a
-# pushdown-friendly projection, not a UDF.
+# events.ts is INT64 TIMESTAMP(NANOS) (pyarrow ns default), which Spark
+# rejects outright; orders/lineitem timestamps are ms and read natively.
+# For nanos columns we read raw longs (legacy nanosAsLong) and convert
+# ns → µs at the scan edge — lossless here (all fixture timestamps are
+# µs-aligned) and still a pushdown-friendly projection, not a UDF.
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
 }
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (lazy; no IO until an action runs)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name in _NANO_TS_COLUMNS:
+        # Conf must be in place before this table's schema inference.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
@@ -38,12 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Scan every fixture table present under ``sf_dir``."""
+    """Scan every fixture table present under ``sf_dir`` (each through
+    load_table so nanos handling is order-independent)."""
     out: dict[str, DataFrame] = {}
     for name in ALL_FIXTURE_TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 
