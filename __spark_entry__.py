@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_guess": lambda s, d: ta.language_guess(load_table(s, d, "documents")),
         "text_token_counts": lambda s, d: ta.token_counts(load_table(s, d, "documents")),
         "text_fingerprints": lambda s, d: ta.fingerprints(load_table(s, d, "documents")),
+        "text_tfidf": lambda s, d: ta.tf_idf(load_table(s, d, "documents")),
         # ---- multimodal (X5) ----
         "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
         "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
@@ -690,6 +691,19 @@ SELECT doc_id, min({_HEX64.format(col='g')}) AS min_fp,
        max({_HEX64.format(col='g')}) AS max_fp,
        count(DISTINCT g) AS n_grams
 FROM grams GROUP BY doc_id
+"""
+
+    sql["text_tfidf"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks),
+postings AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(cnt)::BIGINT AS len FROM postings GROUP BY 1),
+dfq AS (SELECT word, count(*) AS df FROM postings GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT p.doc_id, p.word,
+       round((cnt / len) * (ln((1 + n_docs) / (1 + df)) + 1), 6) AS tfidf
+FROM postings p
+JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN n
 """
 
     # ---- multimodal ----

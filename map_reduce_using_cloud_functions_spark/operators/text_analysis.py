@@ -104,6 +104,51 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def tf_idf(documents: DataFrame, top_k: int | None = None) -> DataFrame:
+    """TF-IDF over the corpus — the inverted index (O7–O14) upgraded to
+    a ranked-relevance index, the standard text-featurization step.
+
+    tf = count/doc_len; idf = ln((1+N)/(1+df)) + 1 (smoothed);
+    returns (doc_id, word, tfidf) — optionally only each doc's top_k
+    terms (row_number window, word tiebreak).
+
+    Plan: postings aggregation (one shuffle), df per word rides the same
+    shuffle as a second aggregation, doc lengths as a window-free
+    groupBy, N broadcast as a 1-row cross join. At scale nothing here
+    exceeds the postings relation's own size."""
+    from pyspark.sql.window import Window
+
+    postings = (
+        documents.select(
+            F.col("doc_id"), F.explode(tokens_array(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc_len = postings.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    df_ = postings.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        postings.join(doc_len, "doc_id")
+        .join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                (F.col("cnt") / F.col("len"))
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1)
+            ).alias("raw"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("word"))
+        scored = scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= top_k
+        ).drop("rn")
+    return scored.select("doc_id", "word", F.round("raw", 6).alias("tfidf"))
+
+
 def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
     """Content fingerprint: min/max portable hash over ``gram``-char
     windows of normalized text (winnowing-style min-sampling, window

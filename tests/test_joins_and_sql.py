@@ -1,0 +1,86 @@
+"""Salted-join equivalence property + the SQL-API surface (every
+DataFrame plan is also reachable through spark.sql over registered
+views — the 'switchable engine' claim)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from map_reduce_using_cloud_functions_spark.operators.joins import salted_join
+from map_reduce_using_cloud_functions_spark.sources import load_tables, register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    t = load_tables(spark, SF)
+    plain = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("s"))
+    )
+    li = t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+    salted = (
+        salted_join(li, t["orders"], "o_orderkey", salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A 100%-skewed key must land in multiple salt buckets."""
+    hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = salted_join(hot, dim, "k", salt_buckets=8)
+    assert out.count() == 10000
+    # the salt column spreads the hot key before the join drops it
+    salts = (
+        hot.withColumn("__salt", (F.crc32(F.concat_ws("\x1f", "k", "id")) % 8).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_sql_api_surface_matches_dataframe_plans(spark):
+    """register_views + spark.sql answers the same questions as the
+    DataFrame catalog — users can drive the engine in pure SQL."""
+    t = register_views(spark, SF)
+    got = spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+    from map_reduce_using_cloud_functions_spark.plans.relational import segment_order_stats
+
+    df_api = segment_order_stats(t).drop("avg_price")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df_api.collect()))
+
+
+def test_tfidf_ranks_rare_terms_higher(spark):
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import tf_idf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare filler"),
+            (1, "common other words"),
+            (2, "common more things"),
+        ],
+        "doc_id bigint, text string",
+    )
+    scores = {
+        (r["doc_id"], r["word"]): r["tfidf"] for r in tf_idf(docs).collect()
+    }
+    # equal tf within doc 0 → 'rare' (df=1) outranks 'common' (df=3)
+    assert scores[(0, "rare")] > scores[(0, "common")]
+    # 'filler' and 'rare' tie (both df=1, same tf); word-asc tiebreak
+    # makes the top-1 deterministic: 'filler'.
+    top = tf_idf(docs, top_k=1).where(F.col("doc_id") == 0).first()
+    assert top["word"] == "filler"
+    assert scores[(0, "filler")] == scores[(0, "rare")]
