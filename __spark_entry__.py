@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"),
             sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
         ),
+        "ann_topk_vectorized": lambda s, d: sim.brute_force_topk_vectorized(
+            load_table(s, d, "embeddings"),
+            sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
+        ),
         # ---- text analysis (X4) ----
         "text_stats": lambda s, d: ta.text_stats(load_table(s, d, "documents")),
         "text_quality": lambda s, d: ta.quality_score(load_table(s, d, "documents")),
@@ -620,8 +624,11 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
 """
 
+    # vectorized path computes the same exact top-k
+    sql["ann_topk_vectorized"] = sql["ann_topk_bruteforce"]
+
     # ---- text analysis ----
-    _stop_en = "'the','and','of','to','in','is','that','with','a','an','it','on','for','as','at','by'"
+    _stop_en ="'the','and','of','to','in','is','that','with','a','an','it','on','for','as','at','by'"
     sql["text_stats"] = f"""
 WITH doctoks AS ({_DOCTOKS}),
 tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks)

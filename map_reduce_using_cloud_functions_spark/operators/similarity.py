@@ -122,6 +122,69 @@ def lsh_bucketed_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k via Arrow-batched NumPy matmul — the scale path for
+    *many* queries.
+
+    The expression-based ``brute_force_topk`` evaluates one cosine per
+    (query, candidate) row: |Q|·|C| rows through codegen. Here the
+    query matrix (small, normalized once) is a broadcast variable and
+    each Arrow batch of candidates does ONE |batch|×dim · dim×|Q|
+    matmul in BLAS, emitting only each batch's local candidates; the
+    final global top-k is a window over |batches|·k·|Q| rows instead of
+    |C|·|Q|. Same results as the expression path (tested), ~matmul
+    speed instead of per-row expression evaluation."""
+    import numpy as np
+
+    sess = embeddings.sparkSession
+    q_rows = queries.collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["q_embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = sess.sparkContext.broadcast((q_ids, q_mat, k))
+
+    def score_batches(batches):
+        import pandas as pd
+
+        q_ids_l, q_mat_l, k_l = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            scores = c_mat @ q_mat_l.T  # |batch| x |Q|
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids_l):
+                col = scores[:, j]
+                mask = c_ids != qid
+                ids, vals = c_ids[mask], col[mask]
+                top = min(k_l, len(vals))
+                if not top:
+                    continue
+                part = np.argpartition(-vals, top - 1)[:top]
+                out_q.extend([qid] * top)
+                out_n.extend(ids[part])
+                out_s.extend(vals[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    local_top = embeddings.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="query_id bigint, neighbor_id bigint, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        local_top.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def pairwise_near_dup(embeddings: DataFrame, threshold: float) -> DataFrame:
     """X2 embedding-cosine near-dup: all pairs with cosine ≥ threshold.
 

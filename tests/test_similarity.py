@@ -74,3 +74,16 @@ def test_pairwise_near_dup_symmetric_and_thresholded(spark):
     pairs = {(r["vec_a"], r["vec_b"]): r["score"] for r in pairwise_near_dup(df, 0.9).collect()}
     assert list(pairs) == [(0, 1)]
     assert pairs[(0, 1)] > 0.999
+
+
+def test_vectorized_topk_matches_expression_path(embeddings):
+    """The NumPy mapInPandas path returns the same neighbors/ranks as
+    the codegen expression path (scores to 6dp)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    a = sorted(map(tuple, brute_force_topk(embeddings, q, k=5).collect()))
+    b = sorted(map(tuple, brute_force_topk_vectorized(embeddings, q, k=5).collect()))
+    assert a == b

@@ -138,3 +138,58 @@ def test_streaming_session_window_runs(spark, tmp_path):
     assert got.select("user_id").distinct().count() == events.select(
         "user_id"
     ).distinct().count()
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    two file drops = two batches; totals accumulate, anomaly flags fire."""
+    import json as _json
+
+    from map_reduce_using_cloud_functions_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "user_id bigint, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = running_user_totals(stream)
+
+    collected: list[dict] = []
+
+    def run_once():
+        # foreachBatch sink supports checkpoint recovery (memory sink
+        # does not), so state carries across these restarts.
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: collected.extend(r.asDict() for r in df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop("b1.json", [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 2, "value": 5.0},
+    ])
+    run_once()
+    first = {r["user_id"]: r for r in collected}
+    assert first[1]["total_events"] == 2 and first[1]["total_value"] == 20.0
+    assert not first[1]["anomaly"]  # no prior history yet
+
+    # batch 2: user 1 value spikes to >3x the historical mean of 10
+    collected.clear()
+    drop("b2.json", [{"user_id": 1, "value": 100.0}, {"user_id": 2, "value": 5.0}])
+    run_once()
+    second = {r["user_id"]: r for r in collected}
+    assert second[1]["total_events"] == 3 and second[1]["total_value"] == 120.0
+    assert second[1]["anomaly"]          # 100 > 3 * 10
+    assert second[2]["total_events"] == 2 and not second[2]["anomaly"]
