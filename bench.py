@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "ann_topk_bruteforce",
+    "ann_topk_vectorized",
+    "text_tfidf",
     "text_stats",
     "text_token_counts",
     "multimodal_asset_stats",
