@@ -104,6 +104,14 @@ def _tables(spark, sf):
     return load_tables(spark, sf)
 
 
+def _q_training_corpus_prep(spark, sf):
+    from map_reduce_using_cloud_functions_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+
+    return prepare_training_corpus(load_table(spark, sf, "documents"), min_quality=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- inverted-index core (SURVEY §2 O1–O17) ----
@@ -174,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": lambda s, d: ta.tf_idf(load_table(s, d, "documents")),
         # ---- multimodal (X5) ----
         "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
+        # ---- composed pipeline (X1+X4 end-to-end) ----
+        "training_corpus_prep": _q_training_corpus_prep,
         "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
     }
 
@@ -730,4 +740,52 @@ FROM assets GROUP BY kind
 """
     # multimodal_decode intentionally has no oracle: mapInPandas decode
     # path (stubbed codec) → driver records the weaker rows-only check.
+
+    # ---- composed pipeline: quality-gate → exact-dedup → lang-tag ----
+    sql["training_corpus_prep"] = f"""
+WITH doctoks AS ({_DOCTOKS}),
+tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct,
+         round(avg(CASE WHEN word IN ({_stop_en}) THEN 1 ELSE 0 END), 6) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id,
+         round(least(n_tokens / 200.0, 1.0) * 0.4
+               + (n_distinct / n_tokens::DOUBLE) * 0.3
+               + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+  FROM stats
+),
+langscored AS (
+  SELECT doc_id,
+         {_langscore['de']} AS s_de,
+         {_langscore['en']} AS s_en,
+         {_langscore['es']} AS s_es,
+         {_langscore['fr']} AS s_fr
+  FROM tok GROUP BY doc_id
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_guess
+  FROM langscored
+),
+dedup AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY {_HEX64.format(col='text')}
+                              ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, lang.lang_guess, q.quality, s.n_tokens, s.n_distinct
+FROM dedup d
+JOIN quality q ON d.doc_id = q.doc_id AND q.quality >= 0.5
+JOIN lang ON d.doc_id = lang.doc_id
+JOIN stats s ON d.doc_id = s.doc_id
+"""
     return sql

@@ -76,3 +76,44 @@ def test_jaccard_pairs_exact_values(corpus_with_dups):
     # near swaps today→tomorrow: |∩|=10, |∪|=12
     assert pairs[(0, 2)] == round(10 / 12, 6)
     assert (0, 3) not in pairs
+
+
+def test_sketches_partition_invariant(spark):
+    """MinHash signatures and SimHash fingerprints are invariant to the
+    input partitioning (the O5/O6/O11 property extended to the sketch
+    operators — a shuffled corpus must produce identical sketches)."""
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    base_sig = sorted(map(tuple, minhash_signatures(docs).collect()))
+    base_fp = sorted(map(tuple, simhash_fingerprints(docs).collect()))
+    for n in (1, 7):
+        shuffled = docs.repartition(n)
+        assert sorted(map(tuple, minhash_signatures(shuffled).collect())) == base_sig
+        assert sorted(map(tuple, simhash_fingerprints(shuffled).collect())) == base_fp
+
+
+def test_pipeline_composition(spark):
+    """prepare_training_corpus = quality gate ∘ dedup ∘ lang tag: planted
+    low-quality and duplicate docs are dropped; survivors tagged."""
+    from map_reduce_using_cloud_functions_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the green field with many other animals in the warm sun "
+    ) * 3
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, good),        # exact dup of 0 → dropped
+            (2, "tiny tiny tiny tiny tiny"),  # low quality (no diversity) → dropped
+            (3, good + " unique tail that keeps this one distinct"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in prepare_training_corpus(docs, 0.3).collect()}
+    assert set(out) == {0, 3}
+    assert out[0]["lang_guess"] == "en"
+    assert out[0]["n_tokens"] > 50
