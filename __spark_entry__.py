@@ -173,6 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"),
             sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
         ),
+        "ann_topk_ivf": lambda s, d: sim.ivf_topk(
+            load_table(s, d, "embeddings"),
+            sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
+        ),
         # ---- text analysis (X4) ----
         "text_stats": lambda s, d: ta.text_stats(load_table(s, d, "documents")),
         "text_quality": lambda s, d: ta.quality_score(load_table(s, d, "documents")),
@@ -636,6 +640,54 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE r
 
     # vectorized path computes the same exact top-k
     sql["ann_topk_vectorized"] = sql["ann_topk_bruteforce"]
+
+    # IVF twin: deterministic centroids (min vec_id per id%97 slot),
+    # 1-nearest list per corpus vector, 2 probed lists per query.
+    sql["ann_topk_ivf"] = f"""
+WITH cents AS (
+  SELECT (vec_id % 97)::INT AS centroid_id,
+         arg_min(embedding, vec_id) AS c_embedding
+  FROM embeddings WHERE (vec_id % 97) < 8 GROUP BY 1
+),
+corpus_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.c_embedding')} AS c_score
+  FROM embeddings e CROSS JOIN cents c
+),
+corpus_lists AS (
+  SELECT vec_id, embedding, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_score DESC, centroid_id) AS crn
+    FROM corpus_scored
+  ) WHERE crn <= 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+q_scored AS (
+  SELECT q.query_id, q.qe, c.centroid_id,
+         {_COS.format(a='q.qe', b='c.c_embedding')} AS c_score
+  FROM q CROSS JOIN cents c
+),
+query_lists AS (
+  SELECT query_id, qe, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_score DESC, centroid_id) AS crn
+    FROM q_scored
+  ) WHERE crn <= 2
+),
+scored AS (
+  SELECT ql.query_id, cl.vec_id AS neighbor_id,
+         {_COS.format(a='ql.qe', b='cl.embedding')} AS score
+  FROM corpus_lists cl JOIN query_lists ql ON cl.list_id = ql.list_id
+  WHERE cl.vec_id <> ql.query_id
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id)::INT AS rank,
+         score
+  FROM scored
+) WHERE rank <= 5
+"""
 
     # ---- text analysis ----
     _stop_en ="'the','and','of','to','in','is','that','with','a','an','it','on','for','as','at','by'"

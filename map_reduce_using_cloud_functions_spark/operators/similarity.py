@@ -185,6 +185,79 @@ def brute_force_topk_vectorized(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the query's ``n_probe``
+    closest lists.
+
+    Centroids are chosen deterministically (the vectors whose id hashes
+    into the first ``n_centroids`` slots — reservoir-free, reproducible;
+    a production build would k-means these, the *plan* is identical):
+    assignment and probing are broadcast nested-loop joins against the
+    tiny centroid set, the candidate join is a plain equi-join on
+    ``list_id`` — the corpus never cross-joins the query set.
+
+    Approximation contract: every returned neighbor carries its exact
+    cosine; recall < 1 when a true neighbor lives in an unprobed list.
+    """
+    cents = (
+        embeddings.where((F.col("vec_id") % 97) < n_centroids)
+        .select(
+            (F.col("vec_id") % 97).cast("int").alias("centroid_id"),
+            "vec_id",
+            F.col("embedding").alias("c_embedding"),
+        )
+    )
+    # dedupe slot collisions deterministically: min vec_id per slot
+    w = Window.partitionBy("centroid_id").orderBy("vec_id")
+    cents = (
+        cents.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("centroid_id", "c_embedding")
+    )
+
+    def nearest_lists(df: DataFrame, vec_col: str, id_col: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("c_embedding")).alias("c_score"),
+        )
+        wn = Window.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("crn", F.row_number().over(wn))
+            .where(F.col("crn") <= n)
+            .select(id_col, vec_col, F.col("centroid_id").alias("list_id"))
+        )
+
+    corpus_lists = nearest_lists(
+        embeddings.select("vec_id", "embedding"), "embedding", "vec_id", 1
+    )
+    query_lists = nearest_lists(queries, "q_embedding", "query_id", n_probe)
+
+    scored = (
+        corpus_lists.join(query_lists, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def pairwise_near_dup(embeddings: DataFrame, threshold: float) -> DataFrame:
     """X2 embedding-cosine near-dup: all pairs with cosine ≥ threshold.
 

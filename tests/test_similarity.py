@@ -87,3 +87,25 @@ def test_vectorized_topk_matches_expression_path(embeddings):
     a = sorted(map(tuple, brute_force_topk(embeddings, q, k=5).collect()))
     b = sorted(map(tuple, brute_force_topk_vectorized(embeddings, q, k=5).collect()))
     assert a == b
+
+
+def test_ivf_scores_exact_and_recall_reasonable(embeddings):
+    """IVF hits carry exact brute-force scores; probing 2/8 lists finds
+    a reasonable share of the true top-5 (approximation contract)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import ivf_topk
+
+    q = queries_from_ids(embeddings, 8)
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    bf_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    ivf = ivf_topk(embeddings, q, k=5).collect()
+    assert ivf
+    for r in ivf:
+        assert bf_all[(r["query_id"], r["neighbor_id"])] == r["score"]
+    hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in bf_top)
+    assert hits / len(bf_top) > 0.2  # recall floor for 2/8 probes on random data
