@@ -109,7 +109,7 @@ def _q_training_corpus_prep(spark, sf):
         prepare_training_corpus,
     )
 
-    return prepare_training_corpus(load_table(spark, sf, "documents"), min_quality=0.5)
+    return prepare_training_corpus(load_table(spark, sf, "documents"), min_quality=0.35)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -836,7 +836,7 @@ dedup AS (
 )
 SELECT d.doc_id, lang.lang_guess, q.quality, s.n_tokens, s.n_distinct
 FROM dedup d
-JOIN quality q ON d.doc_id = q.doc_id AND q.quality >= 0.5
+JOIN quality q ON d.doc_id = q.doc_id AND q.quality >= 0.35
 JOIN lang ON d.doc_id = lang.doc_id
 JOIN stats s ON d.doc_id = s.doc_id
 """
