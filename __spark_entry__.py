@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": lambda s, d: dd.minhash_dedup_pairs(load_table(s, d, "documents"), threshold=0.25),
         "dedup_simhash": lambda s, d: dd.simhash_fingerprints(load_table(s, d, "documents")),
         "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(load_table(s, d, "documents"), threshold=0.9),
+        "dedup_shingle_jaccard": lambda s, d: dd.jaccard_shingle_pairs(load_table(s, d, "documents"), threshold=0.2),
         "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
         # ---- similarity search (X3) ----
         "ann_topk_bruteforce": lambda s, d: sim.brute_force_topk(
@@ -591,6 +592,23 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE common / (na.n + nb.n - common) >= 0.9
 """
+    sql["dedup_shingle_jaccard"] = (
+        _SHINGLES
+        + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE common / (na.n + nb.n - common) >= 0.2
+"""
+    )
     sql["dedup_embedding_pairs"] = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS score

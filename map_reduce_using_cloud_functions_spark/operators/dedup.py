@@ -251,6 +251,38 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     )
 
 
+def jaccard_shingle_pairs(
+    documents: DataFrame, threshold: float = 0.2, n: int = 3
+) -> DataFrame:
+    """X2 exact n-gram (shingle) Jaccard: the ground truth MinHash
+    estimates. Same inverted-index join pattern as the token variant but
+    over word n-grams — shingle df is near-1 for natural text, so the
+    pair space stays close to the true near-dup set even without LSH.
+    Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = _shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def jaccard_token_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
     """X2 exact n-gram/token-set Jaccard: pairs sharing ≥1 token, scored
     |A∩B| / |A∪B|, kept at ≥ threshold.

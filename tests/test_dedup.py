@@ -117,3 +117,22 @@ def test_pipeline_composition(spark):
     assert set(out) == {0, 3}
     assert out[0]["lang_guess"] == "en"
     assert out[0]["n_tokens"] > 50
+
+
+def test_shingle_jaccard_finds_planted_near_dup(corpus_with_dups):
+    """3-gram Jaccard: exact dup pair scores 1.0; one-token-edit pair
+    scores high; unrelated docs never pair."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        jaccard_shingle_pairs,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_shingle_pairs(corpus_with_dups, threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # 13 tokens -> 11 shingles; editing the LAST token changes only the
+    # final shingle (position 13 appears in exactly one 3-gram):
+    # |∩|=10, |∪|=12
+    assert pairs[(0, 2)] == round(10 / 12, 6)
+    assert not any(3 in p for p in pairs)
