@@ -36,7 +36,9 @@ BENCH_QUERIES = [
     "events_tumbling_hourly",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_shingle_jaccard",
     "dedup_simhash",
+    "training_corpus_prep",
     "ann_topk_bruteforce",
     "ann_topk_vectorized",
     "text_tfidf",
