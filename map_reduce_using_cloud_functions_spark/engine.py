@@ -32,17 +32,54 @@ class InvertedIndexEngine:
     """Index lifecycle + query API over a persisted, partition-pruned
     parquet index table."""
 
-    def __init__(self, spark: SparkSession, index_path: str, additive: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        additive: bool = False,
+        mappers: int | None = None,
+        reducers: int | None = None,
+    ):
+        """``mappers``/``reducers`` mirror the reference API's
+        caller-chosen parallelism (``master/main.py:141-142``; the
+        trigger path hard-codes 8/4, ``filladdtrigger/main.py:21``).
+        Their honest Spark mapping: mappers → input repartitioning,
+        reducers → shuffle partition count. Leave None to let the file
+        scanner and AQE choose — the recommended default (SURVEY §4)."""
         self.spark = spark
         self.index_path = index_path
         self.additive = additive
+        self.mappers = mappers
+        self.reducers = reducers
 
     # ---- build / maintain -------------------------------------------
 
+    def _apply_parallelism(self, corpus):
+        if self.mappers is not None:
+            corpus = corpus.repartition(self.mappers)
+        return corpus
+
+    class _shuffle_partitions:
+        """Scoped shuffle-partition override (restores the session conf
+        so one engine's reducer setting can't leak into other work)."""
+
+        def __init__(self, spark, n: int | None):
+            self.spark, self.n = spark, n
+
+        def __enter__(self):
+            if self.n is not None:
+                self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+        def __exit__(self, *exc):
+            if self.n is not None:
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
     def build(self, corpus_path: str) -> None:
         """One-shot index build from a directory/glob of text files."""
-        corpus = read_text_corpus(self.spark, corpus_path)
-        write_index(build_index(corpus), self.index_path)
+        corpus = self._apply_parallelism(read_text_corpus(self.spark, corpus_path))
+        with self._shuffle_partitions(self.spark, self.reducers):
+            write_index(build_index(corpus), self.index_path)
 
     def build_from_dataframe(self, corpus: DataFrame) -> None:
         """Build from any corpus(document, text) DataFrame."""

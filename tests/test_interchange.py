@@ -113,3 +113,21 @@ def test_engine_additive_parity(spark, tmp_path):
     eng.add(str(corpus))  # re-add same file → counts double (quirk 2)
     rows = {r["document"]: r["count"] for r in eng.find_occurrences("hello").collect()}
     assert rows == {"a.txt": 4}
+
+
+def test_engine_explicit_parallelism_parity(spark, tmp_path):
+    """Reference-API M/R parity (filladdtrigger M=8 R=4): explicit
+    mapper/reducer counts change partitioning, never results."""
+    corpus = tmp_path / "par_corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("one two two three three three")
+    (corpus / "b.txt").write_text("three four four one")
+
+    default = InvertedIndexEngine(spark, str(tmp_path / "idx_default"))
+    default.build(str(corpus))
+    tuned = InvertedIndexEngine(spark, str(tmp_path / "idx_mr"), mappers=8, reducers=4)
+    tuned.build(str(corpus))
+
+    a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "idx_default")).drop("first").collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "idx_mr")).drop("first").collect()))
+    assert a == b
