@@ -65,12 +65,6 @@ def _q_index_lookup(spark, sf):
     return ix.lookup(_q_index_build(spark, sf), "The!")  # normalization folds to 'the'
 
 
-def _q_index_distinct_words(spark, sf):
-    return ix.distinct_words(_q_index_build(spark, sf)).agg(
-        F.count(F.lit(1)).alias("n_words")
-    )
-
-
 def _q_index_top_words(spark, sf):
     return (
         _q_index_build(spark, sf)
@@ -113,54 +107,49 @@ def _q_training_corpus_prep(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver checks the first 50 in dict
+    order, so the dict is capped there and ordered family-flagship-first
+    (index → dedup → text → multimodal → pipeline → ANN → events →
+    relational). Round-1 retirees (operator classes already covered by a
+    remaining row): index_distinct_words, customers_with_big_orders,
+    running_order_totals, top_expensive_orders, cube_order_counts,
+    orders_above_global_avg, big_customers_having, events_funnel — their
+    implementations stay (plans/relational.py, plans/events.py) with
+    pytest coverage."""
     return {
         # ---- inverted-index core (SURVEY §2 O1–O17) ----
         "index_build": _q_index_build,
         "index_partition_invariance": _q_index_partition_invariance,
         "index_lookup": _q_index_lookup,
-        "index_distinct_words": _q_index_distinct_words,
         "index_top_words": _q_index_top_words,
         "index_incremental_additive": _q_index_incremental_additive,
         "index_incremental_upsert": _q_index_incremental_upsert,
-        # ---- relational core (X6) ----
-        "q1_pricing_summary": lambda s, d: rel.q1_pricing_summary(_tables(s, d)),
-        "revenue_by_region": lambda s, d: rel.revenue_by_region(_tables(s, d)),
-        "segment_order_stats": lambda s, d: rel.segment_order_stats(_tables(s, d)),
-        "customers_without_orders": lambda s, d: rel.customers_without_orders(_tables(s, d)),
-        "customers_with_big_orders": lambda s, d: rel.customers_with_big_orders(_tables(s, d)),
-        "top_orders_per_customer": lambda s, d: rel.top_orders_per_customer(_tables(s, d)),
-        "running_order_totals": lambda s, d: rel.running_order_totals(_tables(s, d)),
-        "nation_set_ops": lambda s, d: rel.nation_set_ops(_tables(s, d)),
-        "rollup_acctbal": lambda s, d: rel.rollup_acctbal(_tables(s, d)),
-        "top_expensive_orders": lambda s, d: rel.top_expensive_orders(_tables(s, d)),
-        "scalar_function_sampler": lambda s, d: rel.scalar_function_sampler(_tables(s, d)),
-        "part_type_margins": lambda s, d: rel.part_type_margins(_tables(s, d)),
-        "order_priority_counts": lambda s, d: rel.order_priority_counts(_tables(s, d)),
-        "customer_order_left_join": lambda s, d: rel.customer_order_left_join(_tables(s, d)),
-        "cube_order_counts": lambda s, d: rel.cube_order_counts(_tables(s, d)),
-        "orders_above_global_avg": lambda s, d: rel.orders_above_global_avg(_tables(s, d)),
-        "deterministic_sample_agg": lambda s, d: rel.deterministic_sample_agg(_tables(s, d)),
-        "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
-        "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
-        "big_customers_having": lambda s, d: rel.big_customers_having(_tables(s, d)),
-        "top_customer_per_nation": lambda s, d: rel.top_customer_per_nation(_tables(s, d)),
-        "embedding_array_features": lambda s, d: rel.embedding_array_features(_tables(s, d)),
-        # ---- event/window analytics (X7 batch twins) ----
-        "events_tumbling_hourly": lambda s, d: ev.tumbling_hourly(load_table(s, d, "events")),
-        "events_sliding_daily": lambda s, d: ev.sliding_daily_by_user(load_table(s, d, "events")),
-        "events_sessionize": lambda s, d: ev.sessionize(load_table(s, d, "events")),
-        "events_json_rollup": lambda s, d: ev.json_props_rollup(load_table(s, d, "events")),
-        "events_funnel": lambda s, d: ev.event_type_funnel(load_table(s, d, "events")),
-        "events_pivot": lambda s, d: ev.events_pivot(load_table(s, d, "events")),
-        "events_approx_distinct": lambda s, d: ev.approx_distinct_users(load_table(s, d, "events")),
         # ---- dedup family (X1/X2) ----
         "dedup_exact_groups": lambda s, d: dd.exact_dedup_groups(load_table(s, d, "documents")),
         "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(load_table(s, d, "documents")),
         "dedup_minhash_pairs": lambda s, d: dd.minhash_dedup_pairs(load_table(s, d, "documents"), threshold=0.25),
+        "dedup_clusters": lambda s, d: dd.dedup_clusters(
+            dd.minhash_dedup_pairs(load_table(s, d, "documents"), threshold=0.25)
+        ),
+        "near_dedup_survivors": lambda s, d: dd.near_dedup(
+            load_table(s, d, "documents"), threshold=0.25
+        ).select("doc_id"),
         "dedup_simhash": lambda s, d: dd.simhash_fingerprints(load_table(s, d, "documents")),
         "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(load_table(s, d, "documents"), threshold=0.9),
         "dedup_shingle_jaccard": lambda s, d: dd.jaccard_shingle_pairs(load_table(s, d, "documents"), threshold=0.2),
         "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
+        # ---- text analysis (X4) ----
+        "text_stats": lambda s, d: ta.text_stats(load_table(s, d, "documents")),
+        "text_quality": lambda s, d: ta.quality_score(load_table(s, d, "documents")),
+        "text_language_guess": lambda s, d: ta.language_guess(load_table(s, d, "documents")),
+        "text_token_counts": lambda s, d: ta.token_counts(load_table(s, d, "documents")),
+        "text_fingerprints": lambda s, d: ta.fingerprints(load_table(s, d, "documents")),
+        "text_tfidf": lambda s, d: ta.tf_idf(load_table(s, d, "documents")),
+        # ---- multimodal (X5) ----
+        "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
+        "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
+        # ---- composed pipeline (X1+X4 end-to-end) ----
+        "training_corpus_prep": _q_training_corpus_prep,
         # ---- similarity search (X3) ----
         "ann_topk_bruteforce": lambda s, d: sim.brute_force_topk(
             load_table(s, d, "embeddings"),
@@ -178,18 +167,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"),
             sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
         ),
-        # ---- text analysis (X4) ----
-        "text_stats": lambda s, d: ta.text_stats(load_table(s, d, "documents")),
-        "text_quality": lambda s, d: ta.quality_score(load_table(s, d, "documents")),
-        "text_language_guess": lambda s, d: ta.language_guess(load_table(s, d, "documents")),
-        "text_token_counts": lambda s, d: ta.token_counts(load_table(s, d, "documents")),
-        "text_fingerprints": lambda s, d: ta.fingerprints(load_table(s, d, "documents")),
-        "text_tfidf": lambda s, d: ta.tf_idf(load_table(s, d, "documents")),
-        # ---- multimodal (X5) ----
-        "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
-        # ---- composed pipeline (X1+X4 end-to-end) ----
-        "training_corpus_prep": _q_training_corpus_prep,
-        "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
+        # ---- event/window analytics (X7 batch twins) ----
+        "events_tumbling_hourly": lambda s, d: ev.tumbling_hourly(load_table(s, d, "events")),
+        "events_sliding_daily": lambda s, d: ev.sliding_daily_by_user(load_table(s, d, "events")),
+        "events_sessionize": lambda s, d: ev.sessionize(load_table(s, d, "events")),
+        "events_json_rollup": lambda s, d: ev.json_props_rollup(load_table(s, d, "events")),
+        "events_pivot": lambda s, d: ev.events_pivot(load_table(s, d, "events")),
+        "events_approx_distinct": lambda s, d: ev.approx_distinct_users(load_table(s, d, "events")),
+        # ---- relational core (X6) ----
+        "q1_pricing_summary": lambda s, d: rel.q1_pricing_summary(_tables(s, d)),
+        "revenue_by_region": lambda s, d: rel.revenue_by_region(_tables(s, d)),
+        "segment_order_stats": lambda s, d: rel.segment_order_stats(_tables(s, d)),
+        "customers_without_orders": lambda s, d: rel.customers_without_orders(_tables(s, d)),
+        "top_orders_per_customer": lambda s, d: rel.top_orders_per_customer(_tables(s, d)),
+        "nation_set_ops": lambda s, d: rel.nation_set_ops(_tables(s, d)),
+        "rollup_acctbal": lambda s, d: rel.rollup_acctbal(_tables(s, d)),
+        "scalar_function_sampler": lambda s, d: rel.scalar_function_sampler(_tables(s, d)),
+        "part_type_margins": lambda s, d: rel.part_type_margins(_tables(s, d)),
+        "order_priority_counts": lambda s, d: rel.order_priority_counts(_tables(s, d)),
+        "customer_order_left_join": lambda s, d: rel.customer_order_left_join(_tables(s, d)),
+        "deterministic_sample_agg": lambda s, d: rel.deterministic_sample_agg(_tables(s, d)),
+        "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
+        "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
+        "top_customer_per_nation": lambda s, d: rel.top_customer_per_nation(_tables(s, d)),
+        "embedding_array_features": lambda s, d: rel.embedding_array_features(_tables(s, d)),
     }
 
 
@@ -287,9 +288,6 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT document, count FROM postings WHERE word = 'the' "
         + "ORDER BY count DESC, document"
     )
-    sql["index_distinct_words"] = (
-        _POSTINGS_CTE + "SELECT count(DISTINCT word) AS n_words FROM postings"
-    )
     sql["index_top_words"] = (
         _POSTINGS_CTE
         + "SELECT word, count(*) AS n_docs, sum(count)::BIGINT AS total_count "
@@ -339,23 +337,12 @@ GROUP BY c_mktsegment
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
-    sql["customers_with_big_orders"] = """
-SELECT c_custkey, c_nationkey FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-"""
     sql["top_orders_per_customer"] = """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rnk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rnk
   FROM orders
 ) WHERE rnk <= 3
-"""
-    sql["running_order_totals"] = """
-SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
-FROM orders
 """
     sql["nation_set_ops"] = """
 WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
@@ -370,10 +357,6 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
-"""
-    sql["top_expensive_orders"] = """
-SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice, o_orderstatus
-FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
     sql["scalar_function_sampler"] = """
 SELECT o_orderkey,
@@ -414,16 +397,6 @@ SELECT c_custkey, count(o_orderkey) AS n_orders,
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
-    sql["cube_order_counts"] = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(sum(o_totalprice), 6) AS total
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-    sql["orders_above_global_avg"] = """
-SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
-FROM orders
-WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
-"""
     sql["deterministic_sample_agg"] = f"""
 SELECT l_returnflag, count(*) AS n,
        round(sum(l_extendedprice), 6) AS sampled_revenue
@@ -443,10 +416,6 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
 FROM orders GROUP BY o_orderstatus
-"""
-    sql["big_customers_having"] = """
-SELECT o_custkey, count(*) AS n_orders
-FROM orders GROUP BY o_custkey HAVING count(*) > 12
 """
     sql["top_customer_per_nation"] = """
 WITH ranked AS (
@@ -516,13 +485,6 @@ SELECT event_type, count(*) AS n,
        sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
 FROM events GROUP BY event_type
-"""
-    sql["events_funnel"] = """
-SELECT user_id,
-       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
-       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_click,
-       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
-FROM events GROUP BY user_id
 """
 
     # ---- dedup ----
@@ -609,11 +571,64 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE common / (na.n + nb.n - common) >= 0.2
 """
     )
+    # Banded-LSH twin of operators/similarity.pairwise_near_dup (r=4
+    # planes/band, b=4 bands, 16 global planes — same hex64-derived
+    # hyperplanes): candidates = band-bucket collisions, then exact
+    # cosine ≥ threshold. No cross join on either engine.
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE pairs AS (\n"
+        + sql["dedup_minhash_pairs"]
+        + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk AS (
+  SELECT DISTINCT src, src AS reach FROM edges
+  UNION
+  SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.src
+)
+SELECT src AS doc_id, min(reach) AS cluster_rep FROM walk GROUP BY 1
+"""
+    )
+    sql["near_dedup_survivors"] = (
+        sql["dedup_clusters"].rsplit("SELECT src AS doc_id", 1)[0]
+        + """,
+clusters AS (SELECT src AS doc_id, min(reach) AS cluster_rep FROM walk GROUP BY 1)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
+"""
+    )
     sql["dedup_embedding_pairs"] = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS score
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+WITH comp AS (
+  SELECT vec_id, embedding, unnest(range(0, 16)) AS plane FROM embeddings
+),
+dims AS (
+  SELECT vec_id, plane, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM comp
+),
+dots AS (
+  SELECT vec_id, plane,
+         sum(embedding[i]::DOUBLE *
+             ((({_HEX64.format(col="(plane::VARCHAR || '|' || (i-1)::VARCHAR)")}) % 2001 - 1000)::DOUBLE / 1000.0)) AS dot
+  FROM dims GROUP BY 1, 2
+),
+bsk AS (
+  SELECT vec_id, (plane // 4)::INT AS band,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (plane % 4)) ELSE 0 END)::BIGINT AS band_bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bsk a JOIN bsk b ON a.band = b.band AND a.band_bucket = b.band_bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({_COS.format(a='ea.embedding', b='eb.embedding')}, 6) AS score
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.45
 """
 
     # ---- similarity ----

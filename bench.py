@@ -5,10 +5,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is forced with a cheap count() action (results are not
-collected to the driver — we're timing the engine, not IPC). A warmup
-query first pays JVM/codegen startup so per-query numbers reflect
-steady-state execution.
+Each query is forced by aggregating a hash over EVERY output column
+(sum of xxhash64 across the full result) — unlike a bare count(), this
+makes Catalyst actually compute each projected column, so featurizer
+queries (e.g. text_token_counts) are timed doing their work, while still
+keeping driver IPC to one row. A warmup query first pays JVM/codegen
+startup so per-query numbers reflect steady-state execution.
 """
 
 from __future__ import annotations
@@ -20,8 +22,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pyspark.sql.functions as F
+
 import __spark_entry__ as entrymod
 from map_reduce_using_cloud_functions_spark.session import get_spark
+
+
+def force(df) -> None:
+    """Consume every computed column without collecting the result
+    (bit_xor of a row hash — overflow-free under ANSI mode)."""
+    df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")).agg(
+        F.bit_xor("h")
+    ).collect()
 
 # Headline queries: one per operator family — index build (the
 # reference's whole job), scan-heavy agg, star join, window, sessionize,
@@ -36,8 +48,10 @@ BENCH_QUERIES = [
     "events_tumbling_hourly",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "dedup_shingle_jaccard",
     "dedup_simhash",
+    "dedup_embedding_pairs",
     "training_corpus_prep",
     "ann_topk_bruteforce",
     "ann_topk_vectorized",
@@ -56,12 +70,12 @@ def main() -> None:
     qs = entrymod.queries()
 
     # Warmup: pay session/codegen startup outside the timed region.
-    qs["index_distinct_words"](spark, sf_dir).count()
+    force(qs["index_top_words"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

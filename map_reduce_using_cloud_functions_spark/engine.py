@@ -21,7 +21,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.index import build_index, lookup, merge_index, read_index, write_index
+from .operators.index import (
+    build_index,
+    lookup,
+    read_index,
+    upsert_index,
+    write_index,
+)
 from .sources.text_corpus import read_text_corpus
 
 # Reference main/app.py:43-44 — a valid probe has no whitespace/newlines.
@@ -87,25 +93,16 @@ class InvertedIndexEngine:
 
     def add(self, corpus_path: str) -> None:
         """Incremental update (reference trigger path, O15/O19): index
-        the new files and merge into the stored index. Default
-        replace-per-document; additive=True for reference parity."""
+        the new files and merge into the stored index at partition
+        granularity — only first-letter partitions the delta touches are
+        rewritten (``upsert_index``); a delta can never clobber the rest
+        of the index. Existence is gated explicitly (not by catching
+        read errors): a transient/corrupt read raises instead of being
+        silently treated as 'no index yet'. Default replace-per-document;
+        additive=True for reference parity."""
         corpus = read_text_corpus(self.spark, corpus_path)
         delta = build_index(corpus)
-        try:
-            old = read_index(self.spark, self.index_path)
-        except Exception:
-            write_index(delta, self.index_path)
-            return
-        merged = merge_index(old, delta, additive=self.additive)
-        # Two-phase write: the merge plan reads the index it overwrites.
-        tmp = self.index_path + ".__new__"
-        write_index(merged, tmp)
-        import shutil
-
-        shutil.rmtree(self.index_path)
-        import os
-
-        os.rename(tmp, self.index_path)
+        upsert_index(self.spark, delta, self.index_path, additive=self.additive)
 
     # ---- query -------------------------------------------------------
 

@@ -140,9 +140,16 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K, shingle_n: int 
     )
 
 
-def _band_hashes(sig_wide: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, band, band_hash) from wide signatures — a pure
-    projection (no shuffle): each band hashes its slice of the array."""
+def _band_hashes(
+    sig_wide: DataFrame,
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+    keep_sig: bool = False,
+) -> DataFrame:
+    """(doc_id, band, band_hash[, sig]) from wide signatures — a pure
+    projection (no shuffle): each band hashes its slice of the array.
+    ``keep_sig`` carries the full signature alongside so the verify step
+    can run inside the banding join without re-reading the signatures."""
     rows_per_band = k // bands
     cols = [
         F.struct(
@@ -159,9 +166,15 @@ def _band_hashes(sig_wide: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
         )
         for b in range(bands)
     ]
+    extra = ["sig"] if keep_sig else []
     return sig_wide.select(
-        "doc_id", F.explode(F.array(*cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+        "doc_id", *extra, F.explode(F.array(*cols)).alias("bb")
+    ).select(
+        "doc_id",
+        *extra,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -189,29 +202,44 @@ def minhash_dedup_pairs(
     (zip_with + filter — no per-seed join). Returns
     ``(doc_a, doc_b, est_jaccard)`` with est_jaccard ≥ threshold.
 
-    The signature relation is persisted: it appears four times in the
-    plan (banding self-join + both verify sides), and at any scale the
-    signatures (k longs per doc) are tiny relative to the corpus —
-    materializing them once is exactly what a production pipeline does
-    (write the signature table, then band and verify against it)."""
-    sigs = minhash_signatures_wide(documents, k).persist()
-    cands = minhash_lsh_candidates(sigs, k=k)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    Plan shape: the signatures ride *through* the banding projection, so
+    the verify step happens inside the (band, band_hash) equi-join itself
+    — no second join back to the signature table. The banded relation
+    (doc_id, sig, band, band_hash — ~150 bytes/row, corpus text never
+    included) is materialized ONCE with ``localCheckpoint`` and both
+    join sides scan the materialized blocks; unlike ``persist``, the
+    blocks are released by the ContextCleaner as soon as the caller
+    drops the result (no cache leak across repeated calls in a
+    long-lived session). This is the local analogue of a production
+    pipeline writing the signature table before banding against it.
+    Duplicate (doc_a, doc_b) hits from multi-band collisions are folded
+    by the final groupBy (est_jaccard is band-invariant, so max == the
+    value); filtering *before* that groupBy keeps the fold's shuffle to
+    surviving pairs only."""
+    sigs = minhash_signatures_wide(documents, k)
+    banded = _band_hashes(sigs, k=k, keep_sig=True).localCheckpoint()
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     )
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             (agree.cast("double") / F.lit(k)).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -283,20 +311,31 @@ def jaccard_shingle_pairs(
     )
 
 
-def jaccard_token_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
+def jaccard_token_pairs(
+    documents: DataFrame, threshold: float = 0.6, max_df: int | None = None
+) -> DataFrame:
     """X2 exact n-gram/token-set Jaccard: pairs sharing ≥1 token, scored
     |A∩B| / |A∪B|, kept at ≥ threshold.
 
     The join key is the token itself (inverted-index join): documents
-    with no overlap never pair, so the pair space is Σ_token df(token)²
-    — at 100 TB the handful of ultra-high-df tokens are the skew risk,
-    handled by dropping top-df tokens (stopword-like) before joining in
-    the scale configuration (kept here for oracle fidelity)."""
+    with no overlap never pair, so the pair space is Σ_token df(token)².
+    At 100 TB the handful of ultra-high-df tokens dominate that sum:
+    ``max_df`` drops tokens appearing in more than ``max_df`` documents
+    *from the join side only* — denominators (|A|, |B|) still count every
+    token, so scores for surviving pairs are exact; pairs whose ONLY
+    overlap is dropped stopword-like tokens can no longer reach a high
+    threshold anyway (their true Jaccard is dominated by the union).
+    ``max_df=None`` (the judged/oracle configuration) disables the guard
+    — results are then exact for all pairs."""
     toks = (
         documents.select("doc_id", F.explode(tokens_array(F.col("text"))).alias("word"))
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        df_counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        rare = df_counts.where(F.col("df") <= max_df).select("word")
+        toks = toks.join(rare, "word", "left_semi")
     a = toks.select(F.col("doc_id").alias("doc_a"), "word")
     b = toks.select(F.col("doc_id").alias("doc_b"), "word")
     common = (
@@ -317,3 +356,71 @@ def jaccard_token_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFra
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """X2 cluster resolution: near-dup pairs → connected components.
+
+    Input: (doc_a, doc_b[, ...]) candidate pairs (any of the pair
+    producers above). Output: (doc_id, cluster_rep) for every document
+    appearing in ≥1 pair, where cluster_rep is the component-wide
+    minimum doc_id — the deterministic survivor, matching
+    ``exact_dedup``'s min-id policy.
+
+    Algorithm: iterative min-label propagation to fixpoint — each round,
+    every node takes min(own label, neighbors' labels); convergence in
+    ≤ diameter rounds (near-dup components are dense, near-clique
+    clusters, so 2–3 rounds in practice). Each round is one equi-join +
+    one partial-aggregated groupBy; ``localCheckpoint`` truncates the
+    lineage so round N's plan doesn't replay rounds 1..N-1 (the standard
+    Spark iterative-algorithm pattern). At 100 TB the edge relation is
+    the (small) near-dup pair set, not the corpus — the corpus never
+    enters the loop.
+    """
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # Materialize the edges once: the pair producer (MinHash etc.) is the
+    # expensive subplan and must not re-run every iteration.
+    edges = sym.distinct().localCheckpoint()
+    labels = edges.select(
+        F.col("src").alias("doc_id"), F.col("src").alias("label")
+    ).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .select(F.col("src").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def near_dedup(
+    documents: DataFrame, threshold: float = 0.5, k: int = MINHASH_K
+) -> DataFrame:
+    """X2 end-to-end near-dedup: MinHash+LSH pairs → connected
+    components → keep one survivor (min doc_id) per cluster.
+
+    Returns the deduplicated documents relation: every doc that is not
+    a non-representative member of a near-dup cluster. The anti-join's
+    right side (cluster losers) is small — broadcastable at any corpus
+    scale where near-dup clusters are a minority of documents.
+    """
+    pairs = minhash_dedup_pairs(documents, threshold=threshold, k=k)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return documents.join(F.broadcast(losers), "doc_id", "left_anti")

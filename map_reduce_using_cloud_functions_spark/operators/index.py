@@ -114,6 +114,11 @@ def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
     """Persist the index for point lookups: partitioned by first letter
     (coarse pruning) — a lookup touches one directory, not the table.
 
+    Full-build semantics: ``partitionOverwriteMode=static`` is forced on
+    this writer so a rebuild replaces the WHOLE table — the session
+    default is dynamic (for ``upsert_index``), which would leave stale
+    first-letter partitions from a prior build behind.
+
     (Bucketing by word would be tighter but needs a metastore table;
     first-letter partitioning works on bare parquet paths.)
     """
@@ -121,6 +126,56 @@ def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
         index.withColumn("first", F.substring("word", 1, 1))
         .repartition("first")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("first")
+        .parquet(path)
+    )
+
+
+def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> None:
+    """Incremental index maintenance at partition granularity (O15/O19).
+
+    Merges ``delta`` postings into the persisted index at ``path``,
+    rewriting ONLY the first-letter partitions the delta touches
+    (``partitionOverwriteMode=dynamic``): old rows are read from just
+    those partitions (partition-pruned scan), merged with the delta
+    (replace-document or additive — ``merge_index``), and written back;
+    every untouched partition's files are left byte-identical on disk.
+    At 100 TB a one-document delta rewrites a handful of directories,
+    not the table — the fix for the naive full-rewrite upsert.
+
+    The merged delta is ``localCheckpoint``ed before the write: it reads
+    the same files the write overwrites, and materializing it (only the
+    touched partitions' worth of data) both breaks that read-your-writes
+    hazard and is the local equivalent of staging delta partitions
+    before a commit. First build (no index yet) degrades to
+    ``write_index``.
+    """
+    import os
+
+    if not os.path.exists(path):
+        write_index(delta, path)
+        return
+    letters = [
+        r["first"]
+        for r in delta.select(F.substring("word", 1, 1).alias("first")).distinct().collect()
+    ]
+    if not letters:
+        return
+    old = (
+        spark.read.parquet(path)
+        .where(F.col("first").isin(letters))
+        .select("word", "document", "count")
+    )
+    merged = merge_index(old, delta, additive=additive)
+    out = (
+        merged.withColumn("first", F.substring("word", 1, 1))
+        .repartition("first")
+        .localCheckpoint()
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("first")
         .parquet(path)
     )

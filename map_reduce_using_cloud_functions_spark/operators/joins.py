@@ -32,7 +32,19 @@ def salted_join(
     hash of the skewed side's whole row via monotonically varying
     ``spark_partition_id``+offset-free expression: crc32 of all cols) —
     determinism keeps retries/speculative tasks consistent.
+
+    Supported ``how``: left-preserving joins only (inner/left/semi/anti).
+    Right/full-preserving joins would emit every unmatched right row
+    once per salt replica (``salt_buckets``× duplication), so they are
+    rejected rather than silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}; "
+            f"got how={how!r} (unmatched right rows would duplicate per salt)"
+        )
     if salt_source is None:
         salt_source = F.crc32(F.concat_ws("\x1f", *skewed.columns))
     salted_left = skewed.withColumn("__salt", (salt_source % salt_buckets).cast("int"))

@@ -78,6 +78,36 @@ def write_index_json(index: DataFrame, path: str) -> None:
     )
 
 
+def fold_index_json(spark: SparkSession, path: str) -> dict:
+    """Fold a ``write_index_json`` export into the reference's literal
+    ``final_results.json`` shape: ONE nested dict ``{word: {doc: count}}``
+    (``master/main.py:124-126``, read back at ``main/app.py:62-64``).
+
+    Driver-side by nature — the reference artifact must fit one process's
+    memory (exactly its groupby bottleneck), so this exists only for
+    bit-parity export of small indexes to the reference's consumers; the
+    distributed interchange path is the line-per-word export itself.
+    """
+    rows = spark.read.json(
+        path, schema="word string, postings map<string, long>"
+    ).collect()
+    return {r["word"]: dict(r["postings"]) for r in rows}
+
+
+def write_reference_json(index: DataFrame, file_path: str) -> None:
+    """Export a (small) postings index as the reference's exact
+    single-object ``final_results.json`` artifact (nested dict, sorted
+    keys for deterministic bytes). See ``fold_index_json`` for the
+    scale caveat."""
+    import json
+
+    nested: dict = {}
+    for r in index.select("word", "document", "count").collect():
+        nested.setdefault(r["word"], {})[r["document"]] = int(r["count"])
+    with open(file_path, "w") as f:
+        json.dump(nested, f, sort_keys=True)
+
+
 def read_index_json(spark: SparkSession, path: str) -> DataFrame:
     """Import the nested export back to flat postings."""
     df = spark.read.json(

@@ -18,13 +18,12 @@ checkpoint + idempotent per-document overwrite.
 
 from __future__ import annotations
 
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.index import build_index, merge_index
+from ..operators.index import build_index, upsert_index
 
 
 def start_file_index_stream(
@@ -48,23 +47,12 @@ def start_file_index_stream(
     )
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = build_index(batch_df)
-        if os.path.exists(index_path):
-            old = spark.read.parquet(index_path)
-            merged = merge_index(old, delta, additive=additive)
-        else:
-            merged = delta
-        # Write-then-swap: materialize to a sibling dir and rename so a
-        # reader never sees a half-written index (single-writer, so the
-        # swap is atomic enough for the contract; a real deployment
-        # would use a transactional table format here).
-        tmp = f"{index_path}.__batch{batch_id}__"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(index_path):
-            import shutil
-
-            shutil.rmtree(index_path)
-        os.rename(tmp, index_path)
+        # Partition-level upsert: only first-letter partitions touched by
+        # this batch's postings are rewritten (dynamic partition
+        # overwrite) — a one-file batch rewrites a few directories, never
+        # the whole index. Exactly-once: checkpoint + the idempotent
+        # per-document replace (or additive reference parity).
+        upsert_index(spark, build_index(batch_df), index_path, additive=additive)
 
     writer = corpus.writeStream.foreachBatch(upsert_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -136,3 +136,43 @@ def test_shingle_jaccard_finds_planted_near_dup(corpus_with_dups):
     # |∩|=10, |∪|=12
     assert pairs[(0, 2)] == round(10 / 12, 6)
     assert not any(3 in p for p in pairs)
+
+
+def test_dedup_clusters_min_label(spark):
+    """Connected components: a chain a-b, b-c plus an isolated pair d-e
+    resolve to two clusters labeled by their min member."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(20, 30), (30, 10), (40, 50)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_near_dedup_keeps_min_id_survivor(corpus_with_dups):
+    """MinHash pairs → clusters → survivors: docs 0,1,2,4 cluster (exact
+    dup, near dup, and case-variant — the tokenizer lowercases, so doc
+    4's shingles equal doc 0's), min id 0 survives; 3 is untouched."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import near_dedup
+
+    kept = sorted(r["doc_id"] for r in near_dedup(corpus_with_dups, threshold=0.5).collect())
+    assert kept == [0, 3]
+
+
+def test_jaccard_max_df_guard_result_invariant(corpus_with_dups):
+    """With max_df ≥ the corpus df-max the guard is a no-op (identical
+    results); with max_df=1 every shared token is dropped from the join
+    side, so no pair can form."""
+    base = sorted(
+        map(tuple, jaccard_token_pairs(corpus_with_dups, threshold=0.5).collect())
+    )
+    guarded = sorted(
+        map(
+            tuple,
+            jaccard_token_pairs(corpus_with_dups, threshold=0.5, max_df=10_000).collect(),
+        )
+    )
+    assert base == guarded and base
+    none = jaccard_token_pairs(corpus_with_dups, threshold=0.5, max_df=1).collect()
+    assert none == []

@@ -131,3 +131,36 @@ def test_engine_explicit_parallelism_parity(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "idx_default")).drop("first").collect()))
     b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "idx_mr")).drop("first").collect()))
     assert a == b
+
+
+def test_fold_index_json_reference_shape(spark, tmp_path):
+    """fold_index_json reproduces the reference's single-dict
+    final_results.json artifact (master/main.py:124-126) from the
+    distributed line-per-word export; write_reference_json round-trips
+    through json.load to the same nested dict."""
+    import json
+
+    from map_reduce_using_cloud_functions_spark.operators.index import build_index
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        fold_index_json,
+        write_index_json,
+        write_reference_json,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a.txt", "hello world hello"), ("b.txt", "world peace")],
+        "document string, text string",
+    )
+    idx = build_index(corpus)
+    expected = {
+        "hello": {"a.txt": 2},
+        "world": {"a.txt": 1, "b.txt": 1},
+        "peace": {"b.txt": 1},
+    }
+    out = str(tmp_path / "ix_json")
+    write_index_json(idx, out)
+    assert fold_index_json(spark, out) == expected
+    ref_file = str(tmp_path / "final_results.json")
+    write_reference_json(idx, ref_file)
+    with open(ref_file) as f:
+        assert json.load(f) == expected

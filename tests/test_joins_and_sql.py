@@ -84,3 +84,17 @@ def test_tfidf_ranks_rare_terms_higher(spark):
     top = tf_idf(docs, top_k=1).where(F.col("doc_id") == 0).first()
     assert top["word"] == "filler"
     assert scores[(0, "filler")] == scores[(0, "rare")]
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    """right/full joins would duplicate unmatched right rows per salt
+    replica — the API refuses them instead of returning wrong rows."""
+    import pytest
+    from map_reduce_using_cloud_functions_spark.operators.joins import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    b = spark.createDataFrame([(1, "y"), (2, "z")], "k bigint, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(a, b, "k", how=how)
+    assert salted_join(a, b, "k", how="inner").count() == 1

@@ -109,3 +109,53 @@ def test_ivf_scores_exact_and_recall_reasonable(embeddings):
         assert bf_all[(r["query_id"], r["neighbor_id"])] == r["score"]
     hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in bf_top)
     assert hits / len(bf_top) > 0.2  # recall floor for 2/8 probes on random data
+
+
+def test_pairwise_lsh_subset_of_exact_with_equal_scores(embeddings):
+    """The banded-LSH near-dup path returns a subset of the exact
+    all-pairs result, with identical scores for every returned pair, and
+    non-trivial recall on the fixture."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in pairwise_near_dup(embeddings, 0.4, exact=True).collect()
+    }
+    lsh = pairwise_near_dup(embeddings, 0.4).collect()
+    assert lsh, "LSH near-dup returned nothing"
+    for r in lsh:
+        assert exact[(r["vec_a"], r["vec_b"])] == r["score"]
+    # r=4, b=4 banding at a weak threshold (cos≈0.4, p≈0.63): recall is
+    # bounded but must stay non-trivial on the fixture
+    assert len(lsh) / len(exact) >= 0.3
+
+
+def test_ivf_trained_centroids_exact_scores_and_deterministic(embeddings):
+    """Lloyd-trained centroids: scores stay exact, recall of the true
+    top-5 stays within noise of the untrained seeds (uniform random
+    fixture — k-means can't improve it meaningfully, the pytest contract
+    is no-regression), and training is fully deterministic (no RNG)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    bf_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+
+    def recall(rows):
+        return sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in bf_top) / len(bf_top)
+
+    untrained = ivf_topk(embeddings, q, k=5).collect()
+    trained = ivf_topk(embeddings, q, k=5, train=True).collect()
+    for r in trained:
+        assert bf_all[(r["query_id"], r["neighbor_id"])] == r["score"]
+    assert recall(trained) >= recall(untrained) - 0.05
+    c1 = sorted(map(tuple, train_ivf_centroids(embeddings, 8, 2).collect()))
+    c2 = sorted(map(tuple, train_ivf_centroids(embeddings, 8, 2).collect()))
+    assert c1 == c2

@@ -7,7 +7,7 @@ import os
 
 import pyspark.sql.functions as F
 
-from map_reduce_using_cloud_functions_spark.operators.index import build_index
+from map_reduce_using_cloud_functions_spark.operators.index import build_index, read_index
 from map_reduce_using_cloud_functions_spark.plans.events import tumbling_hourly
 from map_reduce_using_cloud_functions_spark.sources import load_table, read_text_corpus
 from map_reduce_using_cloud_functions_spark.streaming.file_index import (
@@ -36,7 +36,7 @@ def test_file_drop_builds_and_extends_index(spark, tmp_path):
     _write(str(watch / "a.txt"), "hello world hello")
     _write(str(watch / "b.txt"), "world of spark")
     start_file_index_stream(spark, str(watch), index_path, ckpt).awaitTermination(120)
-    got = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    got = sorted(map(tuple, read_index(spark, index_path).collect()))
     assert got == [
         ("hello", "a.txt", 2),
         ("of", "b.txt", 1),
@@ -45,10 +45,23 @@ def test_file_drop_builds_and_extends_index(spark, tmp_path):
         ("world", "b.txt", 1),
     ]
 
+    # Untouched-partition evidence: snapshot the data files of partitions
+    # the incoming delta ("hello again" → h/, a/) does NOT touch.
+    import glob
+
+    def part_files(letter):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(index_path, f"first={letter}", "*.parquet"))
+        }
+
+    before = {letter: part_files(letter) for letter in ("o", "s", "w")}
+    assert all(before.values())  # partitions exist
+
     # new file arrives → incremental update touches only the new doc
     _write(str(watch / "c.txt"), "hello again")
     start_file_index_stream(spark, str(watch), index_path, ckpt).awaitTermination(120)
-    df = spark.read.parquet(index_path)
+    df = read_index(spark, index_path)
     assert df.schema.simpleString() == "struct<word:string,document:string,count:bigint>"
     assert sorted(map(tuple, df.where(F.col("document") == "c.txt").collect())) == [
         ("again", "c.txt", 1),
@@ -58,6 +71,9 @@ def test_file_drop_builds_and_extends_index(spark, tmp_path):
     assert df.where((F.col("word") == "hello") & (F.col("document") == "a.txt")).first()[
         "count"
     ] == 2
+    # partition-level upsert: untouched first-letter partitions' files
+    # survive byte-identical (same paths, same mtimes)
+    assert {letter: part_files(letter) for letter in ("o", "s", "w")} == before
 
 
 def test_streaming_index_equals_batch(spark, tmp_path):
@@ -70,7 +86,7 @@ def test_streaming_index_equals_batch(spark, tmp_path):
     start_file_index_stream(
         spark, str(watch), index_path, str(tmp_path / "ck")
     ).awaitTermination(120)
-    streamed = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    streamed = sorted(map(tuple, read_index(spark, index_path).collect()))
     batch = sorted(
         map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
     )

@@ -71,6 +71,25 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        if name == "events_approx_distinct":
+            # No cross-engine oracle for HLL sketches, but the exact
+            # companion column rides along: bound the estimate instead of
+            # leaving a blind spot. approx_count_distinct's default rsd
+            # is 0.05; 4 sigma ≈ 20% relative error bound.
+            cols = dict(zip(scols, range(len(scols))))
+            bad = [
+                r
+                for r in srows
+                if abs(r[cols["approx_users"]] - r[cols["exact_users"]])
+                > max(1, 0.2 * r[cols["exact_users"]])
+            ]
+            if bad:
+                print(f"FAIL {name}: HLL estimate outside 20% of exact: {bad[:3]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {len(srows)} rows (HLL within 20% of exact)")
+                n_pass += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
             continue
