@@ -21,8 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.hashing import hex64
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, l2_norm
 
 LSH_PLANES = 8
 
@@ -63,34 +62,81 @@ def queries_from_ids(embeddings: DataFrame, max_id: int) -> DataFrame:
     )
 
 
-def _sign_sketch(df: DataFrame, vec_col: str, planes: int = LSH_PLANES) -> DataFrame:
-    """Append ``bucket``: integer of sign bits of <v, u_p> for p random-
-    but-deterministic hyperplanes.
+def _plane_matrix(planes: int, dim: int) -> list[list[float]]:
+    """The deterministic hyperplane matrix, computed driver-side:
+    u_p[d] = (hex64(f"{p}|{d}") mod 2001 - 1000) / 1000 ∈ [-1, 1] — the
+    exact same derivation the DuckDB oracle replays in SQL (md5-hex15 →
+    int64), so buckets agree bit-for-bit across engines. planes×dim is a
+    few thousand doubles: shipping them as literal arrays in the plan
+    turns the whole sketch into a codegen projection (the executor-side
+    alternative — one md5 per (row, plane, dim) element — is linear in
+    data × planes × dim hash calls for values that are constants)."""
+    import hashlib
 
-    u_p[d] = (hash(p|d) mod 2001 - 1000) / 1000 ∈ [-1, 1] — derived from
-    the portable hash so any engine rebuilds the exact planes.
-    """
-    p = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane")
-    d = F.posexplode(F.col(vec_col))
-    comp = df.select("*", p).select("*", d.alias("dim", "x"))
-    u = (
-        hex64(F.concat_ws("|", F.col("plane"), F.col("dim"))) % 2001 - 1000
-    ).cast("double") / 1000.0
-    dots = (
-        comp.withColumn("c", F.col("x").cast("double") * u)
-        .groupBy(*df.columns, "plane")
-        .agg(F.sum("c").alias("dot"))
-    )
-    return (
-        dots.withColumn(
-            "bit",
-            F.when(F.col("dot") > 0, F.expr("shiftleft(cast(1 as bigint), plane)")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
+    return [
+        [
+            ((int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16) % 2001) - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Fixture/contract: uniform dimensionality; one-row peek."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 1
+
+
+def _sign_sketch_bands(
+    df: DataFrame, vec_col: str, planes_per_band: int = 4, bands: int = 4
+) -> DataFrame:
+    """Banded sign sketch: (*df.columns, band, band_bucket) — one row per
+    (vector, band), where band b's bucket is the ``planes_per_band``-bit
+    sign pattern of <v, u_p> for hyperplanes p ∈ [b·r, (b+1)·r).
+
+    Pure projection + a ``bands``-way explode: the hyperplanes are plan
+    literals (``_plane_matrix``) — no per-row hashing, no
+    (row × plane × dim) explode, no re-aggregation shuffle.
+
+    Banding = OR-amplification: a pair is a candidate if it agrees on
+    ALL r planes of ANY band — recall 1-(1-p^r)^b for per-plane
+    agreement p(θ)=1-θ/π."""
+    dim = _vec_dim(df, vec_col)
+    mat = _plane_matrix(planes_per_band * bands, dim)
+
+    def plane_dot(p: int):
+        # Σ v[d]·u_p[d] against the literal plane array. (An unrolled
+        # per-element multiply-add chain was measured SLOWER here: 16
+        # planes × dim terms in one projection blow past the codegen
+        # method limits and fall back to interpreted evaluation.)
+        return dot(F.col(vec_col), F.array(*[F.lit(v) for v in mat[p]]))
+
+    buckets = []
+    for b in range(bands):
+        bits = None
+        for r in range(planes_per_band):
+            bit = F.when(
+                plane_dot(b * planes_per_band + r) > 0, F.lit(1 << r).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            bits = bit if bits is None else bits + bit
+        buckets.append(
+            F.struct(F.lit(b).cast("int").alias("band"), bits.alias("band_bucket"))
         )
-        .groupBy(*df.columns)
-        .agg(F.sum("bit").alias("bucket"))
+    return df.select("*", F.explode(F.array(*buckets)).alias("bb")).select(
+        *df.columns,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_bucket").alias("band_bucket"),
     )
+
+
+def _sign_sketch(df: DataFrame, vec_col: str, planes: int = LSH_PLANES) -> DataFrame:
+    """Append ``bucket``: integer of sign bits of <v, u_p> for ``planes``
+    deterministic hyperplanes — the single-band view of
+    ``_sign_sketch_bands`` (one ``planes``-bit bucket per vector)."""
+    sk = _sign_sketch_bands(df, vec_col, planes_per_band=planes, bands=1)
+    return sk.select(*df.columns, F.col("band_bucket").alias("bucket"))
 
 
 def lsh_bucketed_topk(
@@ -330,44 +376,6 @@ def ivf_topk(
     )
 
 
-def _sign_sketch_bands(
-    df: DataFrame, vec_col: str, planes_per_band: int = 4, bands: int = 4
-) -> DataFrame:
-    """Banded sign sketch: (*df.columns, band, band_bucket) — one row per
-    (vector, band), where band b's bucket is the ``planes_per_band``-bit
-    sign pattern of hyperplanes [b·r, (b+1)·r). Same deterministic
-    hex64-derived hyperplanes as ``_sign_sketch`` (plane index is global),
-    so the DuckDB oracle replays the construction exactly.
-
-    Banding = OR-amplification: a pair is a candidate if it agrees on
-    ALL r planes of ANY band — recall 1-(1-p^r)^b for per-plane
-    agreement p(θ)=1-θ/π."""
-    total = planes_per_band * bands
-    p = F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("plane")
-    d = F.posexplode(F.col(vec_col))
-    comp = df.select("*", p).select("*", d.alias("dim", "x"))
-    u = (
-        hex64(F.concat_ws("|", F.col("plane"), F.col("dim"))) % 2001 - 1000
-    ).cast("double") / 1000.0
-    dots = (
-        comp.withColumn("c", F.col("x").cast("double") * u)
-        .groupBy(*df.columns, "plane")
-        .agg(F.sum("c").alias("dot"))
-    )
-    return (
-        dots.withColumn("band", (F.col("plane") / planes_per_band).cast("int"))
-        .withColumn(
-            "bit",
-            F.when(
-                F.col("dot") > 0,
-                F.expr(f"shiftleft(cast(1 as bigint), plane % {planes_per_band})"),
-            ).otherwise(F.lit(0).cast("bigint")),
-        )
-        .groupBy(*df.columns, "band")
-        .agg(F.sum("bit").alias("band_bucket"))
-    )
-
-
 def pairwise_near_dup(
     embeddings: DataFrame,
     threshold: float,
@@ -403,19 +411,32 @@ def pairwise_near_dup(
             .where(F.col("score") >= threshold)
             .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
         )
-    sk = _sign_sketch_bands(
-        embeddings.select("vec_id", "embedding"), "embedding", planes_per_band, bands
+    # Norms computed once per vector in the sketch projection: the
+    # per-pair verify is then one dot + one division, not three array
+    # aggregations. (Same fold order as ``cosine`` — identical doubles,
+    # so scores match the exact path.)
+    base = embeddings.select("vec_id", "embedding").withColumn(
+        "nrm", l2_norm(F.col("embedding"))
     )
+    sk = _sign_sketch_bands(base, "embedding", planes_per_band, bands)
     a = sk.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "band_bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "band",
+        "band_bucket",
     )
     b = sk.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "band_bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band",
+        "band_bucket",
     )
     return (
         a.join(b, ["band", "band_bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("score", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("score", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .where(F.col("score") >= threshold)
         # fold multi-band hits: score is band-invariant, max == the value
         .groupBy("vec_a", "vec_b")
