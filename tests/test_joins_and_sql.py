@@ -98,3 +98,65 @@ def test_salted_join_rejects_right_preserving(spark):
         with pytest.raises(ValueError):
             salted_join(a, b, "k", how=how)
     assert salted_join(a, b, "k", how="inner").count() == 1
+
+
+def test_retired_relational_plans_match_sql_twins(spark):
+    """The 7 plans retired from the driver's 50-row queries() gate in
+    round 2 stay correct: each DataFrame plan must row-match its
+    spark.sql formulation over the registered views."""
+    from map_reduce_using_cloud_functions_spark.plans import events as ev
+    from map_reduce_using_cloud_functions_spark.plans import relational as rel
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    t = register_views(spark, SF)
+    cases = [
+        (
+            rel.customers_with_big_orders(t),
+            """SELECT c_custkey, c_nationkey FROM customer WHERE EXISTS
+               (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+        ),
+        (
+            rel.running_order_totals(t),
+            """SELECT o_custkey, o_orderkey,
+                      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+               FROM orders""",
+        ),
+        (
+            rel.top_expensive_orders(t),
+            """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice, o_orderstatus
+               FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        ),
+        (
+            rel.cube_order_counts(t),
+            """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                      round(sum(o_totalprice), 6) AS total
+               FROM orders GROUP BY o_orderstatus, o_orderpriority WITH CUBE""",
+        ),
+        (
+            rel.orders_above_global_avg(t),
+            """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice FROM orders
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5""",
+        ),
+        (
+            rel.big_customers_having(t),
+            """SELECT o_custkey, count(*) AS n_orders
+               FROM orders GROUP BY o_custkey HAVING count(*) > 12""",
+        ),
+        (
+            ev.event_type_funnel(load_table(spark, SF, "events")),
+            """SELECT user_id,
+                      max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+                      max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_click,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
+               FROM events GROUP BY user_id""",
+        ),
+    ]
+    def canon(rows):
+        return sorted(tuple((v is None, str(v)) for v in r) for r in rows)
+
+    for df, sql in cases:
+        assert canon(df.collect()) == canon(spark.sql(sql).collect()), (
+            f"mismatch for: {sql[:60]}"
+        )
