@@ -68,15 +68,20 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """X1: the deduplicated relation itself — first doc_id per text hash
-    wins (``row_number`` over the hash group)."""
-    from pyspark.sql.window import Window
+    wins.
 
-    w = Window.partitionBy(hex64(F.col("text"))).orderBy("doc_id")
-    return (
-        documents.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    Plan: survivors = groupBy(hash).min(doc_id) (partial-aggregable,
+    16-byte shuffle rows), then a semi-join back on doc_id. Two narrow
+    shuffles instead of the window alternative's full shuffle-SORT of
+    the corpus rows (documents carry the text — sorting them is the
+    expensive part at scale)."""
+    keep = (
+        documents.select(F.col("doc_id"), hex64(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    return documents.join(keep, "doc_id", "left_semi")
 
 
 def _shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
@@ -417,10 +422,12 @@ def near_dedup(
 
     Returns the deduplicated documents relation: every doc that is not
     a non-representative member of a near-dup cluster. The anti-join's
-    right side (cluster losers) is small — broadcastable at any corpus
-    scale where near-dup clusters are a minority of documents.
+    right side (cluster losers) carries doc_id only; no broadcast hint —
+    for a mostly-clean corpus AQE broadcasts it from runtime stats, and
+    for a duplicate-heavy corpus (losers ~ corpus size) forcing a
+    broadcast would be exactly wrong.
     """
     pairs = minhash_dedup_pairs(documents, threshold=threshold, k=k)
     clusters = dedup_clusters(pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    return documents.join(F.broadcast(losers), "doc_id", "left_anti")
+    return documents.join(losers, "doc_id", "left_anti")
