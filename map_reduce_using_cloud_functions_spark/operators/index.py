@@ -144,6 +144,17 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     At 100 TB a one-document delta rewrites a handful of directories,
     not the table — the fix for the naive full-rewrite upsert.
 
+    Touched partitions are the union of (a) the delta's own first
+    letters and (b) — under replace semantics — the first letters of the
+    delta documents' OLD postings: a re-indexed document whose new text
+    drops a word must have that stale posting removed from a partition
+    the delta itself never writes. (b) needs a scan of the old index,
+    but column-pruned to (word, document) and semi-joined against the
+    (small, broadcast) delta document set — cheap next to rewriting the
+    table; a deployment doing high-frequency single-doc upserts would
+    maintain a doc→letters sidecar to skip it. Additive mode never
+    removes, so it skips (b).
+
     The merged delta is ``localCheckpoint``ed before the write: it reads
     the same files the write overwrites, and materializing it (only the
     touched partitions' worth of data) both breaks that read-your-writes
@@ -156,12 +167,22 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     if not os.path.exists(path):
         write_index(delta, path)
         return
-    letters = [
+    letters = {
         r["first"]
         for r in delta.select(F.substring("word", 1, 1).alias("first")).distinct().collect()
-    ]
+    }
     if not letters:
         return
+    if not additive:
+        delta_docs = delta.select("document").distinct()
+        stale = (
+            spark.read.parquet(path)
+            .join(F.broadcast(delta_docs), "document", "left_semi")
+            .select(F.substring("word", 1, 1).alias("first"))
+            .distinct()
+        )
+        letters |= {r["first"] for r in stale.collect()}
+    letters = sorted(letters)
     old = (
         spark.read.parquet(path)
         .where(F.col("first").isin(letters))
@@ -179,6 +200,17 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
         .partitionBy("first")
         .parquet(path)
     )
+    # A touched partition whose merged content is EMPTY is not written at
+    # all (dynamic overwrite only replaces partitions present in the
+    # data), so its stale directory must go explicitly.
+    nonempty = {r["first"] for r in out.select("first").distinct().collect()}
+    for letter in letters:
+        if letter not in nonempty:
+            stale_dir = os.path.join(path, f"first={letter}")
+            if os.path.exists(stale_dir):
+                import shutil
+
+                shutil.rmtree(stale_dir)
 
 
 def read_index(spark, path: str) -> DataFrame:

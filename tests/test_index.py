@@ -100,3 +100,36 @@ def test_index_roundtrip_parquet(golden_corpus, tmp_path):
     write_index(idx, path)
     back = read_index(idx.sparkSession, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, idx.collect()))
+
+
+def test_upsert_removes_stale_postings_across_partitions(spark, tmp_path):
+    """Replace-semantics regression: re-indexing a document whose new
+    text DROPS a word must remove the stale posting even when the delta
+    itself never writes that word's partition — including when that
+    leaves the partition empty (directory must disappear)."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        build_index,
+        read_index,
+        upsert_index,
+        write_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [("d1", "apple zebra"), ("d2", "banana")], "document string, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_index(build_index(v1), path)
+    assert os.path.exists(os.path.join(path, "first=z"))
+
+    # d1 v2 drops 'zebra' (only z-word in the index) and keeps 'apple'
+    v2 = spark.createDataFrame([("d1", "apple apple")], "document string, text string")
+    upsert_index(spark, build_index(v2), path, additive=False)
+
+    got = sorted(map(tuple, read_index(spark, path).collect()))
+    assert got == [("apple", "d1", 2), ("banana", "d2", 1)]
+    assert not os.path.exists(os.path.join(path, "first=z"))
+
+    # untouched partition (b) must survive: d2 was not re-indexed
+    assert os.path.exists(os.path.join(path, "first=b"))
