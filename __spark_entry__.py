@@ -25,6 +25,7 @@ from map_reduce_using_cloud_functions_spark.operators import dedup as dd
 from map_reduce_using_cloud_functions_spark.operators import similarity as sim
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
 from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
+from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.plans import relational as rel
 from map_reduce_using_cloud_functions_spark.plans import events as ev
 
@@ -109,13 +110,16 @@ def _q_training_corpus_prep(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver checks the first 50 in dict
     order, so the dict is capped there and ordered family-flagship-first
-    (index → dedup → text → multimodal → pipeline → ANN → events →
-    relational). Round-1 retirees (operator classes already covered by a
-    remaining row): index_distinct_words, customers_with_big_orders,
-    running_order_totals, top_expensive_orders, cube_order_counts,
-    orders_above_global_avg, big_customers_having, events_funnel — their
-    implementations stay (plans/relational.py, plans/events.py) with
-    pytest coverage."""
+    (index → dedup → text → prep → multimodal → pipeline → ANN →
+    events → relational). Retirees (operator classes already covered by
+    a remaining row): round 1 — index_distinct_words,
+    customers_with_big_orders, running_order_totals,
+    top_expensive_orders, cube_order_counts, orders_above_global_avg,
+    big_customers_having, events_funnel; round 2 (making room for the
+    prep family) — segment_order_stats, part_type_margins,
+    order_priority_counts. All implementations stay
+    (plans/relational.py, plans/events.py) with sql-twin pytest
+    coverage (tests/test_joins_and_sql.py)."""
     return {
         # ---- inverted-index core (SURVEY §2 O1–O17) ----
         "index_build": _q_index_build,
@@ -145,6 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": lambda s, d: ta.token_counts(load_table(s, d, "documents")),
         "text_fingerprints": lambda s, d: ta.fingerprints(load_table(s, d, "documents")),
         "text_tfidf": lambda s, d: ta.tf_idf(load_table(s, d, "documents")),
+        # ---- training-data prep (X4 family: chunk / scrub / mix) ----
+        "text_chunks": lambda s, d: pp.chunk_documents(load_table(s, d, "documents")),
+        "text_pii_redaction": lambda s, d: pp.redact_pii(load_table(s, d, "documents")),
+        "sample_corpus_mix": lambda s, d: pp.sample_corpus_mix(load_table(s, d, "documents")),
         # ---- multimodal (X5) ----
         "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
         "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
@@ -177,14 +185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- relational core (X6) ----
         "q1_pricing_summary": lambda s, d: rel.q1_pricing_summary(_tables(s, d)),
         "revenue_by_region": lambda s, d: rel.revenue_by_region(_tables(s, d)),
-        "segment_order_stats": lambda s, d: rel.segment_order_stats(_tables(s, d)),
         "customers_without_orders": lambda s, d: rel.customers_without_orders(_tables(s, d)),
         "top_orders_per_customer": lambda s, d: rel.top_orders_per_customer(_tables(s, d)),
         "nation_set_ops": lambda s, d: rel.nation_set_ops(_tables(s, d)),
         "rollup_acctbal": lambda s, d: rel.rollup_acctbal(_tables(s, d)),
         "scalar_function_sampler": lambda s, d: rel.scalar_function_sampler(_tables(s, d)),
-        "part_type_margins": lambda s, d: rel.part_type_margins(_tables(s, d)),
-        "order_priority_counts": lambda s, d: rel.order_priority_counts(_tables(s, d)),
         "customer_order_left_join": lambda s, d: rel.customer_order_left_join(_tables(s, d)),
         "deterministic_sample_agg": lambda s, d: rel.deterministic_sample_agg(_tables(s, d)),
         "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
@@ -326,13 +331,6 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
-    sql["segment_order_stats"] = """
-SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_price,
-       round(avg(o_totalprice), 6) AS avg_price
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
     sql["customers_without_orders"] = """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -376,21 +374,6 @@ SELECT o_orderkey,
        coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
 FROM orders
 """
-    sql["part_type_margins"] = """
-SELECT string_split(p_type, ' ')[1] AS type_head,
-       round(avg(l_extendedprice * (1 - l_discount) - p_retailprice), 6) AS avg_margin,
-       count(*) AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY 1
-"""
-    sql["order_priority_counts"] = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1995-01-01')
-GROUP BY o_orderpriority
-"""
-
     sql["customer_order_left_join"] = """
 SELECT c_custkey, count(o_orderkey) AS n_orders,
        round(coalesce(sum(o_totalprice), 0.0), 6) AS total_spent
@@ -807,6 +790,67 @@ SELECT p.doc_id, p.word,
 FROM postings p
 JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN n
 """
+
+    # ---- training-data prep (operators/prep.py) ----
+    # Plain concatenation (not f-strings): the PII regexes contain {2,}
+    # / {1,3} quantifier braces that f-strings would try to interpolate.
+    sql["text_chunks"] = (
+        "WITH doctoks AS (" + _DOCTOKS + "),\n"
+        "starts AS (\n"
+        "  SELECT doc_id, l, unnest(range(1, len(l) + 1, 48)) AS start\n"
+        "  FROM doctoks WHERE len(l) > 0\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        "       ((start - 1) // 48)::INT AS chunk_id,\n"
+        "       len(list_slice(l, start, least(start + 63, len(l))))::INT AS n_tokens,\n"
+        "       "
+        + _HEX64.format(
+            col="array_to_string(list_slice(l, start, least(start + 63, len(l))), ' ')"
+        )
+        + " AS chunk_hash\n"
+        "FROM starts"
+    )
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _phone = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    _ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _redacted = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '"
+        + _email
+        + "', '<EMAIL>', 'g'), '"
+        + _ipv4
+        + "', '<IP>', 'g'), '"
+        + _phone
+        + "', '<PHONE>', 'g')"
+    )
+    sql["text_pii_redaction"] = (
+        "SELECT doc_id,\n"
+        "       len(regexp_extract_all(text, '" + _email + "'))::INT AS n_emails,\n"
+        "       len(regexp_extract_all(text, '" + _phone + "'))::INT AS n_phones,\n"
+        "       len(regexp_extract_all(text, '" + _ipv4 + "'))::INT AS n_ips,\n"
+        "       " + _HEX64.format(col=_redacted) + " AS redacted_hash\n"
+        "FROM documents"
+    )
+    # Mixing twin: weights/budget literals cast ::DOUBLE so DuckDB's
+    # DECIMAL literals don't diverge from Spark's double arithmetic;
+    # expression tree (w * (budget * N)) / n_s written identically.
+    sql["sample_corpus_mix"] = (
+        "WITH counts AS (\n"
+        "  SELECT lang AS stratum, count(*) AS n_s FROM documents GROUP BY 1\n"
+        "),\n"
+        "tot AS (SELECT count(*) AS n_total FROM documents),\n"
+        "rates AS (\n"
+        "  SELECT stratum,\n"
+        "         floor(least((CASE stratum WHEN 'en' THEN 0.4::DOUBLE\n"
+        "                      WHEN 'de' THEN 0.15::DOUBLE WHEN 'es' THEN 0.15::DOUBLE\n"
+        "                      WHEN 'fr' THEN 0.15::DOUBLE WHEN 'zh' THEN 0.15::DOUBLE\n"
+        "                      ELSE 0.0::DOUBLE END * (0.6::DOUBLE * n_total)) / n_s,\n"
+        "                     1.0::DOUBLE) * 1000000)::BIGINT AS keep_below\n"
+        "  FROM counts, tot\n"
+        ")\n"
+        "SELECT doc_id, lang AS stratum, source\n"
+        "FROM documents JOIN rates ON rates.stratum = documents.lang\n"
+        "WHERE (" + _HEX64.format(col="(doc_id::VARCHAR || '|mix')") + " % 1000000) < keep_below"
+    )
 
     # ---- multimodal ----
     sql["multimodal_asset_stats"] = """

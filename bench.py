@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "text_tfidf",
     "text_stats",
     "text_token_counts",
+    "text_chunks",
+    "sample_corpus_mix",
     "multimodal_asset_stats",
 ]
 

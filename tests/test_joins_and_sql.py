@@ -101,9 +101,10 @@ def test_salted_join_rejects_right_preserving(spark):
 
 
 def test_retired_relational_plans_match_sql_twins(spark):
-    """The 7 plans retired from the driver's 50-row queries() gate in
-    round 2 stay correct: each DataFrame plan must row-match its
-    spark.sql formulation over the registered views."""
+    """Every plan retired from the driver's 50-row queries() gate stays
+    correct: each DataFrame plan must row-match its spark.sql
+    formulation over the registered views (round-1 retirees + the three
+    rows retired in round 2 to make room for the prep family)."""
     from map_reduce_using_cloud_functions_spark.plans import events as ev
     from map_reduce_using_cloud_functions_spark.plans import relational as rel
     from map_reduce_using_cloud_functions_spark.sources import load_table
@@ -143,6 +144,31 @@ def test_retired_relational_plans_match_sql_twins(spark):
             rel.big_customers_having(t),
             """SELECT o_custkey, count(*) AS n_orders
                FROM orders GROUP BY o_custkey HAVING count(*) > 12""",
+        ),
+        (
+            rel.segment_order_stats(t),
+            """SELECT c_mktsegment, count(*) AS n_orders,
+                      round(sum(o_totalprice), 6) AS total_price,
+                      round(avg(o_totalprice), 6) AS avg_price
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment""",
+        ),
+        (
+            rel.part_type_margins(t),
+            """SELECT split(p_type, ' ')[0] AS type_head,
+                      round(avg(l_extendedprice * (1 - l_discount) - p_retailprice), 6) AS avg_margin,
+                      count(*) AS n_lines
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY 1""",
+        ),
+        (
+            rel.order_priority_counts(t),
+            """SELECT o_orderpriority, count(*) AS order_count
+               FROM orders
+               WHERE EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_orderkey = o_orderkey
+                               AND l_shipdate >= TIMESTAMP '1995-01-01')
+               GROUP BY o_orderpriority""",
         ),
         (
             ev.event_type_funnel(load_table(spark, SF, "events")),

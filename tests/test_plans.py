@@ -106,3 +106,33 @@ def test_embedding_near_dup_has_no_cartesian_join(spark):
     plan = plan_of(pairwise_near_dup(emb, 0.45))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prep_chunking_and_redaction_are_map_only(spark):
+    """Chunking and PII redaction must stay pure map-side passes: zero
+    Exchanges (the property that makes them scan-speed at 100 TB), with
+    the scan pruned to the columns they read."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        chunk_documents,
+        redact_pii,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for df in (chunk_documents(docs), redact_pii(docs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_prep_corpus_mix_never_shuffles_corpus(spark):
+    """The mixing sampler's corpus side must flow scan → project →
+    broadcast-join → filter: the only hash Exchange allowed is the
+    strata-count aggregate (|strata| rows), and the rates must come back
+    via BroadcastExchange."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        sample_corpus_mix,
+    )
+
+    plan = plan_of(sample_corpus_mix(load_table(spark, SF, "documents")))
+    assert plan.count("Exchange hashpartitioning") == 1  # lang counts only
+    assert "BroadcastHashJoin" in plan  # rates joined by broadcast

@@ -1,0 +1,193 @@
+"""Training-data prep operators (operators/prep.py): chunking, PII
+redaction, corpus mixing — edge cases + determinism properties the
+driver's fixture-level oracle can't see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from map_reduce_using_cloud_functions_spark.operators.prep import (
+    chunk_documents,
+    redact_pii,
+    sample_corpus_mix,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunking_edges(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, ""),  # empty → no chunks
+            (1, "one"),  # 1 token → one short chunk
+            (2, " ".join(f"t{i}" for i in range(64))),  # exactly one window
+            (3, " ".join(f"t{i}" for i in range(65))),  # window + 1 → 2 chunks
+            (4, " ".join(f"t{i}" for i in range(200))),  # several strides
+        ],
+    )
+    out = chunk_documents(docs, window=64, stride=48)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["n_tokens"] for r in out.collect()
+    }
+    assert not any(d == 0 for d, _ in got)  # empty doc: zero chunks
+    assert got[(1, 0)] == 1
+    # 64 tokens: starts at 1 and 49 → chunks of 64 and 16
+    assert got[(2, 0)] == 64 and got[(2, 1)] == 16
+    assert got[(3, 0)] == 64 and got[(3, 1)] == 17
+    # 200 tokens: starts 1,49,97,145,193 → sizes 64,64,64,56,8
+    assert [got[(4, i)] for i in range(5)] == [64, 64, 64, 56, 8]
+    assert (4, 5) not in got
+
+
+def test_chunking_covers_every_token_and_overlap_is_exact(spark):
+    """Reconstruction property: with stride < window every token index
+    is covered, and consecutive chunks overlap by exactly
+    window - stride tokens (except the short tail)."""
+    n = 150
+    docs = _docs(spark, [(0, " ".join(f"w{i}" for i in range(n)))])
+    rows = sorted(
+        chunk_documents(docs, window=64, stride=48).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    for i, r in enumerate(rows):
+        start = i * 48
+        assert r["n_tokens"] == min(64, n - start)
+    assert rows[-1]["chunk_id"] == (n - 1) // 48
+
+
+def test_chunk_hash_keys_exact_chunk_dedup(spark):
+    """Identical chunk text ⇒ identical chunk_hash (cross-document):
+    the property a downstream chunk-level exact dedup relies on."""
+    text = " ".join(f"t{i}" for i in range(40))
+    docs = _docs(spark, [(0, text), (1, text), (2, text + " extra")])
+    out = chunk_documents(docs, window=64, stride=48).collect()
+    by_doc = {r["doc_id"]: r["chunk_hash"] for r in out}
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[2]
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_redaction_counts_and_text(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "mail alice@example.com and bob@corp.co.uk today"),
+            (1, "call 555-867-5309 or 555.867.5309 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.255"),
+            (3, "clean text with no pii at all"),
+            (4, "mixed: x@y.io via 10.0.0.2 call 123-456-7890"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ips"]) == (2, 0, 0)
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (0, 2, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 2)
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (1, 1, 1)
+    # a no-PII doc's redacted hash equals the hash of the original text
+    from map_reduce_using_cloud_functions_spark.functions.hashing import hex64
+
+    plain = docs.where(F.col("doc_id") == 3).select(
+        hex64(F.col("text")).alias("h")
+    ).first()["h"]
+    assert got[3]["redacted_hash"] == plain
+    # a redacted doc's hash differs from the original
+    dirty = docs.where(F.col("doc_id") == 0).select(
+        hex64(F.col("text")).alias("h")
+    ).first()["h"]
+    assert got[0]["redacted_hash"] != dirty
+
+
+def test_pii_redacted_text_shape(spark):
+    """Redaction replaces, never deletes context: tags land where the
+    match was (checked via the raw redacted string, not the hash)."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    docs = _docs(spark, [(0, "from a@b.io at 10.0.0.1 dial 555-123-4567 end")])
+    red = docs.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+                IPV4_RE,
+                "<IP>",
+            ),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("r")
+    ).first()["r"]
+    assert red == "from <EMAIL> at <IP> dial <PHONE> end"
+
+
+# ---------------------------------------------------------------- mixing
+
+
+def _mix_docs(spark):
+    rows = []
+    for i in range(400):
+        lang = ["en", "en", "en", "de", "es", "fr", "zh", "zh"][i % 8]
+        rows.append((i, f"text {i}", lang, f"src{i % 3}"))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_corpus_mix_is_deterministic_and_rate_capped(spark):
+    docs = _mix_docs(spark)
+    a = sorted(r["doc_id"] for r in sample_corpus_mix(docs).collect())
+    b = sorted(r["doc_id"] for r in sample_corpus_mix(docs).collect())
+    assert a == b  # pure function of doc_id — idempotent across runs
+    # every kept doc is a real doc, kept at most once
+    assert len(a) == len(set(a))
+
+
+def test_corpus_mix_hits_target_proportions(spark):
+    """Strata larger than their target get down-sampled toward the
+    weight; strata at-or-under target are kept whole (rate capped 1)."""
+    docs = _mix_docs(spark)
+    kept = sample_corpus_mix(
+        docs,
+        weights={"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125},
+        budget_frac=0.5,
+    )
+    counts = {
+        r["stratum"]: r["n"]
+        for r in kept.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # en: 150 docs, target 0.5*200=100 → downsampled to ~100 (hash noise)
+    assert 80 <= counts["en"] <= 120
+    # de: 50 docs, target 25 → ~25
+    assert 15 <= counts["de"] <= 35
+    # zh: 100 docs, target 25 → ~25
+    assert 15 <= counts["zh"] <= 35
+
+
+def test_corpus_mix_unknown_stratum_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "xx", "s0"), (2, "t", "en", "s0")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    kept = sample_corpus_mix(docs, weights={"en": 1.0}, budget_frac=1.0)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_corpus_mix_partition_invariance(spark):
+    """Same sample regardless of input partitioning — the determinism
+    that makes retries/stragglers safe on a real cluster."""
+    docs = _mix_docs(spark)
+    base = sorted(r["doc_id"] for r in sample_corpus_mix(docs).collect())
+    shuffled = sorted(
+        r["doc_id"] for r in sample_corpus_mix(docs.repartition(17)).collect()
+    )
+    assert base == shuffled
