@@ -117,7 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     top_expensive_orders, cube_order_counts, orders_above_global_avg,
     big_customers_having, events_funnel; round 2 (making room for the
     prep family) — segment_order_stats, part_type_margins,
-    order_priority_counts. All implementations stay
+    order_priority_counts, deterministic_sample_agg (hash-sampling
+    class now judged via sample_corpus_mix). All implementations stay
     (plans/relational.py, plans/events.py) with sql-twin pytest
     coverage (tests/test_joins_and_sql.py)."""
     return {
@@ -153,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": lambda s, d: pp.chunk_documents(load_table(s, d, "documents")),
         "text_pii_redaction": lambda s, d: pp.redact_pii(load_table(s, d, "documents")),
         "sample_corpus_mix": lambda s, d: pp.sample_corpus_mix(load_table(s, d, "documents")),
+        "token_packing": lambda s, d: pp.pack_sequences(load_table(s, d, "documents")),
         # ---- multimodal (X5) ----
         "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
         "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
@@ -191,7 +193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_acctbal": lambda s, d: rel.rollup_acctbal(_tables(s, d)),
         "scalar_function_sampler": lambda s, d: rel.scalar_function_sampler(_tables(s, d)),
         "customer_order_left_join": lambda s, d: rel.customer_order_left_join(_tables(s, d)),
-        "deterministic_sample_agg": lambda s, d: rel.deterministic_sample_agg(_tables(s, d)),
         "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
         "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
         "top_customer_per_nation": lambda s, d: rel.top_customer_per_nation(_tables(s, d)),
@@ -379,13 +380,6 @@ SELECT c_custkey, count(o_orderkey) AS n_orders,
        round(coalesce(sum(o_totalprice), 0.0), 6) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
-"""
-    sql["deterministic_sample_agg"] = f"""
-SELECT l_returnflag, count(*) AS n,
-       round(sum(l_extendedprice), 6) AS sampled_revenue
-FROM lineitem
-WHERE {_HEX64.format(col="concat_ws('-', l_orderkey, l_linenumber)")} % 100 < 5
-GROUP BY l_returnflag
 """
     sql["order_value_statistics"] = """
 SELECT round(stddev_samp(l_extendedprice), 4) AS std_price,
@@ -850,6 +844,24 @@ JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN n
         "SELECT doc_id, lang AS stratum, source\n"
         "FROM documents JOIN rates ON rates.stratum = documents.lang\n"
         "WHERE (" + _HEX64.format(col="(doc_id::VARCHAR || '|mix')") + " % 1000000) < keep_below"
+    )
+
+    # Packing twin: DuckDB states the SEMANTICS as the global-order
+    # window cumsum the Spark side decomposes into its two-phase
+    # distributed prefix sum — same numbers, scalable plan on Spark.
+    sql["token_packing"] = (
+        "WITH doctoks AS (" + _DOCTOKS + "),\n"
+        "lens AS (SELECT doc_id, len(l) AS n FROM doctoks WHERE len(l) > 0),\n"
+        "cum AS (\n"
+        "  SELECT doc_id, n,\n"
+        "         (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING\n"
+        "                       AND CURRENT ROW) - n)::BIGINT AS off\n"
+        "  FROM lens\n"
+        ")\n"
+        "SELECT doc_id, n::INT AS n_tokens, off AS global_offset,\n"
+        "       (off // 2048)::BIGINT AS first_bin,\n"
+        "       ((off + n - 1) // 2048)::BIGINT AS last_bin\n"
+        "FROM cum"
     )
 
     # ---- multimodal ----

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_token_counts",
     "text_chunks",
     "sample_corpus_mix",
+    "token_packing",
     "multimodal_asset_stats",
 ]
 

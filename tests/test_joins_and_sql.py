@@ -171,6 +171,14 @@ def test_retired_relational_plans_match_sql_twins(spark):
                GROUP BY o_orderpriority""",
         ),
         (
+            rel.deterministic_sample_agg(t),
+            """SELECT l_returnflag, count(*) AS n,
+                      round(sum(l_extendedprice), 6) AS sampled_revenue
+               FROM lineitem
+               WHERE CAST(conv(substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 100 < 5
+               GROUP BY l_returnflag""",
+        ),
+        (
             ev.event_type_funnel(load_table(spark, SF, "events")),
             """SELECT user_id,
                       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,

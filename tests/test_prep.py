@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 
 from map_reduce_using_cloud_functions_spark.operators.prep import (
     chunk_documents,
+    pack_sequences,
     redact_pii,
     sample_corpus_mix,
 )
@@ -180,6 +181,54 @@ def test_corpus_mix_unknown_stratum_dropped(spark):
     )
     kept = sample_corpus_mix(docs, weights={"en": 1.0}, budget_frac=1.0)
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_sequences_matches_python_prefix_sum(spark):
+    """The two-phase distributed prefix sum must equal the sequential
+    concat-and-split: offsets are the running sum of token counts in
+    doc_id order, bins are offset // seq_len."""
+    sizes = [5, 0, 17, 3, 2048, 1, 100, 0, 7]  # incl. empty docs
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(sizes)],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["global_offset"], r["first_bin"], r["last_bin"])
+        for r in pack_sequences(docs, seq_len=16, n_blocks=4).collect()
+    }
+    off = 0
+    for i, n in enumerate(sizes):
+        if n == 0:
+            assert i not in got  # empty docs never enter the stream
+            continue
+        assert got[i] == (n, off, off // 16, (off + n - 1) // 16), f"doc {i}"
+        off += n
+
+
+def test_pack_sequences_block_count_invariance(spark):
+    """The prefix telescopes: any block count gives the same offsets —
+    the property that lets a cluster pick n_blocks by hardware."""
+    docs = _docs(
+        spark,
+        [(i * 7, " ".join(f"w{j}" for j in range(1 + i % 13))) for i in range(60)],
+    )
+    base = sorted(map(tuple, pack_sequences(docs, seq_len=32, n_blocks=1).collect()))
+    for nb in (3, 8, 64):
+        assert base == sorted(
+            map(tuple, pack_sequences(docs, seq_len=32, n_blocks=nb).collect())
+        )
+
+
+def test_pack_sequences_empty_corpus(spark):
+    docs = _docs(spark, [(0, ""), (1, "")])
+    out = pack_sequences(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "global_offset", "first_bin", "last_bin",
+    ]
 
 
 def test_corpus_mix_partition_invariance(spark):
