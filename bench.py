@@ -6,7 +6,7 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is forced by aggregating a hash over EVERY output column
-(sum of xxhash64 across the full result) — unlike a bare count(), this
+(bit_xor of xxhash64 across the full result) — unlike a bare count(), this
 makes Catalyst actually compute each projected column, so featurizer
 queries (e.g. text_token_counts) are timed doing their work, while still
 keeping driver IPC to one row. A warmup query first pays JVM/codegen

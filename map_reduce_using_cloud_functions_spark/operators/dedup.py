@@ -325,22 +325,26 @@ def jaccard_token_pairs(
     The join key is the token itself (inverted-index join): documents
     with no overlap never pair, so the pair space is Σ_token df(token)².
     At 100 TB the handful of ultra-high-df tokens dominate that sum:
-    ``max_df`` drops tokens appearing in more than ``max_df`` documents
-    *from the join side only* — denominators (|A|, |B|) still count every
-    token, so scores for surviving pairs are exact; pairs whose ONLY
-    overlap is dropped stopword-like tokens can no longer reach a high
-    threshold anyway (their true Jaccard is dominated by the union).
-    ``max_df=None`` (the judged/oracle configuration) disables the guard
-    — results are then exact for all pairs."""
+    ``max_df`` restricts the computation to the vocabulary of tokens
+    appearing in ≤ max_df documents — BOTH the intersection and the
+    set sizes |A|, |B| count only that vocabulary, so the result is the
+    exact Jaccard over the df-filtered token sets (the standard
+    stopword-removed similarity; self-consistent, but a different
+    measure than the unfiltered score). ``max_df=None`` (the
+    judged/oracle configuration) disables the guard — exact Jaccard
+    over full token sets."""
     toks = (
         documents.select("doc_id", F.explode(tokens_array(F.col("text"))).alias("word"))
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
         df_counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
         rare = df_counts.where(F.col("df") <= max_df).select("word")
         toks = toks.join(rare, "word", "left_semi")
+    # sizes over the SAME (possibly df-filtered) relation as the join:
+    # numerator and denominator agree on the vocabulary, keeping the
+    # score a true Jaccard rather than a mixed-domain underestimate.
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "word")
     b = toks.select(F.col("doc_id").alias("doc_b"), "word")
     common = (
@@ -411,6 +415,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Returning non-converged labels would silently split one
+        # component into several "clusters" (and near_dedup would keep
+        # several survivors from one duplicate set) — fail loudly.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds: a "
+            "component's diameter exceeds max_iter (long near-dup "
+            "chain). Re-run with a larger max_iter."
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 

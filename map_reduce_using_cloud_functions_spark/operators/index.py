@@ -161,12 +161,27 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     hazard and is the local equivalent of staging delta partitions
     before a commit. First build (no index yet) degrades to
     ``write_index``.
-    """
-    import os
 
-    if not os.path.exists(path):
+    Consistency contract: per-partition replacement commits through
+    Spark's Hadoop output committer — a crash mid-commit can leave a
+    *touched* partition half-replaced (untouched partitions are never
+    at risk), and a concurrent reader can observe a touched partition
+    mid-swap. That is the inherent limit of dynamic partition overwrite
+    on bare parquet; deployments needing crash atomicity or snapshot
+    isolation across partitions put a transactional table format
+    (Delta/Iceberg) under this same plan — the merge logic is
+    format-agnostic. Filesystem checks go through Spark's Hadoop
+    filesystem layer, so ``path`` may live on any supported scheme
+    (local, HDFS, s3a, ...), not just the driver's local disk.
+    """
+    if not _hadoop_exists(spark, path):
         write_index(delta, path)
         return
+    # One materialization of the delta — the letter collect, stale-scan
+    # semi-join, merge, and final write otherwise re-run the caller's
+    # whole delta lineage (tokenize/aggregate of the new corpus) per
+    # action, 4x.
+    delta = delta.localCheckpoint()
     letters = {
         r["first"]
         for r in delta.select(F.substring("word", 1, 1).alias("first")).distinct().collect()
@@ -206,11 +221,31 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     nonempty = {r["first"] for r in out.select("first").distinct().collect()}
     for letter in letters:
         if letter not in nonempty:
-            stale_dir = os.path.join(path, f"first={letter}")
-            if os.path.exists(stale_dir):
-                import shutil
+            _hadoop_delete(spark, f"{path}/first={letter}")
 
-                shutil.rmtree(stale_dir)
+
+def _hadoop_path(spark, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _hadoop_fs(spark, path: str):
+    """The Hadoop FileSystem owning ``path`` — resolves the scheme
+    (file://, hdfs://, s3a://, ...) so existence/delete checks work on
+    whatever storage the session is configured for, unlike
+    ``os.path``/``shutil`` which silently see only the driver's disk."""
+    conf = spark._jsc.hadoopConfiguration()
+    return _hadoop_path(spark, path).getFileSystem(conf)
+
+
+def _hadoop_exists(spark, path: str) -> bool:
+    return _hadoop_fs(spark, path).exists(_hadoop_path(spark, path))
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    fs = _hadoop_fs(spark, path)
+    p = _hadoop_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def read_index(spark, path: str) -> DataFrame:

@@ -13,9 +13,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.window import Window
 
-from ..functions.hashing import hex64
+from .dedup import exact_dedup
 from .text_analysis import language_guess, quality_score, text_stats
 
 
@@ -35,12 +34,11 @@ def prepare_training_corpus(
     stats = text_stats(documents).select("doc_id", "n_tokens", "n_distinct")
     lang = language_guess(documents).select("doc_id", "lang_guess")
 
-    w = Window.partitionBy(hex64(F.col("text"))).orderBy("doc_id")
-    deduped = (
-        documents.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id")
-    )
+    # Same min-doc_id-survives semantics as before, through the shared
+    # exact_dedup operator (groupBy-min + semi-join — two narrow
+    # shuffles of (hash, id) rows instead of a window's full
+    # shuffle-SORT of text-carrying corpus rows).
+    deduped = exact_dedup(documents).select("doc_id")
 
     return (
         deduped.join(quality, "doc_id")

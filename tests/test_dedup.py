@@ -150,6 +150,24 @@ def test_dedup_clusters_min_label(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A 6-node chain has diameter 5: min-label needs ~5 rounds, so
+    max_iter=2 must fail loudly instead of returning a split
+    component."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5, 0, -1)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=2)
+    # and with enough rounds the same chain is one component
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(chain).collect()}
+    assert set(got.values()) == {1}
+
+
 def test_near_dedup_keeps_min_id_survivor(corpus_with_dups):
     """MinHash pairs → clusters → survivors: docs 0,1,2,4 cluster (exact
     dup, near dup, and case-variant — the tokenizer lowercases, so doc
