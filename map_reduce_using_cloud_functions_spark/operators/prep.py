@@ -188,6 +188,63 @@ def sample_corpus_mix(
     )
 
 
+UPSAMPLE_SALT = "|ups"
+
+
+def upsample_strata(
+    documents: DataFrame,
+    repeats: dict[str, float],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Epoch-style upsampling: the other half of corpus mixing.
+    ``sample_corpus_mix`` can only down-sample toward a target mixture;
+    strata that need MORE weight get repeated epochs. ``repeats[s]`` is
+    a (possibly fractional) epoch count: 2.4 means every doc of stratum
+    s appears twice, plus a deterministic 40% of them a third time.
+    Unlisted strata default to 1.0 (kept once).
+
+    Returns (doc_id, stratum, epoch) — epoch numbers each replica
+    (0-based) so downstream packing/shuffling can interleave replicas
+    instead of emitting byte-identical neighbors.
+
+    Plan shape: pure projection + one explode (``sequence`` of epoch
+    ids, filtered by the fractional-part hash threshold) — map-only,
+    zero shuffles, and deterministic per (doc_id, epoch): the same
+    replica set on every run/retry, like the mixing sampler.
+    """
+    strat = F.col(stratum_col)
+    r_expr = F.lit(1.0)
+    for s in sorted(repeats, reverse=True):
+        r_expr = F.when(strat == s, F.lit(float(repeats[s]))).otherwise(r_expr)
+    n_full = F.floor(r_expr).cast("int")
+    frac_below = F.floor((r_expr - n_full) * MIX_RESOLUTION)
+    epoch = F.col("epoch")
+    slot = hex64(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(UPSAMPLE_SALT),
+            epoch.cast("string"),
+        )
+    ) % MIX_RESOLUTION
+    return (
+        documents.select(
+            "doc_id",
+            strat.alias("stratum"),
+            n_full.alias("n_full"),
+            frac_below.alias("frac_below"),
+        )
+        .select(
+            "doc_id",
+            "stratum",
+            "n_full",
+            "frac_below",
+            F.explode(F.sequence(F.lit(0), F.col("n_full"))).alias("epoch"),
+        )
+        .where((epoch < F.col("n_full")) | (slot < F.col("frac_below")))
+        .select("doc_id", "stratum", "epoch")
+    )
+
+
 def pack_sequences(
     documents: DataFrame, seq_len: int = 2048, n_blocks: int = 32
 ) -> DataFrame:

@@ -118,6 +118,22 @@ def read_index_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_postings_orc(postings: DataFrame, path: str) -> None:
+    """Columnar interchange beyond parquet: ORC is the other
+    splittable, predicate-pushdown-capable format Spark supports
+    natively — the right wire shape when the downstream consumer is a
+    Hive/Trino stack rather than this engine. Same flat postings
+    relation, zero extra dependencies."""
+    postings.select("word", "document", "count").write.mode("overwrite").orc(path)
+
+
+def read_postings_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC import with the engine's postings schema enforced; ORC scans
+    get the same pushdown/pruning treatment as parquet (filters reach
+    the reader, untouched columns are never decoded)."""
+    return spark.read.schema(POSTINGS).orc(path)
+
+
 def postings_from_nested_dict(spark: SparkSession, nested: dict) -> DataFrame:
     """Adapt an in-memory reference index dict ({word:{doc:n}}, e.g.
     a parsed legacy ``final_results.json``) to a postings DataFrame.

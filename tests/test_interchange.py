@@ -164,3 +164,32 @@ def test_fold_index_json_reference_shape(spark, tmp_path):
     write_reference_json(idx, ref_file)
     with open(ref_file) as f:
         assert json.load(f) == expected
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC interchange: lossless round-trip of the postings relation,
+    and the word filter reaches the ORC reader (same pushdown contract
+    as parquet)."""
+    from map_reduce_using_cloud_functions_spark.operators.index import build_index
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        read_postings_orc,
+        write_postings_orc,
+    )
+    import pyspark.sql.functions as F
+
+    corpus = spark.createDataFrame(
+        [("a.txt", "hello world hello"), ("b.txt", "world peace")],
+        "document string, text string",
+    )
+    idx = build_index(corpus)
+    out = str(tmp_path / "postings_orc")
+    write_postings_orc(idx, out)
+    back = read_postings_orc(spark, out)
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, back.collect()))
+    plan = (
+        back.where(F.col("word") == "hello")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(word), EqualTo(word,hello)]" in plan

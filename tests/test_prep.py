@@ -11,6 +11,7 @@ from map_reduce_using_cloud_functions_spark.operators.prep import (
     pack_sequences,
     redact_pii,
     sample_corpus_mix,
+    upsample_strata,
 )
 
 
@@ -181,6 +182,59 @@ def test_corpus_mix_unknown_stratum_dropped(spark):
     )
     kept = sample_corpus_mix(docs, weights={"en": 1.0}, budget_frac=1.0)
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+# ---------------------------------------------------------------- upsample
+
+
+def test_upsample_integer_epochs_exact(spark):
+    docs = _mix_docs(spark)
+    out = upsample_strata(docs, {"en": 3.0, "zh": 0.0})
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_en = docs.where(F.col("lang") == "en").count()
+    n_de = docs.where(F.col("lang") == "de").count()
+    assert counts["en"] == 3 * n_en  # exact integer repetition
+    assert counts["de"] == n_de  # unlisted stratum kept once
+    assert "zh" not in counts  # weight 0 drops the stratum
+    # epochs are dense 0..2 for en, 0 for de
+    en_epochs = sorted(
+        r["epoch"]
+        for r in out.where(F.col("stratum") == "en")
+        .select("epoch")
+        .distinct()
+        .collect()
+    )
+    assert en_epochs == [0, 1, 2]
+
+
+def test_upsample_fractional_epoch_rate_and_determinism(spark):
+    docs = _mix_docs(spark)
+    out = upsample_strata(docs, {"en": 1.4})
+    n_en = docs.where(F.col("lang") == "en").count()
+    extra = out.where((F.col("stratum") == "en") & (F.col("epoch") == 1)).count()
+    # ~40% of en docs get a second epoch (hash noise at n=150)
+    assert 0.25 * n_en <= extra <= 0.55 * n_en
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, upsample_strata(docs, {"en": 1.4}).collect()))
+    assert a == b  # deterministic replica set across runs
+
+
+def test_upsample_composes_with_packing(spark):
+    """The mixing story end-to-end: upsample replicates rows with
+    distinct epochs, so a downstream consumer (e.g. packing keyed by
+    (doc_id, epoch)) sees every replica."""
+    docs = _mix_docs(spark)
+    out = upsample_strata(docs, {"de": 2.0})
+    per_doc = (
+        out.where(F.col("stratum") == "de")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("epoch").alias("e"))
+        .collect()
+    )
+    assert all(r["n"] == 2 and r["e"] == 2 for r in per_doc)
 
 
 # ---------------------------------------------------------------- packing
