@@ -376,6 +376,35 @@ def ivf_topk(
     )
 
 
+def embedding_near_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    planes_per_band: int = 4,
+    bands: int = 4,
+) -> DataFrame:
+    """X2 end-to-end embedding near-dedup: banded-LSH cosine pairs →
+    connected components → keep the min-vec_id survivor per cluster.
+    The embedding-space twin of ``dedup.near_dedup`` (same cluster
+    resolution, same survivor policy), for corpora deduped on semantic
+    embeddings rather than text shingles.
+
+    Returns the deduplicated embeddings relation. Same scale shape as
+    its parts: no cross join (LSH candidates), corpus never enters the
+    CC loop (only the pair set does), anti-join loser set sized by AQE.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = pairwise_near_dup(
+        embeddings, threshold, planes_per_band=planes_per_band, bands=bands
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    clusters = dedup_clusters(pairs)
+    losers = (
+        clusters.where(F.col("doc_id") != F.col("cluster_rep"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return embeddings.join(losers, "vec_id", "left_anti")
+
+
 def pairwise_near_dup(
     embeddings: DataFrame,
     threshold: float,

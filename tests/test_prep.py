@@ -74,6 +74,44 @@ def test_chunk_hash_keys_exact_chunk_dedup(spark):
     assert by_doc[0] != by_doc[2]
 
 
+def test_chunking_property_vs_python_reference(spark):
+    """Hypothesis: for arbitrary token counts, chunk boundaries, sizes,
+    and ids match the sequential Python reference implementation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    window, stride = 16, 12
+
+    def py_chunks(n_tokens: int) -> list[tuple[int, int]]:
+        out = []
+        for cid, start in enumerate(range(0, n_tokens, stride)):
+            out.append((cid, min(window, n_tokens - start)))
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=6))
+    def check(sizes):
+        docs = _docs(
+            spark,
+            [
+                (i, " ".join(f"w{j}" for j in range(n)))
+                for i, n in enumerate(sizes)
+            ],
+        )
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["n_tokens"])
+            for r in chunk_documents(docs, window=window, stride=stride).collect()
+        )
+        want = sorted(
+            (i, cid, sz)
+            for i, n in enumerate(sizes)
+            for cid, sz in py_chunks(n)
+        )
+        assert got == want
+
+    check()
+
+
 # ---------------------------------------------------------------- PII
 
 

@@ -159,3 +159,27 @@ def test_ivf_trained_centroids_exact_scores_and_deterministic(embeddings):
     c1 = sorted(map(tuple, train_ivf_centroids(embeddings, 8, 2).collect()))
     c2 = sorted(map(tuple, train_ivf_centroids(embeddings, 8, 2).collect()))
     assert c1 == c2
+
+
+def test_embedding_near_dedup_keeps_min_id_survivor(spark):
+    """Planted embedding clusters: {0,1,2} nearly identical, {4,5}
+    nearly identical, 3 far from both → survivors are 0, 3, 4."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        embedding_near_dedup,
+    )
+
+    base_a = [1.0, 0.2, 0.1, 0.05]
+    base_b = [-0.5, 1.0, 0.3, -0.2]
+    rows = [
+        (0, [x * 1.00 for x in base_a]),
+        (1, [x * 1.01 for x in base_a]),
+        (2, [x + 0.001 for x in base_a]),
+        (3, [0.0, 0.0, -1.0, 0.4]),
+        (4, [x * 1.00 for x in base_b]),
+        (5, [x * 0.99 for x in base_b]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept = sorted(
+        r["vec_id"] for r in embedding_near_dedup(emb, threshold=0.98).collect()
+    )
+    assert kept == [0, 3, 4]
