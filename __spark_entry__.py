@@ -99,6 +99,24 @@ def _tables(spark, sf):
     return load_tables(spark, sf)
 
 
+def _q_corpus_upsample_shuffle(spark, sf):
+    # Epoch upsampling (en 2.4 epochs, zh 1.5) composed with the
+    # deterministic global shuffle — the 'repeat then permute' step of a
+    # pretraining data schedule. Replicas get a distinct shuffle key via
+    # doc_id#epoch so epochs interleave instead of clustering.
+    ups = pp.upsample_strata(
+        load_table(spark, sf, "documents"), {"en": 2.4, "zh": 1.5}
+    ).withColumn(
+        "replica_id",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"), F.col("epoch").cast("string")
+        ),
+    )
+    return pp.deterministic_shuffle(ups, key_col="replica_id").select(
+        "doc_id", "stratum", "epoch", "shuffle_key"
+    )
+
+
 def _q_training_corpus_prep(spark, sf):
     from map_reduce_using_cloud_functions_spark.operators.pipelines import (
         prepare_training_corpus,
@@ -118,7 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     big_customers_having, events_funnel; round 2 (making room for the
     prep family) — segment_order_stats, part_type_margins,
     order_priority_counts, deterministic_sample_agg (hash-sampling
-    class now judged via sample_corpus_mix). All implementations stay
+    class now judged via sample_corpus_mix), top_customer_per_nation
+    (per-group-extreme class judged via top_orders_per_customer; made
+    room for corpus_upsample_shuffle). All implementations stay
     (plans/relational.py, plans/events.py) with sql-twin pytest
     coverage (tests/test_joins_and_sql.py)."""
     return {
@@ -155,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": lambda s, d: pp.redact_pii(load_table(s, d, "documents")),
         "sample_corpus_mix": lambda s, d: pp.sample_corpus_mix(load_table(s, d, "documents")),
         "token_packing": lambda s, d: pp.pack_sequences(load_table(s, d, "documents")),
+        "corpus_upsample_shuffle": _q_corpus_upsample_shuffle,
         # ---- multimodal (X5) ----
         "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
         "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
@@ -195,7 +216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_left_join": lambda s, d: rel.customer_order_left_join(_tables(s, d)),
         "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
         "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
-        "top_customer_per_nation": lambda s, d: rel.top_customer_per_nation(_tables(s, d)),
         "embedding_array_features": lambda s, d: rel.embedding_array_features(_tables(s, d)),
     }
 
@@ -393,16 +413,6 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
 FROM orders GROUP BY o_orderstatus
-"""
-    sql["top_customer_per_nation"] = """
-WITH ranked AS (
-  SELECT c_nationkey, c_custkey, c_acctbal,
-         row_number() OVER (PARTITION BY c_nationkey
-                            ORDER BY c_acctbal DESC, c_custkey) AS rn
-  FROM customer
-)
-SELECT c_nationkey, c_custkey AS top_custkey, round(c_acctbal, 6) AS top_bal
-FROM ranked WHERE rn = 1
 """
     sql["embedding_array_features"] = """
 SELECT vec_id,
@@ -849,6 +859,40 @@ JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN n
     # Packing twin: DuckDB states the SEMANTICS as the global-order
     # window cumsum the Spark side decomposes into its two-phase
     # distributed prefix sum — same numbers, scalable plan on Spark.
+    # Upsample+shuffle twin: fractional epochs replayed with the same
+    # IEEE-double expression tree (r - floor(r)) * 1e6, replica shuffle
+    # keys as hex64(doc_id#epoch|shuf). Row order is canonicalized away
+    # by the gate; the permutation itself is pinned by the key values.
+    sql["corpus_upsample_shuffle"] = (
+        "WITH reps AS (\n"
+        "  SELECT doc_id, lang AS stratum,\n"
+        "         (CASE lang WHEN 'en' THEN 2.4::DOUBLE WHEN 'zh' THEN 1.5::DOUBLE\n"
+        "          ELSE 1.0::DOUBLE END) AS r\n"
+        "  FROM documents\n"
+        "),\n"
+        "bounds AS (\n"
+        "  SELECT doc_id, stratum, floor(r)::INT AS n_full,\n"
+        "         floor((r - floor(r)::INT) * 1000000)::BIGINT AS frac_below\n"
+        "  FROM reps\n"
+        "),\n"
+        "replicas AS (\n"
+        "  SELECT doc_id, stratum, n_full, frac_below,\n"
+        "         unnest(range(0, n_full + 1)) AS epoch\n"
+        "  FROM bounds\n"
+        ")\n"
+        "SELECT doc_id, stratum, epoch::INT AS epoch,\n"
+        "       "
+        + _HEX64.format(
+            col="(doc_id::VARCHAR || '#' || epoch::VARCHAR || '|shuf')"
+        )
+        + " AS shuffle_key\n"
+        "FROM replicas\n"
+        "WHERE epoch < n_full\n"
+        "   OR ("
+        + _HEX64.format(col="(doc_id::VARCHAR || '|ups' || epoch::VARCHAR)")
+        + " % 1000000) < frac_below"
+    )
+
     sql["token_packing"] = (
         "WITH doctoks AS (" + _DOCTOKS + "),\n"
         "lens AS (SELECT doc_id, len(l) AS n FROM doctoks WHERE len(l) > 0),\n"

@@ -188,6 +188,32 @@ def sample_corpus_mix(
     )
 
 
+SHUFFLE_SALT = "|shuf"
+
+
+def deterministic_shuffle(
+    documents: DataFrame, key_col: str = "doc_id", salt: str = SHUFFLE_SALT
+) -> DataFrame:
+    """Global corpus shuffle, deterministically: append ``shuffle_key``
+    (portable hash of key∥salt) and range-sort by it — the 'randomize
+    document order before packing' step, reproducible across runs,
+    retries, and cluster sizes (unlike ``orderBy(rand())``, whose seed
+    is per-task). Vary ``salt`` per training run for a fresh permutation.
+
+    Plan: one projection + a range-partitioned sort on the hash — the
+    shuffle every global sort costs, but keyed on a 16-byte column and
+    perfectly uniform (hash keys ⇒ no range skew). Downstream
+    ``pack_sequences(..., key='shuffle_key')``-style consumers read the
+    permuted order without any further shuffle."""
+    return (
+        documents.withColumn(
+            "shuffle_key",
+            hex64(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        )
+        .orderBy("shuffle_key")
+    )
+
+
 UPSAMPLE_SALT = "|ups"
 
 

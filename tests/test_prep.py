@@ -222,6 +222,25 @@ def test_corpus_mix_unknown_stratum_dropped(spark):
     assert [r["doc_id"] for r in kept.collect()] == [2]
 
 
+# ---------------------------------------------------------------- shuffle
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        deterministic_shuffle,
+    )
+
+    docs = _docs(spark, [(i, f"text {i}") for i in range(100)])
+    a = [r["doc_id"] for r in deterministic_shuffle(docs).collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(docs.repartition(13)).collect()]
+    assert a == b  # same permutation regardless of partitioning
+    assert sorted(a) == list(range(100))  # it IS a permutation
+    assert a != list(range(100))  # and not the identity
+    # a different salt gives a different permutation
+    c = [r["doc_id"] for r in deterministic_shuffle(docs, salt="|run2").collect()]
+    assert c != a and sorted(c) == list(range(100))
+
+
 # ---------------------------------------------------------------- upsample
 
 
