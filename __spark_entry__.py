@@ -66,16 +66,6 @@ def _q_index_lookup(spark, sf):
     return ix.lookup(_q_index_build(spark, sf), "The!")  # normalization folds to 'the'
 
 
-def _q_index_top_words(spark, sf):
-    return (
-        _q_index_build(spark, sf)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("count").alias("total_count"))
-        .orderBy(F.desc("total_count"), F.asc("word"))
-        .limit(20)
-    )
-
-
 def _q_index_incremental_additive(spark, sf):
     # O15 reference bit-parity: re-indexing docs < 50 on top of the full
     # index ADDS their counts (the reference's double-count behavior,
@@ -117,6 +107,16 @@ def _q_corpus_upsample_shuffle(spark, sf):
     )
 
 
+def _q_corpus_decontaminate(spark, sf):
+    # Benchmark decontamination: docs with doc_id % 20 == 0 play the
+    # held-out eval set; every other doc is flagged if it shares any
+    # 8-token gram with it (planted near-dups guarantee real hits).
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return pp.decontaminate(train, bench, n=8)
+
+
 def _q_training_corpus_prep(spark, sf):
     from map_reduce_using_cloud_functions_spark.operators.pipelines import (
         prepare_training_corpus,
@@ -138,7 +138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order_priority_counts, deterministic_sample_agg (hash-sampling
     class now judged via sample_corpus_mix), top_customer_per_nation
     (per-group-extreme class judged via top_orders_per_customer; made
-    room for corpus_upsample_shuffle). All implementations stay
+    room for corpus_upsample_shuffle), index_top_words (the identical
+    rollup runs as ``entry()`` under the driver's per-round smoke
+    check; agg + global-sort classes stay pinned by index_build and
+    index_lookup — made room for corpus_decontaminate). All
+    implementations stay
     (plans/relational.py, plans/events.py) with sql-twin pytest
     coverage (tests/test_joins_and_sql.py)."""
     return {
@@ -146,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_partition_invariance": _q_index_partition_invariance,
         "index_lookup": _q_index_lookup,
-        "index_top_words": _q_index_top_words,
         "index_incremental_additive": _q_index_incremental_additive,
         "index_incremental_upsert": _q_index_incremental_upsert,
         # ---- dedup family (X1/X2) ----
@@ -176,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus_mix": lambda s, d: pp.sample_corpus_mix(load_table(s, d, "documents")),
         "token_packing": lambda s, d: pp.pack_sequences(load_table(s, d, "documents")),
         "corpus_upsample_shuffle": _q_corpus_upsample_shuffle,
+        "corpus_decontaminate": _q_corpus_decontaminate,
         # ---- multimodal (X5) ----
         "multimodal_asset_stats": lambda s, d: mm.asset_stats(mm.build_assets(load_table(s, d, "documents"))),
         "multimodal_decode": lambda s, d: mm.decode_assets(mm.build_assets(load_table(s, d, "documents"))),
@@ -313,11 +317,6 @@ def oracle_sql() -> dict[str, str]:
         _POSTINGS_CTE
         + "SELECT document, count FROM postings WHERE word = 'the' "
         + "ORDER BY count DESC, document"
-    )
-    sql["index_top_words"] = (
-        _POSTINGS_CTE
-        + "SELECT word, count(*) AS n_docs, sum(count)::BIGINT AS total_count "
-        + "FROM postings GROUP BY word ORDER BY total_count DESC, word LIMIT 20"
     )
     sql["index_incremental_additive"] = (
         _POSTINGS_CTE
@@ -891,6 +890,28 @@ JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN n
         "   OR ("
         + _HEX64.format(col="(doc_id::VARCHAR || '|ups' || epoch::VARCHAR)")
         + " % 1000000) < frac_below"
+    )
+
+    # Decontamination twin: 8-gram overlap vs the doc_id%20==0 eval
+    # slice, replayed over the same tokenizer; n_hit counts DISTINCT
+    # shared grams per training doc.
+    _gram8 = (
+        "SELECT DISTINCT doc_id, array_to_string(list_slice(l, i, i + 7), ' ') AS gram\n"
+        "  FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i\n"
+        "        FROM doctoks WHERE len(l) >= 8 AND doc_id % 20 {op} 0)"
+    )
+    sql["corpus_decontaminate"] = (
+        "WITH doctoks AS (" + _DOCTOKS + "),\n"
+        "bench AS (SELECT DISTINCT gram FROM (" + _gram8.format(op="=") + ")),\n"
+        "train_grams AS (" + _gram8.format(op="<>") + "),\n"
+        "hits AS (\n"
+        "  SELECT doc_id, count(*) AS n_hit FROM train_grams JOIN bench USING (gram)\n"
+        "  GROUP BY 1\n"
+        ")\n"
+        "SELECT d.doc_id, coalesce(n_hit, 0)::BIGINT AS n_hit_grams,\n"
+        "       (coalesce(n_hit, 0) > 0) AS contaminated\n"
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d\n"
+        "LEFT JOIN hits ON hits.doc_id = d.doc_id"
     )
 
     sql["token_packing"] = (

@@ -188,6 +188,52 @@ def sample_corpus_mix(
     )
 
 
+DECONTAM_NGRAM = 8
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a held-out evaluation set — the standard
+    pre-training hygiene step that keeps eval answers out of the
+    training corpus. Both sides run through the engine tokenizer, so
+    'same n-gram' means same normalized token window.
+
+    Returns one row per training document: (doc_id, n_hit_grams,
+    contaminated) where n_hit_grams counts the DISTINCT n-grams shared
+    with the benchmark. Callers keep ``~contaminated`` (or apply a
+    threshold for a softer policy).
+
+    Scale shape: the benchmark is tiny relative to a 100 TB corpus
+    (eval sets are thousands of docs), so its distinct-gram set is
+    BROADCAST — the corpus-side gram stream is probed map-side and
+    never shuffles; the only shuffles move (doc_id, gram-hit) rows
+    (rare) and the per-doc counts (≤1 row/doc). A benchmark too big to
+    broadcast degrades gracefully to a shuffled semi-join on the gram
+    key — same semantics, still no n² anything."""
+    from .dedup import _shingles
+
+    bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    hits = (
+        _shingles(documents, n)
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0).cast("bigint")).alias(
+                "n_hit_grams"
+            ),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 SHUFFLE_SALT = "|shuf"
 
 

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 
 from map_reduce_using_cloud_functions_spark.operators.prep import (
     chunk_documents,
+    decontaminate,
     pack_sequences,
     redact_pii,
     sample_corpus_mix,
@@ -220,6 +221,43 @@ def test_corpus_mix_unknown_stratum_dropped(spark):
     )
     kept = sample_corpus_mix(docs, weights={"en": 1.0}, budget_frac=1.0)
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = _docs(spark, [(100, eval_text)])
+    train = _docs(
+        spark,
+        [
+            # Leading 8-gram of the eval doc embedded mid-document.
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta tail"),
+            (2, "totally unrelated text with plenty of words to go around here"),
+            # Shares only a 7-token window (gamma..iota broken by X) → clean.
+            (3, "alpha beta gamma delta epsilon zeta eta X iota kappa"),
+            (4, "short doc"),  # shorter than n → clean by construction
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] and out[1]["n_hit_grams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hit_grams"] == 0
+    assert not out[3]["contaminated"]
+    assert not out[4]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_grams_and_broadcasts(spark):
+    # A doc repeating the same contaminated 8-gram counts it ONCE.
+    gram = "a b c d e f g h"
+    bench = _docs(spark, [(9, gram)])
+    train = _docs(spark, [(1, f"{gram} zz {gram}")])
+    res = decontaminate(train, bench, n=8)
+    assert res.collect()[0]["n_hit_grams"] == 1
+    # The benchmark gram set must probe map-side (broadcast), never
+    # shuffling the corpus gram stream.
+    assert "BroadcastHashJoin" in res._jdf.queryExecution().executedPlan().toString()
 
 
 # ---------------------------------------------------------------- shuffle
