@@ -1,5 +1,6 @@
 from .tables import load_table, load_tables, register_views
 from .text_corpus import read_text_corpus, documents_as_corpus
+from .bucketed import read_bucketed, write_bucketed
 
 __all__ = [
     "load_table",
@@ -7,4 +8,6 @@ __all__ = [
     "register_views",
     "read_text_corpus",
     "documents_as_corpus",
+    "read_bucketed",
+    "write_bucketed",
 ]
