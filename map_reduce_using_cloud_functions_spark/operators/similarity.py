@@ -471,3 +471,87 @@ def pairwise_near_dup(
         .groupBy("vec_a", "vec_b")
         .agg(F.round(F.max("score"), 6).alias("score"))
     )
+
+
+# ------------------------------------------------------------ int8 path
+
+
+def quantize_embeddings(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the L2-normalized
+    vector: ``qvec[i] = round(unit[i] / q_scale)`` with ``q_scale =
+    max|unit|/127``. Returns (id, q_scale, qvec: array<tinyint>).
+
+    The 100 TB story: a 64-dim float32 embedding is 256 B; int8 + one
+    double scale is 72 B — a 3.5× cut in scan bandwidth, shuffle width,
+    and broadcast size for every similarity pass, at ~1e-2 cosine
+    error (bounded below by the recall test). Quantizing the *unit*
+    vector makes the rescaled integer dot product approximate cosine
+    directly: cos ≈ int_dot(qa, qb) · qsa · qsb.
+
+    All arithmetic is built-in array expressions (transform/aggregate)
+    — whole-stage codegen, no Python. Zero vectors have no direction
+    and are dropped (cosine is undefined for them anyway).
+    """
+    c = F.col(vec_col)
+    unit_rows = (
+        embeddings.select(F.col(id_col), c.alias("_v"), l2_norm(c).alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.transform("_v", lambda x: x.cast("double") / F.col("_n")).alias("_u"),
+        )
+    )
+    scaled = unit_rows.select(
+        id_col,
+        "_u",
+        (F.array_max(F.transform("_u", F.abs)) / F.lit(127.0)).alias("q_scale"),
+    )
+    return scaled.select(
+        id_col,
+        "q_scale",
+        F.transform(
+            "_u", lambda x: F.round(x / F.col("q_scale")).cast("tinyint")
+        ).alias("qvec"),
+    )
+
+
+def _int_dot(a, b):
+    # 64-dim int8·int8 tops out at 64·127² ≈ 10⁶ — int accumulator is
+    # safe to ~130k dims; integer multiply-add stays in codegen.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_topk_quantized(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors on int8-quantized vectors — the
+    bandwidth-bound variant of ``brute_force_topk`` (same plan shape:
+    broadcast queries, one corpus scan, window over scored candidates
+    only), scoring with the rescaled integer dot product instead of
+    float arithmetic. Returns (query_id, neighbor_id, rank, score)
+    where score approximates cosine to ~1e-2."""
+    qc = quantize_embeddings(embeddings)
+    qq = (
+        quantize_embeddings(queries, vec_col="q_embedding", id_col="query_id")
+        .withColumnRenamed("q_scale", "qq_scale")
+        .withColumnRenamed("qvec", "qqvec")
+    )
+    scored = qc.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_int_dot(F.col("qvec"), F.col("qqvec")) * F.col("q_scale") * F.col("qq_scale")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )

@@ -183,3 +183,59 @@ def test_embedding_near_dedup_keeps_min_id_survivor(spark):
         r["vec_id"] for r in embedding_near_dedup(emb, threshold=0.98).collect()
     )
     assert kept == [0, 3, 4]
+
+
+# ------------------------------------------------------------- int8 path
+
+
+def test_quantized_scores_close_to_exact_cosine(embeddings):
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        ann_topk_quantized,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    quant = ann_topk_quantized(embeddings, q, k=5).collect()
+    # recall@5 ≥ 0.9 and per-pair score error ≤ 2e-2 where pairs overlap
+    hits = [r for r in quant if (r["query_id"], r["neighbor_id"]) in exact]
+    assert len(hits) >= 0.9 * len(exact)
+    for r in hits:
+        assert abs(r["score"] - exact[(r["query_id"], r["neighbor_id"])]) < 2e-2
+
+
+def test_quantize_drops_zero_vectors_and_bounds_range(spark):
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [0.5, -1.0, 0.25, 0.0]), (2, [3.0, 4.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(rows) == {1, 2}  # zero vector has no direction → dropped
+    for r in rows.values():
+        assert max(abs(v) for v in r["qvec"]) == 127  # full int8 range used
+    # unit-vector property: dequantized self-cosine ≈ 1
+    r = rows[2]
+    deq = [v * r["q_scale"] for v in r["qvec"]]
+    n = math.sqrt(sum(v * v for v in deq))
+    assert abs(n - 1.0) < 1e-2
+
+
+def test_quantized_path_stays_in_codegen(embeddings):
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        ann_topk_quantized,
+    )
+
+    q = queries_from_ids(embeddings, 2)
+    plan = (
+        ann_topk_quantized(embeddings, q, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
