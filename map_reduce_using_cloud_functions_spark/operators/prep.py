@@ -215,9 +215,15 @@ def decontaminate(
     from .dedup import _shingles
 
     bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    # Probe BEFORE deduplicating: the corpus gram stream meets the
+    # broadcast gram set map-side with distinct=False, so the distinct
+    # (needed to count each shared gram once) shuffles only HIT rows —
+    # never the full corpus gram relation.
     hits = (
-        _shingles(documents, n)
+        _shingles(documents, n, distinct=False)
         .join(F.broadcast(bench_grams), "shingle")
+        .select("doc_id", "shingle")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
