@@ -165,3 +165,59 @@ def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
         F.max(hex64(F.col("g"))).alias("max_fp"),
         F.countDistinct("g").alias("n_grams"),
     )
+
+
+def text_features(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Map-only twin of ``text_stats`` + ``quality_score`` +
+    ``language_guess``: every statistic computed as array expressions
+    over the token array of the row — no explode, no groupBy, ZERO
+    shuffles. Returns (doc_id, n_tokens, n_distinct, avg_token_len,
+    stopword_ratio, digit_ratio, lang_guess, quality), value-identical
+    to the explode+groupBy versions (pinned by pytest).
+
+    Two reasons this variant exists: (1) at 100 TB a per-document
+    featurizer should cost exactly one scan — the explode+groupBy
+    formulation shuffles the full exploded token stream to regroup rows
+    that were already grouped; (2) per-row expressions are legal in
+    Structured Streaming append mode, so the streaming corpus-prep
+    pipeline (streaming/prep.py) can run the identical semantics
+    without a stateful aggregation. Empty documents are dropped, same
+    as explode's behavior in the groupBy twins. ``keep`` names extra
+    input columns to carry through (streaming callers can't join them
+    back without a stream-stream join)."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    tok_rows = documents.select(
+        "doc_id", *keep, tokens_array(F.col("text")).alias("_toks")
+    ).where(F.size(toks) > 0)
+    ratio = lambda pred: F.round(
+        F.size(F.filter(toks, pred)) / n, 6
+    )
+    lang_hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    best = F.greatest(*lang_hits.values())
+    guess = F.lit(None).cast("string")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        guess = F.when(lang_hits[lang] == best, F.lit(lang)).otherwise(guess)
+    feats = tok_rows.select(
+        "doc_id",
+        *keep,
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+            / n,
+            6,
+        ).alias("avg_token_len"),
+        ratio(lambda x: x.isin(*STOPWORDS_EN)).alias("stopword_ratio"),
+        ratio(lambda x: x.rlike("^[0-9]+$")).alias("digit_ratio"),
+        F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 200.0, F.lit(1.0)) * 0.4
+        + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+    )
+    return feats.withColumn("quality", F.round(score, 6))

@@ -1,0 +1,53 @@
+"""Streaming training-corpus prep (SURVEY.md §2.b X4+X7 composed).
+
+The streaming twin of ``operators/pipelines.prepare_training_corpus``:
+documents arrive as a stream (files landing in a bucket, a Kafka topic)
+and flow through the same prep semantics — exact dedup, quality gate,
+language tag — continuously instead of as a batch rebuild. The
+reference's closest analogue is its upload trigger (O19,
+``filladdtrigger/main.py``), which re-runs the whole batch job per
+file; this is the principled incremental version.
+
+Streaming re-shapes two stages:
+
+- exact dedup becomes **keyed state**: ``dropDuplicates`` on the
+  portable content hash. First arrival survives (a stream has no
+  global min-doc_id ordering); batch and stream agree on WHICH
+  contents survive, which is what dedup means. State is the hash set —
+  16 B/key; bound it with a watermark via
+  ``dropDuplicatesWithinWatermark`` when the source has event time.
+- featurization uses the map-only ``text_features`` (array
+  expressions, no groupBy) — identical values to the batch
+  explode+groupBy operators (pinned by pytest), but legal in append
+  mode and shuffle-free.
+
+So the whole pipeline is one stateful dedup + pure projections: it
+runs in append mode with no aggregation state at all beyond the hash
+set, and every micro-batch costs one scan of itself.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.hashing import hex64
+from ..operators.text_analysis import text_features
+
+
+def streaming_corpus_prep(
+    documents: DataFrame, min_quality: float = 0.5
+) -> DataFrame:
+    """Dedup → featurize → quality-gate a (possibly streaming)
+    documents relation. Returns (doc_id, text_hash, n_tokens,
+    n_distinct, lang_guess, quality) for surviving documents. Works
+    identically on a batch DataFrame (used by the stream ≡ batch
+    equivalence test)."""
+    hashed = documents.select(
+        "doc_id", "text", hex64(F.col("text")).alias("text_hash")
+    )
+    deduped = hashed.dropDuplicates(["text_hash"])
+    feats = text_features(deduped, keep=("text_hash",))
+    return feats.where(F.col("quality") >= F.lit(min_quality)).select(
+        "doc_id", "text_hash", "n_tokens", "n_distinct", "lang_guess", "quality"
+    )

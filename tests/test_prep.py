@@ -389,3 +389,39 @@ def test_corpus_mix_partition_invariance(spark):
         r["doc_id"] for r in sample_corpus_mix(docs.repartition(17)).collect()
     )
     assert base == shuffled
+
+
+# ------------------------------------------------- map-only featurizer
+
+
+def test_text_features_matches_groupby_twins(spark):
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        language_guess,
+        quality_score,
+        text_features,
+        text_stats,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    f = {r["doc_id"]: r for r in text_features(d).collect()}
+    s = {r["doc_id"]: r for r in text_stats(d).collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(d).collect()}
+    l = {r["doc_id"]: r["lang_guess"] for r in language_guess(d).collect()}
+    assert set(f) == set(s)
+    for k, row in f.items():
+        for c in ("n_tokens", "n_distinct", "avg_token_len", "stopword_ratio", "digit_ratio"):
+            assert row[c] == s[k][c], (k, c)
+        assert row["quality"] == q[k]
+        assert row["lang_guess"] == l[k]
+
+
+def test_text_features_is_shuffle_free(spark):
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        text_features,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = text_features(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: one scan, zero shuffles

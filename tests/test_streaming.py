@@ -209,3 +209,39 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert second[1]["total_events"] == 3 and second[1]["total_value"] == 120.0
     assert second[1]["anomaly"]          # 100 > 3 * 10
     assert second[2]["total_events"] == 2 and not second[2]["anomaly"]
+
+
+def test_streaming_corpus_prep_equals_batch(spark, tmp_path):
+    """The composed prep pipeline (dedup → featurize → quality gate)
+    over a file stream == the same pipeline run as one batch. Survivor
+    doc_ids may differ (stream keeps first arrival, batch an arbitrary
+    row), so equality is on the content level: (text_hash → features),
+    which dedup semantics actually promise."""
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_corpus_prep,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_json")
+    docs.coalesce(3).write.json(src)  # 3 files → several micro-batch splits
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = (
+        streaming_corpus_prep(stream, min_quality=0.35)
+        .writeStream.format("memory")
+        .queryName("prep_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["text_hash"]: (r["n_tokens"], r["n_distinct"], r["lang_guess"], r["quality"])
+        for r in spark.sql("SELECT * FROM prep_test").collect()
+    }
+    batch = {
+        r["text_hash"]: (r["n_tokens"], r["n_distinct"], r["lang_guess"], r["quality"])
+        for r in streaming_corpus_prep(docs, min_quality=0.35).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
