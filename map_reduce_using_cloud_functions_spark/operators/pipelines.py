@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .dedup import exact_dedup
-from .text_analysis import language_guess, quality_score, text_stats
+from .text_analysis import text_features
 
 
 def prepare_training_corpus(
@@ -23,27 +23,24 @@ def prepare_training_corpus(
 ) -> DataFrame:
     """Filter + dedup + tag: the canonical pre-training data prep.
 
-    1. quality gate (composite score ≥ min_quality)
-    2. exact dedup on content hash (min doc_id survives)
+    1. exact dedup on content hash (min doc_id survives)
+    2. quality gate (composite score ≥ min_quality)
     3. language tag (stopword-hit heuristic)
     4. per-doc token accounting for downstream budgeting
 
     Returns (doc_id, lang_guess, quality, n_tokens, n_distinct).
+
+    Plan shape: exact_dedup's two narrow shuffles of (hash, id) rows,
+    then ONE map-only featurization pass (``text_features`` — array
+    expressions, value-identical to the explode+groupBy operators).
+    The whole pipeline costs one corpus scan plus the dedup's 16-byte
+    key traffic; the earlier formulation joined three separate
+    explode+groupBy aggregations (three wide shuffles of the exploded
+    token stream) to reach the same numbers.
     """
-    quality = quality_score(documents)
-    stats = text_stats(documents).select("doc_id", "n_tokens", "n_distinct")
-    lang = language_guess(documents).select("doc_id", "lang_guess")
-
-    # Same min-doc_id-survives semantics as before, through the shared
-    # exact_dedup operator (groupBy-min + semi-join — two narrow
-    # shuffles of (hash, id) rows instead of a window's full
-    # shuffle-SORT of text-carrying corpus rows).
-    deduped = exact_dedup(documents).select("doc_id")
-
+    survivors = exact_dedup(documents)
     return (
-        deduped.join(quality, "doc_id")
+        text_features(survivors)
         .where(F.col("quality") >= min_quality)
-        .join(lang, "doc_id")
-        .join(stats, "doc_id")
         .select("doc_id", "lang_guess", "quality", "n_tokens", "n_distinct")
     )
