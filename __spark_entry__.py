@@ -167,9 +167,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shingle_jaccard": lambda s, d: dd.jaccard_shingle_pairs(load_table(s, d, "documents"), threshold=0.2),
         "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
         # ---- text analysis (X4) ----
-        "text_stats": lambda s, d: ta.text_stats(load_table(s, d, "documents")),
-        "text_quality": lambda s, d: ta.quality_score(load_table(s, d, "documents")),
-        "text_language_guess": lambda s, d: ta.language_guess(load_table(s, d, "documents")),
+        # The three featurizer queries run through the map-only
+        # text_features (zero-shuffle; value-identical to the
+        # explode+groupBy operators, which remain as the semantic twins
+        # pinned by tests/test_prep.py parity).
+        "text_stats": lambda s, d: ta.text_features(load_table(s, d, "documents")).select(
+            "doc_id", "n_tokens", "n_distinct", "avg_token_len", "stopword_ratio", "digit_ratio"
+        ),
+        "text_quality": lambda s, d: ta.text_features(load_table(s, d, "documents")).select(
+            "doc_id", "quality"
+        ),
+        "text_language_guess": lambda s, d: ta.text_features(load_table(s, d, "documents")).select(
+            "doc_id", "lang_guess", "best_score"
+        ),
         "text_token_counts": lambda s, d: ta.token_counts(load_table(s, d, "documents")),
         "text_fingerprints": lambda s, d: ta.fingerprints(load_table(s, d, "documents")),
         "text_tfidf": lambda s, d: ta.tf_idf(load_table(s, d, "documents")),

@@ -214,6 +214,7 @@ def text_features(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
         ratio(lambda x: x.isin(*STOPWORDS_EN)).alias("stopword_ratio"),
         ratio(lambda x: x.rlike("^[0-9]+$")).alias("digit_ratio"),
         F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+        best.cast("bigint").alias("best_score"),
     )
     score = (
         F.least(F.col("n_tokens") / 200.0, F.lit(1.0)) * 0.4
