@@ -153,17 +153,26 @@ def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
     """Content fingerprint: min/max portable hash over ``gram``-char
     windows of normalized text (winnowing-style min-sampling, window
     count as a size proxy). Equal fingerprints ⇒ near-certain shared
-    substring — the cheap first pass before pairwise verification."""
+    substring — the cheap first pass before pairwise verification.
+
+    Map-only: the gram windows live in a per-row array, so min/max/
+    distinct-count are array expressions — no explode, no groupBy, and
+    (unlike the groupBy+countDistinct formulation) no shuffle of the
+    full char-gram stream. One scan at any corpus size."""
     norm = normalize_text(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))),
         lambda i: F.substring(norm, i, gram),
     )
-    g = documents.select("doc_id", F.explode(grams).alias("g"))
-    return g.groupBy("doc_id").agg(
-        F.min(hex64(F.col("g"))).alias("min_fp"),
-        F.max(hex64(F.col("g"))).alias("max_fp"),
-        F.countDistinct("g").alias("n_grams"),
+    hashes = F.transform(F.col("_grams"), lambda g: hex64(g))
+    return (
+        documents.select("doc_id", grams.alias("_grams"))
+        .select(
+            "doc_id",
+            F.array_min(hashes).alias("min_fp"),
+            F.array_max(hashes).alias("max_fp"),
+            F.size(F.array_distinct("_grams")).cast("bigint").alias("n_grams"),
+        )
     )
 
 
