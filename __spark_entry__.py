@@ -954,8 +954,20 @@ SELECT kind, count(*) AS n_assets,
        max(width) AS max_width, round(avg(height), 6) AS avg_height
 FROM assets GROUP BY kind
 """
-    # multimodal_decode intentionally has no oracle: mapInPandas decode
-    # path (stubbed codec) → driver records the weaker rows-only check.
+    # Decode twin: the Spark side runs the REAL Arrow/mapInPandas
+    # plumbing; the stub codec's output is deterministic arithmetic on
+    # the payload byte length, so DuckDB can replay it and the row gets
+    # a full hash check (swap the stub for PIL and this oracle is the
+    # line to drop).
+    sql["multimodal_decode"] = """
+SELECT doc_id AS asset_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+       strlen(text)::BIGINT AS n_bytes,
+       (strlen(text) % 640)::INT AS width,
+       (strlen(text) % 480)::INT AS height,
+       TRUE AS ok
+FROM documents
+"""
 
     # ---- composed pipeline: quality-gate → exact-dedup → lang-tag ----
     sql["training_corpus_prep"] = f"""
