@@ -144,3 +144,47 @@ def postings_from_nested_dict(spark: SparkSession, nested: dict) -> DataFrame:
         for doc, count in docs.items()
     ]
     return spark.createDataFrame(rows, POSTINGS)
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    compression: str = "zstd",
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """General parquet dataset writer with the layout controls that
+    matter at 100 TB:
+
+    - ``partition_by``: hive-style directory partitioning on LOW-
+      cardinality columns (lang, date, source) — partition pruning
+      turns a full scan into a directory listing. High-cardinality
+      keys belong in bucketing (``sources/bucketed``), not here: one
+      directory per value kills the file system.
+    - ``sort_by``: ``sortWithinPartitions`` before the write — no extra
+      shuffle, but parquet gets runs of equal/adjacent values, so
+      dictionary/RLE encoding shrinks and min-max row-group statistics
+      actually prune (a random layout makes every row group span the
+      whole key range).
+    - ``zstd`` default: ~30% smaller than snappy at similar scan CPU —
+      at 100 TB the scan is bandwidth-bound, so smaller wins.
+    - ``max_records_per_file``: bounds worst-case file size so one
+      skewed partition can't produce a multi-GB file that a single
+      task must read end-to-end.
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    w = df.write.mode(mode).format("parquet").option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_dataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``write_dataset`` layout back (partition columns are
+    recovered from the directory structure)."""
+    return spark.read.parquet(path)

@@ -425,3 +425,45 @@ def test_text_features_is_shuffle_free(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     plan = text_features(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: one scan, zero shuffles
+
+
+def test_decontaminate_property_vs_python_reference(spark):
+    """Hypothesis: for arbitrary small corpora, flags and hit counts
+    match a sequential Python n-gram-overlap reference built on the
+    same tokenizer."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    n = 3
+
+    def py_tokens(text: str) -> list[str]:
+        processed = re.sub(r"\s+", " ", text).lower()
+        processed = re.sub(r"[^a-z0-9\s]", "", processed)
+        return processed.split()
+
+    def py_grams(text: str) -> set[str]:
+        t = py_tokens(text)
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x9", "zz"])
+    doc = st.lists(word, min_size=0, max_size=7).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4), st.lists(doc, min_size=1, max_size=3))
+    def check(train_texts, bench_texts):
+        train = _docs(spark, list(enumerate(train_texts)))
+        bench = _docs(spark, [(100 + i, t) for i, t in enumerate(bench_texts)])
+        got = {
+            r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+            for r in decontaminate(train, bench, n=n).collect()
+        }
+        bench_set = set().union(*(py_grams(t) for t in bench_texts))
+        want = {
+            i: (len(py_grams(t) & bench_set), len(py_grams(t) & bench_set) > 0)
+            for i, t in enumerate(train_texts)
+        }
+        assert got == want
+
+    check()
