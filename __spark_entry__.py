@@ -117,6 +117,28 @@ def _q_corpus_decontaminate(spark, sf):
     return pp.decontaminate(train, bench, n=8)
 
 
+def _q_events_asof_join(spark, sf):
+    # Point-in-time lookup: each purchase gets the value/time of the
+    # user's most recent click at-or-before it. Clicks deduplicated per
+    # (user, ts) so the as-of tie semantics are engine-independent.
+    from map_reduce_using_cloud_functions_spark.operators.joins import as_of_join
+
+    events = load_table(spark, sf, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("click_value"))
+    )
+    return as_of_join(
+        purchases, clicks, key="user_id", ts_col="ts", value_cols=("click_value",)
+    ).select(
+        "event_id", "user_id", "purchase_value", "asof_click_value", "asof_ts"
+    )
+
+
 def _q_training_corpus_prep(spark, sf):
     from map_reduce_using_cloud_functions_spark.operators.pipelines import (
         prepare_training_corpus,
@@ -141,8 +163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     room for corpus_upsample_shuffle), index_top_words (the identical
     rollup runs as ``entry()`` under the driver's per-round smoke
     check; agg + global-sort classes stay pinned by index_build and
-    index_lookup — made room for corpus_decontaminate). All
-    implementations stay
+    index_lookup — made room for corpus_decontaminate),
+    events_sliding_daily (windowed-agg class stays pinned by
+    events_tumbling_hourly + running-frame windows by the sessionize
+    lag plan; made room for events_asof_join, an operator class Spark
+    has no built-in for). All implementations stay
     (plans/relational.py, plans/events.py) with sql-twin pytest
     coverage (tests/test_joins_and_sql.py)."""
     return {
@@ -214,8 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- event/window analytics (X7 batch twins) ----
         "events_tumbling_hourly": lambda s, d: ev.tumbling_hourly(load_table(s, d, "events")),
-        "events_sliding_daily": lambda s, d: ev.sliding_daily_by_user(load_table(s, d, "events")),
         "events_sessionize": lambda s, d: ev.sessionize(load_table(s, d, "events")),
+        "events_asof_join": _q_events_asof_join,
         "events_json_rollup": lambda s, d: ev.json_props_rollup(load_table(s, d, "events")),
         "events_pivot": lambda s, d: ev.events_pivot(load_table(s, d, "events")),
         "events_approx_distinct": lambda s, d: ev.approx_distinct_users(load_table(s, d, "events")),
@@ -448,15 +473,22 @@ SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 """
-    sql["events_sliding_daily"] = """
-WITH daily AS (
-  SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day, count(*) AS n
-  FROM events GROUP BY 1, 2
+    # As-of twin: DuckDB's native ASOF JOIN against the same
+    # deduplicated click relation; the Spark side decomposes it into
+    # the union + carry-forward window (operators/joins.as_of_join).
+    sql["events_asof_join"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, round(max(value), 6) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
 )
-SELECT user_id, day, n,
-       round(avg(n) OVER (PARTITION BY user_id ORDER BY day
-                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
-FROM daily
+SELECT p.event_id, p.user_id, p.purchase_value,
+       c.click_value AS asof_click_value, c.ts AS asof_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
 """
     sql["events_sessionize"] = """
 WITH flagged AS (

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "events_sessionize",
     "events_tumbling_hourly",
+    "events_asof_join",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_clusters",

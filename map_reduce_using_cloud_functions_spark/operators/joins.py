@@ -54,3 +54,55 @@ def salted_join(
     replicated_right = other.select("*", salts)
     out = salted_left.join(replicated_right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to every left row the ``value_cols`` of the
+    most recent right row with ``right.ts <= left.ts`` within the same
+    ``key`` (time-series point-in-time lookup — the operator Spark has
+    no built-in for; DuckDB's native ``ASOF JOIN`` is the oracle twin).
+
+    Implementation is the scalable union-and-carry-forward pattern, not
+    a range join: tag both sides, union, and run ONE window per key
+    ordered by (ts, side) taking ``last(value, ignoreNulls)`` — right
+    rows sort before left rows at equal ts, so an exactly-simultaneous
+    right row is visible. Cost: one hash shuffle on ``key`` + a
+    per-partition sort — the same price as any keyed window, with no
+    O(|left|·|right|) candidate blowup and no per-row Python. Rows with
+    no prior right row keep NULLs (left semantics).
+
+    Right rows should be unique per (key, ts) — pre-aggregate if not —
+    otherwise which same-timestamp row wins is tie-dependent in ANY
+    engine (DuckDB ASOF included).
+    """
+    r = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in value_cols
+    ] + [F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts")]
+    return (
+        u.select("*", *carried)
+        .where(F.col("_side") == 1)
+        .drop("_side", "_r_ts", *[f"_r_{c}" for c in value_cols])
+    )

@@ -103,8 +103,8 @@ def test_salted_join_rejects_right_preserving(spark):
 def test_retired_relational_plans_match_sql_twins(spark):
     """Every plan retired from the driver's 50-row queries() gate stays
     correct: each DataFrame plan must row-match its spark.sql
-    formulation over the registered views (round-1 retirees + the three
-    rows retired in round 2 to make room for the prep family)."""
+    formulation over the registered views (round-1 retirees + the rows
+    retired in round 2 for the prep family and the as-of join)."""
     from map_reduce_using_cloud_functions_spark.plans import events as ev
     from map_reduce_using_cloud_functions_spark.plans import relational as rel
     from map_reduce_using_cloud_functions_spark.sources import load_table
@@ -186,6 +186,21 @@ def test_retired_relational_plans_match_sql_twins(spark):
                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
                FROM events GROUP BY user_id""",
         ),
+        (
+            rel.top_customer_per_nation(t),
+            """SELECT c_nationkey, c_custkey AS top_custkey,
+                      round(c_acctbal, 6) AS top_bal
+               FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+               WHERE rn = 1""",
+        ),
+        (
+            ev.sliding_daily_by_user(load_table(spark, SF, "events")),
+            """SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+                      round(avg(count(*)) OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts)
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+               FROM events GROUP BY user_id, date_trunc('day', ts)""",
+        ),
     ]
     def canon(rows):
         return sorted(tuple((v is None, str(v)) for v in r) for r in rows)
@@ -194,3 +209,50 @@ def test_retired_relational_plans_match_sql_twins(spark):
         assert canon(df.collect()) == canon(spark.sql(sql).collect()), (
             f"mismatch for: {sql[:60]}"
         )
+
+
+# ---------------------------------------------------------------- as-of
+
+
+def test_as_of_join_matches_python_reference(spark):
+    from map_reduce_using_cloud_functions_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "v", 15), (5, "w", 50)],
+        "event_id bigint, user_id string, ts bigint",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 15, 2.0), ("v", 1, 3.0), ("x", 1, 9.0)],
+        "user_id string, ts bigint, value double",
+    )
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in as_of_join(left, right, key="user_id", ts_col="ts").collect()
+    }
+    assert got == {
+        1: (1.0, 10),   # exactly-simultaneous right row IS visible
+        2: (2.0, 15),   # most recent of several
+        3: (None, None),  # before any right row
+        4: (3.0, 1),
+        5: (None, None),  # key with no right rows at all
+    }
+
+
+def test_as_of_join_is_one_shuffle(spark):
+    from map_reduce_using_cloud_functions_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10)], "event_id bigint, user_id string, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [("u", 5, 1.0)], "user_id string, ts bigint, value double"
+    )
+    plan = (
+        as_of_join(left, right)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash partitioning for the window; no join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
