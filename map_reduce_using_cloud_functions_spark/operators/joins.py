@@ -106,3 +106,52 @@ def as_of_join(
         .where(F.col("_side") == 1)
         .drop("_side", "_r_ts", *[f"_r_{c}" for c in value_cols])
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join: pair every point row with the
+    interval rows where ``start <= point < end`` — Spark's planner
+    turns the naive ``points.join(intervals, (s <= p) & (p < e))``
+    into a BroadcastNestedLoopJoin (all pairs scanned per partition),
+    which dies at scale.
+
+    This is the bucketized decomposition: slice the domain into
+    ``bucket_width`` buckets, explode each interval to the buckets it
+    overlaps, equi-join points to intervals on the bucket id, then
+    apply the exact predicate. The equi-join hash-partitions both
+    sides — no nested loop — and each candidate pair is produced
+    exactly once (a point lands in ONE bucket; an interval copy exists
+    in every bucket it overlaps, so the pair meets only at the point's
+    bucket).
+
+    Cost model: interval replication = len/bucket_width + 1 copies.
+    Pick ``bucket_width`` ≈ the TYPICAL interval length so replication
+    stays O(1)×; skewed buckets (hot time ranges) split further via AQE
+    skew-join. Inner semantics only (outer variants need a row-unique
+    point key to reconstruct unmatched rows — compose with a left_anti
+    on that key when needed)."""
+    if how != "inner":
+        raise ValueError(f"range_join supports how='inner' only, got {how!r}")
+    p_bucket = (F.col(point_col) / bucket_width).cast("bigint")
+    i_first = (F.col(start_col) / bucket_width).cast("bigint")
+    i_last = (F.col(end_col) / bucket_width).cast("bigint")
+    exploded = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(i_first, i_last))
+    )
+    return (
+        points.withColumn("_bucket", p_bucket)
+        .join(exploded, "_bucket", "inner")
+        .where(
+            (F.col(start_col) <= F.col(point_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

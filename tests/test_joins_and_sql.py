@@ -256,3 +256,64 @@ def test_as_of_join_is_one_shuffle(spark):
     # one hash partitioning for the window; no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------- range
+
+
+def test_range_join_matches_nested_loop_and_avoids_it(spark):
+    import duckdb
+
+    from map_reduce_using_cloud_functions_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(60)], "pid bigint, x bigint"
+    )
+    intervals = spark.createDataFrame(
+        [(j, j * 11 % 90, j * 11 % 90 + (j % 4) * 9) for j in range(25)],
+        "iid bigint, s bigint, e bigint",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "s", "e", bucket_width=8).collect()
+    )
+    con = duckdb.connect()
+    con.register("p", points.toPandas())
+    con.register("i", intervals.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                "SELECT pid, iid FROM p JOIN i ON s <= x AND x < e"
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the plan must be a hash equi-join on the bucket, not a nested loop
+    plan = (
+        range_join(points, intervals, "x", "s", "e", bucket_width=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_bucket_width_invariance(spark):
+    from map_reduce_using_cloud_functions_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, i * 13 % 200) for i in range(80)], "pid bigint, x bigint"
+    )
+    intervals = spark.createDataFrame(
+        [(j, j * 17 % 180, j * 17 % 180 + 25) for j in range(30)],
+        "iid bigint, s bigint, e bigint",
+    )
+    results = {
+        w: sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "x", "s", "e", w).collect()
+        )
+        for w in (3, 10, 64)
+    }
+    assert results[3] == results[10] == results[64]
