@@ -239,3 +239,51 @@ def test_quantized_path_stays_in_codegen(embeddings):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_training_improves_clustering_objective(embeddings):
+    """Lloyd rounds must improve the spherical k-means objective (mean
+    best-cosine to the assigned centroid) over the hash seeds — the
+    guarantee the training path exists for. Recall on structureless
+    random fixtures is probe-boundary noise, so the objective — not
+    recall — is the monotone quantity to pin; a loose recall floor
+    guards the trained path end-to-end. Deterministic seeds/iters."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.functions.vectors import cosine
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        _seed_centroids,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    def objective(cents) -> float:
+        return (
+            embeddings.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                cosine(F.col("embedding"), F.col("c_embedding")).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("best"))
+            .agg(F.avg("best"))
+            .first()[0]
+        )
+
+    seeded = objective(_seed_centroids(embeddings, 8))
+    one = objective(train_ivf_centroids(embeddings, 8, iters=1))
+    two = objective(train_ivf_centroids(embeddings, 8, iters=2))
+    assert one > seeded
+    assert two >= one - 1e-9  # further rounds never regress
+
+    q = queries_from_ids(embeddings, 8)
+    bf_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    rows = ivf_topk(embeddings, q, k=5, train=True).collect()
+    recall = sum(
+        1 for r in rows if (r["query_id"], r["neighbor_id"]) in bf_top
+    ) / len(bf_top)
+    assert recall > 0.8
