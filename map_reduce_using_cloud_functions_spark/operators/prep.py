@@ -324,14 +324,19 @@ def upsample_strata(
 
 
 def pack_sequences(
-    documents: DataFrame, seq_len: int = 2048, n_blocks: int = 32
+    documents: DataFrame,
+    seq_len: int = 2048,
+    n_blocks: int = 32,
+    order_col: str = "doc_id",
 ) -> DataFrame:
-    """Sequence packing: concatenate the corpus token stream in doc_id
-    order and split it into fixed ``seq_len``-token training sequences
-    (the standard pretraining 'concat-and-chunk' packing). Returns, per
-    non-empty document, its place in the packed stream:
-    (doc_id, n_tokens, global_offset, first_bin, last_bin) where bin b
-    covers packed tokens [b·seq_len, (b+1)·seq_len).
+    """Sequence packing: concatenate the corpus token stream in
+    ``order_col`` order (doc_id by default; pass ``shuffle_key`` to
+    pack a ``deterministic_shuffle``d corpus) and split it into fixed
+    ``seq_len``-token training sequences (the standard pretraining
+    'concat-and-chunk' packing). Returns, per non-empty document, its
+    place in the packed stream: (doc_id, n_tokens, global_offset,
+    first_bin, last_bin) where bin b covers packed tokens
+    [b·seq_len, (b+1)·seq_len).
 
     The global token offset is a prefix sum over a total order — the
     one primitive Spark has no scalable built-in for (a bare
@@ -339,48 +344,56 @@ def pack_sequences(
     through a single task). This implements the textbook two-phase
     distributed prefix sum instead:
 
-      1. slice the doc_id order into ``n_blocks`` contiguous id ranges
-         (block = doc_id // block_size off a broadcast max-id — no
-         sampling, so the split is deterministic and oracle-replayable);
+      1. slice the key order into ``n_blocks`` contiguous ranges
+         (block = (key − min) // width off broadcast min/max — no
+         sampling, so the split is deterministic and oracle-replayable;
+         hash keys like ``shuffle_key`` are uniform, so ranges balance);
       2. per-block token totals → driver (``n_blocks`` rows) → running
          prefix per block, joined back as a broadcast;
       3. within-block cumsum via a window PARTITIONed by block (shuffle
          width = n_blocks, each task sees one block);
       global_offset = block_prefix + within_block_cumsum − n_tokens.
 
-    At 100 TB: two scans of the (doc_id, n_tokens) projection — ~16
-    bytes/row — one |n_blocks|-row collect, one bounded window. Nothing
-    global ever sits in one task. The result is block-count-invariant
-    (the prefix telescopes), which the partition-invariance test pins.
-    Production note: with sparse/skewed doc_id spaces, swap step 1's
-    arithmetic blocks for ``repartitionByRange`` + a ``localCheckpoint``
-    (sampled boundaries must be frozen before being read twice); the
-    arithmetic split keeps this deterministic for the oracle.
+    At 100 TB: two scans of the (doc_id, key, n_tokens) projection —
+    ~24 bytes/row — one |n_blocks|-row collect, one bounded window.
+    Nothing global ever sits in one task. The result is
+    block-count-invariant (the prefix telescopes), which the
+    partition-invariance test pins. Production note: with extremely
+    skewed key spaces, swap step 1's arithmetic blocks for
+    ``repartitionByRange`` + a ``localCheckpoint`` (sampled boundaries
+    must be frozen before being read twice); the arithmetic split keeps
+    this deterministic for the oracle.
     """
     from pyspark.sql import Window
 
     spark = documents.sparkSession
-    # Materialize (doc_id, n_tokens) once — ~12 bytes/row: the three
-    # passes below (max-id, block totals, final assembly) then read the
+    # Materialize (doc_id, key, n_tokens) once: the three passes below
+    # (min/max key, block totals, final assembly) then read the
     # materialized blocks instead of re-tokenizing the corpus 3×.
     # localCheckpoint (not persist) so the ContextCleaner reclaims the
     # blocks when the caller drops the result.
+    key_cols = ["doc_id"] if order_col == "doc_id" else ["doc_id", order_col]
     lens = (
         documents.select(
-            "doc_id", F.size(tokens_array(F.col("text"))).alias("n_tokens")
+            *key_cols, F.size(tokens_array(F.col("text"))).alias("n_tokens")
         )
         .where(F.col("n_tokens") > 0)
         .localCheckpoint()
     )
-    max_id = lens.agg(F.max("doc_id").alias("m")).first()["m"]
-    if max_id is None:
+    bounds = lens.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+    ).first()
+    if bounds["mx"] is None:
         return spark.createDataFrame(
             [],
             "doc_id bigint, n_tokens int, global_offset bigint, "
             "first_bin bigint, last_bin bigint",
         )
-    block_size = max(1, (int(max_id) + n_blocks) // n_blocks)
-    blocked = lens.withColumn("block", (F.col("doc_id") / block_size).cast("int"))
+    mn, mx = int(bounds["mn"]), int(bounds["mx"])
+    block_size = max(1, (mx - mn + n_blocks) // n_blocks)
+    blocked = lens.withColumn(
+        "block", ((F.col(order_col) - mn) / block_size).cast("int")
+    )
     totals = sorted(
         blocked.groupBy("block").agg(F.sum("n_tokens").alias("t")).collect(),
         key=lambda r: r["block"],
@@ -393,7 +406,7 @@ def pack_sequences(
     prefix = spark.createDataFrame(prefix_rows, "block int, block_prefix bigint")
     w = (
         Window.partitionBy("block")
-        .orderBy("doc_id")
+        .orderBy(order_col, "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     off = F.col("block_prefix") + F.sum("n_tokens").over(w) - F.col("n_tokens")

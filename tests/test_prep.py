@@ -467,3 +467,36 @@ def test_decontaminate_property_vs_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_pack_sequences_in_shuffled_order(spark):
+    """shuffle → pack composition: packing keyed on shuffle_key must
+    equal the sequential prefix sum over docs sorted by that key."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))) for i in range(50)])
+    shuffled = deterministic_shuffle(docs)
+    got = {
+        r["doc_id"]: (r["global_offset"], r["n_tokens"])
+        for r in pack_sequences(shuffled, seq_len=8, order_col="shuffle_key").collect()
+    }
+    order = [
+        (r["doc_id"], r["shuffle_key"]) for r in shuffled.collect()
+    ]  # collect preserves the sort
+    running = 0
+    for doc_id, _ in order:
+        n = doc_id % 7 + 1
+        assert got[doc_id] == (running, n), doc_id
+        running += n
+    # and the default doc_id packing is unchanged by the new param
+    plain = {
+        r["doc_id"]: r["global_offset"]
+        for r in pack_sequences(docs, seq_len=8).collect()
+    }
+    running = 0
+    for i in range(50):
+        assert plain[i] == running
+        running += i % 7 + 1
