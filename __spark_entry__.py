@@ -167,7 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_sliding_daily (windowed-agg class stays pinned by
     events_tumbling_hourly + running-frame windows by the sessionize
     lag plan; made room for events_asof_join, an operator class Spark
-    has no built-in for). All implementations stay
+    has no built-in for), dedup_minhash_signatures (an intermediate
+    relation whose values ride through the judged dedup_minhash_pairs
+    band hashes, partition-invariance pinned in pytest; made room for
+    dedup_simhash_pairs). All implementations stay
     (plans/relational.py, plans/events.py) with sql-twin pytest
     coverage (tests/test_joins_and_sql.py)."""
     return {
@@ -179,7 +182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_incremental_upsert": _q_index_incremental_upsert,
         # ---- dedup family (X1/X2) ----
         "dedup_exact_groups": lambda s, d: dd.exact_dedup_groups(load_table(s, d, "documents")),
-        "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(load_table(s, d, "documents")),
         "dedup_minhash_pairs": lambda s, d: dd.minhash_dedup_pairs(load_table(s, d, "documents"), threshold=0.25),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(
             dd.minhash_dedup_pairs(load_table(s, d, "documents"), threshold=0.25)
@@ -188,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), threshold=0.25
         ).select("doc_id"),
         "dedup_simhash": lambda s, d: dd.simhash_fingerprints(load_table(s, d, "documents")),
+        "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(load_table(s, d, "documents"), max_hamming=6),
         "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(load_table(s, d, "documents"), threshold=0.9),
         "dedup_shingle_jaccard": lambda s, d: dd.jaccard_shingle_pairs(load_table(s, d, "documents"), threshold=0.2),
         "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
@@ -521,7 +524,6 @@ SELECT {_HEX64.format(col='text')} AS text_hash,
        min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
-    sql["dedup_minhash_signatures"] = _MINHASH_SQL + "SELECT doc_id, seed::BIGINT AS seed, minhash FROM sigs"
     sql["dedup_minhash_pairs"] = (
         _MINHASH_SQL
         + f""",
@@ -566,6 +568,17 @@ SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM sums GROUP BY doc_id
 """
+    # SimHash-pairs twin: the SEMANTIC statement (exact all-pairs
+    # popcount filter over the fingerprint CTE) — the Spark side
+    # reaches the same set through pigeonhole banding, completeness of
+    # which is exactly the property under test.
+    sql["dedup_simhash_pairs"] = (
+        "WITH fpq AS (" + sql["dedup_simhash"] + ")\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "       bit_count(xor(a.simhash, b.simhash))::INT AS hamming\n"
+        "FROM fpq a JOIN fpq b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+    )
     sql["dedup_jaccard_pairs"] = f"""
 WITH doctoks AS ({_DOCTOKS}),
 tok AS (SELECT DISTINCT doc_id, unnest(l) AS word FROM doctoks),

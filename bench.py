@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_shingle_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "training_corpus_prep",
     "ann_topk_bruteforce",

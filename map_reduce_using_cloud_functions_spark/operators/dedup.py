@@ -444,3 +444,59 @@ def near_dedup(
     clusters = dedup_clusters(pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     return documents.join(losers, "doc_id", "left_anti")
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """X2: near-duplicate PAIRS from SimHash fingerprints — documents
+    whose fingerprints differ in at most ``max_hamming`` bits.
+
+    Scale shape is the pigeonhole band trick: split the ``bits``-bit
+    fingerprint into ``max_hamming + 1`` contiguous bands; two prints
+    within hamming distance d ≤ max_hamming agree EXACTLY on at least
+    one band (d flipped bits can touch at most d bands). So candidates
+    come from an equi-join on (band_idx, band_bits) — never an all-pairs
+    scan — and the exact popcount(xor) filter keeps no false positives.
+    Same candidate-generation/verify economics as MinHash-LSH banding,
+    but over one 32-bit integer per doc (the cheapest sketch there is).
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, deduplicated across
+    bands by the final aggregation (hamming is band-invariant)."""
+    n_bands = max_hamming + 1
+    band_width = (bits + n_bands - 1) // n_bands
+    fp = simhash_fingerprints(documents, bits)
+    # Shift amounts must be literals (Spark's shiftrightunsigned takes
+    # no column count), so each band's extraction is a CASE over the
+    # exploded band index — all JVM-side integer ops.
+    band_bits = sum(
+        F.when(
+            F.col("band") == i,
+            F.shiftrightunsigned(F.col("simhash"), i * band_width).bitwiseAND(
+                F.lit((1 << band_width) - 1)
+            ),
+        ).otherwise(F.lit(0))
+        for i in range(n_bands)
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).select("doc_id", "simhash", "band", band_bits.alias("band_bits"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "band_bits"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "band_bits"
+    )
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    return (
+        a.join(b, ["band", "band_bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(xor))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

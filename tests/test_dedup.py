@@ -194,3 +194,43 @@ def test_jaccard_max_df_guard_result_invariant(corpus_with_dups):
     assert base == guarded and base
     none = jaccard_token_pairs(corpus_with_dups, threshold=0.5, max_df=1).collect()
     assert none == []
+
+
+def test_simhash_pairs_equal_exact_hamming_filter(spark):
+    """Pigeonhole banding is COMPLETE for d <= max_hamming: the banded
+    pairs over a real corpus slice must equal the exact all-pairs
+    popcount filter (no false negatives; the verify step removes all
+    false positives)."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(150)
+    max_h = 6  # loose enough to produce real pairs on random docs
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fp)
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= max_h
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_pairs_planted(corpus_with_dups):
+    from map_reduce_using_cloud_functions_spark.operators.dedup import simhash_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(corpus_with_dups, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0          # identical docs: distance 0
+    assert (0, 2) in pairs             # one-token edit: small distance
+    assert (0, 3) not in pairs         # unrelated doc stays out
