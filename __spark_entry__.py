@@ -190,7 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), threshold=0.25
         ).select("doc_id"),
         "dedup_simhash": lambda s, d: dd.simhash_fingerprints(load_table(s, d, "documents")),
-        "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(load_table(s, d, "documents"), max_hamming=6),
+        "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(load_table(s, d, "documents"), max_hamming=3),
         "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(load_table(s, d, "documents"), threshold=0.9),
         "dedup_shingle_jaccard": lambda s, d: dd.jaccard_shingle_pairs(load_table(s, d, "documents"), threshold=0.2),
         "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
@@ -577,7 +577,7 @@ FROM sums GROUP BY doc_id
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
         "       bit_count(xor(a.simhash, b.simhash))::INT AS hamming\n"
         "FROM fpq a JOIN fpq b ON a.doc_id < b.doc_id\n"
-        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
     sql["dedup_jaccard_pairs"] = f"""
 WITH doctoks AS ({_DOCTOKS}),
