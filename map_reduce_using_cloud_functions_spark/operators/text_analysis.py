@@ -231,3 +231,59 @@ def text_features(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
         + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
     )
     return feats.withColumn("quality", F.round(score, 6))
+
+
+def unigram_logprob(
+    documents: DataFrame, reference: DataFrame | None = None
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram language
+    model estimated from ``reference`` (the corpus itself by default) —
+    the CCNet-style perplexity filter: gibberish and boilerplate score
+    far from the corpus center, so thresholding avg_logprob is the
+    classic LM-based quality gate (perplexity = exp(-avg_logprob)).
+
+    p(w) = count(w in reference) / total_reference_tokens, add-one
+    smoothed over the reference vocabulary so scoring a corpus against
+    a DIFFERENT reference never hits log(0) (unseen words fall back to
+    the floor probability 1/(N+V)).
+
+    Plan: the reference token stream aggregates to a (word, count)
+    vocab relation (one partial-agged shuffle); the scored corpus'
+    postings join it on word (both sides keyed by word — at 100 TB this
+    is a plain shuffled equi-join of vocab-sized relations, or a
+    broadcast when the vocab fits), then one groupBy(doc) mean. Same
+    economics as tf_idf: nothing exceeds the postings relation."""
+    ref = documents if reference is None else reference
+    ref_counts = (
+        ref.select(F.explode(tokens_array(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    totals = ref_counts.agg(
+        F.sum("wc").alias("n_ref"), F.count(F.lit(1)).alias("v_ref")
+    )
+    postings = (
+        documents.select(
+            F.col("doc_id"), F.explode(tokens_array(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        postings.join(ref_counts, "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "cnt",
+            F.log(
+                (F.coalesce(F.col("wc"), F.lit(0)) + 1)
+                / (F.col("n_ref") + F.col("v_ref"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias(
+            "avg_logprob"
+        ),
+    )

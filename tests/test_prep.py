@@ -500,3 +500,61 @@ def test_pack_sequences_in_shuffled_order(spark):
     for i in range(50):
         assert plain[i] == running
         running += i % 7 + 1
+
+
+# ------------------------------------------------- perplexity filter
+
+
+def test_unigram_logprob_matches_duckdb_and_flags_gibberish(spark):
+    import duckdb
+
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(string_split(
+                regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                               '[^a-z0-9 ]', '', 'g'), ' '), w -> w <> '')) AS word
+              FROM documents
+            ),
+            vocab AS (SELECT word, count(*) AS wc FROM tok GROUP BY 1),
+            tot AS (SELECT sum(wc) AS n_ref, count(*) AS v_ref FROM vocab),
+            postings AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2)
+            SELECT doc_id, sum(cnt)::BIGINT,
+                   round(sum(ln((wc + 1) / (n_ref + v_ref)) * cnt) / sum(cnt), 6)
+            FROM postings JOIN vocab USING (word) CROSS JOIN tot
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # gibberish scores lower than a doc built from corpus-common words
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        unigram_logprob as ul,
+    )
+
+    probe = spark.createDataFrame(
+        [(900001, "the the and of to in is that with the"),
+         (900002, "zxqv wkjx qpzm vvtt hjkq zzzz xqxq mmnn ppqq rrss")],
+        "doc_id bigint, text string",
+    )
+    scored = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in ul(probe, reference=docs).collect()
+    }
+    assert scored[900001] > scored[900002]
