@@ -15,11 +15,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .dedup import exact_dedup
-from .text_analysis import text_features
+from .text_analysis import text_features, unigram_logprob
 
 
 def prepare_training_corpus(
-    documents: DataFrame, min_quality: float = 0.5
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    min_avg_logprob: float | None = None,
 ) -> DataFrame:
     """Filter + dedup + tag: the canonical pre-training data prep.
 
@@ -39,8 +41,19 @@ def prepare_training_corpus(
     token stream) to reach the same numbers.
     """
     survivors = exact_dedup(documents)
-    return (
+    out = (
         text_features(survivors)
         .where(F.col("quality") >= min_quality)
         .select("doc_id", "lang_guess", "quality", "n_tokens", "n_distinct")
     )
+    if min_avg_logprob is not None:
+        # Optional LM gate (perplexity filter): the unigram model is
+        # estimated from the dedup SURVIVORS (duplicates would bias the
+        # token distribution toward whatever was repeated).
+        lm = unigram_logprob(survivors).select("doc_id", "avg_logprob")
+        out = (
+            out.join(lm, "doc_id")
+            .where(F.col("avg_logprob") >= min_avg_logprob)
+            .drop("avg_logprob")
+        )
+    return out

@@ -558,3 +558,25 @@ def test_unigram_logprob_matches_duckdb_and_flags_gibberish(spark):
         for r in ul(probe, reference=docs).collect()
     }
     assert scored[900001] > scored[900002]
+
+
+def test_training_corpus_lm_gate(spark):
+    """The optional perplexity gate only removes rows (monotone) and
+    with a permissive threshold changes nothing."""
+    from map_reduce_using_cloud_functions_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {r["doc_id"] for r in prepare_training_corpus(docs, 0.35).collect()}
+    loose = {
+        r["doc_id"]
+        for r in prepare_training_corpus(docs, 0.35, min_avg_logprob=-1e9).collect()
+    }
+    assert loose == base
+    tight = {
+        r["doc_id"]
+        for r in prepare_training_corpus(docs, 0.35, min_avg_logprob=-3.41).collect()
+    }
+    assert tight <= base and len(tight) < len(base)
