@@ -580,3 +580,50 @@ def test_training_corpus_lm_gate(spark):
         for r in prepare_training_corpus(docs, 0.35, min_avg_logprob=-3.41).collect()
     }
     assert tight <= base and len(tight) < len(base)
+
+
+# ---------------------------------------------------------- winnowing
+
+
+def test_winnow_matches_python_reference_and_guarantee(spark):
+    import hashlib
+    import re as _re
+
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    gram, window = 8, 4
+
+    def py_norm(t: str) -> str:
+        return _re.sub(r"[^a-z0-9 ]", "", _re.sub(r"\s+", " ", t).lower())
+
+    def py_hex64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_winnow(t: str) -> list[int]:
+        n = py_norm(t)
+        gs = [n[i : i + gram] for i in range(max(len(n) - gram + 1, 1))]
+        hs = [py_hex64(g) for g in gs]
+        mins = [min(hs[i : i + window]) for i in range(max(len(hs) - window + 1, 1))]
+        return sorted(set(mins))
+
+    shared = "a very distinctive shared sentence fragment here"
+    rows = [
+        (0, f"prefix one {shared} suffix alpha"),
+        (1, f"other beginning {shared} different tail"),
+        (2, "entirely unrelated content with nothing in common at all zz"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: list(r["fps"]) for r in winnow_fingerprints(docs, gram, window).collect()}
+    for i, t in rows:
+        assert got[i] == py_winnow(t), i
+    # the winnowing guarantee: docs 0 and 1 share the long substring →
+    # at least one common fingerprint → they pair; doc 2 pairs with no one
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_pairs(docs, gram, window).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
