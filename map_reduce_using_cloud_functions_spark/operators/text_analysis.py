@@ -343,3 +343,48 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def hashed_doc_vectors(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Hashing-trick document embeddings (HashingTF with sign hashing,
+    Weinberger et al.): every token adds ±1 to bucket hex64(w) mod dim,
+    sign from an independent hash bit. No trained model, no vocabulary
+    — yet cosine over these vectors tracks token overlap, so the whole
+    embedding toolbox (ann_topk_*, quantize_embeddings,
+    embedding_near_dedup) works on text-only corpora out of the box.
+
+    Returns (doc_id, embedding: array<double>), unnormalized (the
+    consumers normalize; empty docs are dropped).
+
+    Plan: explode → one partial-agged groupBy(doc, bucket) (shuffle
+    rows = non-zero buckets ≤ dim per doc, ~16 B each) → one
+    groupBy(doc) fold into the dense array via map_from_entries — the
+    shuffle never carries dim-wide rows, only touched buckets."""
+    h = hex64(F.col("word"))
+    sign = (
+        F.shiftrightunsigned(hex64(F.concat(F.col("word"), F.lit("|sgn"))), 3)
+        .bitwiseAND(F.lit(1))
+        * 2
+        - 1
+    )
+    buckets = (
+        documents.select(
+            "doc_id", F.explode(tokens_array(F.col("text"))).alias("word")
+        )
+        .select("doc_id", (h % dim).cast("int").alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("double").alias("v"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at(F.col("_m"), j), F.lit(0.0)),
+    )
+    return (
+        buckets.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+            ).alias("_m")
+        )
+        .select("doc_id", dense.alias("embedding"))
+    )

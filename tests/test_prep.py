@@ -627,3 +627,55 @@ def test_winnow_matches_python_reference_and_guarantee(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1
     assert not any(2 in p for p in pairs)
+
+
+# ------------------------------------------------- hashed doc vectors
+
+
+def test_hashed_doc_vectors_track_token_overlap(spark):
+    from map_reduce_using_cloud_functions_spark.functions.vectors import cosine
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        hashed_doc_vectors,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown wolf jumps over the lazy cat"),
+            (2, "numerical linear algebra kernels saturate memory bandwidth"),
+        ],
+    )
+    v = hashed_doc_vectors(docs, dim=32)
+    a = v.where(F.col("doc_id") == 0).select(F.col("embedding").alias("ea"))
+    pairs = (
+        a.crossJoin(v.where(F.col("doc_id") != 0))
+        .select("doc_id", cosine(F.col("ea"), F.col("embedding")).alias("c"))
+    )
+    got = {r["doc_id"]: r["c"] for r in pairs.collect()}
+    assert got[1] > got[2]  # 7/9 shared tokens beats 0 shared
+    # deterministic + partition-invariant
+    base = sorted(map(tuple, v.collect()))
+    again = sorted(map(tuple, hashed_doc_vectors(docs.repartition(5), dim=32).collect()))
+    assert base == again
+
+
+def test_hashed_doc_vectors_feed_the_ann_toolbox(spark):
+    """Composition: text → hashed vectors → quantize + brute-force ANN
+    runs end-to-end (the no-external-model embedding path)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+    )
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        hashed_doc_vectors,
+    )
+
+    docs = _docs(spark, [(i, f"token{i} token{i+1} token{i+2} shared common words") for i in range(20)])
+    vecs = hashed_doc_vectors(docs, dim=32).withColumnRenamed("doc_id", "vec_id")
+    q = vecs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top = brute_force_topk(vecs, q, k=3).collect()
+    assert len(top) == 6  # 2 queries x 3 neighbors
+    assert quantize_embeddings(vecs).count() == 20
