@@ -130,6 +130,50 @@ def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
         .partitionBy("first")
         .parquet(path)
     )
+    _write_docmap_full(index, path)
+
+
+# --- doc→letters sidecar -------------------------------------------------
+#
+# upsert_index's replace semantics must find the OLD first-letter
+# partitions of re-indexed documents (a stale posting may live in a
+# partition the delta never writes). Without help that is a scan of the
+# whole index per upsert — O(table) per one-file micro-batch. The
+# sidecar holds the distinct (document, first) pairs, partitioned by a
+# hash bucket of the document id, so an upsert reads and rewrites only
+# the buckets its delta documents live in. It sits at
+# ``{path}/_docmap``: the underscore prefix makes it invisible to
+# ``spark.read.parquet(path)``, so readers of the index never see it.
+
+_DOCMAP_BUCKETS = 64
+
+
+def _docmap_path(path: str) -> str:
+    return f"{path}/_docmap"
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("document")), F.lit(_DOCMAP_BUCKETS)).cast("int"),
+    )
+
+
+def _doc_letters(postings: DataFrame) -> DataFrame:
+    return postings.select(
+        "document", F.substring("word", 1, 1).alias("first")
+    ).distinct()
+
+
+def _write_docmap_full(index: DataFrame, path: str) -> None:
+    (
+        _with_bucket(_doc_letters(index))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(_docmap_path(path))
+    )
 
 
 def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> None:
@@ -148,12 +192,14 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     letters and (b) — under replace semantics — the first letters of the
     delta documents' OLD postings: a re-indexed document whose new text
     drops a word must have that stale posting removed from a partition
-    the delta itself never writes. (b) needs a scan of the old index,
-    but column-pruned to (word, document) and semi-joined against the
-    (small, broadcast) delta document set — cheap next to rewriting the
-    table; a deployment doing high-frequency single-doc upserts would
-    maintain a doc→letters sidecar to skip it. Additive mode never
-    removes, so it skips (b).
+    the delta itself never writes. (b) is answered by the doc→letters
+    sidecar (``{path}/_docmap``, bucket-partitioned by document hash):
+    the read prunes to the delta documents' buckets, so per-upsert cost
+    scales with the delta, not the index. An index written before the
+    sidecar existed falls back to one full column-pruned scan and
+    backfills the sidecar afterward, making every later upsert pruned.
+    Additive mode never removes, so it skips (b); both modes keep the
+    sidecar current for the documents they touch.
 
     The merged delta is ``localCheckpoint``ed before the write: it reads
     the same files the write overwrites, and materializing it (only the
@@ -188,14 +234,31 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     }
     if not letters:
         return
+    docmap = _docmap_path(path)
+    have_docmap = _hadoop_exists(spark, docmap)
+    delta_docs = delta.select("document").distinct()
+    buckets = sorted(
+        r["bucket"]
+        for r in _with_bucket(delta_docs).select("bucket").distinct().collect()
+    )
     if not additive:
-        delta_docs = delta.select("document").distinct()
-        stale = (
-            spark.read.parquet(path)
-            .join(F.broadcast(delta_docs), "document", "left_semi")
-            .select(F.substring("word", 1, 1).alias("first"))
-            .distinct()
-        )
+        if have_docmap:
+            # Pruned: only the delta documents' sidecar buckets are read.
+            stale = (
+                spark.read.parquet(docmap)
+                .where(F.col("bucket").isin(buckets))
+                .join(F.broadcast(delta_docs), "document", "left_semi")
+                .select("first")
+                .distinct()
+            )
+        else:
+            # Legacy index (no sidecar yet): one full column-pruned scan.
+            stale = (
+                spark.read.parquet(path)
+                .join(F.broadcast(delta_docs), "document", "left_semi")
+                .select(F.substring("word", 1, 1).alias("first"))
+                .distinct()
+            )
         letters |= {r["first"] for r in stale.collect()}
     letters = sorted(letters)
     old = (
@@ -222,6 +285,33 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
     for letter in letters:
         if letter not in nonempty:
             _hadoop_delete(spark, f"{path}/first={letter}")
+    # Keep the sidecar current. With a sidecar: rewrite only the delta
+    # documents' buckets (old rows for OTHER documents in those buckets
+    # survive; replace mode drops the delta docs' old rows, additive
+    # keeps them). Without one: backfill from the now-merged index —
+    # one full scan, once, after which every upsert is pruned.
+    new_pairs = _doc_letters(delta)
+    if have_docmap:
+        old_map = (
+            spark.read.parquet(docmap)
+            .where(F.col("bucket").isin(buckets))
+            .select("document", "first")
+        )
+        if additive:
+            merged_map = old_map.unionByName(new_pairs).distinct()
+        else:
+            merged_map = old_map.join(
+                F.broadcast(delta_docs), "document", "left_anti"
+            ).unionByName(new_pairs)
+        staged = _with_bucket(merged_map).repartition("bucket").localCheckpoint()
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(docmap)
+        )
+    else:
+        _write_docmap_full(spark.read.parquet(path), path)
 
 
 def _hadoop_path(spark, path: str):

@@ -257,12 +257,14 @@ def deterministic_shuffle(
     perfectly uniform (hash keys ⇒ no range skew). Downstream
     ``pack_sequences(..., key='shuffle_key')``-style consumers read the
     permuted order without any further shuffle."""
+    # key_col tie-breaks hash collisions (expected past ~2^30 rows) so
+    # the permutation stays well-defined at any corpus size.
     return (
         documents.withColumn(
             "shuffle_key",
             hex64(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
         )
-        .orderBy("shuffle_key")
+        .orderBy("shuffle_key", key_col)
     )
 
 
@@ -290,6 +292,9 @@ def upsample_strata(
     zero shuffles, and deterministic per (doc_id, epoch): the same
     replica set on every run/retry, like the mixing sampler.
     """
+    bad = {s: r for s, r in repeats.items() if float(r) < 0}
+    if bad:
+        raise ValueError(f"repeats must be >= 0 (epoch counts), got {bad}")
     strat = F.col(stratum_col)
     r_expr = F.lit(1.0)
     for s in sorted(repeats, reverse=True):

@@ -430,10 +430,15 @@ def pairwise_near_dup(
     all-pairs ground-truth scorer (pyspark cross join — O(n²), for
     verification/recall measurement only, never at scale).
     Returns (vec_a, vec_b, score).
+
+    Zero vectors have no direction (cosine undefined; under ANSI mode
+    the 0/0 would abort the job) and are excluded from BOTH paths —
+    same contract as ``quantize_embeddings``.
     """
+    nonzero = embeddings.where(l2_norm(F.col("embedding")) > 0)
     if exact:
-        a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-        b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        a = nonzero.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = nonzero.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
         return (
             a.join(b, F.col("vec_a") < F.col("vec_b"))
             .withColumn("score", cosine(F.col("ea"), F.col("eb")))
@@ -444,7 +449,7 @@ def pairwise_near_dup(
     # per-pair verify is then one dot + one division, not three array
     # aggregations. (Same fold order as ``cosine`` — identical doubles,
     # so scores match the exact path.)
-    base = embeddings.select("vec_id", "embedding").withColumn(
+    base = nonzero.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm(F.col("embedding"))
     )
     sk = _sign_sketch_bands(base, "embedding", planes_per_band, bands)

@@ -149,6 +149,18 @@ def tf_idf(documents: DataFrame, top_k: int | None = None) -> DataFrame:
     return scored.select("doc_id", "word", F.round("raw", 6).alias("tfidf"))
 
 
+def _char_grams(gram: int):
+    """Array of all ``gram``-char windows of the normalized text column
+    (shared by ``fingerprints`` and ``winnow_fingerprints`` so the
+    windowing semantics — including the short-text guard — can never
+    diverge between them)."""
+    norm = normalize_text(F.col("text"))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, gram),
+    )
+
+
 def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
     """Content fingerprint: min/max portable hash over ``gram``-char
     windows of normalized text (winnowing-style min-sampling, window
@@ -159,11 +171,7 @@ def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
     distinct-count are array expressions — no explode, no groupBy, and
     (unlike the groupBy+countDistinct formulation) no shuffle of the
     full char-gram stream. One scan at any corpus size."""
-    norm = normalize_text(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))),
-        lambda i: F.substring(norm, i, gram),
-    )
+    grams = _char_grams(gram)
     hashes = F.transform(F.col("_grams"), lambda g: hex64(g))
     return (
         documents.select("doc_id", grams.alias("_grams"))
@@ -307,11 +315,7 @@ def winnow_fingerprints(
     Returns (doc_id, fps: array<bigint>). Pair candidates come from
     ``explode(fps)`` + a self equi-join on the fingerprint — same
     economics as shingle joins but over a window-sampled subset."""
-    norm = normalize_text(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))),
-        lambda i: F.substring(norm, i, gram),
-    )
+    grams = _char_grams(gram)
     hs = F.transform(F.col("_grams"), lambda g: hex64(g))
     minima = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("_hs") - (window - 1), F.lit(1))),

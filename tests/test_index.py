@@ -133,3 +133,68 @@ def test_upsert_removes_stale_postings_across_partitions(spark, tmp_path):
 
     # untouched partition (b) must survive: d2 was not re-indexed
     assert os.path.exists(os.path.join(path, "first=b"))
+
+
+def test_docmap_sidecar_stays_consistent_and_hidden(spark, tmp_path):
+    """The doc→letters sidecar must (a) stay exactly equal to the map
+    recomputed from the full index after any sequence of upserts,
+    (b) never be visible through read_index, and (c) be backfilled for
+    a legacy index written without one."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        _doc_letters,
+        build_index,
+        read_index,
+        upsert_index,
+        write_index,
+    )
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, "document string, text string")
+
+    path = str(tmp_path / "idx")
+    write_index(build_index(corpus([("1", "apple zebra"), ("2", "apple mango")])), path)
+    assert os.path.isdir(os.path.join(path, "_docmap"))
+
+    # replace doc 1 so its postings move letters (zebra → quince drops z)
+    upsert_index(spark, build_index(corpus([("1", "quince")])), path)
+    # additive batch for a new doc
+    upsert_index(spark, build_index(corpus([("3", "banana")])), path, additive=True)
+
+    idx = read_index(spark, path)
+    assert "bucket" not in idx.columns  # sidecar invisible to readers
+    want = sorted(map(tuple, _doc_letters(idx).collect()))
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(path, "_docmap"))
+            .select("document", "first")
+            .collect(),
+        )
+    )
+    assert got == want
+    # stale 'z' partition is gone and the replaced content is correct
+    assert not os.path.isdir(os.path.join(path, "first=z"))
+    rows = {(r["word"], r["document"]) for r in idx.collect()}
+    assert ("quince", "1") in rows and ("zebra", "1") not in rows
+
+    # legacy index: remove the sidecar, upsert must still work and backfill
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_docmap"))
+    upsert_index(spark, build_index(corpus([("2", "cherry")])), path)
+    assert os.path.isdir(os.path.join(path, "_docmap"))
+    idx2 = read_index(spark, path)
+    want2 = sorted(map(tuple, _doc_letters(idx2).collect()))
+    got2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(path, "_docmap"))
+            .select("document", "first")
+            .collect(),
+        )
+    )
+    assert got2 == want2
+    rows2 = {(r["word"], r["document"]) for r in idx2.collect()}
+    assert ("cherry", "2") in rows2 and ("apple", "2") not in rows2
