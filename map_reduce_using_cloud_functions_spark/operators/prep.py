@@ -188,6 +188,31 @@ def sample_corpus_mix(
     )
 
 
+def dedup_chunks(documents: DataFrame, window: int = 64, stride: int = 48) -> DataFrame:
+    """Chunk-granularity exact dedup: chunk the corpus
+    (``chunk_documents``) and keep ONE copy of every distinct chunk
+    text — the (doc_id, chunk_id)-lexicographic-min survivor. Dedup at
+    chunk rather than document level catches boilerplate repeated
+    ACROSS distinct documents (headers, licenses, templates), the bulk
+    of web-corpus duplication that document-level hashing misses.
+
+    Plan: chunking's map-only pass, then one partial-agged
+    groupBy(chunk_hash) min — shuffle rows are (hash, id-pair), ~24
+    bytes, never chunk text. Returns (doc_id, chunk_id, n_tokens,
+    chunk_hash) for surviving chunks."""
+    chunks = chunk_documents(documents, window, stride)
+    keep = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.min(F.struct("doc_id", "chunk_id")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.chunk_id").alias("chunk_id"),
+            "chunk_hash",
+        )
+    )
+    return chunks.join(keep, ["doc_id", "chunk_id", "chunk_hash"], "left_semi")
+
+
 DECONTAM_NGRAM = 8
 
 

@@ -33,13 +33,22 @@ def start_file_index_stream(
     checkpoint_dir: str,
     additive: bool = False,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for new text files; maintain the index table
     at ``index_path``. One file = one document (basename identity,
-    reference ``mapper/main.py:63``)."""
+    reference ``mapper/main.py:63``).
 
+    ``max_files_per_trigger`` bounds each micro-batch (backpressure): a
+    backlog of a million files drains as bounded batches instead of one
+    giant first batch — the knob that keeps recovery-from-downtime
+    memory-safe on a production stream."""
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     corpus = (
-        spark.readStream.text(watch_dir)
+        reader.text(watch_dir)
         .select(
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("document"),
             F.col("value").alias("text"),

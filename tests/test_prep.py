@@ -679,3 +679,27 @@ def test_hashed_doc_vectors_feed_the_ann_toolbox(spark):
     top = brute_force_topk(vecs, q, k=3).collect()
     assert len(top) == 6  # 2 queries x 3 neighbors
     assert quantize_embeddings(vecs).count() == 20
+
+
+def test_dedup_chunks_keeps_one_copy_of_boilerplate(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import dedup_chunks
+
+    boiler = " ".join(f"b{i}" for i in range(64))  # exactly one window
+    docs = _docs(
+        spark,
+        [
+            (0, boiler),                       # chunk == boilerplate
+            (1, boiler),                       # exact repeat across docs
+            (2, " ".join(f"u{i}" for i in range(30))),  # unique short doc
+        ],
+    )
+    out = [(r["doc_id"], r["chunk_id"]) for r in dedup_chunks(docs).collect()]
+    # expected: the (doc_id, chunk_id)-min survivor per distinct chunk text
+    from map_reduce_using_cloud_functions_spark.operators.prep import chunk_documents
+
+    chunks = chunk_documents(docs).collect()
+    by_hash = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_hash.setdefault(r["chunk_hash"], (r["doc_id"], r["chunk_id"]))
+    want = sorted(by_hash.values())
+    assert sorted(out) == want
