@@ -703,3 +703,39 @@ def test_dedup_chunks_keeps_one_copy_of_boilerplate(spark):
         by_hash.setdefault(r["chunk_hash"], (r["doc_id"], r["chunk_id"]))
     want = sorted(by_hash.values())
     assert sorted(out) == want
+
+
+def test_full_schedule_composition_is_deterministic(spark):
+    """The whole README pipeline chained end-to-end — quality+dedup
+    gate → mixture sample → fractional epochs → deterministic shuffle →
+    pack in shuffled order — must produce identical output regardless
+    of input partitioning (the retry/idempotency property, composed)."""
+    from map_reduce_using_cloud_functions_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        deterministic_shuffle,
+        pack_sequences,
+        sample_corpus_mix,
+        upsample_strata,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    def run(docs):
+        gate = prepare_training_corpus(docs, min_quality=0.35).select("doc_id")
+        survivors = docs.join(gate, "doc_id", "left_semi")
+        mixed = sample_corpus_mix(survivors, budget_frac=0.8).select("doc_id")
+        kept = survivors.join(mixed, "doc_id", "left_semi")
+        ups = upsample_strata(kept, {"en": 1.5})
+        replicas = ups.join(docs.select("doc_id", "text"), "doc_id").withColumn(
+            "replica_id",
+            F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("epoch")),
+        )
+        shuffled = deterministic_shuffle(replicas, key_col="replica_id")
+        packed = pack_sequences(shuffled, seq_len=256, order_col="shuffle_key")
+        return sorted(map(tuple, packed.collect()))
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = run(docs)
+    b = run(docs.repartition(17))
+    assert a == b and len(a) > 0
