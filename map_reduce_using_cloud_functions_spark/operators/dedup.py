@@ -84,9 +84,17 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     return documents.join(keep, "doc_id", "left_semi")
 
 
-def _shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle): word n-grams per document (distinct by default;
-    duplicate-insensitive consumers like MinHash skip the dedup shuffle).
+def _shingles(
+    documents: DataFrame,
+    n: int = 3,
+    distinct: bool = True,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *keep, shingle): word n-grams per document (distinct by
+    default; duplicate-insensitive consumers like MinHash skip the
+    dedup shuffle). ``keep`` carries extra input columns through —
+    streaming callers can't join them back without a stream-stream
+    join.
 
     Built from the same tokenizer as the index so dedup and indexing
     agree on text normalization."""
@@ -104,8 +112,8 @@ def _shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFr
         ),
     ).otherwise(F.array().cast("array<string>"))
     out = documents.select(
-        "doc_id", tokens_array(F.col("text")).alias("toks")
-    ).select("doc_id", F.explode(gram).alias("shingle"))
+        "doc_id", *keep, tokens_array(F.col("text")).alias("toks")
+    ).select("doc_id", *keep, F.explode(gram).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -51,3 +51,35 @@ def streaming_corpus_prep(
     return feats.where(F.col("quality") >= F.lit(min_quality)).select(
         "doc_id", "text_hash", "n_tokens", "n_distinct", "lang_guess", "quality"
     )
+
+
+def streaming_decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Streaming eval-set hygiene: emit the (doc_id, text_hash) of every
+    arriving document that shares an ``n``-gram with the STATIC
+    benchmark relation — the continuous form of
+    ``operators/prep.decontaminate`` (which also counts hits; counting
+    is an aggregation and so belongs to the batch pass).
+
+    Append-mode legal end to end: gram explosion is per-row, the
+    benchmark probe is a stream-static LEFT SEMI join (broadcast the
+    tiny gram set), and the one-row-per-doc fold is ``dropDuplicates``
+    keyed state, not an aggregation. Consumers quarantine the emitted
+    ids (anti-join downstream); the matched documents themselves flow
+    through unchanged — flagging must not block the pipe.
+    """
+    from ..operators.dedup import _shingles
+
+    bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    hashed = documents.select(
+        "doc_id", "text", hex64(F.col("text")).alias("text_hash")
+    )
+    # text_hash rides THROUGH the gram stream (no join back — that
+    # would be a stream-stream join); the semi-join side is static.
+    return (
+        _shingles(hashed, n, distinct=False, keep=("text_hash",))
+        .join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .select("doc_id", "text_hash")
+        .dropDuplicates(["doc_id"])
+    )

@@ -245,3 +245,37 @@ def test_streaming_corpus_prep_equals_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming contaminated-id emission over a file stream == the
+    batch decontaminate flags over the same documents."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import decontaminate
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_decontaminate,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+
+    src = str(tmp_path / "train_json")
+    train.coalesce(3).write.json(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = (
+        streaming_decontaminate(stream, bench, n=8)
+        .writeStream.format("memory")
+        .queryName("decon_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM decon_test").collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in decontaminate(train, bench, n=8).where(F.col("contaminated")).collect()
+    }
+    assert streamed == batch and len(batch) > 0
