@@ -196,24 +196,37 @@ def dedup_chunks(documents: DataFrame, window: int = 64, stride: int = 48) -> Da
     ACROSS distinct documents (headers, licenses, templates), the bulk
     of web-corpus duplication that document-level hashing misses.
 
-    Plan: chunking's map-only pass, then one partial-agged
-    groupBy(chunk_hash) min — shuffle rows are (hash, id-pair), ~24
-    bytes, never chunk text. Returns (doc_id, chunk_id, n_tokens,
-    chunk_hash) for surviving chunks."""
+    Plan: chunking's map-only pass, then ONE partial-agged
+    groupBy(chunk_hash) min — shuffle rows are (hash, id-pair, size),
+    ~28 bytes, never chunk text, and the chunking pass runs once (every
+    output column is derivable from the aggregate: (doc_id, chunk_id)
+    is unique, so n_tokens rides the min-struct without affecting the
+    tie-break). Returns (doc_id, chunk_id, n_tokens, chunk_hash) for
+    surviving chunks."""
     chunks = chunk_documents(documents, window, stride)
-    keep = (
+    return (
         chunks.groupBy("chunk_hash")
-        .agg(F.min(F.struct("doc_id", "chunk_id")).alias("k"))
+        .agg(F.min(F.struct("doc_id", "chunk_id", "n_tokens")).alias("k"))
         .select(
             F.col("k.doc_id").alias("doc_id"),
             F.col("k.chunk_id").alias("chunk_id"),
+            F.col("k.n_tokens").alias("n_tokens"),
             "chunk_hash",
         )
     )
-    return chunks.join(keep, ["doc_id", "chunk_id", "chunk_hash"], "left_semi")
 
 
 DECONTAM_NGRAM = 8
+
+
+def bench_gram_set(benchmark: DataFrame, n: int = DECONTAM_NGRAM) -> DataFrame:
+    """Distinct ``n``-gram relation of an eval set — the broadcast probe
+    side shared by batch ``decontaminate`` and
+    ``streaming.prep.streaming_decontaminate``. One distinct shuffle
+    (gram-only; the per-doc identity is irrelevant for a set probe)."""
+    from .dedup import _shingles
+
+    return _shingles(benchmark, n, distinct=False).select("shingle").distinct()
 
 
 def decontaminate(
@@ -239,7 +252,7 @@ def decontaminate(
     key — same semantics, still no n² anything."""
     from .dedup import _shingles
 
-    bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    bench_grams = bench_gram_set(benchmark, n)
     # Probe BEFORE deduplicating: the corpus gram stream meets the
     # broadcast gram set map-side with distinct=False, so the distinct
     # (needed to count each shared gram once) shuffles only HIT rows —

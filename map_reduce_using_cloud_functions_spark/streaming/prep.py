@@ -32,6 +32,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.hashing import hex64
+from ..operators.dedup import _shingles
+from ..operators.prep import DECONTAM_NGRAM, bench_gram_set
 from ..operators.text_analysis import text_features
 
 
@@ -54,32 +56,50 @@ def streaming_corpus_prep(
 
 
 def streaming_decontaminate(
-    documents: DataFrame, benchmark: DataFrame, n: int = 8
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming eval-set hygiene: emit the (doc_id, text_hash) of every
     arriving document that shares an ``n``-gram with the STATIC
     benchmark relation — the continuous form of
     ``operators/prep.decontaminate`` (which also counts hits; counting
-    is an aggregation and so belongs to the batch pass).
+    is an aggregation and so belongs to the batch pass). Same default
+    gram size (``DECONTAM_NGRAM``) so batch and stream flag the same
+    documents.
 
     Append-mode legal end to end: gram explosion is per-row, the
     benchmark probe is a stream-static LEFT SEMI join (broadcast the
-    tiny gram set), and the one-row-per-doc fold is ``dropDuplicates``
-    keyed state, not an aggregation. Consumers quarantine the emitted
-    ids (anti-join downstream); the matched documents themselves flow
-    through unchanged — flagging must not block the pipe.
-    """
-    from ..operators.dedup import _shingles
+    tiny gram set), and the one-row-per-doc fold is keyed dedup state,
+    not an aggregation. Consumers quarantine the emitted ids (anti-join
+    downstream); the matched documents themselves flow through
+    unchanged — flagging must not block the pipe.
 
-    bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    State bound: with ``ts_col`` set, the per-doc dedup state expires
+    past the ``watermark`` horizon (``dropDuplicatesWithinWatermark``)
+    — the production configuration. Without an event-time column the
+    state is one entry per contaminated doc forever: fine for bounded
+    replays (availableNow), unbounded on a perpetual stream.
+    """
+    bench_grams = bench_gram_set(benchmark, n)
     hashed = documents.select(
-        "doc_id", "text", hex64(F.col("text")).alias("text_hash")
+        "doc_id",
+        "text",
+        *((ts_col,) if ts_col else ()),
+        hex64(F.col("text")).alias("text_hash"),
     )
+    keep = ("text_hash",) + ((ts_col,) if ts_col else ())
     # text_hash rides THROUGH the gram stream (no join back — that
     # would be a stream-stream join); the semi-join side is static.
-    return (
-        _shingles(hashed, n, distinct=False, keep=("text_hash",))
+    hits = (
+        _shingles(hashed, n, distinct=False, keep=keep)
         .join(F.broadcast(bench_grams), "shingle", "left_semi")
-        .select("doc_id", "text_hash")
-        .dropDuplicates(["doc_id"])
+        .select("doc_id", "text_hash", *((ts_col,) if ts_col else ()))
     )
+    if ts_col is not None:
+        return hits.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["doc_id"]
+        )
+    return hits.dropDuplicates(["doc_id"])

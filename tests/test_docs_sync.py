@@ -7,11 +7,17 @@ from __future__ import annotations
 import re
 
 
+def _has_token(text: str, name: str) -> bool:
+    # word-boundary match so 'dedup_simhash' can't pass by being a
+    # substring of 'dedup_simhash_pairs'
+    return re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])", text) is not None
+
+
 def test_every_query_is_documented_in_coverage():
     import __spark_entry__ as e
 
     coverage = open("COVERAGE.md").read()
-    missing = [q for q in e.queries() if q not in coverage]
+    missing = [q for q in e.queries() if not _has_token(coverage, q)]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
 
 
@@ -39,11 +45,12 @@ def test_coverage_mentions_every_operator_module():
     import os
 
     coverage = open("COVERAGE.md").read()
+    readme = open("README.md").read()
     pkg = "map_reduce_using_cloud_functions_spark"
     for sub in ("operators", "sources", "streaming", "plans", "functions"):
         for f in os.listdir(os.path.join(pkg, sub)):
             if f.endswith(".py") and f != "__init__.py":
                 name = f[:-3]
-                assert re.search(name, coverage) or re.search(
-                    name, open("README.md").read()
+                assert _has_token(coverage, name) or _has_token(
+                    readme, name
                 ), f"{sub}/{f} appears in neither COVERAGE.md nor README.md"

@@ -279,3 +279,30 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
         for r in decontaminate(train, bench, n=8).where(F.col("contaminated")).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Backpressure: with maxFilesPerTrigger=1 a 3-file backlog drains
+    as (at least) 3 micro-batches, and the final index still equals the
+    batch build — pins both the option spelling and the multi-batch
+    upsert path."""
+    watch = tmp_path / "corpus"
+    watch.mkdir()
+    for i, text in enumerate(["alpha beta", "beta gamma", "delta alpha"]):
+        _write(str(watch / f"d{i}.txt"), text)
+    index_path = str(tmp_path / "index")
+    q = start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3  # a silently-ignored option would give 1
+    streamed = sorted(map(tuple, read_index(spark, index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert streamed == batch
