@@ -306,3 +306,49 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
         map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
     )
     assert streamed == batch
+
+
+def test_streaming_decontaminate_watermark_path(spark, tmp_path):
+    """The bounded-state configuration (ts_col + watermark →
+    dropDuplicatesWithinWatermark) must flag the same docs as the
+    unbounded path on a bounded replay."""
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_decontaminate,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+
+    src = str(tmp_path / "train_wm_json")
+    train.select("doc_id", "text", F.col("ts").cast("string").alias("ts")).coalesce(
+        2
+    ).write.json(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts string")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        streaming_decontaminate(stream, bench, n=8, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("decon_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM decon_wm_test").collect()
+    }
+    from map_reduce_using_cloud_functions_spark.operators.prep import decontaminate
+
+    batch = {
+        r["doc_id"]
+        for r in decontaminate(
+            train.select("doc_id", "text"), bench, n=8
+        ).where(F.col("contaminated")).collect()
+    }
+    assert streamed == batch and len(batch) > 0
