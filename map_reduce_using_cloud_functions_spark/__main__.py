@@ -1,0 +1,99 @@
+"""Command-line surface — the reference's end-user flow without its
+Streamlit UI (``main/app.py``: upload .txt files → index → query a
+word). A reference user switches by pointing these commands at a local
+or remote directory instead of a GCS bucket:
+
+    python -m map_reduce_using_cloud_functions_spark build  CORPUS_DIR INDEX_PATH
+    python -m map_reduce_using_cloud_functions_spark add    CORPUS_DIR INDEX_PATH
+    python -m map_reduce_using_cloud_functions_spark query  INDEX_PATH WORD [--top N]
+    python -m map_reduce_using_cloud_functions_spark watch  WATCH_DIR INDEX_PATH CKPT_DIR
+
+``build`` rebuilds from scratch; ``add`` is the incremental upsert
+(replace-per-document; pass ``--additive`` for bug-level parity with
+the reference's double-count merge); ``query`` prints per-document
+counts most-frequent-first exactly like the UI table
+(``main/app.py:104-124``); ``watch`` runs the streaming trigger path
+(O19) until interrupted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="map_reduce_using_cloud_functions_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="index a directory of text files (full rebuild)")
+    b.add_argument("corpus_dir")
+    b.add_argument("index_path")
+
+    a = sub.add_parser("add", help="incrementally index new/changed files")
+    a.add_argument("corpus_dir")
+    a.add_argument("index_path")
+    a.add_argument("--additive", action="store_true", help="reference double-count parity")
+
+    q = sub.add_parser("query", help="per-document counts for one word")
+    q.add_argument("index_path")
+    q.add_argument("word")
+    q.add_argument("--top", type=int, default=20)
+
+    w = sub.add_parser("watch", help="stream: index files as they land")
+    w.add_argument("watch_dir")
+    w.add_argument("index_path")
+    w.add_argument("checkpoint_dir")
+    w.add_argument("--max-files-per-trigger", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .session import get_spark
+
+    owned = spark is None
+    spark = spark or get_spark("map-reduce-using-cloud-functions-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from .engine import InvertedIndexEngine
+
+        if args.cmd == "build":
+            InvertedIndexEngine(spark, args.index_path).build(args.corpus_dir)
+            print(f"indexed {args.corpus_dir} -> {args.index_path}")
+        elif args.cmd == "add":
+            InvertedIndexEngine(
+                spark, args.index_path, additive=args.additive
+            ).add(args.corpus_dir)
+            print(f"merged {args.corpus_dir} into {args.index_path}")
+        elif args.cmd == "query":
+            eng = InvertedIndexEngine(spark, args.index_path)
+            if not eng.is_valid_query(args.word):
+                print("invalid query: one word, no whitespace", file=sys.stderr)
+                return 2
+            rows = eng.find_occurrences(args.word).limit(args.top).collect()
+            if not rows:
+                print("no occurrences")
+            for r in rows:
+                print(f"{r['document']}\t{r['count']}")
+        elif args.cmd == "watch":
+            from .streaming.file_index import start_file_index_stream
+
+            q = start_file_index_stream(
+                spark,
+                args.watch_dir,
+                args.index_path,
+                args.checkpoint_dir,
+                available_now=False,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            print(f"watching {args.watch_dir} (ctrl-c to stop)")
+            q.awaitTermination()
+        return 0
+    finally:
+        if owned:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

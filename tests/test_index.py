@@ -198,3 +198,33 @@ def test_docmap_sidecar_stays_consistent_and_hidden(spark, tmp_path):
     assert got2 == want2
     rows2 = {(r["word"], r["document"]) for r in idx2.collect()}
     assert ("cherry", "2") in rows2 and ("apple", "2") not in rows2
+
+
+def test_cli_build_add_query(spark, tmp_path, capsys):
+    """The __main__ CLI drives the reference flow end to end: build a
+    corpus dir, query a word (most-frequent-first), add a new file,
+    query again, reject an invalid probe."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("apple apple banana")
+    (corpus / "b.txt").write_text("apple cherry")
+    idx = str(tmp_path / "idx")
+
+    assert main(["build", str(corpus), idx], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["query", idx, "Apple", "--top", "5"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["a.txt\t2", "b.txt\t1"]  # count desc, doc asc
+
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "c.txt").write_text("apple apple apple")
+    assert main(["add", str(more), idx], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["query", idx, "apple"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["c.txt\t3", "a.txt\t2", "b.txt\t1"]
+
+    assert main(["query", idx, "two words"], spark=spark) == 2
