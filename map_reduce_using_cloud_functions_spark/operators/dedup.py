@@ -508,3 +508,20 @@ def simhash_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def simhash_near_dedup(
+    documents: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """X2 end-to-end near-dedup over the SimHash metric: banded pairs →
+    connected components → keep min-doc_id survivor per cluster — the
+    ``near_dedup`` composition with hamming-distance semantics instead
+    of Jaccard (cheaper sketch: one 32-bit int per doc vs k minhashes;
+    coarser notion of 'near'). Same anti-join shape and the same
+    no-forced-broadcast reasoning as ``near_dedup``."""
+    pairs = simhash_pairs(documents, max_hamming=max_hamming, bits=bits).select(
+        "doc_a", "doc_b"
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return documents.join(losers, "doc_id", "left_anti")

@@ -464,3 +464,16 @@ def pack_sequences(
             F.floor((off + F.col("n_tokens") - 1) / seq_len).alias("last_bin"),
         )
     )
+
+
+def decontaminate_clean(
+    documents: DataFrame, benchmark: DataFrame, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """The corpus with contaminated documents REMOVED — the policy most
+    pipelines actually apply over ``decontaminate``'s flags. One
+    anti-join against the (rare) contaminated-id set; AQE broadcasts it
+    from runtime stats when small."""
+    flagged = decontaminate(documents, benchmark, n).where(
+        F.col("contaminated")
+    ).select("doc_id")
+    return documents.join(flagged, "doc_id", "left_anti")

@@ -234,3 +234,17 @@ def test_simhash_pairs_planted(corpus_with_dups):
     assert pairs[(0, 1)] == 0          # identical docs: distance 0
     assert (0, 2) in pairs             # one-token edit: small distance
     assert (0, 3) not in pairs         # unrelated doc stays out
+
+
+def test_simhash_near_dedup_removes_cluster_losers(corpus_with_dups):
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        simhash_near_dedup,
+    )
+
+    kept = sorted(
+        r["doc_id"] for r in simhash_near_dedup(corpus_with_dups, max_hamming=8).collect()
+    )
+    # SimHash works over NORMALIZED tokens, so doc 4 (the uppercased
+    # copy exact_dedup keeps) clusters with 0 here: docs 0,1,2,4 → one
+    # survivor (min id 0); only unrelated doc 3 also survives.
+    assert kept == [0, 3]

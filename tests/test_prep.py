@@ -739,3 +739,23 @@ def test_full_schedule_composition_is_deterministic(spark):
     a = run(docs)
     b = run(docs.repartition(17))
     assert a == b and len(a) > 0
+
+
+def test_decontaminate_clean_removes_flagged_docs(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        decontaminate,
+        decontaminate_clean,
+    )
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta")])
+    train = _docs(
+        spark,
+        [
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            (2, "completely clean other text with enough words here"),
+        ],
+    )
+    clean = sorted(r["doc_id"] for r in decontaminate_clean(train, bench).collect())
+    assert clean == [2]
+    flags = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, bench).collect()}
+    assert flags == {1: True, 2: False}
