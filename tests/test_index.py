@@ -228,3 +228,43 @@ def test_cli_build_add_query(spark, tmp_path, capsys):
     assert out == ["c.txt\t3", "a.txt\t2", "b.txt\t1"]
 
     assert main(["query", idx, "two words"], spark=spark) == 2
+
+
+def test_full_rebuild_clears_stale_partitions(spark, tmp_path):
+    """InvertedIndexEngine.build over an EXISTING index must not leave
+    first-letter partitions from the prior build behind (write_index
+    forces static overwrite; the session default is dynamic for
+    upserts) — and the doc-map sidecar must be rebuilt to match."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.engine import InvertedIndexEngine
+    from map_reduce_using_cloud_functions_spark.operators.index import _doc_letters
+
+    c1 = tmp_path / "c1"
+    c1.mkdir()
+    (c1 / "a.txt").write_text("zebra apple")
+    c2 = tmp_path / "c2"
+    c2.mkdir()
+    (c2 / "b.txt").write_text("mango apple")
+    idx = str(tmp_path / "idx")
+
+    eng = InvertedIndexEngine(spark, idx)
+    eng.build(str(c1))
+    assert os.path.isdir(os.path.join(idx, "first=z"))
+    eng.build(str(c2))  # full rebuild from a corpus with no z-words
+    assert not os.path.isdir(os.path.join(idx, "first=z"))
+    assert eng.find_occurrences("zebra").count() == 0
+    assert eng.find_occurrences("mango").count() == 1
+    # sidecar rebuilt alongside: exactly the new corpus' doc→letters
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(idx, "_docmap"))
+            .select("document", "first")
+            .collect(),
+        )
+    )
+    from map_reduce_using_cloud_functions_spark.operators.index import read_index
+
+    want = sorted(map(tuple, _doc_letters(read_index(spark, idx)).collect()))
+    assert got == want
