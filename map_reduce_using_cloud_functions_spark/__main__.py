@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     owned = spark is None
     spark = spark or get_spark("map-reduce-using-cloud-functions-spark-cli")
-    spark.sparkContext.setLogLevel("ERROR")
+    if owned:  # never mutate a caller-provided session's log level
+        spark.sparkContext.setLogLevel("ERROR")
     try:
         from .engine import InvertedIndexEngine
 
@@ -67,9 +68,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ).add(args.corpus_dir)
             print(f"merged {args.corpus_dir} into {args.index_path}")
         elif args.cmd == "query":
+            from .operators.index import _hadoop_exists
+
             eng = InvertedIndexEngine(spark, args.index_path)
             if not eng.is_valid_query(args.word):
                 print("invalid query: one word, no whitespace", file=sys.stderr)
+                return 2
+            if not _hadoop_exists(spark, args.index_path):
+                print(f"no index at {args.index_path}", file=sys.stderr)
                 return 2
             rows = eng.find_occurrences(args.word).limit(args.top).collect()
             if not rows:

@@ -435,23 +435,33 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
+def cluster_survivors(
+    rows: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared survivor policy for every near-dedup composition: pairs →
+    connected components (``dedup_clusters``) → drop every
+    non-representative cluster member from ``rows`` (anti-join on
+    ``id_col``). The anti-join's right side carries ids only and gets
+    no broadcast hint — for a mostly-clean corpus AQE broadcasts it
+    from runtime stats, and for a duplicate-heavy corpus (losers ~
+    corpus size) forcing a broadcast would be exactly wrong."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return rows.join(losers, id_col, "left_anti")
+
+
 def near_dedup(
     documents: DataFrame, threshold: float = 0.5, k: int = MINHASH_K
 ) -> DataFrame:
     """X2 end-to-end near-dedup: MinHash+LSH pairs → connected
-    components → keep one survivor (min doc_id) per cluster.
-
-    Returns the deduplicated documents relation: every doc that is not
-    a non-representative member of a near-dup cluster. The anti-join's
-    right side (cluster losers) carries doc_id only; no broadcast hint —
-    for a mostly-clean corpus AQE broadcasts it from runtime stats, and
-    for a duplicate-heavy corpus (losers ~ corpus size) forcing a
-    broadcast would be exactly wrong.
-    """
+    components → keep one survivor (min doc_id) per cluster
+    (``cluster_survivors``). Returns the deduplicated documents
+    relation: every doc that is not a non-representative member of a
+    near-dup cluster."""
     pairs = minhash_dedup_pairs(documents, threshold=threshold, k=k)
-    clusters = dedup_clusters(pairs)
-    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    return documents.join(losers, "doc_id", "left_anti")
+    return cluster_survivors(documents, pairs)
 
 
 def simhash_pairs(
@@ -474,7 +484,19 @@ def simhash_pairs(
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, deduplicated across
     bands by the final aggregation (hamming is band-invariant)."""
     n_bands = max_hamming + 1
-    band_width = (bits + n_bands - 1) // n_bands
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} non-empty bands "
+            f"from a {bits}-bit fingerprint — impossible; raise bits or "
+            f"lower max_hamming"
+        )
+    # Bands PARTITION the fingerprint: the first (bits % n_bands) bands
+    # get one extra bit, none overruns. A fixed ceil-width layout would
+    # leave high bands empty (all-zero band_bits ⇒ every doc collides ⇒
+    # an accidental all-pairs join) whenever ceil(bits/n_bands)·i ≥ bits.
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1 if i < rem else base for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     fp = simhash_fingerprints(documents, bits)
     # Shift amounts must be literals (Spark's shiftrightunsigned takes
     # no column count), so each band's extraction is a CASE over the
@@ -482,8 +504,8 @@ def simhash_pairs(
     band_bits = sum(
         F.when(
             F.col("band") == i,
-            F.shiftrightunsigned(F.col("simhash"), i * band_width).bitwiseAND(
-                F.lit((1 << band_width) - 1)
+            F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
             ),
         ).otherwise(F.lit(0))
         for i in range(n_bands)
@@ -517,11 +539,9 @@ def simhash_near_dedup(
     connected components → keep min-doc_id survivor per cluster — the
     ``near_dedup`` composition with hamming-distance semantics instead
     of Jaccard (cheaper sketch: one 32-bit int per doc vs k minhashes;
-    coarser notion of 'near'). Same anti-join shape and the same
-    no-forced-broadcast reasoning as ``near_dedup``."""
+    coarser notion of 'near'). Survivor policy shared via
+    ``cluster_survivors``."""
     pairs = simhash_pairs(documents, max_hamming=max_hamming, bits=bits).select(
         "doc_a", "doc_b"
     )
-    clusters = dedup_clusters(pairs)
-    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    return documents.join(losers, "doc_id", "left_anti")
+    return cluster_survivors(documents, pairs)

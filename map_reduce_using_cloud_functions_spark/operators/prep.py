@@ -470,10 +470,18 @@ def decontaminate_clean(
     documents: DataFrame, benchmark: DataFrame, n: int = DECONTAM_NGRAM
 ) -> DataFrame:
     """The corpus with contaminated documents REMOVED — the policy most
-    pipelines actually apply over ``decontaminate``'s flags. One
-    anti-join against the (rare) contaminated-id set; AQE broadcasts it
-    from runtime stats when small."""
-    flagged = decontaminate(documents, benchmark, n).where(
-        F.col("contaminated")
-    ).select("doc_id")
-    return documents.join(flagged, "doc_id", "left_anti")
+    pipelines actually apply over ``decontaminate``'s flags. The hit-id
+    set is computed directly (gram probe → distinct doc ids) and
+    anti-joined — NOT by filtering ``decontaminate``'s output, which
+    would pay that function's corpus-wide flags join only to discard
+    every clean row. One corpus gram pass + one anti-join; AQE
+    broadcasts the (rare) hit set from runtime stats."""
+    from .dedup import _shingles
+
+    hits = (
+        _shingles(documents, n, distinct=False)
+        .join(F.broadcast(bench_gram_set(benchmark, n)), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return documents.join(hits, "doc_id", "left_anti")

@@ -392,17 +392,12 @@ def embedding_near_dedup(
     its parts: no cross join (LSH candidates), corpus never enters the
     CC loop (only the pair set does), anti-join loser set sized by AQE.
     """
-    from .dedup import dedup_clusters
+    from .dedup import cluster_survivors
 
     pairs = pairwise_near_dup(
         embeddings, threshold, planes_per_band=planes_per_band, bands=bands
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-    clusters = dedup_clusters(pairs)
-    losers = (
-        clusters.where(F.col("doc_id") != F.col("cluster_rep"))
-        .select(F.col("doc_id").alias("vec_id"))
-    )
-    return embeddings.join(losers, "vec_id", "left_anti")
+    return cluster_survivors(embeddings, pairs, id_col="vec_id")
 
 
 def pairwise_near_dup(

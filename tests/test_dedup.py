@@ -248,3 +248,40 @@ def test_simhash_near_dedup_removes_cluster_losers(corpus_with_dups):
     # copy exact_dedup keeps) clusters with 0 here: docs 0,1,2,4 → one
     # survivor (min id 0); only unrelated doc 3 also survives.
     assert kept == [0, 3]
+
+
+def test_simhash_pairs_rejects_impossible_band_layout(spark):
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=32)  # 33 bands from 32 bits
+
+
+def test_simhash_pairs_high_budget_band_layout_not_degenerate(spark):
+    """max_hamming=8 over 32 bits: the band layout must partition the
+    fingerprint (no band past bit 31, no always-zero band) — a fixed
+    ceil-width layout silently degenerates to an all-pairs join here."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    max_h = 8
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fp)
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= max_h
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert got == want  # complete AND exact at the high budget too

@@ -268,3 +268,11 @@ def test_full_rebuild_clears_stale_partitions(spark, tmp_path):
 
     want = sorted(map(tuple, _doc_letters(read_index(spark, idx)).collect()))
     assert got == want
+
+
+def test_cli_query_missing_index_is_a_clean_error(spark, tmp_path, capsys):
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    rc = main(["query", str(tmp_path / "nope"), "apple"], spark=spark)
+    assert rc == 2
+    assert "no index at" in capsys.readouterr().err
