@@ -1,8 +1,11 @@
 from .file_index import start_file_index_stream
+from .joins import click_attribution, interval_join
 from .windows import streaming_tumbling_counts, streaming_session_values
 
 __all__ = [
     "start_file_index_stream",
+    "interval_join",
+    "click_attribution",
     "streaming_tumbling_counts",
     "streaming_session_values",
 ]

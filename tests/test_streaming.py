@@ -352,3 +352,44 @@ def test_streaming_decontaminate_watermark_path(spark, tmp_path):
         ).where(F.col("contaminated")).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks x purchases within horizon,
+    watermarked both sides) over the events fixture as a file stream
+    == the same function applied to the batch frame (watermark nodes
+    eliminate on batch, leaving the range-condition equi-join)."""
+    from map_reduce_using_cloud_functions_spark.streaming.joins import click_attribution
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_json3")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "event_type", "value"
+    ).coalesce(2).write.json(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        )
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        click_attribution(stream, horizon="6 hours")
+        .writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM attrib_test").collect()))
+    batch = sorted(map(tuple, click_attribution(events, horizon="6 hours").collect()))
+    assert streamed == batch
+    assert len(batch) == 25  # fixture ground truth (duckdb interval join)
+    # every pair respects the horizon
+    got = spark.sql("SELECT * FROM attrib_test")
+    bad = got.where(
+        (F.col("purchase_ts") < F.col("click_ts"))
+        | (F.col("purchase_ts") >= F.col("click_ts") + F.expr("INTERVAL 6 hours"))
+    ).count()
+    assert bad == 0
