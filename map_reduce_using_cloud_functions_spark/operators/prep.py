@@ -466,6 +466,191 @@ def pack_sequences(
     )
 
 
+SPAN_NGRAM = 8
+
+
+def duplicate_spans(
+    documents: DataFrame, n: int = SPAN_NGRAM, min_count: int = 2
+) -> DataFrame:
+    """Substring-level duplicate detection: find the maximal token spans
+    whose every length-``n`` gram occurs ≥ ``min_count`` times in the
+    corpus (counting repeats within one document too). This is the
+    span-granularity dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (exact duplicated substrings, not
+    whole near-dup documents) — the operator that catches a license
+    header pasted into a million files, or a paragraph repeated inside
+    one page, where document- and chunk-level hashing both miss or
+    over-cut.
+
+    Returns (doc_id, span_start, span_end, n_grams): token-index spans
+    [span_start, span_end) in the engine-tokenized stream, maximal (two
+    flagged grams whose windows touch or overlap merge into one span),
+    with n_grams the count of flagged grams inside.
+
+    Plan shape, corpus-scale reasoning:
+      1. gram stream (doc_id, pos, gram_hash) — tokenize + one
+         posexplode, map-only, ~24 B/row;
+      2. duplicated-gram set via groupBy(gram_hash) count — ONE shuffle
+         with partial aggregation (massive duplication compresses
+         map-side); the surviving set holds only grams seen ≥
+         min_count times;
+      3. flag positions via a LEFT SEMI join of the gram stream against
+         that set — on a clean corpus the dup set is small, so AQE
+         broadcasts it and the gram stream never shuffles (the same
+         shape as ``decontaminate``'s probe); on a filthy corpus it
+         degrades to a hash join with AQE skew splitting — never a
+         sorted window over a hot gram key;
+      4. merge flagged positions into maximal spans: one window
+         partitioned by doc_id (running max of span ends → island ids
+         → min/max per island). Only FLAGGED rows reach the window.
+    """
+    return _merged_spans(_flagged_positions(documents, n, min_count), n).select(
+        "doc_id", "span_start", "span_end", "n_grams"
+    )
+
+
+def _flagged_positions(documents: DataFrame, n: int, min_count: int) -> DataFrame:
+    """(doc_id, pos, gram_hash) for every gram position whose gram
+    occurs ≥ min_count times corpus-wide (steps 1–3 of
+    ``duplicate_spans``'s plan)."""
+    toks = F.col("toks")
+    gram = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        documents.select("doc_id", tokens_array(F.col("text")).alias("toks"))
+        .select("doc_id", F.posexplode(gram).alias("pos", "g"))
+        .select("doc_id", "pos", hex64(F.col("g")).alias("gram_hash"))
+    )
+    dup_grams = (
+        grams.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("mult"))
+        .where(F.col("mult") >= min_count)
+        .select("gram_hash")
+    )
+    return grams.join(dup_grams, "gram_hash", "left_semi")
+
+
+def _merged_spans(flagged: DataFrame, n: int) -> DataFrame:
+    """Merge flagged gram positions into maximal spans (step 4):
+    (doc_id, span_start, span_end, n_grams, span_hash). span_hash is
+    the portable hash of the span's gram-hash sequence in position
+    order — equal span text ⇔ equal sequence — so span identity never
+    needs a second look at the corpus text."""
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        flagged.withColumn(
+            "new_island",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+            hex64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "gram_hash"))),
+                        lambda s: s["gram_hash"].cast("string"),
+                    ),
+                    " ",
+                )
+            ).alias("span_hash"),
+        )
+    )
+
+
+def strike_duplicate_spans(
+    documents: DataFrame, n: int = SPAN_NGRAM, min_count: int = 2
+) -> DataFrame:
+    """Apply ``duplicate_spans`` as a cleaning policy: remove every
+    duplicated span from the corpus EXCEPT one canonical copy, and
+    return the surviving (normalized) text. The canonical copy of a
+    span is its (doc_id, span_start)-minimal occurrence; occurrences
+    are matched by span identity = hash of the span's gram-hash
+    sequence (equal span text ⇔ equal sequence), so the one kept copy
+    never needs the corpus re-joined to recover span bytes.
+
+    Returns (doc_id, clean_text, n_tokens, n_tokens_struck) — one row
+    per input document; ``clean_text`` is the engine-normalized token
+    stream with struck spans removed (single-space joined: span
+    positions are token indices, so the rebuilt text is normalized text
+    by construction), empty documents and fully-struck documents yield
+    ''.
+
+    Caveat (documented semantics, not a bug): two occurrences of the
+    same boilerplate that were merged into DIFFERENT maximal spans
+    (e.g. one abuts another duplicated region, the other doesn't) get
+    different span identities, so both survive as their own canonical
+    copies — span-level keep-one is exact only for exact maximal-span
+    matches. That is the usual practical policy; whole-doc near-dup
+    belongs to ``near_dedup``/``simhash_near_dedup``.
+
+    Plan shape: ``duplicate_spans``'s passes, plus — on the (small)
+    span relation only — one groupBy(span_hash) min-struct for the
+    canonical choice, one join back, one collect_list per doc, and a
+    final doc_id join onto the corpus (cut sets are rare ⇒ AQE
+    broadcast). The corpus text itself is scanned twice (gram pass,
+    rebuild pass) and shuffled never.
+    """
+    spans = _merged_spans(_flagged_positions(documents, n, min_count), n)
+    canonical = spans.groupBy("span_hash").agg(
+        F.min(F.struct("doc_id", "span_start")).alias("keep")
+    )
+    struck = (
+        spans.join(canonical, "span_hash")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("span_start") == F.col("keep.span_start"))
+            )
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+    cuts = struck.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
+    )
+    with_cuts = (
+        documents.select("doc_id", tokens_array(F.col("text")).alias("toks"))
+        .join(cuts, "doc_id", "left")
+        .withColumn(
+            "cuts",
+            F.coalesce(
+                F.col("cuts"),
+                F.array().cast(
+                    "array<struct<span_start:int,span_end:int>>"
+                ),
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("cuts"),
+            lambda c: (i >= c["span_start"]) & (i < c["span_end"]),
+        ),
+    )
+    return with_cuts.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_tokens_struck"),
+    )
+
+
 def decontaminate_clean(
     documents: DataFrame, benchmark: DataFrame, n: int = DECONTAM_NGRAM
 ) -> DataFrame:

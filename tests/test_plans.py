@@ -136,3 +136,20 @@ def test_prep_corpus_mix_never_shuffles_corpus(spark):
     plan = plan_of(sample_corpus_mix(load_table(spark, SF, "documents")))
     assert plan.count("Exchange hashpartitioning") == 1  # lang counts only
     assert "BroadcastHashJoin" in plan  # rates joined by broadcast
+
+
+def test_duplicate_spans_two_shuffles_no_cartesian(spark):
+    """Span-level dedup's corpus-scale contract: the gram stream pays
+    exactly TWO hash exchanges (gram-multiplicity aggregate + doc_id
+    window) — the dup-gram probe must be a join on gram_hash (broadcast
+    under AQE when the dup set is small), never a nested loop, and the
+    island aggregate must reuse the window's doc_id partitioning."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(duplicate_spans(docs, n=8))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

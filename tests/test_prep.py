@@ -759,3 +759,161 @@ def test_decontaminate_clean_removes_flagged_docs(spark):
     assert clean == [2]
     flags = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, bench).collect()}
     assert flags == {1: True, 2: False}
+
+
+# ------------------------------------------------- duplicated spans
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        duplicate_spans,
+        strike_duplicate_spans,
+    )
+
+    boiler = "this license text is repeated verbatim in many documents here"
+    uniq1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    uniq2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{uniq1} {boiler} {uniq2}"),
+            (2, "unrelated opening words one two three four five " + boiler),
+            (3, "totally unique zebra whiskey xray yankee vector matrix"),
+            # the same boilerplate twice WITHIN one doc: within-doc
+            # repetition must count toward min_count
+            (4, f"intro words here {boiler} middle filler words {boiler} end"),
+        ],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in duplicate_spans(docs, n=8, min_count=2).collect()
+    }
+    # boiler is 10 tokens → 3 grams of 8 → exactly [start, start+10)
+    assert spans[(1, 10, 20)] == 3
+    assert spans[(2, 8, 18)] == 3
+    assert spans[(4, 3, 13)] == 3 and spans[(4, 16, 26)] == 3
+    assert not any(d == 3 for d, _, _ in spans)
+
+    out = {r["doc_id"]: r for r in strike_duplicate_spans(docs, n=8, min_count=2).collect()}
+    # canonical copy = (doc_id, span_start)-minimal = doc 1: untouched
+    assert out[1]["n_tokens_struck"] == 0
+    assert "license" in out[1]["clean_text"]
+    # every other occurrence struck, surrounding text intact
+    assert out[2]["n_tokens_struck"] == 10
+    assert "license" not in out[2]["clean_text"]
+    assert out[2]["clean_text"].startswith("unrelated opening words")
+    assert out[4]["n_tokens_struck"] == 20
+    assert out[4]["clean_text"] == "intro words here middle filler words end"
+    assert out[3]["n_tokens_struck"] == 0
+
+
+def test_duplicate_spans_long_region_merges_to_one_span(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        duplicate_spans,
+    )
+
+    region = " ".join(f"w{i}" for i in range(40))
+    docs = _docs(
+        spark,
+        [
+            (1, "prefix one two three " + region),
+            (2, region + " suffix four five six"),
+        ],
+    )
+    spans = sorted(
+        map(tuple, duplicate_spans(docs, n=8, min_count=2).collect())
+    )
+    # every gram inside the 40-token region is duplicated → ONE maximal
+    # span per doc covering exactly the region (33 grams each)
+    assert spans == [(1, 4, 44, 33), (2, 0, 40, 33)]
+
+
+def test_duplicate_spans_short_and_empty_docs(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        duplicate_spans,
+        strike_duplicate_spans,
+    )
+
+    docs = _docs(spark, [(1, ""), (2, "seven words is less than eight ok"), (3, "seven words is less than eight ok")])
+    assert duplicate_spans(docs, n=8).count() == 0  # no gram fits
+    out = {r["doc_id"]: r for r in strike_duplicate_spans(docs, n=8).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_tokens"] == 0
+    assert out[2]["n_tokens_struck"] == 0 and out[3]["n_tokens_struck"] == 0
+
+
+def test_strike_then_rescan_finds_nothing(spark):
+    """Fixpoint property: after keep-one striking, no duplicated span
+    remains (each span text survives exactly once)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        duplicate_spans,
+        strike_duplicate_spans,
+    )
+
+    boiler = "shared boilerplate sentence appearing in every single document today"
+    docs = _docs(
+        spark,
+        [(i, f"doc {i} distinct preamble words {boiler} tail w{i} x{i} y{i} z{i}") for i in range(6)],
+    )
+    cleaned = strike_duplicate_spans(docs, n=8, min_count=2).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert duplicate_spans(cleaned, n=8, min_count=2).count() == 0
+
+
+def test_duplicate_spans_matches_duckdb(spark):
+    import duckdb
+
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        duplicate_spans,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(map(tuple, duplicate_spans(docs, n=8, min_count=2).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(
+            regexp_replace(lower(regexp_replace(text, '\s+', ' ', 'g')),
+                           '[^a-z0-9 ]', '', 'g'), ' '), w -> w <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+          FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        ),
+        flagged AS (
+          SELECT doc_id, pos FROM grams
+          WHERE gh IN (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN max(pos + 8) OVER w_prev IS NULL
+                   OR pos > max(pos + 8) OVER w_prev THEN 1 ELSE 0 END AS ni
+          FROM flagged
+          WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+               count(*) AS n_grams
+        FROM isl2 GROUP BY doc_id, island
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
