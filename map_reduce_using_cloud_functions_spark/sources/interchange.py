@@ -188,3 +188,112 @@ def read_dataset(spark: SparkSession, path: str) -> DataFrame:
     """Read a ``write_dataset`` layout back (partition columns are
     recovered from the directory structure)."""
     return spark.read.parquet(path)
+
+
+def infer_partitioning(path: str) -> tuple[str, ...]:
+    """Partition columns of a hive-layout dataset, inferred from its
+    ``key=value`` directory names (outermost first) — so maintenance
+    operations like ``compact_dataset`` don't need the writer's
+    ``partition_by`` re-supplied."""
+    import os
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            subdirs = [
+                d
+                for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            ]
+        except (FileNotFoundError, NotADirectoryError):
+            break
+        if not subdirs:
+            break
+        key = subdirs[0].split("=", 1)[0]
+        if not all(d.split("=", 1)[0] == key for d in subdirs) or key in cols:
+            break
+        cols.append(key)
+        cur = os.path.join(cur, subdirs[0])
+    return tuple(cols)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] | None = None,
+    sort_by: tuple[str, ...] = (),
+    compression: str = "zstd",
+    max_records_per_file: int = 0,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset in place with
+    healthy file sizes, preserving values, hive partition layout, and
+    (optionally re-establishing) within-file sort order.
+
+    Why it exists: every incremental sink accretes files — a streaming
+    ``foreachBatch`` upsert writes a few rows per trigger, a 1000-
+    executor append writes one file per task — and at 100 TB the
+    resulting millions of KB-sized files make listing, planning, and
+    scan startup (one open per file) the dominant cost. Compaction is
+    the maintenance half of the sink contract: run it periodically (or
+    when files-per-partition crosses a threshold) and scans return to
+    bandwidth-bound.
+
+    How (all stock Spark): read the layout back, ``REBALANCE``-hint the
+    relation — AQE packs output partitions to its advisory size and
+    SPLITS skewed ones (a hot hive partition does not become one giant
+    task, the failure mode of the naive ``repartition(partition_by)``)
+    — clustered by the partition columns so each output file holds one
+    hive partition, then rewrite via ``write_dataset`` into a temp dir
+    and swap. ``partition_by=None`` infers the layout from the
+    directory names (``infer_partitioning``).
+
+    The swap (rm + rename) is local-filesystem-appropriate; concurrent
+    readers mid-swap see the old or the new listing, not a mix, only on
+    stores with atomic rename — on object stores run compaction behind
+    the same single-writer discipline as the incremental upsert (or use
+    a table format with snapshot commits; out of scope here).
+
+    Returns {"rows", "files_before", "files_after"} so callers/tests
+    can assert the rewrite preserved cardinality and actually shrank
+    the file count.
+    """
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    if partition_by is None:
+        partition_by = infer_partitioning(path)
+    files_before = _count_files(path)
+    df = read_dataset(spark, path)
+    rebalanced = df.hint("rebalance", *partition_by) if partition_by else df.hint(
+        "rebalance"
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_dataset(
+            rebalanced,
+            tmp,
+            partition_by=partition_by,
+            sort_by=sort_by,
+            compression=compression,
+            max_records_per_file=max_records_per_file,
+        )
+        rows = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _count_files(path),
+    }

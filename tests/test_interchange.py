@@ -225,3 +225,57 @@ def test_write_dataset_layout_and_pruning(spark, tmp_path):
     a = sorted((r["doc_id"], r["text"]) for r in docs.collect())
     b = sorted((r["doc_id"], r["text"]) for r in back.collect())
     assert a == b
+
+
+def test_compact_dataset_shrinks_files_preserves_values(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        compact_dataset,
+        infer_partitioning,
+        read_dataset,
+        write_dataset,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "ds")
+    # Simulate an accreted sink: 16 writer tasks per hive partition
+    write_dataset(docs.repartition(16), out, partition_by=("lang",))
+    before = sorted((r["doc_id"], r["text"], r["lang"]) for r in read_dataset(spark, out).collect())
+
+    assert infer_partitioning(out) == ("lang",)
+    stats = compact_dataset(spark, out)  # partition_by inferred
+    assert stats["rows"] == len(before)
+    assert stats["files_after"] < stats["files_before"]
+    # this tiny dataset fits one file per hive partition
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    for d in langs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    after_df = read_dataset(spark, out)
+    after = sorted((r["doc_id"], r["text"], r["lang"]) for r in after_df.collect())
+    assert after == before
+    # pruning still works on the compacted layout
+    plan = after_df.where(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_compact_dataset_unpartitioned(spark, tmp_path):
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        compact_dataset,
+        infer_partitioning,
+        read_dataset,
+        write_dataset,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "flat")
+    write_dataset(emb.repartition(24), out)
+    assert infer_partitioning(out) == ()
+    stats = compact_dataset(spark, out)
+    assert stats["files_after"] < stats["files_before"]
+    assert read_dataset(spark, out).count() == stats["rows"] == emb.count()
