@@ -146,11 +146,65 @@ def postings_from_nested_dict(spark: SparkSession, nested: dict) -> DataFrame:
     return spark.createDataFrame(rows, POSTINGS)
 
 
+ZORDER_BITS = 16
+
+
+def zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = ZORDER_BITS):
+    """Z-order (Morton) key expression over numeric/timestamp columns:
+    each column is min-max-scaled to an unsigned ``bits``-bit integer
+    (one tiny driver-side agg for the bounds), then the bits are
+    interleaved — points close in EVERY dimension get close keys, so a
+    range-sort by the key clusters all dimensions at once. Pure
+    built-in expressions (shift/and/or), whole-stage codegen; with the
+    default 16 bits and ≤4 columns the key fits a bigint.
+
+    Returns the key Column. Raises on non-numeric/temporal columns
+    (strings have no meaningful linear scaling; hash them into a
+    bucketed layout instead, ``sources/bucketed``).
+    """
+    from functools import reduce
+
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed bigint")
+    for c in cols:
+        kind = dict(df.dtypes).get(c, "")
+        if not (
+            kind.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal"))
+            or kind in ("date", "timestamp", "timestamp_ntz")
+        ):
+            raise ValueError(f"zorder_by column {c!r} has unsupported type {kind!r}")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0).cast("bigint"))
+        else:
+            x = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+            scaled.append(
+                F.least(F.floor(x * (top + 1)), F.lit(top)).cast("bigint")
+            )
+    n = len(cols)
+    terms = [
+        F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + j)
+        for j, s in enumerate(scaled)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
 def write_dataset(
     df: DataFrame,
     path: str,
     partition_by: tuple[str, ...] = (),
     sort_by: tuple[str, ...] = (),
+    zorder_by: tuple[str, ...] = (),
     compression: str = "zstd",
     max_records_per_file: int = 0,
     mode: str = "overwrite",
@@ -173,7 +227,22 @@ def write_dataset(
     - ``max_records_per_file``: bounds worst-case file size so one
       skewed partition can't produce a multi-GB file that a single
       task must read end-to-end.
+    - ``zorder_by``: multi-dimensional clustering — range-partition +
+      sort by the interleaved-bit ``zorder_key`` so min-max file/row-
+      group statistics prune on EVERY listed column at once (a linear
+      ``sort_by`` clusters only its leading column; the others span
+      the full range in every file). The layout choice for fact tables
+      filtered on several independent dimensions. Mutually exclusive
+      with ``sort_by``; the key is an expression, never a written
+      column. Range boundaries come from Spark's sampling, so the
+      file split (not the values) can vary run to run — the same
+      physical-layout caveat as AQE.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        z = zorder_key(df, zorder_by)
+        df = df.repartitionByRange(z).sortWithinPartitions(z)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode).format("parquet").option("compression", compression)

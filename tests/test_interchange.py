@@ -279,3 +279,79 @@ def test_compact_dataset_unpartitioned(spark, tmp_path):
     stats = compact_dataset(spark, out)
     assert stats["files_after"] < stats["files_before"]
     assert read_dataset(spark, out).count() == stats["rows"] == emb.count()
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Per-file min-max spans must be narrow on BOTH z-order columns —
+    the property that makes multi-dimensional skipping work — while a
+    linear sort leaves its non-leading column spanning ~the full range
+    in every file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        read_dataset,
+        write_dataset,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def avg_span(path, col):
+        lo = hi = None
+        spans = []
+        per_file = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.read_metadata(f)
+            names = meta.schema.names
+            ci = names.index(col)
+            fmn = min(meta.row_group(g).column(ci).statistics.min for g in range(meta.num_row_groups))
+            fmx = max(meta.row_group(g).column(ci).statistics.max for g in range(meta.num_row_groups))
+            per_file.append((fmn, fmx))
+            lo = fmn if lo is None else min(lo, fmn)
+            hi = fmx if hi is None else max(hi, fmx)
+        rng = hi - lo
+        return sum((mx - mn) / rng for mn, mx in per_file) / len(per_file)
+
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lin")
+    # max_records_per_file splits the z-sorted stream into z-contiguous
+    # files even when AQE coalesces the tiny shuffle to one partition
+    # (at real scale AQE's advisory sizing does the file splitting).
+    write_dataset(
+        orders, zpath, zorder_by=("o_custkey", "o_totalprice"),
+        max_records_per_file=50,
+    )
+    write_dataset(
+        orders.repartitionByRange(F.col("o_custkey")), lpath,
+        sort_by=("o_custkey",), max_records_per_file=50,
+    )
+
+    # z-order: BOTH dimensions clustered
+    assert avg_span(zpath, "o_custkey") < 0.7
+    assert avg_span(zpath, "o_totalprice") < 0.7
+    # linear sort: non-leading column unclustered, and worse than z-order
+    assert avg_span(lpath, "o_totalprice") > avg_span(zpath, "o_totalprice")
+    # values survive the layout
+    assert read_dataset(spark, zpath).count() == orders.count()
+    a = sorted(map(tuple, read_dataset(spark, zpath).collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
+
+
+def test_zorder_rejects_strings_and_too_many_bits(spark):
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.sources.interchange import zorder_key
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    with pytest.raises(ValueError, match="unsupported type"):
+        zorder_key(orders, ("o_orderstatus",))
+    with pytest.raises(ValueError, match="exceeds"):
+        zorder_key(orders, ("o_orderkey", "o_custkey"), bits=32)
