@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..functions.hashing import hex64
 from ..functions.vectors import cosine, dot, l2_norm
 
 LSH_PLANES = 8
@@ -244,8 +245,126 @@ def _seed_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+KMEANS_SALT = "|km"
+_KM_RESOLUTION = 1_000_000
+
+
+def kmeans_parallel_init(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    oversample: int | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """Deterministic k-means|| seeding (Bahmani et al., "Scalable
+    k-means++", VLDB 2012): the distributed answer to k-means++'s
+    sequential k passes. Each round samples points with probability
+    proportional to their squared distance from the current candidate
+    set (oversampled by ``l ≈ 2k``), so ``rounds`` passes gather
+    ~``l·rounds`` well-spread candidates; the tiny weighted candidate
+    set is then reduced to ``n_centroids`` centers driver-side
+    (weighted farthest-first — the paper's final 'cluster C locally'
+    step, deterministic here).
+
+    Determinism (the engine-wide contract): the per-point coin is
+    ``hex64(vec_id ∥ salt ∥ round)`` against an integer threshold —
+    re-runs, retries, and stragglers agree; no RNG state anywhere.
+
+    Scale shape per round: one broadcast of the candidate set, one
+    partial-aggregated min-distance pass, one tiny sum. Only
+    candidates (~l·rounds rows) ever reach the driver. Distances are
+    in normalized-cosine space (d² = 2·(1−cos)) to match
+    ``train_ivf_centroids``'s assignment objective.
+    """
+    import numpy as np
+
+    l = oversample if oversample is not None else 2 * n_centroids
+    first = embeddings.agg(F.min_by("embedding", "vec_id").alias("c_embedding"))
+    cand = first.select(F.lit(-1).cast("bigint").alias("cand_id"), "c_embedding")
+    for r in range(rounds):
+        d2 = (
+            embeddings.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cand.select("c_embedding")))
+            .select(
+                "vec_id",
+                "embedding",
+                (2.0 * (1.0 - cosine(F.col("embedding"), F.col("c_embedding")))).alias(
+                    "d2"
+                ),
+            )
+            .groupBy("vec_id", "embedding")
+            .agg(F.min("d2").alias("d2"))
+        )
+        kept = (
+            d2.crossJoin(F.broadcast(d2.agg(F.sum("d2").alias("tot"))))
+            .where(
+                (
+                    hex64(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(KMEANS_SALT),
+                            F.lit(str(r)),
+                        )
+                    )
+                    % _KM_RESOLUTION
+                )
+                < F.floor(
+                    F.least(F.lit(l) * F.col("d2") / F.col("tot"), F.lit(1.0))
+                    * _KM_RESOLUTION
+                )
+            )
+            .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_embedding"))
+        )
+        cand = cand.unionByName(kept).localCheckpoint()
+
+    # Weight candidates by how many points they'd own, then reduce the
+    # (tiny) weighted set to n_centroids driver-side.
+    owners = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "vec_id",
+            "cand_id",
+            cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cand_id", F.struct(F.col("c_score"), (-F.col("cand_id")).alias("nc"))
+            ).alias("cand_id")
+        )
+        .groupBy("cand_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rows = (
+        cand.join(owners, "cand_id", "left")
+        .select("cand_id", "c_embedding", F.coalesce("w", F.lit(0)).alias("w"))
+        .collect()
+    )
+    rows.sort(key=lambda x: x["cand_id"])
+    vecs = np.array([x["c_embedding"] for x in rows], dtype=np.float64)
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    w = np.array([x["w"] for x in rows], dtype=np.float64)
+    k = min(n_centroids, len(rows))
+    chosen = [int(np.argmax(w))]  # heaviest candidate first
+    while len(chosen) < k:
+        d2c = np.min(
+            2.0 * (1.0 - vecs @ vecs[chosen].T), axis=1
+        )  # min sq-dist to chosen
+        gain = w * d2c
+        gain[chosen] = -1.0
+        chosen.append(int(np.argmax(gain)))  # np.argmax ties → lowest index
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(v) for v in rows[c]["c_embedding"]]) for i, c in enumerate(chosen)],
+        "centroid_id int, c_embedding array<double>",
+    )
+
+
 def train_ivf_centroids(
-    embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd iterations over the deterministic seeds: assign every vector
     to its nearest centroid (broadcast join + one partial-aggregated
@@ -257,8 +376,13 @@ def train_ivf_centroids(
     one groupBy(vec) partial-agg argmax, one posexplode + groupBy
     (list, dim) mean whose shuffle is |corpus|·dim partial sums — no
     all-pairs anything. Centroids are localCheckpointed per round so
-    round N's plan doesn't replay rounds 1..N-1."""
-    cents = _seed_centroids(embeddings, n_centroids)
+    round N's plan doesn't replay rounds 1..N-1.
+
+    ``init``: starting centroids (centroid_id, c_embedding) — pass
+    ``kmeans_parallel_init(...)`` for the k-means|| seeding that Lloyd
+    provably needs to avoid bad local minima on clustered data; default
+    is the hash-slot seeds (the oracle-replayable configuration)."""
+    cents = init if init is not None else _seed_centroids(embeddings, n_centroids)
     for _ in range(iters):
         assigned = (
             embeddings.select("vec_id", "embedding")
@@ -299,6 +423,7 @@ def ivf_topk(
     n_probe: int = 2,
     train: bool = False,
     train_iters: int = 2,
+    train_init: str = "hash",
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the query's ``n_probe``
@@ -319,7 +444,12 @@ def ivf_topk(
     cosine; recall < 1 when a true neighbor lives in an unprobed list.
     """
     if train:
-        cents = train_ivf_centroids(embeddings, n_centroids, train_iters)
+        init = (
+            kmeans_parallel_init(embeddings, n_centroids)
+            if train_init == "kmeans||"
+            else None
+        )
+        cents = train_ivf_centroids(embeddings, n_centroids, train_iters, init=init)
     else:
         cents = _seed_centroids(embeddings, n_centroids)
 

@@ -287,3 +287,65 @@ def test_ivf_training_improves_clustering_objective(embeddings):
         1 for r in rows if (r["query_id"], r["neighbor_id"]) in bf_top
     ) / len(bf_top)
     assert recall > 0.8
+
+
+def test_kmeans_parallel_init_deterministic_and_improves_seeding(spark, embeddings):
+    """k-means|| seeding (Bahmani et al. 2012): fully deterministic
+    (hash coin, no RNG), returns exactly k centroids, and starts Lloyd
+    from a no-worse spherical objective than the hash-slot seeds — the
+    reason the initializer exists. Clustered data is where k-means||
+    matters, so the separation guarantee is pinned on planted clusters,
+    not the uniform fixture."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.functions.vectors import cosine
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        _seed_centroids,
+        kmeans_parallel_init,
+        train_ivf_centroids,
+    )
+
+    def objective(emb, cents) -> float:
+        return (
+            emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select("vec_id", cosine(F.col("embedding"), F.col("c_embedding")).alias("s"))
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("best"))
+            .agg(F.avg("best"))
+            .first()[0]
+        )
+
+    init1 = kmeans_parallel_init(embeddings, 8)
+    init2 = kmeans_parallel_init(embeddings, 8)
+    rows1 = sorted(map(tuple, init1.collect()))
+    assert rows1 == sorted(map(tuple, init2.collect()))  # deterministic
+    assert len(rows1) == 8
+    assert objective(embeddings, init1) >= objective(
+        embeddings, _seed_centroids(embeddings, 8)
+    )
+
+    # Planted clusters: 4 well-separated directions x 25 jittered members.
+    # k-means|| must place its 4 centers so every point's best-cosine is
+    # near 1 — the hash seeds (arbitrary members) can't be beaten by much
+    # here, but the k-means|| objective must be essentially perfect.
+    import math
+
+    dirs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for c, d in enumerate(dirs):
+        for j in range(25):
+            jit = [(0.02 * math.sin(7.3 * (c * 25 + j) + i)) for i in range(4)]
+            rows.append((c * 25 + j, [d[i] + jit[i] for i in range(4)]))
+    clustered = embeddings.sparkSession.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    km = kmeans_parallel_init(clustered, 4)
+    assert objective(clustered, km) > 0.99
+    trained = train_ivf_centroids(clustered, 4, iters=1, init=km)
+    assert objective(clustered, trained) > 0.99
