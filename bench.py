@@ -81,13 +81,22 @@ def main() -> None:
     # benched query, so no timed plan gets a warm shuffle).
     force(qs["text_quality"](spark, sf_dir))
 
-    timings: dict[str, float] = {}
+    # Per-query isolation: a single failing query records null and the
+    # bench keeps going — one regression must never zero the artifact.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
+        try:
+            force(qs[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -96,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -15,25 +15,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import ALL_FIXTURE_TABLES
 
-# events.ts is INT64 TIMESTAMP(NANOS) (pyarrow ns default), which Spark
-# rejects outright; orders/lineitem timestamps are ms and read natively.
-# For nanos columns we read raw longs (legacy nanosAsLong) and convert
-# ns → µs at the scan edge — lossless here (all fixture timestamps are
-# µs-aligned) and still a pushdown-friendly projection, not a UDF.
-_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+# Timestamp normalization at the scan edge: every plan downstream sees
+# exactly one type for these columns — session-tz TIMESTAMP (LTZ).
+# The fixtures have shipped ts as three different physical encodings
+# across driver versions, so the loader handles all three:
+#   * TIMESTAMP_MICROS isAdjustedToUTC=0 → Spark reads TIMESTAMP_NTZ,
+#     which cannot cast to BIGINT and breaks epoch arithmetic; cast to
+#     session-tz timestamp (session tz is UTC, so wall-clock == epoch
+#     semantics and the DuckDB oracle's epoch(ts) agrees).
+#   * INT64 TIMESTAMP(NANOS) → legacy nanosAsLong reads raw longs;
+#     convert ns → µs (lossless: fixture timestamps are µs-aligned).
+#   * TIMESTAMP_MICROS isAdjustedToUTC=1 → already LTZ; no-op.
+# All branches are pushdown-friendly projections, not UDFs.
+_TS_NORMALIZE_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (lazy; no IO until an action runs)."""
-    if name in _NANO_TS_COLUMNS:
+    if name in _TS_NORMALIZE_COLUMNS:
         # Conf must be in place before this table's schema inference.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANO_TS_COLUMNS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+    for c in _TS_NORMALIZE_COLUMNS.get(name, ()):
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+        elif dtype.startswith("timestamp_ntz"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
