@@ -112,11 +112,21 @@ def events_pivot(events: DataFrame) -> DataFrame:
 def approx_distinct_users(events: DataFrame) -> DataFrame:
     """Approximate aggregates (HLL): distinct users per event type.
     No cross-engine oracle — sketch implementations differ — so this is
-    a rows-only contract; the exact companion rides along for the test
-    suite to bound the estimate."""
-    return events.groupBy("event_type").agg(
+    a rows-only contract; the exact companion and the relative error
+    ride along in the output so the rows-only gate row still carries
+    quantitative evidence (bound: HLL default rsd 0.05, checked ≤0.20
+    in tools/check_oracle.py and the fixture tests)."""
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.greatest(F.col("exact_users"), F.lit(1)),
+            6,
+        ),
     )
 
 

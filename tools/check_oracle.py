@@ -3,12 +3,19 @@
 same sf dir, canonicalize (column-name sort, row sort, floats to 9
 significant digits, timestamps to UTC ISO), and diff.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--with-retired] [--json OUT]
+           [sf_dir] [query_name ...]
+
+``--with-retired`` also verifies the queries retired from the driver's
+50-row gate (tools/retired_queries.py) so every implemented query gets
+a current-round oracle verdict. ``--json OUT`` writes the per-query
+results as a CORRECTNESS-style JSON artifact.
 """
 
 from __future__ import annotations
 
 import datetime
+import json
 import math
 import os
 import sys
@@ -48,8 +55,17 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    with_retired = "--with-retired" in argv
+    if with_retired:
+        argv.remove("--with-retired")
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in ALL_FIXTURE_TABLES:
@@ -57,9 +73,17 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if with_retired:
+        from tools.retired_queries import retired_oracle_sql, retired_queries
+
+        for name, fn in retired_queries().items():
+            assert name not in qs, f"retired name collides with gate: {name}"
+            qs[name] = fn
+        oracles.update(retired_oracle_sql())
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -69,6 +93,7 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark error: {e}"[:300]}
             n_fail += 1
             continue
         if name == "events_approx_distinct":
@@ -83,15 +108,34 @@ def main() -> int:
                 if abs(r[cols["approx_users"]] - r[cols["exact_users"]])
                 > max(1, 0.2 * r[cols["exact_users"]])
             ]
+            max_rel = max(
+                abs(r[cols["approx_users"]] - r[cols["exact_users"]])
+                / max(1, r[cols["exact_users"]])
+                for r in srows
+            )
             if bad:
                 print(f"FAIL {name}: HLL estimate outside 20% of exact: {bad[:3]}")
+                results[name] = {
+                    "status": "fail",
+                    "rows": len(srows),
+                    "hll_max_rel_err": round(max_rel, 6),
+                }
                 n_fail += 1
             else:
-                print(f"PASS {name}: {len(srows)} rows (HLL within 20% of exact)")
+                print(
+                    f"PASS {name}: {len(srows)} rows "
+                    f"(HLL max rel err {max_rel:.4f}, bound 0.20)"
+                )
+                results[name] = {
+                    "status": "pass",
+                    "rows": len(srows),
+                    "hll_max_rel_err": round(max_rel, 6),
+                }
                 n_pass += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             res = con.sql(oracles[name])
@@ -99,16 +143,19 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb error: {e}"[:300]}
             n_fail += 1
             continue
         sc, sr = canon_rows(scols, srows)
         dc, dr = canon_rows(dcols, drows)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            results[name] = {"status": "fail", "err": "column mismatch"}
             n_fail += 1
             continue
         if sr == dr:
             print(f"PASS {name}: {len(sr)} rows")
+            results[name] = {"status": "pass", "rows": len(sr)}
             n_pass += 1
         else:
             n_fail += 1
@@ -117,7 +164,21 @@ def main() -> int:
                 f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}; "
                 f"spark-only={list(sset - dset)[:3]} duck-only={list(dset - sset)[:3]}"
             )
+            results[name] = {
+                "status": "fail",
+                "rows": len(sr),
+                "oracle_rows": len(dr),
+                "err": "value mismatch",
+            }
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "with_retired": with_retired, "queries": results},
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
