@@ -128,6 +128,44 @@ def test_pairwise_lsh_subset_of_exact_with_equal_scores(embeddings):
     assert len(lsh) / len(exact) >= 0.3
 
 
+def test_pairwise_lsh_production_banding_recall(spark, embeddings):
+    """Pin the documented production recall claim (pairwise_near_dup
+    docstring): at a production near-dup threshold (τ=0.8) with r=8,
+    b=8 banding, planted near-duplicate pairs survive with high
+    probability (theory: a pair at cos 0.95 ⇒ p = 1-θ/π ≈ 0.90 ⇒
+    1-(1-p^8)^8 ≈ 0.99; at cos exactly 0.8, ≈ 0.75). We plant pairs at
+    cos ≈ 0.93-0.97 via deterministic small perturbations of fixture
+    vectors and require recall ≥ 0.8 — well below theory, above noise."""
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(7)
+    planted = []
+    for r in rows[:60]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.normal(0.0, 1.0, v.shape)
+        noise *= 0.25 * np.linalg.norm(v) / np.linalg.norm(noise)
+        planted.append((int(r["vec_id"]) + 100_000, (v + noise).tolist()))
+    base = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    df = spark.createDataFrame(
+        base + planted, "vec_id bigint, embedding array<double>"
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in pairwise_near_dup(df, 0.8, exact=True).collect()
+    }
+    # the plant worked: ≥50 of the 60 perturbed twins clear τ=0.8
+    assert len(exact) >= 50
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in pairwise_near_dup(
+            df, 0.8, planes_per_band=8, bands=8
+        ).collect()
+    }
+    assert banded <= exact  # verify step keeps it a subset
+    assert len(banded) / len(exact) >= 0.8
+
+
 def test_ivf_trained_centroids_exact_scores_and_deterministic(embeddings):
     """Lloyd-trained centroids: scores stay exact, recall of the true
     top-5 stays within noise of the untrained seeds (uniform random
