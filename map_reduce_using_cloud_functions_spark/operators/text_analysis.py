@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 from ..functions.hashing import hex64
 from ..functions.text import tokens_array, normalize_text
@@ -346,6 +347,115 @@ def winnow_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def repetition_flags(
+    documents: DataFrame, dup_gram_n: int = 3, top_gram_n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    Table A1 — the public quality heuristics behind C4/Gopher/
+    RefinedWeb-class corpus filters): per document,
+
+    - ``n_lines``            non-empty lines
+    - ``dup_line_frac``      1 − distinct/total over non-empty lines
+    - ``dup_line_char_frac`` chars in lines occurring >1× (all
+                             occurrences) / total line chars
+    - ``top_gram``           most frequent ``top_gram_n``-token n-gram
+                             (ties → lexicographically smallest)
+    - ``top_gram_char_frac`` chars covered by all occurrences of
+                             ``top_gram`` / normalized text chars
+    - ``dup_gram_char_frac`` chars in ``dup_gram_n``-grams occurring
+                             >1× / normalized text chars (Gopher's
+                             uncapped definition: overlaps overcount,
+                             values may exceed 1 on degenerate docs)
+
+    Every document keeps a row (left joins from the corpus spine);
+    degenerate docs (no lines / too few tokens) report zeros.
+
+    Scale shape: three doc_id-keyed partial-agged groupBys (line
+    counts, dup-gram counts, top-gram argmax) joined back on doc_id —
+    AQE co-partitions the joins; nothing carries text, only
+    (doc_id, gram/line, count) rows. All whole-stage-codegen
+    expressions; no UDFs.
+    """
+    strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")
+    toks = tokens_array(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.length(F.array_join(toks, " ")).alias("norm_chars"),
+    )
+
+    lines = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col("text"), "\n"), strip),
+                lambda l: l != "",
+            )
+        ).alias("line"),
+    )
+    line_counts = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
+    line_stats = line_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0))
+            / F.sum(F.col("c") * F.length("line")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    from .dedup import _shingles
+
+    dup_grams = (
+        _shingles(documents, n=dup_gram_n, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("shingle")).otherwise(0)
+            ).alias("dup_gram_chars")
+        )
+    )
+
+    top_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("shingle")
+    )
+    top_grams = (
+        _shingles(documents, n=top_gram_n, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(top_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("shingle").alias("top_gram"),
+            (F.col("c") * F.length("shingle")).alias("top_gram_chars"),
+        )
+    )
+
+    frac = lambda num: F.round(
+        F.when(F.col("norm_chars") > 0, F.coalesce(num, F.lit(0)) / F.col("norm_chars"))
+        .otherwise(0.0),
+        6,
+    )
+    return (
+        base.join(line_stats, "doc_id", "left")
+        .join(dup_grams, "doc_id", "left")
+        .join(top_grams, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+            "top_gram",
+            frac(F.col("top_gram_chars")).alias("top_gram_char_frac"),
+            frac(F.col("dup_gram_chars")).alias("dup_gram_char_frac"),
+        )
     )
 
 

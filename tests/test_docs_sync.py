@@ -48,11 +48,16 @@ def test_retired_registry_is_complete_and_disjoint():
     import __spark_entry__ as e
     from tools.retired_queries import retired_oracle_sql, retired_queries
 
+    from tools.extra_queries import extra_oracle_sql, extra_queries
+
     live = set(e.queries())
     retired = retired_queries()
     assert len(retired) == 16
     assert not (set(retired) & live), "retired name collides with the gate"
     assert set(retired_oracle_sql()) == set(retired), "retired query without oracle"
+    extras = extra_queries()
+    assert not (set(extras) & (live | set(retired))), "extra name collides"
+    assert set(extra_oracle_sql()) == set(extras), "extra query without oracle"
     # The queries() docstring names each retiree (the judge reads it).
     doc = e.queries.__doc__
     missing = [q for q in retired if not _has_token(doc, q)]
@@ -77,9 +82,14 @@ def test_coverage_gate_status_matches_artifact():
     m = re.search(r"Gate status \(r\d+\): (\d+) of 50", coverage)
     assert m, "COVERAGE.md gate-status line missing"
     # Full sweep = 50 gate entries (49 oracle + 1 rows-only-bounded,
-    # which check_oracle counts as pass via the HLL bound) + 16 retired.
+    # which check_oracle counts as pass via the HLL bound) + retired +
+    # post-gate extras.
+    from tools.extra_queries import extra_queries
+    from tools.retired_queries import retired_queries
+
+    expected = 50 + len(retired_queries()) + len(extra_queries())
     assert int(m.group(1)) == 49
-    assert n_pass == 66, f"expected 66 passing (50 gate + 16 retired), got {n_pass}"
+    assert n_pass == expected, f"expected {expected} passing, got {n_pass}"
     # The HLL rows-only entry carries its measured bound in the artifact.
     assert qs["events_approx_distinct"]["hll_max_rel_err"] <= 0.20
 

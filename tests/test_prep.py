@@ -917,3 +917,50 @@ def test_duplicate_spans_matches_duckdb(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- repetition flags
+
+
+def test_repetition_flags_planted_cases(spark):
+    """Gopher-style repetition signals against hand-computed values:
+    duplicated lines, a dominating 2-gram, uncapped dup-3-gram fraction,
+    and degenerate (empty / single-token) docs keeping zero rows."""
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        repetition_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nhello world\nunique line"),
+            (2, "a b a b a b"),
+            (3, ""),
+            (4, "hello"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_flags(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert r1["dup_line_char_frac"] == round(22 / 33, 6)
+
+    r2 = rows[2]
+    # toks = [a b a b a b]; norm text "a b a b a b" = 11 chars
+    # 2-grams: "a b"x3 "b a"x2 -> top gram "a b", 3*3/11
+    # 3-grams: "a b a"x2 "b a b"x2 -> (2*5+2*5)/11 > 1 (uncapped)
+    assert r2["top_gram"] == "a b"
+    assert r2["top_gram_char_frac"] == round(9 / 11, 6)
+    assert r2["dup_gram_char_frac"] == round(20 / 11, 6)
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+
+    for d in (3, 4):
+        r = rows[d]
+        assert r["dup_line_frac"] == 0.0
+        assert r["dup_gram_char_frac"] == 0.0
+        assert r["top_gram"] is None
+        assert r["top_gram_char_frac"] == 0.0
+    assert rows[3]["n_lines"] == 0
+    assert rows[4]["n_lines"] == 1

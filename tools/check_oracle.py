@@ -76,12 +76,14 @@ def main() -> int:
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
     if with_retired:
+        from tools.extra_queries import extra_oracle_sql, extra_queries
         from tools.retired_queries import retired_oracle_sql, retired_queries
 
-        for name, fn in retired_queries().items():
-            assert name not in qs, f"retired name collides with gate: {name}"
+        for name, fn in {**retired_queries(), **extra_queries()}.items():
+            assert name not in qs, f"registry name collides with gate: {name}"
             qs[name] = fn
         oracles.update(retired_oracle_sql())
+        oracles.update(extra_oracle_sql())
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():

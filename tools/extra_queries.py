@@ -1,0 +1,99 @@
+"""Oracle registry for operators added AFTER the driver's 50-row gate
+filled up.
+
+The gate dict is frozen at 50 entries (driver contract) and churn was
+flagged as a risk in round-2 review, so new operators get their oracle
+evidence here instead: ``tools/check_oracle.py --with-retired`` folds
+these in next to the retired registry, and the per-round
+``CORRECTNESS_full_r{N}.json`` artifact records their verdicts.
+Same contract as the gate: Spark fn + DuckDB twin, aliased columns
+matching on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+
+import __spark_entry__ as entrymod
+from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
+from map_reduce_using_cloud_functions_spark.sources import load_table
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_repetition_flags": lambda s, d: ta.repetition_flags(
+            load_table(s, d, "documents")
+        ),
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    doctoks = entrymod._DOCTOKS
+    sql: dict[str, str] = {}
+    sql["text_repetition_flags"] = f"""
+WITH doctoks AS ({doctoks}),
+base AS (
+  SELECT doc_id, length(array_to_string(l, ' ')) AS norm_chars FROM doctoks
+),
+rawlines AS (
+  SELECT doc_id,
+         regexp_replace(unnest(string_split(text, chr(10))),
+                        '^\\s+|\\s+$', '', 'g') AS line
+  FROM documents
+),
+lines AS (SELECT doc_id, line FROM rawlines WHERE line <> ''),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         round(1 - count(*)::DOUBLE / sum(c), 6) AS dup_line_frac,
+         round(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::DOUBLE
+               / sum(c * length(line)), 6) AS dup_line_char_frac
+  FROM lc GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, (l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS i
+        FROM doctoks WHERE len(l) >= 3)
+),
+g3c AS (SELECT doc_id, shingle, count(*) AS c FROM g3 GROUP BY 1, 2),
+dg AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(shingle) ELSE 0 END) AS dup_gram_chars
+  FROM g3c GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id, (l[i] || ' ' || l[i+1]) AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS i
+        FROM doctoks WHERE len(l) >= 2)
+),
+g2c AS (SELECT doc_id, shingle, count(*) AS c FROM g2 GROUP BY 1, 2),
+tg AS (
+  SELECT doc_id, shingle AS top_gram, c * length(shingle) AS top_gram_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, shingle) AS rn
+        FROM g2c)
+  WHERE rn = 1
+)
+SELECT b.doc_id,
+       coalesce(n_lines, 0)::BIGINT AS n_lines,
+       coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       top_gram,
+       round(CASE WHEN norm_chars > 0
+                  THEN coalesce(top_gram_chars, 0)::DOUBLE / norm_chars
+                  ELSE 0.0 END, 6) AS top_gram_char_frac,
+       round(CASE WHEN norm_chars > 0
+                  THEN coalesce(dup_gram_chars, 0)::DOUBLE / norm_chars
+                  ELSE 0.0 END, 6) AS dup_gram_char_frac
+FROM base b
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN dg USING (doc_id)
+LEFT JOIN tg USING (doc_id)
+"""
+    return sql
