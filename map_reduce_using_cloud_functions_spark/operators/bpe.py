@@ -1,0 +1,151 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training + encoding.
+
+Classic Sennrich-style BPE (Sennrich, Haddow & Birch 2016 — the public
+algorithm behind GPT-2/LLaMA-class tokenizers): start from characters,
+repeatedly merge the most frequent adjacent symbol pair. The tokenizer
+half of an LLM data pipeline the reference engine has nothing like.
+
+Spark-first decomposition:
+
+- The CORPUS is scanned exactly once — ``word_symbol_counts`` folds it
+  to the distinct-word relation ``(word, n, syms)``. Everything after
+  runs on that relation, which is vastly smaller than the corpus
+  (≈10⁷ distinct words vs 10¹¹ tokens at 100 TB) and constant-size
+  across merge rounds.
+- Each merge round is (a) one partial-agged pair-count aggregation
+  (shuffle carries distinct (a,b) pairs, weighted map-side by word
+  frequency — never one row per occurrence), (b) a 1-row
+  ``orderBy().limit(1)`` argmax to the driver (the merge decision is
+  the only sequential dependency — BPE is inherently ordered), and
+  (c) a MAP-ONLY greedy merge application via the ``aggregate``
+  higher-order function (left fold with lookback — leftmost-first
+  greedy, exactly the reference algorithm's ``merge_vocab``).
+- Lineage is cut every ``checkpoint_every`` rounds with
+  ``localCheckpoint`` so n_merges rounds can't stack n_merges plans.
+
+No UDFs anywhere — the per-word sequential merge walk (the part that
+looks imperative) is an ``F.aggregate`` fold, JVM-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import tokens_array
+
+
+def word_symbol_counts(documents: DataFrame, end_mark: str = "·") -> DataFrame:
+    """(word, n, syms): distinct words with corpus frequency and their
+    initial character-symbol arrays; the trailing ``end_mark`` makes
+    word-final merges distinct from word-internal ones (the standard
+    '</w>' trick, one char here so tests stay readable)."""
+    words = (
+        documents.select(F.explode(tokens_array(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = F.concat(
+        F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+        F.array(F.lit(end_mark)),
+    )
+    return words.withColumn("syms", syms)
+
+
+def _merge_expr(syms: Column, a: str, b: str) -> Column:
+    """Greedy leftmost application of merge rule (a, b) → a+b as a left
+    fold: append each symbol unless the accumulator tail is ``a`` and
+    the incoming symbol is ``b`` — then replace the tail with the
+    merged symbol. Overlap semantics match the sequential reference
+    walk (e.g. rule (a,a) on 'aaaa' → [aa, aa])."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair frequencies weighted by word
+    count (all occurrences, overlaps included — the reference
+    ``get_stats``). Partial-agged; the shuffle carries distinct pairs."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("a"),
+                F.element_at(F.col("syms"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        words.select(F.col("n"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    end_mark: str = "·",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` merge rules → [(a, b, count), ...] in
+    merge order. Stops early when no pair reaches ``min_count``.
+    Deterministic: ties broken by (a asc, b asc), no RNG anywhere."""
+    words = word_symbol_counts(documents, end_mark).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((a, b, int(cnt)))
+        words = words.withColumn("syms", _merge_expr(F.col("syms"), a, b))
+        if (r + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def apply_merges(words: DataFrame, merges: list[tuple[str, str, int]],
+                 checkpoint_every: int = 8) -> DataFrame:
+    """Apply a learned merge list, in order, to a (…, syms) relation —
+    the encode path (map-only per rule; lineage cut periodically so
+    vocab-sized rule lists don't build unbounded expression trees)."""
+    out = words
+    for r, (a, b, _) in enumerate(merges):
+        out = out.withColumn("syms", _merge_expr(F.col("syms"), a, b))
+        if (r + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out
+
+
+def bpe_token_counts(
+    documents: DataFrame, merges: list[tuple[str, str, int]], end_mark: str = "·"
+) -> DataFrame:
+    """(token, cnt): corpus token counts under the learned vocabulary —
+    the 'how big is the corpus in MY tokenizer's tokens' accounting.
+    One corpus scan + the distinct-word encode + one final agg."""
+    words = word_symbol_counts(documents, end_mark)
+    encoded = apply_merges(words, merges)
+    return (
+        encoded.select("n", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+    )

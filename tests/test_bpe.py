@@ -1,0 +1,107 @@
+"""Distributed BPE trainer vs an independent pure-Python classic BPE
+(Sennrich get_stats/merge_vocab walk): identical merge sequences,
+identical encodings, deterministic under repartitioning."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators.bpe import (
+    bpe_token_counts,
+    train_bpe,
+)
+
+# the Sennrich paper's running example vocabulary, as documents
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower widest widest widest"),
+    (3, "newest newest newest newest newest newest"),
+]
+END = "·"
+
+
+def _py_words(docs):
+    counts = Counter()
+    for _, text in docs:
+        for w in text.split():
+            counts[w] += 1
+    return {w: (list(w) + [END], n) for w, n in counts.items()}
+
+
+def _py_stats(vocab):
+    stats = Counter()
+    for syms, n in vocab.values():
+        for i in range(len(syms) - 1):
+            stats[(syms[i], syms[i + 1])] += n
+    return stats
+
+
+def _py_merge(syms, a, b):
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _py_train(docs, n_merges, min_count=2):
+    vocab = _py_words(docs)
+    merges = []
+    for _ in range(n_merges):
+        stats = _py_stats(vocab)
+        if not stats:
+            break
+        # same tie-break as the Spark argmax: cnt desc, a asc, b asc
+        (a, b), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        vocab = {w: (_py_merge(s, a, b), n) for w, (s, n) in vocab.items()}
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+
+
+def test_merge_sequence_matches_python_reference(spark, docs_df):
+    want, _ = _py_train(CORPUS, 15)
+    got = train_bpe(docs_df, 15)
+    assert got == want
+    # the example's signature first merges appear: 'es'/'est' family
+    merged_tokens = [a + b for a, b, _ in got]
+    assert "es" in merged_tokens and "est" in merged_tokens
+
+
+def test_token_counts_match_python_encoding(spark, docs_df):
+    merges, vocab = _py_train(CORPUS, 10)
+    want = Counter()
+    for syms, n in vocab.values():
+        for s in syms:
+            want[s] += n
+    got = {
+        r["token"]: r["cnt"]
+        for r in bpe_token_counts(docs_df, merges).collect()
+    }
+    assert got == dict(want)
+
+
+def test_early_stop_when_no_pair_reaches_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id bigint, text string"
+    )
+    merges = train_bpe(docs, 10, min_count=2)
+    assert merges == []  # every pair occurs once
+
+
+def test_partition_invariance(spark, docs_df):
+    m1 = train_bpe(docs_df.repartition(1), 8)
+    m16 = train_bpe(docs_df.repartition(16), 8)
+    assert m1 == m16

@@ -1,0 +1,82 @@
+"""One-pass ridge trainer: recovers known coefficients, matches the
+NumPy closed form exactly, survives dirty rows, and scores map-only."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators.ml import (
+    fit_ridge,
+    score_documents,
+)
+
+W_TRUE = [2.0, -3.0, 0.5]
+INTERCEPT = 4.0
+
+
+@pytest.fixture(scope="module")
+def regression_df(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(400, 3))
+    y = X @ np.array(W_TRUE) + INTERCEPT + rng.normal(0, 0.01, 400)
+    rows = [(i, [float(v) for v in X[i]], float(y[i])) for i in range(400)]
+    return spark.createDataFrame(
+        rows, "id bigint, feats array<double>, label double"
+    )
+
+
+def test_recovers_planted_coefficients(regression_df):
+    w = fit_ridge(regression_df, "feats", "label", dim=3)
+    assert len(w) == 4
+    for got, want in zip(w, W_TRUE + [INTERCEPT]):
+        assert abs(got - want) < 0.01
+
+
+def test_matches_numpy_closed_form_exactly(regression_df):
+    l2 = 0.7
+    w = fit_ridge(regression_df, "feats", "label", dim=3, l2=l2)
+    rows = regression_df.collect()
+    X = np.array([list(r["feats"]) + [1.0] for r in rows])
+    y = np.array([r["label"] for r in rows])
+    reg = l2 * np.eye(4)
+    reg[3, 3] = 0.0
+    want = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    assert np.allclose(w, want, rtol=1e-9, atol=1e-9)
+
+
+def test_partition_invariance(regression_df):
+    w1 = fit_ridge(regression_df.repartition(1), "feats", "label", dim=3)
+    w32 = fit_ridge(regression_df.repartition(32), "feats", "label", dim=3)
+    assert np.allclose(w1, w32, rtol=1e-9, atol=1e-12)
+
+
+def test_dirty_rows_dropped(spark, regression_df):
+    dirty = spark.createDataFrame(
+        [
+            (9001, None, 1.0),
+            (9002, [1.0, 2.0], 1.0),  # wrong length
+            (9003, [1.0, 2.0, 3.0], None),
+        ],
+        "id bigint, feats array<double>, label double",
+    )
+    w_clean = fit_ridge(regression_df, "feats", "label", dim=3)
+    w_dirty = fit_ridge(regression_df.unionByName(dirty), "feats", "label", dim=3)
+    assert np.allclose(w_clean, w_dirty)
+    with pytest.raises(ValueError, match="no valid rows"):
+        fit_ridge(dirty, "feats", "label", dim=3)
+
+
+def test_scoring_is_map_only_and_correct(regression_df):
+    w = fit_ridge(regression_df, "feats", "label", dim=3)
+    scored = score_documents(regression_df, "feats", w)
+    # predictions track labels tightly (noise sd 0.01)
+    err = scored.select(
+        F.max(F.abs(F.col("model_score") - F.col("label"))).alias("e")
+    ).first()["e"]
+    assert err < 0.05
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        scored._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
