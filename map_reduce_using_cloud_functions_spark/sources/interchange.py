@@ -366,3 +366,62 @@ def compact_dataset(
         "files_before": files_before,
         "files_after": _count_files(path),
     }
+
+
+# ------------------------------------------------------------- JSONL corpus
+
+# The de-facto LLM corpus interchange format: one JSON object per line
+# with text + metadata (what Common-Crawl-derived corpora, RedPajama,
+# Dolma etc. publish). Schema is EXPLICIT on read — schema inference
+# would scan 100 TB twice and silently widen types per file.
+CORPUS_JSONL_SCHEMA = (
+    "doc_id bigint, text string, source string, lang string, "
+    "meta map<string,string>"
+)
+
+
+def write_corpus_jsonl(
+    documents: DataFrame, path: str, compression: str = "gzip"
+) -> None:
+    """Export a documents relation as compressed JSON-lines. Columns
+    beyond the standard five ride along untouched; missing standard
+    columns are emitted as nulls so every line has the full shape."""
+    cols = documents.columns
+    out = documents
+    for name, typ in (
+        ("source", "string"),
+        ("lang", "string"),
+        ("meta", "map<string,string>"),
+    ):
+        if name not in cols:
+            out = out.withColumn(name, F.lit(None).cast(typ))
+    out.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_corpus_jsonl(
+    spark: SparkSession, path: str, schema: str = CORPUS_JSONL_SCHEMA
+) -> DataFrame:
+    """Scan a JSONL corpus with the explicit schema (single pass, no
+    inference). Lines that fail to parse surface in ``_corrupt_record``
+    instead of killing the scan — corpus files in the wild carry the
+    occasional truncated line, and at 100 TB a scan abort on line
+    3 billion is not an acceptable failure mode."""
+    full = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def corrupt_record_stats(corpus: DataFrame) -> DataFrame:
+    """One-row corrupt-line accounting for a ``read_corpus_jsonl`` scan —
+    the audit step a production ingest runs before trusting the data.
+    (Counts a data column too: Spark refuses scans that reference ONLY
+    the internal corrupt-record column, QUERY_ONLY_CORRUPT_RECORD_COLUMN.)"""
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col("doc_id")).alias("n_parsed_ids"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+    )

@@ -355,3 +355,50 @@ def test_zorder_rejects_strings_and_too_many_bits(spark):
         zorder_key(orders, ("o_orderstatus",))
     with pytest.raises(ValueError, match="exceeds"):
         zorder_key(orders, ("o_orderkey", "o_custkey"), bits=32)
+
+
+# --------------------------------------------------------------- JSONL corpus
+
+
+def test_corpus_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
+    """JSONL corpus: round-trip preserves values (incl. map metadata),
+    the read is schema-first (no inference), and hand-broken lines land
+    in _corrupt_record instead of failing the scan."""
+    import gzip
+    import os
+
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        corrupt_record_stats,
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "web", "en", {"url": "http://x"}),
+            (2, "zweiter text", "books", "de", None),
+        ],
+        "doc_id bigint, text string, source string, lang string, meta map<string,string>",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_corpus_jsonl(docs, path)
+    back = read_corpus_jsonl(spark, path)
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["meta"]["url"] == "http://x"
+    assert got[2]["lang"] == "de"
+    assert all(r["_corrupt_record"] is None for r in got.values())
+
+    # minimal documents relation (only doc_id/text) still exports
+    write_corpus_jsonl(docs.select("doc_id", "text"), path)
+    assert read_corpus_jsonl(spark, path).where("source is null").count() == 2
+
+    # plant a truncated line: scan survives, audit counts it
+    broken = str(tmp_path / "broken.json")
+    with open(broken, "w") as f:
+        f.write('{"doc_id": 7, "text": "fine"}\n')
+        f.write('{"doc_id": 8, "text": "trunc\n')
+    scan = read_corpus_jsonl(spark, broken)
+    stats = corrupt_record_stats(scan).first()
+    assert stats["n_lines"] == 2 and stats["n_corrupt"] == 1
+    assert scan.where("doc_id = 7").count() == 1

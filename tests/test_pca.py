@@ -1,0 +1,97 @@
+"""One-pass PCA: exact agreement with NumPy on the fixture embeddings,
+partition invariance, variance ordering, and map-only projection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators.pca import fit_pca, project_pca
+from map_reduce_using_cloud_functions_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _numpy_pca(X, k):
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, eigval[order]
+
+
+def test_fit_matches_numpy(embeddings):
+    X = np.array(
+        [list(r["embedding"]) for r in embeddings.collect()], dtype=np.float64
+    )
+    mean, comps, var = _numpy_pca(X, 8)
+    model = fit_pca(embeddings, k=8)
+    assert model["n"] == len(X)
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["explained_var"], var, atol=1e-9)
+    assert np.allclose(model["components"], comps, atol=1e-7)
+
+
+def test_variance_ordering_and_shapes(embeddings):
+    model = fit_pca(embeddings, k=5)
+    ev = model["explained_var"]
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+    assert len(model["components"]) == 5
+    assert all(len(c) == 64 for c in model["components"])
+
+
+def test_partition_invariance(embeddings):
+    m1 = fit_pca(embeddings.repartition(1), k=4)
+    m16 = fit_pca(embeddings.repartition(16), k=4)
+    assert np.allclose(m1["mean"], m16["mean"], atol=1e-10)
+    assert np.allclose(m1["components"], m16["components"], atol=1e-7)
+
+
+def test_projection_matches_numpy_and_keeps_columns(embeddings):
+    model = fit_pca(embeddings, k=6)
+    proj = project_pca(embeddings, model)
+    assert set(proj.columns) == set(embeddings.columns) | {"pca"}
+    rows = proj.orderBy("vec_id").collect()
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    want = (X - np.array(model["mean"])) @ np.array(model["components"]).T
+    got = np.array([list(r["pca"]) for r in rows])
+    assert got.shape == (len(rows), 6)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_projection_preserves_pairwise_structure(embeddings):
+    """PCA to k=16 keeps most of the fixture's variance: distances in
+    the projected space correlate strongly with full-space distances
+    (the property the ANN-prefilter use case relies on)."""
+    model = fit_pca(embeddings, k=16)
+    frac = sum(model["explained_var"]) / np.trace(
+        _full_cov(embeddings)
+    )
+    assert frac > 0.3  # 16/64 dims of ~uniform fixture noise
+
+
+def _full_cov(embeddings):
+    X = np.array(
+        [list(r["embedding"]) for r in embeddings.collect()], dtype=np.float64
+    )
+    mean = X.mean(axis=0)
+    return (X.T @ X) / len(X) - np.outer(mean, mean)
+
+
+def test_empty_vectors_rejected_or_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, [])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-empty"):
+        fit_pca(df, k=2)
