@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "corpus_upsample_shuffle",
     "corpus_decontaminate",
     "multimodal_asset_stats",
+    # post-gate extras (tools/extra_queries.py) — benched like gate rows
+    "text_repetition_flags",
 ]
 
 
@@ -74,7 +76,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    from tools.extra_queries import extra_queries
+
+    qs.update(extra_queries())
 
     # Warmup: pay session/codegen startup outside the timed region
     # (text_quality reads the same sf_dir documents table but is not a

@@ -8,21 +8,27 @@ probe whole-stage-codegen:
 
 - **build** (``bloom_bitmap``): keys → k double-hashed bit positions
   (Kirsch–Mitzenmacher: ``h_i = h1 + i·h2 mod m``) → ``groupBy(word)``
-  + ``bit_or`` folds bits into ≤ m/64 ``(word_idx, bits)`` rows
+  + ``bit_or`` folds bits into exactly m/64 ``(word_idx, bits)`` rows
   (partial-agged map-side, so the shuffle carries at most m/64 rows per
-  partition regardless of key count) → one ``map_from_entries`` row.
+  partition regardless of key count) → one dense ``array<bigint>`` row.
 - **probe** (``might_contain_col``): the one-row bitmap is
-  broadcast-crossed into the probe side; each of the k checks is
-  ``element_at(map) & mask`` — map-only, no shuffle of the probed
-  relation, no UDF.
+  broadcast-crossed into the probe side; each of the k checks is an
+  O(1) ``element_at(array) & mask`` — map-only, no shuffle of the
+  probed relation, no UDF.
 
-Why it matters at 100 TB: a semi/anti join against a large key set
-normally shuffles the ENTIRE big side on the join key. With a bloom
-prefilter the big side stays map-only except for true members plus an
-``fpp`` sliver of false positives — those alone enter the exact
-confirming join, which restores exact semantics (bloom has no false
-negatives, so nothing is lost). ``bloom_semi_join`` / ``bloom_anti_join``
-package that pattern; both are value-identical to the plain joins.
+Why it matters at 100 TB: a semi/anti join against a key set too large
+to broadcast forces a sort-merge join — the ENTIRE big side shuffles
+on the join key. With a bloom prefilter the big side stays map-only
+except for true members plus an ``fpp`` sliver of false positives —
+those alone enter the exact confirming join, which restores exact
+semantics (bloom has no false negatives, so nothing is lost).
+``bloom_semi_join`` / ``bloom_anti_join`` package that pattern; both
+are value-identical to the plain joins. When the key set DOES fit the
+broadcast threshold, use the plain join — Spark's broadcast hash join
+probes cheaper than k hash evaluations per row (measured; the win
+starts where broadcast stops). The anti join scans the big side twice
+(both map-only): pass-through of definite misses + confirm of hits —
+at scale two map passes beat one full shuffle by the shuffle's IO.
 
 The driver holds one bitmap row (m bits ≈ 1.44·n·log2(1/fpp); 120 MB
 for 1e8 keys at 1 % — for key sets beyond that, raise fpp and let the
@@ -70,36 +76,74 @@ def bloom_bitmap(
     keys: DataFrame, key_col: str, expected_items: int | None = None, fpp: float = 0.01
 ) -> tuple[DataFrame, int, int]:
     """Distributed bloom build → (one-row DataFrame ``[bitmap:
-    map<int,bigint>]``, m, k). ``expected_items`` defaults to a cheap
-    count of ``keys`` (one extra action; pass it when known).
+    array<bigint>]`` of exactly m/64 words, m, k). ``expected_items``
+    defaults to a cheap count of ``keys`` (one extra action; pass it
+    when known).
 
-    Plan: project k positions per key (array, no row blowup until the
-    explode), explode, fold into words via partial-agged ``bit_or``,
-    then a single-row ``map_from_entries``. Nothing but word rows ever
-    shuffles."""
+    Plan: the two base hashes are projected JVM-side (``xxhash64`` —
+    they MUST match the probe expression bit-for-bit), then each
+    partition bit-packs its keys into a full m-bit NumPy bitmap and
+    emits ONE ``array<bigint>`` row; a ``zip_with``-OR fold merges the
+    per-partition bitmaps. No explode, no giant groupBy: the first cut
+    exploded k positions per key into a 750k-group ``bit_or``
+    aggregation and took 17 s for 5M keys — this build takes ~3 s.
+    Shuffled volume is partitions × m/8 bytes (coalesce a huge key
+    relation before building if partitions × bitmap ≫ memory).
+
+    Dense array — not a map — because the probe does k ``element_at``
+    lookups per row and Spark's MapType ``element_at`` is a LINEAR
+    SCAN of the map (a 2 M-row probe that runs in seconds against the
+    array did not finish in minutes against a 15k-entry map). Array
+    ``element_at`` is O(1)."""
+    import numpy as np
+
     if expected_items is None:
         expected_items = keys.select(key_col).distinct().count()
     m, k = bloom_params(expected_items, fpp)
+    n_words = m // 64
     key = F.col(key_col)
-    positions = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.pmod(_h1(key, m) + i * _h2(key, m), F.lit(m)),
-    )
-    words = (
-        keys.select(F.explode(positions).alias("pos"))
-        .select(
-            (F.col("pos") / 64).cast("int").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("bits"))
-    )
-    bitmap = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word_idx"), F.col("bits")))
+    hashed = keys.select(_h1(key, m).alias("h1"), _h2(key, m).alias("h2"))
+
+    def pack(batches):
+        import pandas as pd
+
+        hs = [
+            (pdf["h1"].to_numpy(dtype=np.int64), pdf["h2"].to_numpy(dtype=np.int64))
+            for pdf in batches
+            if len(pdf)
+        ]
+        bm = np.zeros(n_words, dtype=np.uint64)
+        if hs:
+            h1 = np.concatenate([a for a, _ in hs])
+            h2 = np.concatenate([b for _, b in hs])
+            # all k positions at once; h1,h2 < m ⇒ no int64 overflow
+            pos = (h1[None, :] + np.arange(k)[:, None] * h2[None, :]) % m
+            pos = pos.ravel()
+            words = pos // 64
+            bits = np.uint64(1) << (pos % 64).astype(np.uint64)
+            # group-OR via one sort + reduceat (ufunc.at measured ~10×
+            # slower than this on 35M entries)
+            order = np.argsort(words, kind="stable")
+            w = words[order]
+            b = bits[order]
+            starts = np.concatenate(([0], np.nonzero(np.diff(w))[0] + 1))
+            bm[w[starts]] = np.bitwise_or.reduceat(b, starts)
+        yield pd.DataFrame({"bm": [bm.view(np.int64).tolist()]})
+
+    # ≤ one small row per partition; checkpoint so the key-set pass
+    # isn't re-run by the fold's own evaluation
+    parts = hashed.mapInPandas(pack, schema="bm array<bigint>").localCheckpoint()
+    zero = F.expr(f"array_repeat(CAST(0 AS BIGINT), {n_words})")
+    bitmap = parts.agg(
+        F.aggregate(
+            F.collect_list("bm"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
         ).alias("bitmap")
     )
-    return bitmap, m, k
+    # one tiny row, but referenced from BOTH branches of the anti-join
+    # union — checkpoint so the build (a full key-set pass) runs once
+    return bitmap.localCheckpoint(), m, k
 
 
 # 64 single-bit masks as a plain array literal (index b+1 ⇔ bit b set;
@@ -113,22 +157,41 @@ def _bit_masks() -> Column:
     )
 
 
+def _checks_from_hashes(h1: Column, h2: Column, m: int, k: int) -> Column:
+    """The k word-lookup/bit-test conjunction given per-row h1/h2."""
+    out = None
+    for i in range(k):
+        pos = F.pmod(h1 + i * h2, F.lit(m))
+        # dense array: word w lives at index w+1 (1-based element_at)
+        word = F.element_at(F.col("bitmap"), (pos / 64).cast("int") + 1)
+        mask = F.element_at(_bit_masks(), F.pmod(pos, 64).cast("int") + 1)
+        c = word.bitwiseAND(mask) != 0
+        out = c if out is None else out & c
+    return out
+
+
 def might_contain_col(key: Column, m: int, k: int) -> Column:
     """Boolean probe expression against a broadcast ``bitmap`` column
     (attach the bitmap first: ``df.crossJoin(F.broadcast(bitmap_df))``).
-    k word lookups + bit tests, all codegen — absent words mean 0."""
-    checks = []
-    for i in range(k):
-        pos = F.pmod(_h1(key, m) + i * _h2(key, m), F.lit(m))
-        word = F.coalesce(
-            F.element_at(F.col("bitmap"), (pos / 64).cast("int")), F.lit(0)
+    k word lookups + bit tests, all codegen — absent words mean 0.
+
+    Self-contained (recomputes the two hashes inside each check); the
+    join wrappers below project h1/h2 once per row instead — 2 hash
+    evaluations instead of 2k, measured ~3× probe speedup at k=7."""
+    return _checks_from_hashes(_h1(key, m), _h2(key, m), m, k)
+
+
+def _probed(big: DataFrame, bitmap: DataFrame, on: str, m: int, k: int) -> DataFrame:
+    """big + boolean ``_bloom_hit``, with h1/h2 projected once per row."""
+    return (
+        big.crossJoin(F.broadcast(bitmap))
+        .withColumn("_h1", _h1(F.col(on), m))
+        .withColumn("_h2", _h2(F.col(on), m))
+        .withColumn(
+            "_bloom_hit", _checks_from_hashes(F.col("_h1"), F.col("_h2"), m, k)
         )
-        mask = F.element_at(_bit_masks(), (pos % 64).cast("int") + 1)
-        checks.append(word.bitwiseAND(mask) != 0)
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
-    return out
+        .drop("_h1", "_h2", "bitmap")
+    )
 
 
 def bloom_semi_join(
@@ -137,9 +200,7 @@ def bloom_semi_join(
     """Exact ``big SEMI JOIN keys ON on`` where only bloom-positive rows
     (true members + ~fpp of the rest) reach the shuffle join."""
     bitmap, m, k = bloom_bitmap(keys, on, fpp=fpp)
-    pref = big.crossJoin(F.broadcast(bitmap)).where(
-        might_contain_col(F.col(on), m, k)
-    ).drop("bitmap")
+    pref = _probed(big, bitmap, on, m, k).where(F.col("_bloom_hit")).drop("_bloom_hit")
     return pref.join(keys.select(on).distinct(), on, "left_semi")
 
 
@@ -151,10 +212,8 @@ def bloom_anti_join(
     positive sliver enters the exact anti join to weed out false
     positives. Union restores the full result."""
     bitmap, m, k = bloom_bitmap(keys, on, fpp=fpp)
-    probed = big.crossJoin(F.broadcast(bitmap)).withColumn(
-        "_bloom_hit", might_contain_col(F.col(on), m, k)
-    )
-    definite_out = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit", "bitmap")
-    maybe = probed.where(F.col("_bloom_hit")).drop("_bloom_hit", "bitmap")
+    probed = _probed(big, bitmap, on, m, k)
+    definite_out = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
+    maybe = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
     confirmed_out = maybe.join(keys.select(on).distinct(), on, "left_anti")
     return definite_out.unionByName(confirmed_out)

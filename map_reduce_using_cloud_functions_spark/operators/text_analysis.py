@@ -373,11 +373,12 @@ def repetition_flags(
     Every document keeps a row (left joins from the corpus spine);
     degenerate docs (no lines / too few tokens) report zeros.
 
-    Scale shape: three doc_id-keyed partial-agged groupBys (line
-    counts, dup-gram counts, top-gram argmax) joined back on doc_id —
-    AQE co-partitions the joins; nothing carries text, only
-    (doc_id, gram/line, count) rows. All whole-stage-codegen
-    expressions; no UDFs.
+    Scale shape: ONE corpus scan (lines + both gram sizes share a
+    tagged explode), one partial-agged gram-level shuffle
+    (``groupBy(doc_id, kind, s)``), one doc-level aggregate whose
+    argmax is a partial-aggregable ``min(struct(-c, s))`` (no window,
+    no sort of the gram relation), and one doc_id join back to the
+    corpus spine. All whole-stage-codegen expressions; no UDFs.
     """
     strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")
     toks = tokens_array(F.col("text"))
@@ -386,54 +387,74 @@ def repetition_flags(
         F.length(F.array_join(toks, " ")).alias("norm_chars"),
     )
 
-    lines = documents.select(
+    # ONE corpus scan: lines and both gram sizes ride a single tagged
+    # explode (kind 0 = line, 1 = top-gram size, 2 = dup-gram size), so
+    # there is exactly one gram-level shuffle — groupBy(doc_id, kind, s)
+    # — and one doc-level aggregate. (The first cut of this operator
+    # scanned the corpus 4× and sorted the full 2-gram relation in a
+    # row_number window; measured 4× slower at sf0.01.)
+    def grams(n: int, kind: int):
+        g = F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("_toks"), i + off) for off in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            g, lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("s"))
+        )
+
+    lines_tagged = F.transform(
+        F.filter(
+            F.transform(F.split(F.col("text"), "\n"), strip), lambda l: l != ""
+        ),
+        lambda s: F.struct(F.lit(0).alias("kind"), s.alias("s")),
+    )
+    tagged = documents.select(
+        "doc_id", F.col("text"), toks.alias("_toks")
+    ).select(
         "doc_id",
         F.explode(
-            F.filter(
-                F.transform(F.split(F.col("text"), "\n"), strip),
-                lambda l: l != "",
+            F.concat(
+                lines_tagged, grams(top_gram_n, 1), grams(dup_gram_n, 2)
             )
-        ).alias("line"),
+        ).alias("e"),
     )
-    line_counts = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
-    line_stats = line_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_lines"),
-        F.round(1 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_line_frac"),
+    counted = tagged.groupBy(
+        "doc_id", F.col("e.kind").alias("kind"), F.col("e.s").alias("s")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    is_line = F.col("kind") == 0
+    line_chars = F.when(is_line, F.col("c") * F.length("s"))
+    # deterministic argmax without a window: min(struct(-c, s)) is
+    # partial-aggregable and orders by (count desc, gram asc)
+    top_struct = F.min(
+        F.when(
+            F.col("kind") == 1,
+            F.struct((-F.col("c")).alias("nc"), F.col("s").alias("s")),
+        )
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.sum(F.when(is_line, F.col("c"))).alias("n_lines"),
         F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0))
-            / F.sum(F.col("c") * F.length("line")),
+            1 - F.count(F.when(is_line, F.lit(1))) / F.sum(F.when(is_line, F.col("c"))),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(is_line & (F.col("c") > 1), F.col("c") * F.length("s")).otherwise(F.when(is_line, F.lit(0))))
+            / F.sum(line_chars),
             6,
         ).alias("dup_line_char_frac"),
-    )
-
-    from .dedup import _shingles
-
-    dup_grams = (
-        _shingles(documents, n=dup_gram_n, distinct=False)
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("c") > 1, F.col("c") * F.length("shingle")).otherwise(0)
-            ).alias("dup_gram_chars")
-        )
-    )
-
-    top_w = Window.partitionBy("doc_id").orderBy(
-        F.desc("c"), F.asc("shingle")
-    )
-    top_grams = (
-        _shingles(documents, n=top_gram_n, distinct=False)
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(top_w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("shingle").alias("top_gram"),
-            (F.col("c") * F.length("shingle")).alias("top_gram_chars"),
-        )
+        top_struct.alias("_top"),
+        F.sum(
+            F.when(
+                (F.col("kind") == 2) & (F.col("c") > 1),
+                F.col("c") * F.length("s"),
+            ).otherwise(F.when(F.col("kind") == 2, F.lit(0)))
+        ).alias("dup_gram_chars"),
     )
 
     frac = lambda num: F.round(
@@ -441,21 +462,18 @@ def repetition_flags(
         .otherwise(0.0),
         6,
     )
-    return (
-        base.join(line_stats, "doc_id", "left")
-        .join(dup_grams, "doc_id", "left")
-        .join(top_grams, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
-            F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias("dup_line_frac"),
-            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias(
-                "dup_line_char_frac"
-            ),
-            "top_gram",
-            frac(F.col("top_gram_chars")).alias("top_gram_char_frac"),
-            frac(F.col("dup_gram_chars")).alias("dup_gram_char_frac"),
-        )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias(
+            "dup_line_char_frac"
+        ),
+        F.col("_top.s").alias("top_gram"),
+        frac((-F.col("_top.nc")) * F.length(F.col("_top.s"))).alias(
+            "top_gram_char_frac"
+        ),
+        frac(F.col("dup_gram_chars")).alias("dup_gram_char_frac"),
     )
 
 

@@ -68,8 +68,8 @@ def test_bitmap_is_one_broadcastable_row(spark):
     bitmap, m, k = bloom_bitmap(keys, "k", expected_items=2_000, fpp=0.01)
     rows = bitmap.collect()
     assert len(rows) == 1
-    # word map is bounded by m/64 entries regardless of key count
-    assert len(rows[0]["bitmap"]) <= m // 64
+    # dense word array: exactly m/64 entries regardless of key count
+    assert len(rows[0]["bitmap"]) == m // 64
 
 
 def test_probe_side_is_map_only(spark):

@@ -34,10 +34,11 @@ def test_driver_contract_counts():
 def test_bench_queries_exist():
     import __spark_entry__ as e
     from bench import BENCH_QUERIES
+    from tools.extra_queries import extra_queries
 
-    q = e.queries()
+    q = {**e.queries(), **extra_queries()}
     missing = [b for b in BENCH_QUERIES if b not in q]
-    assert not missing, f"bench names not in queries(): {missing}"
+    assert not missing, f"bench names not in queries()+extras: {missing}"
     assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))
 
 
