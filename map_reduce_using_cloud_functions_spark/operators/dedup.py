@@ -545,3 +545,53 @@ def simhash_near_dedup(
         "doc_a", "doc_b"
     )
     return cluster_survivors(documents, pairs)
+
+
+def dedup_against_reference(
+    documents: DataFrame,
+    seen_hashes: DataFrame,
+    use_bloom: bool = False,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Incremental cross-release dedup: drop documents whose content
+    hash already shipped in a prior corpus release.
+
+    ``seen_hashes`` is the persisted hash ledger of everything released
+    so far — one ``text_hash`` column, the same 64-bit content hash
+    ``exact_dedup_groups`` emits — so each release appends its hashes
+    and the next release dedups against the ledger WITHOUT touching any
+    previous release's text. Returns the surviving rows of
+    ``documents``, all columns intact.
+
+    Two exact paths:
+    - default: hash anti join. The new-shard side shuffles only when
+      the ledger exceeds the broadcast threshold (AQE decides).
+    - ``use_bloom``: for ledgers way past broadcast size (billions of
+      hashes). Definite-new documents (bloom miss) pass MAP-ONLY with
+      their text; only bloom hits project down to (doc_id, hash) for
+      the exact confirm anti join against the ledger, and the few
+      surviving false positives rejoin their text via a doc_id
+      semi-join (a tiny id relation — AQE broadcasts it). Document
+      text never enters a hash-partitioned shuffle on either branch.
+    """
+    h = hex64(F.col("text")).alias("_h")
+    seen = seen_hashes.select(F.col("text_hash").alias("_h")).distinct()
+    if not use_bloom:
+        return (
+            documents.withColumn("_h", hex64(F.col("text")))
+            .join(seen, "_h", "left_anti")
+            .drop("_h")
+        )
+    from .bloom import _probed, bloom_bitmap
+
+    bitmap, m, k = bloom_bitmap(seen, "_h", fpp=fpp)
+    probed = _probed(documents.withColumn("_h", hex64(F.col("text"))), bitmap, "_h", m, k)
+    definite_new = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit", "_h")
+    maybe_ids = (
+        probed.where(F.col("_bloom_hit"))
+        .select("doc_id", "_h")
+        .join(seen, "_h", "left_anti")
+        .select("doc_id")
+    )
+    recovered = documents.join(maybe_ids, "doc_id", "left_semi")
+    return definite_new.unionByName(recovered)

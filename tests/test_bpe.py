@@ -105,3 +105,29 @@ def test_partition_invariance(spark, docs_df):
     m1 = train_bpe(docs_df.repartition(1), 8)
     m16 = train_bpe(docs_df.repartition(16), 8)
     assert m1 == m16
+
+
+def test_random_corpora_match_python_reference(spark):
+    """Three seeded random corpora over a small alphabet (high pair
+    collision rate — the stress case for merge ordering and overlap
+    handling) must reproduce the reference walk exactly."""
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice("abc") for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(rng.randint(3, 12))
+                ),
+            )
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        want, _ = _py_train(docs, 12)
+        got = train_bpe(df, 12)
+        assert got == want, f"seed {seed}: {got} != {want}"

@@ -285,3 +285,68 @@ def test_simhash_pairs_high_budget_band_layout_not_degenerate(spark):
         for r in simhash_pairs(docs, max_hamming=max_h).collect()
     }
     assert got == want  # complete AND exact at the high budget too
+
+
+# ------------------------------------------- incremental ledger dedup
+
+
+def test_dedup_against_reference_both_paths(spark):
+    """Cross-release dedup: docs whose hash is in the ledger drop, new
+    docs survive with all columns; the bloom path is value-identical
+    to the anti-join path (exactness despite bloom false positives)."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        dedup_against_reference,
+        exact_dedup_groups,
+    )
+
+    release1 = spark.createDataFrame(
+        [(i, f"shipped text {i % 50}", "r1") for i in range(100)],
+        "doc_id bigint, text string, tag string",
+    )
+    ledger = exact_dedup_groups(release1).select("text_hash")
+    new_shard = spark.createDataFrame(
+        # 30 docs repeating shipped content, 70 genuinely new
+        [(1000 + i, f"shipped text {i}", "r2") for i in range(30)]
+        + [(2000 + i, f"fresh text {i}", "r2") for i in range(70)],
+        "doc_id bigint, text string, tag string",
+    )
+    plain = dedup_against_reference(new_shard, ledger)
+    assert set(plain.columns) == {"doc_id", "text", "tag"}
+    ids = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    assert ids == [2000 + i for i in range(70)]
+
+    bloomed = dedup_against_reference(new_shard, ledger, use_bloom=True)
+    assert sorted(
+        map(tuple, bloomed.select("doc_id", "text", "tag").collect())
+    ) == sorted(map(tuple, plain.select("doc_id", "text", "tag").collect()))
+
+
+def test_dedup_against_reference_ledger_append_flow(spark):
+    """The release cycle: ledger(r1) ∪ hashes(r2 survivors) dedups r3
+    against both earlier releases without touching their text."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        dedup_against_reference,
+        exact_dedup_groups,
+    )
+    from map_reduce_using_cloud_functions_spark.functions.hashing import hex64
+
+    r1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    )
+    ledger = exact_dedup_groups(r1).select("text_hash")
+    r2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id bigint, text string"
+    )
+    r2_kept = dedup_against_reference(r2, ledger)
+    assert [r["doc_id"] for r in r2_kept.collect()] == [11]
+    ledger = ledger.unionByName(
+        r2_kept.select(hex64(F.col("text")).alias("text_hash"))
+    ).distinct()
+    r3 = spark.createDataFrame(
+        [(20, "alpha"), (21, "gamma"), (22, "delta")],
+        "doc_id bigint, text string",
+    )
+    kept = dedup_against_reference(r3, ledger)
+    assert [r["doc_id"] for r in kept.collect()] == [22]

@@ -154,6 +154,48 @@ def test_streaming_session_window_runs(spark, tmp_path):
     assert got.select("user_id").distinct().count() == events.select(
         "user_id"
     ).distinct().count()
+    # Exact stream ≡ batch: session_window and the gaps-and-islands
+    # batch plan agree on every boundary except a gap of EXACTLY the
+    # 30-min threshold (batch keeps, session_window splits). The
+    # fixture has no exact-threshold gap (precondition asserted), so
+    # per-session aggregates must match one-for-one.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    exact_gaps = (
+        events.select(
+            (
+                F.col("ts").cast("double")
+                - F.lag(F.col("ts").cast("double")).over(w)
+            ).alias("gap")
+        )
+        .where(F.col("gap") == 1800.0)
+        .count()
+    )
+    assert exact_gaps == 0, "fixture gained an exact-threshold gap"
+    from map_reduce_using_cloud_functions_spark.plans.events import sessionize
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in sessionize(events).collect()
+    }
+    # session_window's end is (last event + gap); the batch twin's is
+    # the last event itself — subtract the gap before comparing
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in got.select(
+            "user_id",
+            "session_start",
+            (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        ).collect()
+    }
+    assert streamed == batch
 
 
 def test_stateful_running_totals_across_batches(spark, tmp_path):
