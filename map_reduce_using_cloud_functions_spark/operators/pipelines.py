@@ -57,3 +57,64 @@ def prepare_training_corpus(
             .drop("avg_logprob")
         )
     return out
+
+
+def quality_model_pipeline(
+    documents: DataFrame,
+    labeled_ids: DataFrame | None = None,
+    l2: float = 1e-3,
+    threshold: float | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """FineWeb-Edu-style learned quality filter, end to end:
+
+    1. featurize every document — ONE map-only pass (``text_features``)
+       joined with the repetition signals (one gram-level shuffle);
+    2. train a ridge head on the labeled subset (``labeled_ids``:
+       (doc_id, label double) — e.g. LLM-judged educational-value
+       scores for a few thousand docs; defaults to supervising on the
+       heuristic composite so the pipeline is runnable stand-alone);
+    3. score the WHOLE corpus map-only with the learned weights
+       (plan literals — no join against a model table);
+    4. optionally gate at ``threshold``.
+
+    Returns (scored corpus, weights). Cost at 100 TB: the featurize
+    scan (+ repetition's one gram shuffle), ONE normal-equation
+    aggregation over the labeled rows, one map-only scoring pass. No
+    MLlib iteration, no per-epoch corpus scans — the shape that makes
+    a learned filter as cheap as a heuristic one.
+    """
+    from .ml import fit_ridge, predict_col
+    from .text_analysis import repetition_flags
+
+    FEATS = [
+        "n_tokens",
+        "n_distinct",
+        "avg_token_len",
+        "stopword_ratio",
+        "digit_ratio",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_gram_char_frac",
+        "dup_gram_char_frac",
+    ]
+    feats = text_features(documents).join(
+        repetition_flags(documents).drop("top_gram", "n_lines"), "doc_id"
+    )
+    vec = F.array(*[F.col(c).cast("double") for c in FEATS]).alias("_x")
+    featurized = feats.select("doc_id", "quality", vec)
+    if labeled_ids is None:
+        train = featurized.select(
+            "doc_id", "_x", F.col("quality").alias("label")
+        )
+    else:
+        train = featurized.join(labeled_ids, "doc_id").select(
+            "doc_id", "_x", F.col("label").cast("double").alias("label")
+        )
+    w = fit_ridge(train, "_x", "label", dim=len(FEATS), l2=l2)
+    scored = featurized.select(
+        "doc_id",
+        F.round(predict_col("_x", w), 6).alias("model_score"),
+    )
+    if threshold is not None:
+        scored = scored.where(F.col("model_score") >= threshold)
+    return scored, w

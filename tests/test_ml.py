@@ -80,3 +80,43 @@ def test_scoring_is_map_only_and_correct(regression_df):
         scored._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_quality_model_pipeline_end_to_end(spark):
+    """Composed learned filter: self-supervised mode recovers the
+    heuristic quality near-exactly (quality IS linear in the features
+    up to clamping), labeled mode respects the labels, and the
+    threshold gates."""
+    from map_reduce_using_cloud_functions_spark.operators.pipelines import (
+        quality_model_pipeline,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored, w = quality_model_pipeline(docs)
+    assert len(w) == 10  # 9 features + intercept
+    n = scored.count()
+    assert n > 0
+    # self-supervised: model_score tracks the heuristic target tightly
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        text_features,
+    )
+
+    joined = scored.join(
+        text_features(docs).select("doc_id", "quality"), "doc_id"
+    )
+    mae = joined.select(
+        F.avg(F.abs(F.col("model_score") - F.col("quality"))).alias("e")
+    ).first()["e"]
+    assert mae < 0.1
+
+    gated, _ = quality_model_pipeline(docs, threshold=0.5)
+    assert 0 < gated.count() < n
+
+    # labeled mode: constant labels -> constant predictions
+    labels = docs.select("doc_id", F.lit(0.7).alias("label")).limit(200)
+    scored_l, w_l = quality_model_pipeline(docs, labeled_ids=labels)
+    spread = scored_l.select(
+        (F.max("model_score") - F.min("model_score")).alias("s")
+    ).first()["s"]
+    assert spread < 1e-4
