@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.window import Window
 
 from ..functions.hashing import hex64
 from ..functions.text import tokens_array, normalize_text
