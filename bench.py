@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "multimodal_asset_stats",
     # post-gate extras (tools/extra_queries.py) — benched like gate rows
     "text_repetition_flags",
+    "corpus_mix_report",
 ]
 
 

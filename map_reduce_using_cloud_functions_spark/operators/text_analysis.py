@@ -519,3 +519,34 @@ def hashed_doc_vectors(documents: DataFrame, dim: int = 64) -> DataFrame:
         )
         .select("doc_id", dense.alias("embedding"))
     )
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus accounting — the release-notes table
+    every corpus ship includes: document and token volumes, length
+    percentiles, and the within-stratum exact-duplicate fraction.
+
+    One stratum-keyed shuffle; token counts are per-row array
+    expressions (no explode), percentiles are Spark's EXACT
+    interpolated ``percentile`` so the DuckDB ``quantile_cont`` twin
+    matches bit-for-bit (same convention as ``price_percentiles``),
+    and the dup fraction rides the same aggregate as a
+    ``count(DISTINCT hash)``."""
+    n_toks = F.size(tokens_array(F.col("text")))
+    rows = documents.select(
+        "source",
+        "lang",
+        "n_chars",
+        n_toks.alias("_ntoks"),
+        hex64(F.col("text")).alias("_h"),
+    )
+    return rows.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntoks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.expr("percentile(_ntoks, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(_ntoks, 0.9)"), 4).alias("p90_tokens"),
+        F.round(
+            1 - F.countDistinct("_h") / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )

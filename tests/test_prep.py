@@ -964,3 +964,31 @@ def test_repetition_flags_planted_cases(spark):
         assert r["top_gram_char_frac"] == 0.0
     assert rows[3]["n_lines"] == 0
     assert rows[4]["n_lines"] == 1
+
+
+def test_corpus_report_planted_strata(spark):
+    """Release accounting: counts, token sums, exact percentiles, and
+    the within-stratum duplicate fraction on a hand-built corpus."""
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        corpus_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web", 13),
+            (2, "one two three", "en", "web", 13),   # exact dup of 1
+            (3, "a b c d e f", "en", "web", 11),
+            (4, "x y", "de", "web", 3),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_report(docs).collect()}
+    en = rows[("web", "en")]
+    assert en["n_docs"] == 3
+    assert en["total_tokens"] == 3 + 3 + 6
+    assert en["total_chars"] == 13 + 13 + 11
+    # tokens per doc: [3, 3, 6] -> exact interpolated p50 = 3.0
+    assert en["p50_tokens"] == 3.0
+    assert en["dup_frac"] == round(1 - 2 / 3, 6)
+    de = rows[("web", "de")]
+    assert de["n_docs"] == 1 and de["dup_frac"] == 0.0

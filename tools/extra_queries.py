@@ -30,6 +30,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_flags": lambda s, d: ta.repetition_flags(
             load_table(s, d, "documents")
         ),
+        "corpus_mix_report": lambda s, d: ta.corpus_report(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -95,5 +98,17 @@ FROM base b
 LEFT JOIN ls USING (doc_id)
 LEFT JOIN dg USING (doc_id)
 LEFT JOIN tg USING (doc_id)
+"""
+    hex64 = entrymod._HEX64
+    sql["corpus_mix_report"] = f"""
+WITH doctoks AS ({doctoks.replace("SELECT doc_id,", "SELECT doc_id, source, lang, n_chars, text,")})
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(len(l))::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(quantile_cont(len(l), 0.5), 4) AS p50_tokens,
+       round(quantile_cont(len(l), 0.9), 4) AS p90_tokens,
+       round(1 - count(DISTINCT {hex64.format(col='text')})::DOUBLE / count(*), 6) AS dup_frac
+FROM doctoks GROUP BY source, lang
 """
     return sql
