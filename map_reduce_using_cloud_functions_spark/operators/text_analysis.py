@@ -550,3 +550,64 @@ def corpus_report(documents: DataFrame) -> DataFrame:
             1 - F.countDistinct("_h") / F.count(F.lit(1)), 6
         ).alias("dup_frac"),
     )
+
+
+def bigram_logprob(
+    documents: DataFrame, reference: DataFrame | None = None
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability — ``unigram_logprob``'s
+    sharper sibling: conditional probabilities catch scrambled or
+    template-stitched text that has a plausible word distribution but
+    implausible word ORDER (the failure mode a unigram LM can't see).
+
+    p(w2|w1) = (count(w1 w2) + 1) / (count(w1·) + V), add-one smoothed
+    over the reference bigram-context vocabulary (V = distinct first
+    words + 1 for the unseen context), estimated from ``reference``
+    (the corpus itself by default). Documents with < 2 tokens score 0
+    bigrams and are dropped (no conditional evidence either way).
+
+    Plan: reference bigram counts ride the shingle machinery (one
+    partial-agged shuffle of (bigram, count)); context counts are a
+    second aggregation of the SAME relation (not a second corpus
+    scan); the scored corpus' bigram stream joins both — word-keyed
+    equi-joins of vocab-sized relations, broadcast when they fit —
+    then one groupBy(doc) mean. Nothing exceeds the bigram relation.
+    """
+    from .dedup import _shingles
+
+    ref = documents if reference is None else reference
+    ref_bigrams = (
+        _shingles(ref, n=2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    first_word = F.split(F.col("shingle"), " ")[0]
+    ctx_counts = ref_bigrams.groupBy(first_word.alias("w1")).agg(
+        F.sum("bc").alias("cc")
+    )
+    v = ctx_counts.agg((F.count(F.lit(1)) + 1).alias("v_ctx"))
+    doc_bigrams = (
+        _shingles(documents, n=2, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        doc_bigrams.join(ref_bigrams, "shingle", "left")
+        .withColumn("w1", F.split(F.col("shingle"), " ")[0])
+        .join(ctx_counts, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "cnt",
+            F.log(
+                (F.coalesce(F.col("bc"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("cc"), F.lit(0)) + F.col("v_ctx"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias(
+            "avg_logprob2"
+        ),
+    )
