@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # post-gate extras (tools/extra_queries.py) — benched like gate rows
     "text_repetition_flags",
     "corpus_mix_report",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
 ]
 
 

@@ -33,6 +33,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": lambda s, d: ta.corpus_report(
             load_table(s, d, "documents")
         ),
+        "text_unigram_logprob": lambda s, d: ta.unigram_logprob(
+            load_table(s, d, "documents")
+        ),
+        "text_bigram_logprob": lambda s, d: ta.bigram_logprob(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -110,5 +116,35 @@ SELECT source, lang,
        round(quantile_cont(len(l), 0.9), 4) AS p90_tokens,
        round(1 - count(DISTINCT {hex64.format(col='text')})::DOUBLE / count(*), 6) AS dup_frac
 FROM doctoks GROUP BY source, lang
+"""
+    sql["text_unigram_logprob"] = f"""
+WITH doctoks AS ({doctoks}),
+tok AS (SELECT doc_id, unnest(l) AS word FROM doctoks),
+vocab AS (SELECT word, count(*) AS wc FROM tok GROUP BY 1),
+tot AS (SELECT sum(wc) AS n_ref, count(*) AS v_ref FROM vocab),
+postings AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+       round(sum(ln((wc + 1) / (n_ref + v_ref)) * cnt) / sum(cnt), 6) AS avg_logprob
+FROM postings JOIN vocab USING (word) CROSS JOIN tot
+GROUP BY doc_id
+"""
+    sql["text_bigram_logprob"] = f"""
+WITH doctoks AS ({doctoks}),
+bg AS (
+  SELECT doc_id, (l[i] || ' ' || l[i+1]) AS b
+  FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS i
+        FROM doctoks WHERE len(l) >= 2)
+),
+refb AS (SELECT b, count(*) AS bc FROM bg GROUP BY 1),
+ctx AS (SELECT string_split(b, ' ')[1] AS w1, sum(bc) AS cc FROM refb GROUP BY 1),
+v AS (SELECT count(*) + 1 AS v_ctx FROM ctx),
+docb AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2)
+SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+       round(sum(ln((bc + 1) / (cc + v_ctx)) * cnt) / sum(cnt), 6) AS avg_logprob2
+FROM docb
+JOIN refb USING (b)
+JOIN ctx ON string_split(b, ' ')[1] = w1
+CROSS JOIN v
+GROUP BY doc_id
 """
     return sql
