@@ -103,3 +103,30 @@ def streaming_decontaminate(
             ["doc_id"]
         )
     return hits.dropDuplicates(["doc_id"])
+
+
+def streaming_corpus_from_jsonl(spark, path: str, max_files_per_trigger: int | None = None):
+    """File-source ingest for the JSONL corpus format: watch ``path``
+    for landing ``.json``/``.jsonl`` files (the shape corpus dumps
+    actually arrive in) and emit the standard documents stream —
+    corrupt lines dropped (they carry no usable text; batch audits run
+    ``interchange.corrupt_record_stats`` on the same files).
+
+    The explicit schema is load-bearing twice over: streaming JSON
+    sources REQUIRE one (no inference), and it pins the contract so a
+    malformed producer degrades to counted corrupt lines instead of a
+    schema drift. Compose with ``streaming_corpus_prep`` /
+    ``streaming_decontaminate`` for the full continuous pipeline."""
+    from ..sources.interchange import CORPUS_JSONL_SCHEMA
+
+    reader = spark.readStream.schema(
+        CORPUS_JSONL_SCHEMA + ", _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(path)
+    return stream.where(
+        F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
+    ).drop("_corrupt_record")

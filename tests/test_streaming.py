@@ -435,3 +435,49 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
         | (F.col("purchase_ts") >= F.col("click_ts") + F.expr("INTERVAL 6 hours"))
     ).count()
     assert bad == 0
+
+
+def test_streaming_jsonl_ingest_prep_equals_batch(spark, tmp_path):
+    """JSONL files landing in a directory → streaming ingest →
+    streaming prep == the batch pipeline over the same documents;
+    a planted corrupt line is dropped, not fatal."""
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        write_corpus_jsonl,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_corpus_from_jsonl,
+        streaming_corpus_prep,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    src = str(tmp_path / "landing")
+    write_corpus_jsonl(docs, src, compression="none")
+    # plant a truncated line in its own file
+    with open(src + "/zz_broken.json", "w") as f:
+        f.write('{"doc_id": 999999, "text": "trunc\n')
+
+    stream = streaming_corpus_from_jsonl(spark, src)
+    out = streaming_corpus_prep(stream.select("doc_id", "text"), min_quality=0.2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("jsonl_prep_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM jsonl_prep_test")
+    batch = streaming_corpus_prep(docs, min_quality=0.2)
+    # stream dedup keeps first-arrival, batch keeps dropDuplicates'
+    # pick — compare on the content level: same surviving hashes and
+    # same per-hash features
+    s = {
+        r["text_hash"]: (r["n_tokens"], r["lang_guess"], r["quality"])
+        for r in streamed.collect()
+    }
+    b = {
+        r["text_hash"]: (r["n_tokens"], r["lang_guess"], r["quality"])
+        for r in batch.collect()
+    }
+    assert s == b and len(s) > 0
+    assert streamed.where("doc_id = 999999").count() == 0
