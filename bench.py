@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_mix_report",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    "corpus_split_assignment",
 ]
 
 

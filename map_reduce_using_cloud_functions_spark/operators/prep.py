@@ -670,3 +670,52 @@ def decontaminate_clean(
         .distinct()
     )
     return documents.join(hits, "doc_id", "left_anti")
+
+
+SPLIT_SALT = "|split"
+
+
+def assign_splits(
+    documents: DataFrame,
+    fractions: dict[str, float] | None = None,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each document lands in
+    exactly one split, decided by where hex64(doc_id ∥ salt) mod 1e6
+    falls in the cumulative fraction ladder — disjoint and exhaustive
+    by construction, reproducible across runs/retries/engines (the
+    same property as ``sample_corpus_mix``), and stable under corpus
+    growth: adding documents never moves an existing document's split
+    (the decision depends only on its own id — the reason hash
+    splitting, not random permutation, is the production standard).
+
+    ``fractions`` must sum to 1 (e.g. {"train": .98, "val": .01,
+    "test": .01}). Returns documents + a ``split`` column — map-only,
+    zero shuffles; filter on it to materialize a split.
+    """
+    fractions = (
+        {"train": 0.98, "val": 0.01, "test": 0.01}
+        if fractions is None
+        else fractions
+    )
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    resolution = 1_000_000
+    bucket = F.pmod(
+        hex64(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+        F.lit(resolution),
+    )
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = bucket < int(round(cum * resolution))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return documents.withColumn("split", expr)

@@ -1071,3 +1071,36 @@ def test_bigram_logprob_matches_duckdb_and_detects_word_order(spark):
         [(1, "word"), (2, "")], "doc_id bigint, text string"
     )
     assert bigram_logprob(tiny, reference=ref).count() == 0
+
+
+def test_assign_splits_properties(spark):
+    """Hash splitting: exhaustive + disjoint, ratio-accurate at corpus
+    scale, stable under corpus growth, validated fractions."""
+    import pytest as _pytest
+
+    from map_reduce_using_cloud_functions_spark.operators.prep import assign_splits
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, one split per doc
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    assert counts["val"] > 0 and counts["test"] > 0
+
+    # growth stability: assignments of existing ids never move
+    first = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    grown = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    second = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(grown, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert all(second[k] == v for k, v in first.items())
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(docs, {"train": 0.5, "val": 0.1})

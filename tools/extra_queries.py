@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 
 import __spark_entry__ as entrymod
+from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
 from map_reduce_using_cloud_functions_spark.sources import load_table
 
@@ -39,6 +40,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": lambda s, d: ta.bigram_logprob(
             load_table(s, d, "documents")
         ),
+        "corpus_split_assignment": lambda s, d: pp.assign_splits(
+            load_table(s, d, "documents")
+        ).select("doc_id", "split"),
     }
 
 
@@ -146,5 +150,13 @@ JOIN refb USING (b)
 JOIN ctx ON string_split(b, ' ')[1] = w1
 CROSS JOIN v
 GROUP BY doc_id
+"""
+    split_bucket = hex64.format(col="(doc_id || '|split')") + " % 1000000"
+    sql["corpus_split_assignment"] = f"""
+SELECT doc_id,
+       CASE WHEN {split_bucket} < 980000 THEN 'train'
+            WHEN {split_bucket} < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """
     return sql
