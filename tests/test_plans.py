@@ -231,3 +231,24 @@ def test_bloom_probe_keeps_big_side_unshuffled(spark):
     )
     plan = plan_of(probed)
     assert "hashpartitioning(k" not in plan, plan
+
+
+def test_split_assignment_is_map_only(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import assign_splits
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(assign_splits(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_corpus_report_single_stratum_shuffle(spark):
+    """corpus_report: one partial->final aggregate keyed on the stratum
+    pair — no explode of the token stream, no second corpus scan."""
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        corpus_report,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(corpus_report(docs))
+    assert "Generate" not in plan, plan  # no explode anywhere
+    assert plan.count("Scan parquet") == 1, plan
