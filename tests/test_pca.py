@@ -95,3 +95,49 @@ def test_empty_vectors_rejected_or_skipped(spark):
     )
     with pytest.raises(ValueError, match="no non-empty"):
         fit_pca(df, k=2)
+
+
+def test_pca_search_preserves_neighbors_on_lowrank_data(spark):
+    """The ANN-prefilter use case, tested on data where it must work:
+    embeddings with planted rank-8 structure (+ small noise) searched
+    in PCA-16 space recover almost all full-space top-5 neighbors.
+    (On the uniform-random fixture the spectrum is flat and PCA
+    cannot compress — measured recall@5 ≈ 0.12 at k=16 — which is the
+    expected information-theoretic behavior, not a bug; real text/image
+    embeddings have concentrated spectra like this plant.)"""
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk,
+        queries_from_ids,
+    )
+
+    rng = np.random.default_rng(5)
+    U = rng.normal(size=(400, 8))
+    V = rng.normal(size=(8, 64))
+    X = U @ V + rng.normal(0, 0.05, (400, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id bigint, embedding array<double>",
+    )
+    model = fit_pca(emb, k=16)
+    # rank-8 plant: 16 components must capture essentially everything
+    total_var = float(np.trace(_full_cov(emb)))
+    assert sum(model["explained_var"]) / total_var > 0.99
+
+    q = queries_from_ids(emb, 8)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    proj = project_pca(emb, model).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    proj_q = project_pca(
+        q.withColumnRenamed("q_embedding", "embedding"), model
+    ).select("query_id", F.col("pca").alias("q_embedding"))
+    reduced = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(proj, proj_q, k=5).collect()
+    }
+    assert len(full & reduced) / len(full) >= 0.9
