@@ -191,7 +191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id"),
         "dedup_simhash": lambda s, d: dd.simhash_fingerprints(load_table(s, d, "documents")),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(load_table(s, d, "documents"), max_hamming=3),
-        "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(load_table(s, d, "documents"), threshold=0.9),
+        # judged in the scale-safe max_df-guarded config: tokens present
+        # in more than half the corpus never enter the inverted-index
+        # join (the unguarded exact variant stays available as a
+        # ground-truth tool; see operators/dedup.py docstring).
+        "dedup_jaccard_pairs": lambda s, d: dd.jaccard_token_pairs(
+            load_table(s, d, "documents"), threshold=0.9, max_df_frac=0.5
+        ),
         "dedup_shingle_jaccard": lambda s, d: dd.jaccard_shingle_pairs(load_table(s, d, "documents"), threshold=0.2),
         "dedup_embedding_pairs": lambda s, d: sim.pairwise_near_dup(load_table(s, d, "embeddings"), threshold=0.45),
         # ---- text analysis (X4) ----
@@ -246,7 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "events_json_rollup": lambda s, d: ev.json_props_rollup(load_table(s, d, "events")),
         "events_pivot": lambda s, d: ev.events_pivot(load_table(s, d, "events")),
-        "events_approx_distinct": lambda s, d: ev.approx_distinct_users(load_table(s, d, "events")),
+        "events_approx_distinct": lambda s, d: ev.approx_distinct_users_checked(load_table(s, d, "events")),
         # ---- relational core (X6) ----
         "q1_pricing_summary": lambda s, d: rel.q1_pricing_summary(_tables(s, d)),
         "revenue_by_region": lambda s, d: rel.revenue_by_region(_tables(s, d)),
@@ -470,7 +476,15 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
 FROM events GROUP BY user_id
 """
-    # events_approx_distinct: no oracle (HLL sketches are engine-specific)
+    # HLL sketch VALUES are engine-specific, so the twin checks the
+    # exact companion column plus the asserted bound: approx_ok must be
+    # TRUE for every group (a drifting estimate flips the value hash).
+    sql["events_approx_distinct"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
     sql["events_tumbling_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
@@ -579,13 +593,22 @@ FROM sums GROUP BY doc_id
         "FROM fpq a JOIN fpq b ON a.doc_id < b.doc_id\n"
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
+    # max_df-guarded twin (the judged scale-safe config): the rare
+    # vocabulary is tokens with df <= floor(0.5 * n_docs); sizes and
+    # intersections both count only that vocabulary.
     sql["dedup_jaccard_pairs"] = f"""
 WITH doctoks AS ({_DOCTOKS}),
 tok AS (SELECT DISTINCT doc_id, unnest(l) AS word FROM doctoks),
-sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+rare AS (
+  SELECT word FROM tok, nd GROUP BY word, n_docs
+  HAVING count(*) <= floor(0.5 * n_docs)
+),
+tokf AS (SELECT tok.doc_id, tok.word FROM tok JOIN rare USING (word)),
+sizes AS (SELECT doc_id, count(*) AS n FROM tokf GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+  FROM tokf a JOIN tokf b ON a.word = b.word AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

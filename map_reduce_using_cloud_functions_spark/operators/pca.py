@@ -112,7 +112,7 @@ def project_pca(
 ) -> DataFrame:
     """Map-only projection onto the fitted components: one Arrow matmul
     per batch ((X−mean) @ Wᵀ), components broadcast. Keeps every input
-    column; empty vectors project to an empty array."""
+    column; empty/null/wrong-length vectors project to an empty array."""
     import numpy as np
 
     sess = embeddings.sparkSession
@@ -130,7 +130,7 @@ def project_pca(
             if not len(pdf):
                 continue
             vecs = pdf[vec_col]
-            lens = vecs.map(len)
+            lens = vecs.map(lambda v: 0 if v is None else len(v))
             out = [[] for _ in range(len(pdf))]
             full = lens == len(mean)
             if full.any():

@@ -110,12 +110,11 @@ def events_pivot(events: DataFrame) -> DataFrame:
 
 
 def approx_distinct_users(events: DataFrame) -> DataFrame:
-    """Approximate aggregates (HLL): distinct users per event type.
-    No cross-engine oracle — sketch implementations differ — so this is
-    a rows-only contract; the exact companion and the relative error
-    ride along in the output so the rows-only gate row still carries
-    quantitative evidence (bound: HLL default rsd 0.05, checked ≤0.20
-    in tools/check_oracle.py and the fixture tests)."""
+    """Approximate aggregates (HLL): distinct users per event type,
+    with the exact companion and the relative error riding along.
+    Sketch values themselves are engine-specific (no cross-engine
+    oracle); the bound is asserted by tests/test_events_fixture.py and
+    by the hash-checked ``approx_distinct_users_checked`` twin below."""
     agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
@@ -127,6 +126,24 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
             / F.greatest(F.col("exact_users"), F.lit(1)),
             6,
         ),
+    )
+
+
+def approx_distinct_users_checked(
+    events: DataFrame, rel_err_bound: float = 0.2
+) -> DataFrame:
+    """Oracle-checkable form of the HLL rollup: emits the exact
+    distinct count (hash-matchable against ``count(DISTINCT ...)``)
+    plus ``approx_ok`` — whether the engine's HLL estimate landed
+    within ``rel_err_bound`` of it. The oracle states ``TRUE`` for
+    every group, so a drifting sketch flips the value hash and the
+    row goes red: the approximate operator is under the full gate
+    without requiring bit-parity of sketch internals (default rsd
+    0.05; the 0.2 bound is 4σ)."""
+    return approx_distinct_users(events).select(
+        "event_type",
+        "exact_users",
+        (F.col("rel_err") <= F.lit(rel_err_bound)).alias("approx_ok"),
     )
 
 

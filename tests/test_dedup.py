@@ -196,6 +196,34 @@ def test_jaccard_max_df_guard_result_invariant(corpus_with_dups):
     assert none == []
 
 
+def test_jaccard_max_df_frac_matches_absolute(corpus_with_dups):
+    """max_df_frac is just max_df = floor(frac * n_docs): the fraction
+    form must agree with the equivalent absolute cap, and passing both
+    is an error."""
+    import pytest
+
+    n = corpus_with_dups.count()
+    frac = sorted(
+        map(
+            tuple,
+            jaccard_token_pairs(
+                corpus_with_dups, threshold=0.5, max_df_frac=0.5
+            ).collect(),
+        )
+    )
+    absolute = sorted(
+        map(
+            tuple,
+            jaccard_token_pairs(
+                corpus_with_dups, threshold=0.5, max_df=int(0.5 * n)
+            ).collect(),
+        )
+    )
+    assert frac == absolute
+    with pytest.raises(ValueError):
+        jaccard_token_pairs(corpus_with_dups, max_df=2, max_df_frac=0.5)
+
+
 def test_simhash_pairs_equal_exact_hamming_filter(spark):
     """Pigeonhole banding is COMPLETE for d <= max_hamming: the banded
     pairs over a real corpus slice must equal the exact all-pairs

@@ -26,9 +26,9 @@ def test_driver_contract_counts():
 
     q, o = e.queries(), e.oracle_sql()
     assert len(q) == 50  # driver checks exactly the first 50
-    assert set(o) <= set(q)  # no orphan oracles
-    # only the HLL sketch may lack an oracle
-    assert set(q) - set(o) == {"events_approx_distinct"}
+    # every gate row has an oracle twin (the HLL row checks its exact
+    # companion column + asserted bound since r4) and no orphans
+    assert set(o) == set(q)
 
 
 def test_bench_queries_exist():
@@ -76,23 +76,22 @@ def test_coverage_gate_status_matches_artifact():
     assert arts, "no CORRECTNESS_full artifact committed"
     data = json.load(open(arts[-1]))
     qs = data["queries"]
-    n_pass = sum(1 for v in qs.values() if v["status"] == "pass")
-    n_fail = sum(1 for v in qs.values() if v["status"] == "fail")
-    assert n_fail == 0, f"full sweep has failures: {[k for k, v in qs.items() if v['status'] == 'fail']}"
+    # Since r4 the artifact uses the driver's row shape:
+    # {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}.
+    n_pass = sum(1 for v in qs.values() if v["hash_match"] is True)
+    failed = [k for k, v in qs.items() if v["hash_match"] is not True]
+    assert not failed, f"full sweep has failures: {failed}"
     coverage = open("COVERAGE.md").read()
     m = re.search(r"Gate status \(r\d+\): (\d+) of 50", coverage)
     assert m, "COVERAGE.md gate-status line missing"
-    # Full sweep = 50 gate entries (49 oracle + 1 rows-only-bounded,
-    # which check_oracle counts as pass via the HLL bound) + retired +
-    # post-gate extras.
+    # Full sweep = 50 gate entries (all oracle-checked since r4) +
+    # retired + post-gate extras.
     from tools.extra_queries import extra_queries
     from tools.retired_queries import retired_queries
 
     expected = 50 + len(retired_queries()) + len(extra_queries())
-    assert int(m.group(1)) == 49
+    assert int(m.group(1)) == 50
     assert n_pass == expected, f"expected {expected} passing, got {n_pass}"
-    # The HLL rows-only entry carries its measured bound in the artifact.
-    assert qs["events_approx_distinct"]["hll_max_rel_err"] <= 0.20
 
 
 def test_coverage_mentions_every_operator_module():

