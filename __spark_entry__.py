@@ -420,6 +420,11 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
+    # Convention bridges: DuckDB dayofweek is 0=Sunday (Spark 1=Sunday);
+    # from_utc_timestamp = naive AT TIME ZONE 'UTC' AT TIME ZONE tz;
+    # months_between uses Spark's 31-day fraction rule (integer when
+    # same day-of-month or both last days — the EOY anchor is day 31,
+    # so: day(s)=31 → equal-day, s at month-end → both-last-days).
     sql["scalar_function_sampler"] = """
 SELECT o_orderkey,
        year(o_orderdate)::INT AS o_year,
@@ -427,6 +432,18 @@ SELECT o_orderkey,
        day(o_orderdate)::INT AS o_day,
        date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
        date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::INT AS days_to_eoy,
+       round((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))
+             + CASE WHEN day(o_orderdate) = 31
+                      OR o_orderdate::DATE = last_day(o_orderdate::DATE) THEN 0
+                    ELSE (31 - day(o_orderdate)) / 31.0 END, 6) AS months_to_eoy,
+       (o_orderdate + INTERVAL 3 MONTH)::DATE AS ship_by,
+       (o_orderdate + INTERVAL 36 HOUR)::TIMESTAMP AS due_ts,
+       last_day(o_orderdate::DATE) AS month_end,
+       (dayofweek(o_orderdate) + 1)::INT AS dow,
+       quarter(o_orderdate)::INT AS o_quarter,
+       epoch(o_orderdate)::BIGINT AS epoch_s,
+       weekofyear(o_orderdate)::INT AS iso_week,
+       (o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')::TIMESTAMP AS ny_ts,
        round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
        floor(o_totalprice / 1000)::BIGINT AS price_k,
        round(ln(o_totalprice + 1), 6) AS ln_price,

@@ -75,6 +75,53 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_streaming(spark, sf_dir: str, n_files: int = 6) -> dict:
+    """O19 streaming bench: drop the sf_dir documents as ``n_files``
+    text files, drain them through ``start_file_index_stream`` as
+    single-file micro-batches (maxFilesPerTrigger=1 — each batch
+    tokenizes its file and partition-upserts the parquet index), and
+    report steady-state sec/file. Runs in a temp dir; the main 32-query
+    total stays untouched (separate JSON key, anchor-comparable)."""
+    import shutil
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.streaming.file_index import (
+        start_file_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    watch = os.path.join(base, "watch")
+    os.makedirs(watch)
+    try:
+        texts = [
+            r["text"]
+            for r in load_table(spark, sf_dir, "documents").select("text").collect()
+        ]
+        for i in range(n_files):
+            with open(os.path.join(watch, f"part{i}.txt"), "w") as f:
+                f.write("\n".join(texts[i::n_files]))
+        t0 = time.perf_counter()
+        q = start_file_index_stream(
+            spark,
+            watch,
+            os.path.join(base, "index"),
+            os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        total = time.perf_counter() - t0
+        n_postings = spark.read.parquet(os.path.join(base, "index")).count()
+        return {
+            "files": n_files,
+            "total_sec": round(total, 3),
+            "sec_per_file": round(total / n_files, 3),
+            "postings": n_postings,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -120,6 +167,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+
+    # Streaming path (O19): timed separately so the 32-query batch
+    # total stays comparable to the BASELINE.md anchor across rounds.
+    try:
+        streaming = bench_streaming(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"bench: streaming FAILED: {streaming['error']}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -128,6 +184,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
                 **({"errors": errors} if errors else {}),
             }
         )

@@ -163,9 +163,14 @@ def top_expensive_orders(t: dict[str, DataFrame], k: int = 10) -> DataFrame:
 
 def scalar_function_sampler(t: dict[str, DataFrame]) -> DataFrame:
     """Scalar-function coverage in one projection: date extract/trunc/
-    diff, math (round/abs/floor/ceil/sqrt/ln/exp-guarded), string
-    (concat/substr/upper/length/replace), conditional (CASE/coalesce/
-    nullif). Mirrored expression-for-expression in the oracle."""
+    diff/interval arithmetic (add_months clamping, day-time intervals,
+    months_between fractional semantics, last_day, dow/quarter/ISO
+    week, epoch seconds, timezone conversion), math (round/abs/floor/
+    ceil/sqrt/ln/exp-guarded), string (concat/substr/upper/length/
+    replace), conditional (CASE/coalesce/nullif). Mirrored
+    expression-for-expression in the oracle (incl. Spark↔DuckDB
+    convention bridges: dayofweek origin, AT TIME ZONE chain,
+    months_between's 31-day fraction rule)."""
     o = t["orders"]
     return o.select(
         "o_orderkey",
@@ -176,6 +181,17 @@ def scalar_function_sampler(t: dict[str, DataFrame]) -> DataFrame:
         F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_eoy"
         ),
+        F.round(
+            F.months_between(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")), 6
+        ).alias("months_to_eoy"),
+        F.add_months(F.col("o_orderdate"), 3).alias("ship_by"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("due_ts"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        F.dayofweek(F.col("o_orderdate")).alias("dow"),
+        F.quarter(F.col("o_orderdate")).alias("o_quarter"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
+        F.weekofyear(F.col("o_orderdate")).alias("iso_week"),
+        F.from_utc_timestamp(F.col("o_orderdate"), "America/New_York").alias("ny_ts"),
         F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("sqrt_price"),
         F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
         F.round(F.ln(F.col("o_totalprice") + 1), 6).alias("ln_price"),

@@ -107,6 +107,53 @@ def test_partition_invariance(spark, docs_df):
     assert m1 == m16
 
 
+def test_batched_merges_match_sequential(spark, docs_df):
+    """batch_merges > 1 must reproduce the sequential trainer's merge
+    list exactly on the Sennrich example (same rules, same order, same
+    counts) for several batch sizes."""
+    want = train_bpe(docs_df, 15)
+    for bs in (2, 4, 8):
+        got = train_bpe(docs_df, 15, batch_merges=bs)
+        assert got == want, f"batch_merges={bs}: {got} != {want}"
+
+
+def test_batched_merges_match_sequential_random(spark):
+    """Batched ≡ sequential on seeded random small-alphabet corpora —
+    the high-collision case where disjoint batches are hardest to form
+    (stop-at-first-conflict must degrade gracefully toward batch=1)."""
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice("abc") for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(rng.randint(3, 12))
+                ),
+            )
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        want, _ = _py_train(docs, 12)
+        got = train_bpe(df, 12, batch_merges=4)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_batched_token_counts_consistent(spark, docs_df):
+    """Encoding under a batched-trained merge list equals encoding
+    under the sequential list (they are the same list)."""
+    seq = train_bpe(docs_df, 10)
+    bat = train_bpe(docs_df, 10, batch_merges=8)
+    assert bat == seq
+    a = {r["token"]: r["cnt"] for r in bpe_token_counts(docs_df, seq).collect()}
+    b = {r["token"]: r["cnt"] for r in bpe_token_counts(docs_df, bat).collect()}
+    assert a == b
+
+
 def test_random_corpora_match_python_reference(spark):
     """Three seeded random corpora over a small alphabet (high pair
     collision rate — the stress case for merge ordering and overlap
