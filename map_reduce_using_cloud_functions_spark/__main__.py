@@ -7,6 +7,11 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark add    CORPUS_DIR INDEX_PATH
     python -m map_reduce_using_cloud_functions_spark query  INDEX_PATH WORD [--top N]
     python -m map_reduce_using_cloud_functions_spark watch  WATCH_DIR INDEX_PATH CKPT_DIR
+    python -m map_reduce_using_cloud_functions_spark web    INDEX_PATH UPLOAD_DIR [--port P]
+
+``web`` serves the reference UI itself (upload .txt → index → query a
+word in the browser; ``webui.py``), closing the last presentation-layer
+gap with the reference.
 
 ``build`` rebuilds from scratch; ``add`` is the incremental upsert
 (replace-per-document; pass ``--additive`` for bug-level parity with
@@ -45,6 +50,15 @@ def _build_parser() -> argparse.ArgumentParser:
     w.add_argument("index_path")
     w.add_argument("checkpoint_dir")
     w.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    u = sub.add_parser(
+        "web", help="serve the upload+query UI (reference main/app.py twin)"
+    )
+    u.add_argument("index_path")
+    u.add_argument("upload_dir")
+    u.add_argument("--host", default="127.0.0.1")
+    u.add_argument("--port", type=int, default=8080)
+    u.add_argument("--additive", action="store_true", help="reference double-count parity")
     return p
 
 
@@ -82,6 +96,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print("no occurrences")
             for r in rows:
                 print(f"{r['document']}\t{r['count']}")
+        elif args.cmd == "web":
+            from .webui import IndexWebApp, serve
+
+            app = IndexWebApp(
+                spark, args.index_path, args.upload_dir, additive=args.additive
+            )
+            srv = serve(app, args.host, args.port)
+            print(f"serving http://{args.host}:{srv.server_address[1]}/ (ctrl-c to stop)")
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                srv.shutdown()
         elif args.cmd == "watch":
             from .streaming.file_index import start_file_index_stream
 
