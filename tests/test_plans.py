@@ -241,6 +241,30 @@ def test_split_assignment_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_judged_jaccard_config_is_guarded(spark):
+    """The gate row must run the max_df-guarded configuration (r3
+    verdict item 2): its plan contains the df-count aggregate and the
+    rare-vocabulary LeftSemi join gating the inverted-index join — a
+    refactor that silently judges the unguarded config fails here."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_jaccard_pairs"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "count" in plan and "df#" in plan, plan
+
+
+def test_judged_approx_distinct_executes_the_sketch(spark):
+    """events_approx_distinct's judged form must still EXECUTE the HLL
+    sketch (approx_ok derives from it) — not just the exact companion —
+    so the approximate-aggregate operator stays under the gate."""
+    import __spark_entry__ as e
+
+    df = e.queries()["events_approx_distinct"](spark, SF)
+    plan = plan_of(df).lower()
+    assert "approx_count_distinct" in plan or "hyperloglog" in plan, plan
+
+
 def test_corpus_report_single_stratum_shuffle(spark):
     """corpus_report: one partial->final aggregate keyed on the stratum
     pair — no explode of the token stream, no second corpus scan."""
