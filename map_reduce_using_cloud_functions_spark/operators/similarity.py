@@ -141,7 +141,11 @@ def _sign_sketch(df: DataFrame, vec_col: str, planes: int = LSH_PLANES) -> DataF
 
 
 def lsh_bucketed_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, planes: int = LSH_PLANES
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = LSH_PLANES,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -149,9 +153,43 @@ def lsh_bucketed_topk(
     the equi-join on ``bucket`` replacing the full cross product —
     corpus-side sketches are computed once and reusable across query
     batches. Returns (query_id, neighbor_id, rank, score).
-    """
+
+    ``probe_bits`` is the standard multiprobe knob (Lv et al., VLDB'07
+    idea applied to sign sketches): each query additionally probes every
+    bucket within Hamming distance ≤ probe_bits of its own — a sign bit
+    near a hyperplane is the likeliest to disagree, so flipping bits
+    recovers near neighbors that straddle a plane. Candidate volume
+    grows by Σ C(planes, i) buckets per query (9× buckets at
+    probe_bits=1 for 8 planes ≈ 3.5% of the corpus instead of 0.4%);
+    the corpus side is untouched — still one sketch, still an
+    equi-join. The judged/oracle row runs probe_bits=0; the recall
+    lift is pinned by tests and the BASELINE.md r4 table."""
     corpus_b = _sign_sketch(embeddings.select("vec_id", "embedding"), "embedding", planes)
     queries_b = _sign_sketch(queries, "q_embedding", planes)
+    if probe_bits > 0:
+        # XOR-mask expansion, plan-literal: all masks with ≤ probe_bits
+        # bits set, exploded query-side (small by contract), bucket^mask
+        # restores an equi-join key.
+        from itertools import combinations
+
+        masks = [0]
+        for nbits in range(1, probe_bits + 1):
+            masks.extend(
+                sum(1 << b for b in bits)
+                for bits in combinations(range(planes), nbits)
+            )
+        queries_b = queries_b.select(
+            "query_id",
+            "q_embedding",
+            F.explode(
+                F.array(*[F.lit(m).cast("bigint") for m in masks])
+            ).alias("_mask"),
+            F.col("bucket").alias("_home"),
+        ).select(
+            "query_id",
+            "q_embedding",
+            F.col("_home").bitwiseXOR(F.col("_mask")).alias("bucket"),
+        )
     scored = (
         corpus_b.join(queries_b, "bucket")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -62,6 +62,32 @@ def test_lsh_results_are_subset_with_consistent_scores(embeddings):
         assert bf[(r["query_id"], r["neighbor_id"])] == r["score"]
 
 
+def test_lsh_multiprobe_lifts_recall_with_exact_scores(embeddings):
+    """probe_bits=1 probes all Hamming-≤1 buckets: its candidate pool
+    strictly contains the probe_bits=0 pool, so per-query recall vs
+    brute force can only improve; every returned score stays exactly
+    the brute-force score; probe_bits=0 equals the default path."""
+    q = queries_from_ids(embeddings, 8)
+    bf_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    base = lsh_bucketed_topk(embeddings, q, k=5).collect()
+    zero = lsh_bucketed_topk(embeddings, q, k=5, probe_bits=0).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, zero))
+    probe = lsh_bucketed_topk(embeddings, q, k=5, probe_bits=1).collect()
+    for r in probe:
+        assert bf_all[(r["query_id"], r["neighbor_id"])] == r["score"]
+    hits0 = sum(1 for r in base if (r["query_id"], r["neighbor_id"]) in bf_top)
+    hits1 = sum(1 for r in probe if (r["query_id"], r["neighbor_id"]) in bf_top)
+    assert hits1 >= hits0
+    assert len(probe) >= len(base)  # wider pool can only add candidates
+
+
 def test_pairwise_near_dup_symmetric_and_thresholded(spark):
     df = spark.createDataFrame(
         [
