@@ -22,7 +22,7 @@ Scale notes (100 TB design points):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.hashing import hex64, portable_hash64
 from ..functions.text import tokens_array
@@ -386,6 +386,149 @@ def jaccard_token_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame, n: int = 8, min_occurrences: int = 2
+) -> DataFrame:
+    """X2 sub-document duplication: ExactSubstr-style duplicated-span
+    detection (Lee, Ippolito et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — the suffix-array pass restated as
+    dataflow over fixed-width grams).
+
+    A token position is *duplicated* when it is covered by an n-gram
+    occurring ≥ ``min_occurrences`` times corpus-wide (within- or
+    cross-document — boilerplate headers, license blocks, templated
+    spans). Overlapping/adjacent hits merge into MAXIMAL spans via
+    gaps-and-islands. Returns one row per maximal span:
+    ``(doc_id, span_id, span_start, span_end, span_tokens)`` with
+    1-based inclusive token positions, span_id numbered per doc in
+    position order.
+
+    Scale shape: gram occurrence counting shuffles the 64-bit gram hash
+    (8 B/row, partial-agged); only grams that ARE duplicated come back
+    as hits (left-semi), so the span-merge windows run over the small
+    hit relation, partitioned per doc and bounded by doc length — no
+    corpus-wide sort anywhere. Versus true ExactSubstr (suffix array,
+    arbitrary-length matches ≥50 chars), fixed-n grams detect exactly
+    the spans whose every n-window repeats — maximal repeated regions
+    ≥ n tokens — at dataflow cost; n tunes the sensitivity/precision
+    trade like the 50-char threshold does."""
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + off) for off in range(n)]
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
+    pos_grams = (
+        documents.select("doc_id", tokens_array(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.i").alias("i"), hex64(F.col("g.gram")).alias("gh"))
+    )
+    dup = (
+        pos_grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_occurrences)
+        .select("gh")
+    )
+    hits = pos_grams.join(dup, "gh", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("i"))
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(
+            F.lag("i").over(w).isNull() | (F.col("i") > F.lag("i").over(w) + n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = flagged.withColumn("span_id", F.sum("is_new").over(w_run))
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + F.lit(n - 1)).alias("span_end"),
+        (F.max("i") + F.lit(n) - F.min("i")).alias("span_tokens"),
+    )
+
+
+def duplicate_span_stats(
+    documents: DataFrame, n: int = 8, min_occurrences: int = 2
+) -> DataFrame:
+    """Per-document rollup of ``duplicate_spans``: how much of each doc
+    is duplicated material — the signal a span-level scrub or a
+    doc-level drop policy thresholds on. Returns every document
+    (zero-span docs included): ``(doc_id, n_tokens, n_spans,
+    dup_tokens, dup_token_frac)``."""
+    spans = duplicate_spans(documents, n, min_occurrences)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    lens = documents.select(
+        "doc_id", F.size(tokens_array(F.col("text"))).alias("n_tokens")
+    )
+    return (
+        lens.join(agg, "doc_id", "left")
+        .na.fill(0, ["n_spans", "dup_tokens"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+def scrub_duplicate_spans(
+    documents: DataFrame, n: int = 8, min_occurrences: int = 2
+) -> DataFrame:
+    """Span-level scrub: drop every duplicated-span token (ALL
+    occurrences — the boilerplate/license/template scrub policy; a
+    keep-one-occurrence policy needs a global occurrence ranking, which
+    is ``exact_dedup``'s job at doc level) and rebuild the normalized
+    text. Returns ``(doc_id, clean_text, n_tokens, n_removed)``.
+
+    The span list per doc is tiny (collect_list over per-doc spans);
+    token filtering is a JVM-side higher-order-function projection —
+    no UDF, no explode of the corpus."""
+    spans = duplicate_spans(documents, n, min_occurrences)
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks_df = documents.select(
+        "doc_id", tokens_array(F.col("text")).alias("toks")
+    ).join(doc_spans, "doc_id", "left")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    indexed = F.transform(
+        F.col("toks"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda r: (r["span_start"] <= s["i"]) & (s["i"] <= r["span_end"]),
+        ),
+    )
+    return toks_df.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
     )
 
 

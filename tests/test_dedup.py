@@ -224,6 +224,98 @@ def test_jaccard_max_df_frac_matches_absolute(corpus_with_dups):
         jaccard_token_pairs(corpus_with_dups, max_df=2, max_df_frac=0.5)
 
 
+def test_duplicate_spans_planted_blocks(spark):
+    """ExactSubstr-style span detection: a 12-token block shared by two
+    docs is recovered as ONE maximal span at the exact positions in
+    each doc; unique-text docs produce no spans; a doc repeating its
+    own block flags both occurrences."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    block = " ".join(f"blk{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            # block at token positions 4..15 (1-based)
+            (0, "u0a u0b u0c " + block + " t0x t0y"),
+            # block at positions 1..12
+            (1, block + " z1a z1b z1c z1d"),
+            # all-unique doc
+            (2, " ".join(f"only{i}" for i in range(20))),
+            # self-repeat: block at 1..12 and again at 16..27
+            (3, block + " mid3a mid3b mid3c " + block),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+        for r in duplicate_spans(docs, n=8).collect()
+    }
+    assert (0, 4, 15) in spans and spans[(0, 4, 15)] == 12
+    assert (1, 1, 12) in spans and spans[(1, 1, 12)] == 12
+    assert not any(d == 2 for d, _, _ in spans)
+    assert (3, 1, 12) in spans and (3, 16, 27) in spans
+    assert len(spans) == 4
+
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(docs, n=8).collect()}
+    assert len(stats) == 4  # zero-span docs included
+    assert stats[2]["n_spans"] == 0 and stats[2]["dup_token_frac"] == 0.0
+    assert stats[0]["dup_tokens"] == 12 and stats[0]["n_tokens"] == 17
+    assert stats[3]["n_spans"] == 2 and stats[3]["dup_tokens"] == 24
+
+
+def test_duplicate_spans_adjacent_hits_merge(spark):
+    """Overlapping/adjacent gram hits coalesce: a 20-token repeated
+    region yields ONE span, not 13 gram-sized ones; and two repeated
+    regions separated by >n unique tokens stay separate spans."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    big = " ".join(f"rep{i}" for i in range(20))
+    other = " ".join(f"oth{i}" for i in range(10))
+    gap = " ".join(f"gap{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (0, big),
+            (1, big + " " + gap + " " + other),
+            (2, other),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, n=8).collect()
+    )
+    assert spans == [(0, 1, 20), (1, 1, 20), (1, 30, 39), (2, 1, 10)]
+
+
+def test_scrub_duplicate_spans_removes_exactly_the_spans(spark):
+    """The scrub drops precisely the flagged positions and keeps
+    original token order for the rest; clean docs pass through
+    untouched (modulo tokenizer normalization)."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    block = " ".join(f"blk{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, "u0a u0b u0c " + block + " t0x t0y"),
+            (1, block + " z1a z1b z1c z1d"),
+            (2, " ".join(f"only{i}" for i in range(20))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(docs, n=8).collect()}
+    assert out[0]["clean_text"] == "u0a u0b u0c t0x t0y"
+    assert out[0]["n_removed"] == 12
+    assert out[1]["clean_text"] == "z1a z1b z1c z1d"
+    assert out[2]["clean_text"] == " ".join(f"only{i}" for i in range(20))
+    assert out[2]["n_removed"] == 0
+
+
 def test_simhash_pairs_equal_exact_hamming_filter(spark):
     """Pigeonhole banding is COMPLETE for d <= max_hamming: the banded
     pairs over a real corpus slice must equal the exact all-pairs

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 
 import __spark_entry__ as entrymod
+from map_reduce_using_cloud_functions_spark.operators import dedup as dd
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
 from map_reduce_using_cloud_functions_spark.sources import load_table
@@ -28,6 +29,12 @@ from map_reduce_using_cloud_functions_spark.sources import load_table
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_duplicate_spans": lambda s, d: dd.duplicate_spans(
+            load_table(s, d, "documents")
+        ),
+        "dedup_span_stats": lambda s, d: dd.duplicate_span_stats(
+            load_table(s, d, "documents")
+        ),
         "text_repetition_flags": lambda s, d: ta.repetition_flags(
             load_table(s, d, "documents")
         ),
@@ -49,6 +56,51 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     doctoks = entrymod._DOCTOKS
     sql: dict[str, str] = {}
+    hex64_g = entrymod._HEX64.format(col="array_to_string(list_slice(l, i, i + 7), ' ')")
+    _span_cte = f"""
+WITH doctoks AS ({doctoks}),
+grams AS (
+  SELECT doc_id, i::INT AS i, {hex64_g} AS gh
+  FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i
+        FROM doctoks WHERE len(l) >= 8)
+),
+dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM grams GROUP BY 1) WHERE c >= 2),
+hits AS (SELECT doc_id, i FROM grams JOIN dup USING (gh)),
+flags AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS is_new
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+sp AS (
+  SELECT doc_id, i,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS span_id
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, span_id, min(i)::INT AS span_start, (max(i) + 7)::INT AS span_end,
+         (max(i) + 8 - min(i))::INT AS span_tokens
+  FROM sp GROUP BY 1, 2
+)
+"""
+    sql["dedup_duplicate_spans"] = (
+        _span_cte
+        + "SELECT doc_id, span_id, span_start, span_end, span_tokens FROM spans"
+    )
+    sql["dedup_span_stats"] = (
+        _span_cte
+        + """,
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id, len(d.l)::INT AS n_tokens,
+       coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(dup_tokens, 0)::DOUBLE / greatest(len(d.l), 1), 6) AS dup_token_frac
+FROM doctoks d LEFT JOIN agg USING (doc_id)
+"""
+    )
     sql["text_repetition_flags"] = f"""
 WITH doctoks AS ({doctoks}),
 base AS (
