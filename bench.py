@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "text_bigram_logprob",
     "corpus_split_assignment",
+    "dedup_duplicate_spans",
 ]
 
 
