@@ -68,6 +68,22 @@ def test_dirty_rows_dropped(spark, regression_df):
         fit_ridge(dirty, "feats", "label", dim=3)
 
 
+def test_null_feature_elements_dropped(spark, regression_df):
+    """A right-length array with a null ELEMENT must be dropped whole:
+    F.sum skips nulls per-aggregate, so such a row would otherwise
+    contribute to some Gram entries but not others and silently skew
+    the solve (r3 advisor finding)."""
+    poisoned = spark.createDataFrame(
+        [(9004, [1.0, None, 3.0], 100.0)],
+        "id bigint, feats array<double>, label double",
+    )
+    w_clean = fit_ridge(regression_df, "feats", "label", dim=3)
+    w_poisoned = fit_ridge(
+        regression_df.unionByName(poisoned), "feats", "label", dim=3
+    )
+    assert np.allclose(w_clean, w_poisoned)
+
+
 def test_scoring_is_map_only_and_correct(regression_df):
     w = fit_ridge(regression_df, "feats", "label", dim=3)
     scored = score_documents(regression_df, "feats", w)

@@ -97,6 +97,28 @@ def test_empty_vectors_rejected_or_skipped(spark):
         fit_pca(df, k=2)
 
 
+def test_projection_handles_null_and_ragged_vectors(spark, embeddings):
+    """project_pca must not crash on NULL or wrong-length embedding
+    rows (r3 advisor finding): they project to [] while full-length
+    rows keep their normal projection."""
+    from map_reduce_using_cloud_functions_spark.operators.pca import project_pca
+
+    model = fit_pca(embeddings, k=4)
+    dirty = spark.createDataFrame(
+        [(90001, None), (90002, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["pca"]
+        for r in project_pca(
+            embeddings.select("vec_id", "embedding").unionByName(dirty), model
+        ).collect()
+    }
+    assert out[90001] == [] and out[90002] == []
+    n_full = sum(1 for v in out.values() if len(v) == 4)
+    assert n_full == len(out) - 2
+
+
 def test_pca_search_preserves_neighbors_on_lowrank_data(spark):
     """The ANN-prefilter use case, tested on data where it must work:
     embeddings with planted rank-8 structure (+ small noise) searched
