@@ -68,6 +68,49 @@ def normalize_query_word(word: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(word)), _NON_ALNUM, "")
 
 
+def register_sql_functions(spark) -> None:
+    """UDF extension surface: expose the engine's text normalization to
+    SQL callers as registered functions — ``tokenize(text)`` →
+    ``array<string>`` and ``normalize_query(word)`` → ``string``.
+
+    The engine's own plans never call these (hot paths stay built-in
+    codegen expressions — ``tokens_array``/``normalize_query_word``);
+    they exist so a SQL-only user can apply the reference-exact
+    tokenizer in ad-hoc ``spark.sql`` queries. Arrow-vectorized
+    ``pandas_udf`` (batch transfer, not per-row), implemented directly
+    on Python ``re`` — the same executable spec
+    (``mapper/main.py:56-60``) the expression path is property-tested
+    against, so the two stay equal by construction."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+    non_alnum = re.compile(r"[^a-zA-Z0-9\s]")
+
+    def _tokenize(texts):
+        def tok(t):
+            if t is None:
+                return None
+            return non_alnum.sub("", ws.sub(" ", t).lower()).split()
+
+        return texts.map(tok)
+
+    def _normalize_query(words):
+        return words.map(
+            lambda w: None if w is None else normalize_query_word_py(w)
+        )
+
+    # real class objects, not strings: this module uses postponed
+    # annotation evaluation, which pandas_udf's hint inspection can't see
+    _tokenize.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _normalize_query.__annotations__ = {"words": pd.Series, "return": pd.Series}
+
+    spark.udf.register("tokenize", pandas_udf(_tokenize, "array<string>"))
+    spark.udf.register("normalize_query", pandas_udf(_normalize_query, "string"))
+
+
 # DuckDB twin of tokens_array(text): produces one row per token when
 # wrapped in unnest(...). DuckDB regexp_replace needs the explicit 'g'
 # flag for global replacement (Spark is global by default). RE2's \s is

@@ -208,6 +208,39 @@ def scalar_function_sampler(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def order_grouping_sets(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization ROLLUP/CUBE sugar
+    over): per-status totals, per-priority totals, and the grand total
+    in ONE aggregation pass — with ``grouping_id`` disambiguating which
+    set produced each row (a real NULL group value vs a superaggregate
+    NULL). Spark and DuckDB agree on the bit order (verified): gid 1 =
+    status-only, 2 = priority-only, 3 = grand total."""
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def events_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT/melt — the inverse of the judged ``events_pivot``: the
+    wide per-user count matrix back to long (user_id, event_type, n)
+    form. Wide→long is the checklist's one remaining reshape category;
+    round-tripping the judged pivot pins both directions."""
+    from .events import events_pivot
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    return events_pivot(events).unpivot("user_id", types, "event_type", "n")
+
+
 def part_type_margins(t: dict[str, DataFrame]) -> DataFrame:
     """Fact⋈dim with expression agg: average discount-adjusted margin
     per part type prefix. Broadcast part; group on derived column."""

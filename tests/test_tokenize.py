@@ -86,3 +86,32 @@ def test_query_word_normalization(spark, raw, expected):
     # main/app.py:67-68 — probe word normalized like the corpus.
     row = spark.range(1).select(normalize_query_word(F.lit(raw)).alias("w")).first()
     assert row["w"] == expected
+
+
+def test_registered_sql_udfs_match_expression_path(spark):
+    """The SQL extension surface (register_sql_functions) must agree
+    with the codegen expression path on golden cases, weird whitespace,
+    and nulls — both implement the same executable spec."""
+    from map_reduce_using_cloud_functions_spark.functions.text import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    texts = [
+        "State-of-the-art systems don't fail",
+        "a\x1fb c　d",
+        "  MiXeD   CaSe 123  ",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    df.createOrReplaceTempView("_udf_probe")
+    sql_rows = spark.sql("SELECT tokenize(text) AS toks FROM _udf_probe").collect()
+    expr_rows = df.select(tokens_array(F.col("text")).alias("toks")).collect()
+    for s, e, t in zip(sql_rows, expr_rows, texts):
+        if t is None:
+            assert s["toks"] is None
+        else:
+            assert s["toks"] == e["toks"] == reference_tokenize(t)
+    w = spark.sql("SELECT normalize_query('  The!  ') AS w").first()["w"]
+    assert w == "the"

@@ -24,11 +24,14 @@ import __spark_entry__ as entrymod
 from map_reduce_using_cloud_functions_spark.operators import dedup as dd
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
-from map_reduce_using_cloud_functions_spark.sources import load_table
+from map_reduce_using_cloud_functions_spark.plans import relational as rel
+from map_reduce_using_cloud_functions_spark.sources import load_table, load_tables
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "order_grouping_sets": lambda s, d: rel.order_grouping_sets(load_tables(s, d)),
+        "events_unpivot": lambda s, d: rel.events_unpivot(load_table(s, d, "events")),
         "dedup_duplicate_spans": lambda s, d: dd.duplicate_spans(
             load_table(s, d, "documents")
         ),
@@ -56,6 +59,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     doctoks = entrymod._DOCTOKS
     sql: dict[str, str] = {}
+    sql["order_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 6) AS total_price,
+       grouping_id(o_orderstatus, o_orderpriority)::BIGINT AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+    # unpivot twin: the judged events_pivot CTE melted back via UNION ALL
+    sql["events_unpivot"] = (
+        "WITH piv AS (" + entrymod.oracle_sql()["events_pivot"] + ")\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT user_id, '{t}' AS event_type, {t} AS n FROM piv"
+            for t in ("click", "error", "purchase", "signup", "view")
+        )
+    )
     hex64_g = entrymod._HEX64.format(col="array_to_string(list_slice(l, i, i + 7), ' ')")
     _span_cte = f"""
 WITH doctoks AS ({doctoks}),
