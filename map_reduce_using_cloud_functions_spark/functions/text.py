@@ -110,6 +110,24 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("tokenize", pandas_udf(_tokenize, "array<string>"))
     spark.udf.register("normalize_query", pandas_udf(_normalize_query, "string"))
 
+    # UDTF (table function) surface: one row per (position, token) —
+    # SELECT t.* FROM probe, LATERAL explode_tokens(text) t. The plan
+    # path gets the same via posexplode(tokens_array(..)); this is the
+    # SQL-callable twin.
+    from pyspark.sql.functions import udtf
+
+    class _ExplodeTokens:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = non_alnum.sub("", ws.sub(" ", text).lower()).split()
+            for pos, tok in enumerate(toks):
+                yield pos, tok
+
+    spark.udtf.register(
+        "explode_tokens", udtf(_ExplodeTokens, returnType="pos int, token string")
+    )
+
 
 # DuckDB twin of tokens_array(text): produces one row per token when
 # wrapped in unnest(...). DuckDB regexp_replace needs the explicit 'g'

@@ -241,6 +241,36 @@ def events_unpivot(events: DataFrame) -> DataFrame:
     return events_pivot(events).unpivot("user_id", types, "event_type", "n")
 
 
+def map_function_sampler(t: dict[str, DataFrame]) -> DataFrame:
+    """Map-type scalar functions (the one scalar category the sampler
+    above lacks): construct a map from columns, then size /
+    element_at / map_keys / map_contains_key / map_filter /
+    transform_values — each output reduced to a plain scalar so the
+    oracle replays the VALUES from the raw columns without needing
+    engine-compatible map literals."""
+    d = t["documents"]
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        m.alias("_m"),
+    ).select(
+        "doc_id",
+        F.size("_m").alias("m_size"),
+        F.element_at(F.col("_m"), F.lit("lang")).alias("m_lang"),
+        F.array_join(F.array_sort(F.map_keys(F.col("_m"))), ",").alias("m_keys"),
+        F.map_contains_key(F.col("_m"), F.lit("source")).alias("m_has_source"),
+        F.size(
+            F.map_filter(F.col("_m"), lambda k, v: k == F.lit("lang"))
+        ).alias("m_filtered_size"),
+        F.element_at(
+            F.transform_values(F.col("_m"), lambda k, v: F.upper(v)),
+            F.lit("source"),
+        ).alias("m_source_upper"),
+    )
+
+
 def part_type_margins(t: dict[str, DataFrame]) -> DataFrame:
     """Fact⋈dim with expression agg: average discount-adjusted margin
     per part type prefix. Broadcast part; group on derived column."""

@@ -115,3 +115,14 @@ def test_registered_sql_udfs_match_expression_path(spark):
             assert s["toks"] == e["toks"] == reference_tokenize(t)
     w = spark.sql("SELECT normalize_query('  The!  ') AS w").first()["w"]
     assert w == "the"
+    # UDTF surface: lateral table function ≡ posexplode of the
+    # expression path
+    got = spark.sql(
+        "SELECT p.text, t.pos, t.token FROM _udf_probe p, "
+        "LATERAL explode_tokens(p.text) t ORDER BY p.text, t.pos"
+    ).collect()
+    want = []
+    for t in sorted(x for x in texts if x is not None):
+        for pos, tok in enumerate(reference_tokenize(t)):
+            want.append((t, pos, tok))
+    assert [(r["text"], r["pos"], r["token"]) for r in got] == want

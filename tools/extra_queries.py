@@ -31,6 +31,7 @@ from map_reduce_using_cloud_functions_spark.sources import load_table, load_tabl
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "order_grouping_sets": lambda s, d: rel.order_grouping_sets(load_tables(s, d)),
+        "map_function_sampler": lambda s, d: rel.map_function_sampler(load_tables(s, d)),
         "events_unpivot": lambda s, d: rel.events_unpivot(load_table(s, d, "events")),
         "dedup_duplicate_spans": lambda s, d: dd.duplicate_spans(
             load_table(s, d, "documents")
@@ -59,6 +60,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     doctoks = entrymod._DOCTOKS
     sql: dict[str, str] = {}
+    # map-sampler twin: every output is derivable from the raw columns
+    # (the map is engine-local plumbing, the VALUES are what's checked)
+    sql["map_function_sampler"] = """
+SELECT doc_id,
+       2::INT AS m_size,
+       lang AS m_lang,
+       'lang,source' AS m_keys,
+       TRUE AS m_has_source,
+       1::INT AS m_filtered_size,
+       upper(source) AS m_source_upper
+FROM documents
+"""
     sql["order_grouping_sets"] = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        round(sum(o_totalprice), 6) AS total_price,
