@@ -169,7 +169,12 @@ def make_handler(app: IndexWebApp):
                 return self._send(200, _PAGE.format(result="", message=""))
             if url.path == "/query":
                 word = (parse_qs(url.query).get("word") or [""])[0]
-                res = app.query(word)
+                try:
+                    res = app.query(word)
+                except Exception as e:  # corrupt/unreadable index → 500
+                    return self._send(
+                        500, f"query failed: {html.escape(str(e)[:200])}"
+                    )
                 if self.headers.get("Accept") == "application/json":
                     return self._send(200, json.dumps(res), "application/json")
                 if "error" in res:
@@ -204,6 +209,14 @@ def make_handler(app: IndexWebApp):
             except UploadRejected as e:
                 code = 413 if "limit" in str(e) else 400
                 return self._send(code, _PAGE.format(result="", message=f"<p>{html.escape(str(e))}</p>"))
+            except Exception as e:  # engine failure → 500, not a dropped socket
+                return self._send(
+                    500,
+                    _PAGE.format(
+                        result="",
+                        message=f"<p>indexing failed: {html.escape(str(e)[:200])}</p>",
+                    ),
+                )
             return self._send(
                 200, _PAGE.format(result="", message=f"<p>{html.escape(msg)}</p>")
             )
