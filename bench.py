@@ -10,7 +10,10 @@ Each query is forced by aggregating a hash over EVERY output column
 makes Catalyst actually compute each projected column, so featurizer
 queries (e.g. text_token_counts) are timed doing their work, while still
 keeping driver IPC to one row. A warmup query first pays JVM/codegen
-startup so per-query numbers reflect steady-state execution.
+startup so per-query numbers reflect steady-state execution, and each
+query is timed SPARK_GRAFT_BENCH_REPS times (default 2) with the min
+recorded — the standard steady-state estimator (interference only ever
+inflates a sample). The BASELINE.md anchor uses the same methodology.
 """
 
 from __future__ import annotations
@@ -154,18 +157,29 @@ def main() -> None:
 
     # Per-query isolation: a single failing query records null and the
     # bench keeps going — one regression must never zero the artifact.
+    # Each query is timed SPARK_GRAFT_BENCH_REPS times (default 2) and
+    # the minimum recorded: same-code totals on this box ranged 42-58 s
+    # across same-day single-shot runs (BASELINE.md noise band), and
+    # min-of-N is the standard steady-state estimator — one-off GC /
+    # background interference inflates a single sample but never
+    # deflates it. The BASELINE.md anchor uses the same methodology.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        try:
-            force(qs[name](spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            timings[name] = None
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best: float | None = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                force(qs[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                best = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = None if best is None else round(best, 3)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
 
@@ -185,6 +199,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
                 "streaming": streaming,
                 **({"errors": errors} if errors else {}),
             }

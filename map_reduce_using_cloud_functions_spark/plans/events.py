@@ -147,6 +147,53 @@ def approx_distinct_users_checked(
     )
 
 
+def user_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity week,
+    tracked by how many are still active N weeks later — the classic
+    product-analytics rollup (the batch twin of what a streaming
+    deployment would maintain with keyed state).
+
+    Shape for scale: ONE wide shuffle on ``user_id`` folds each user to
+    (first week, set of active weeks) — per-user state is bounded by
+    the number of distinct weeks, not events — then the exploded
+    (cohort, offset) aggregation and the cohort-size window run on the
+    tiny cohort×offset relation. The events relation is scanned once;
+    no self-join of the raw events.
+    """
+    # DATE-typed week starts (DuckDB's date_trunc('week') yields DATE;
+    # matching types keep the oracle hash aligned).
+    per_user = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"),
+        F.collect_set(F.to_date(F.date_trunc("week", F.col("ts")))).alias("weeks"),
+    )
+    active = (
+        per_user.select(
+            "cohort_week",
+            F.explode("weeks").alias("week"),
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        # weeks is a set per user, so rows here are (user, week)-distinct
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    # Offset 0 holds every cohort member (the first week is always in
+    # the user's set), so cohort size falls out of the same relation —
+    # a window over the cohort×offset rollup, never a second scan.
+    w = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return active.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(F.col("n_active") / size, 6).alias("retention_rate"),
+    )
+
+
 def event_type_funnel(events: DataFrame) -> DataFrame:
     """Per-user funnel flags (did view→click→purchase) via conditional
     aggregation — the pivot-like pattern without a shuffle per stage."""

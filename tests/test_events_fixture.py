@@ -129,3 +129,46 @@ def test_event_type_funnel_on_fixture(spark):
     events = _events(spark)
     fun = ev.event_type_funnel(events)
     assert fun.count() == events.select("user_id").distinct().count()
+
+
+def test_user_retention_hand_fixture(spark):
+    """Hand-checkable cohort: users A,B start week of 2024-01-01
+    (Monday); A returns in week+1, nobody in week+2, B in week+3.
+    User C starts week+1 and never returns."""
+    rows = [
+        (1, "2024-01-02 10:00:00", 1),  # A week 0
+        (2, "2024-01-03 10:00:00", 2),  # B week 0
+        (3, "2024-01-09 10:00:00", 1),  # A week 1
+        (4, "2024-01-24 10:00:00", 2),  # B week 3
+        (5, "2024-01-10 10:00:00", 3),  # C cohort week 1
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["n_active"],
+            r["cohort_size"],
+            r["retention_rate"],
+        )
+        for r in ev.user_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-01", 3): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+    }
+
+
+def test_user_retention_on_fixture(spark):
+    """Invariants on the real fixture: offset 0 row per cohort equals
+    the cohort size; rates in (0, 1]; cohorts partition the users."""
+    events = _events(spark)
+    ret = ev.user_retention(events).collect()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r["n_active"] for r in ret if r["week_offset"] == 0) == n_users
+    for r in ret:
+        assert 0 < r["retention_rate"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]

@@ -24,6 +24,7 @@ import __spark_entry__ as entrymod
 from map_reduce_using_cloud_functions_spark.operators import dedup as dd
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
+from map_reduce_using_cloud_functions_spark.plans import events as ev
 from map_reduce_using_cloud_functions_spark.plans import relational as rel
 from map_reduce_using_cloud_functions_spark.sources import load_table, load_tables
 
@@ -54,6 +55,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assignment": lambda s, d: pp.assign_splits(
             load_table(s, d, "documents")
         ).select("doc_id", "split"),
+        "events_retention_cohorts": lambda s, d: ev.user_retention(
+            load_table(s, d, "events")
+        ),
     }
 
 
@@ -241,5 +245,26 @@ SELECT doc_id,
             WHEN {split_bucket} < 990000 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+    sql["events_retention_cohorts"] = """
+WITH per_user AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT p.cohort_week,
+         CAST(date_diff('day', p.cohort_week, date_trunc('week', e.ts)) / 7
+              AS BIGINT) AS week_offset,
+         count(DISTINCT e.user_id) AS n_active
+  FROM events e JOIN per_user p USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       max(CASE WHEN week_offset = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_week) AS cohort_size,
+       round(n_active * 1.0
+             / max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention_rate
+FROM active
 """
     return sql
