@@ -89,12 +89,15 @@ def register_sql_functions(spark) -> None:
     ws = re.compile(r"\s+")
     non_alnum = re.compile(r"[^a-zA-Z0-9\s]")
 
-    def _tokenize(texts):
-        def tok(t):
-            if t is None:
-                return None
-            return non_alnum.sub("", ws.sub(" ", t).lower()).split()
+    # ONE executable pipeline for both SQL surfaces (scalar UDF + UDTF)
+    # — a fix to either (e.g. the \s-set subtlety in the module
+    # docstring) cannot miss the other.
+    def tok(t):
+        if t is None:
+            return None
+        return non_alnum.sub("", ws.sub(" ", t).lower()).split()
 
+    def _tokenize(texts):
         return texts.map(tok)
 
     def _normalize_query(words):
@@ -120,9 +123,8 @@ def register_sql_functions(spark) -> None:
         def eval(self, text):
             if text is None:
                 return
-            toks = non_alnum.sub("", ws.sub(" ", text).lower()).split()
-            for pos, tok in enumerate(toks):
-                yield pos, tok
+            for pos, t in enumerate(tok(text)):
+                yield pos, t
 
     spark.udtf.register(
         "explode_tokens", udtf(_ExplodeTokens, returnType="pos int, token string")

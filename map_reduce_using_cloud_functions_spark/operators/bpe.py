@@ -151,9 +151,8 @@ def train_bpe(
     closer to full width)."""
     words = word_symbol_counts(documents, end_mark).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    rounds = 0
+    uncheckpointed = 0  # MERGE expressions since the last lineage cut
     while len(merges) < n_merges:
-        rounds += 1
         # fetch enough of the head to fill a batch even when some of it
         # conflicts; the stop-at-first-conflict rule needs only a prefix
         head = (
@@ -172,8 +171,14 @@ def train_bpe(
         for a, b, _ in batch:
             col = _merge_expr(col, a, b)
         words = words.withColumn("syms", col)
-        if rounds % checkpoint_every == 0:
+        # cadence counts MERGES, not driver rounds: a batched round
+        # nests len(batch) _merge_expr wrappings, and the cut exists to
+        # bound nested-expression depth (Catalyst analysis/codegen
+        # cost), which grows per merge expression.
+        uncheckpointed += len(batch)
+        if uncheckpointed >= checkpoint_every:
             words = words.localCheckpoint()
+            uncheckpointed = 0
     return merges
 
 

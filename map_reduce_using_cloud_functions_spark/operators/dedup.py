@@ -354,15 +354,22 @@ def jaccard_token_pairs(
         documents.select("doc_id", F.explode(tokens_array(F.col("text"))).alias("word"))
         .distinct()
     )
-    if max_df_frac is not None:
-        if max_df is not None:
-            raise ValueError("pass max_df or max_df_frac, not both")
-        # one metadata-scale scalar: the corpus row count
-        max_df = int(max_df_frac * documents.count())
-    if max_df is not None:
+    if max_df_frac is not None and max_df is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    if max_df is not None or max_df_frac is not None:
         df_counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-        rare = df_counts.where(F.col("df") <= max_df).select("word")
-        toks = toks.join(rare, "word", "left_semi")
+        if max_df is not None:
+            rare = df_counts.where(F.col("df") <= F.lit(max_df))
+        else:
+            # lazy fractional cap: floor(frac * N) joined in as a 1-row
+            # broadcast aggregate, so BUILDING this plan runs no job
+            # (plan dumps, plan-shape tests, and bench reps stay free)
+            # and the corpus is never scanned solely for its count
+            nd = documents.agg(F.count(F.lit(1)).alias("_n"))
+            rare = df_counts.join(F.broadcast(nd)).where(
+                F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("_n"))
+            )
+        toks = toks.join(rare.select("word"), "word", "left_semi")
     # sizes over the SAME (possibly df-filtered) relation as the join:
     # numerator and denominator agree on the vocabulary, keeping the
     # score a true Jaccard rather than a mixed-domain underestimate.

@@ -173,6 +173,7 @@ def _decode_png_stdlib(payload: bytes) -> dict:
         raise ValueError("not a PNG")
     pos, width = 8, None
     height = bit_depth = color_type = None
+    interlace = 0
     idat = b""
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -182,7 +183,9 @@ def _decode_png_stdlib(payload: bytes) -> dict:
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body[:13])
+            )
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -195,6 +198,11 @@ def _decode_png_stdlib(payload: bytes) -> dict:
             f"stdlib fallback supports 8-bit gray/rgb/alpha PNGs only "
             f"(bit_depth={bit_depth}, color_type={color_type})"
         )
+    if interlace:
+        # reject Adam7 explicitly — the unfilter loop assumes sequential
+        # scanlines, and the length mismatch it would hit instead is a
+        # misleading internal error
+        raise ValueError("stdlib fallback does not support interlaced PNGs")
     pixels = _png_unfilter(
         zlib.decompress(idat), width, height, _PNG_CHANNELS[color_type]
     )
@@ -237,6 +245,17 @@ def decode_media(payload: bytes) -> dict:
                 im.load()
                 import numpy as np
 
+                # Normalize to 8-bit sample modes before the mean so
+                # the statistic is over PIXEL VALUES on every cluster:
+                # palette images would otherwise average palette
+                # INDICES, and 16-bit/other exotic modes would put the
+                # mean on a different value scale than the stdlib
+                # decoder (which handles 8-bit L/LA/RGB/RGBA and
+                # rejects the rest) — the two paths must agree wherever
+                # both decode, and PIL-only modes get a defined 8-bit
+                # normalization rather than mode-dependent output.
+                if im.mode not in ("L", "LA", "RGB", "RGBA"):
+                    im = im.convert("RGBA" if "A" in im.mode else "RGB")
                 return {
                     "format": "png",
                     "width": im.width,

@@ -139,11 +139,16 @@ def approx_distinct_users_checked(
     every group, so a drifting sketch flips the value hash and the
     row goes red: the approximate operator is under the full gate
     without requiring bit-parity of sketch internals (default rsd
-    0.05; the 0.2 bound is 4σ)."""
-    return approx_distinct_users(events).select(
+    0.05; the 0.2 bound is 4σ). The bound keeps an absolute floor of
+    1 — a ±1 estimate on a tiny group (exact=4, approx=5 is normal
+    sketch behavior at rel_err 0.25) must not flip the gate red."""
+    agg = approx_distinct_users(events)
+    abs_err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    bound = F.greatest(F.lit(1.0), F.lit(rel_err_bound) * F.col("exact_users"))
+    return agg.select(
         "event_type",
         "exact_users",
-        (F.col("rel_err") <= F.lit(rel_err_bound)).alias("approx_ok"),
+        (abs_err <= bound).alias("approx_ok"),
     )
 
 

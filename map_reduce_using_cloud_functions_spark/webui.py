@@ -62,7 +62,16 @@ _PAGE = """<!doctype html>
 
 
 class UploadRejected(ValueError):
-    """Upload failed a gate (extension / size / empty name)."""
+    """Upload failed a gate (extension / empty name / bad chars)."""
+
+    status = 400
+
+
+class UploadTooLarge(UploadRejected):
+    """Upload exceeded the size cap — 413, not 400 (the status rides
+    the exception type, never message prose)."""
+
+    status = 413
 
 
 class IndexWebApp:
@@ -119,7 +128,7 @@ class IndexWebApp:
                 f"only {'/'.join(self.allowed_extensions)} uploads are accepted"
             )
         if len(data) > self.max_upload_bytes:
-            raise UploadRejected(
+            raise UploadTooLarge(
                 f"file exceeds the {self.max_upload_bytes} byte upload limit"
             )
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
@@ -175,7 +184,9 @@ def make_handler(app: IndexWebApp):
                     return self._send(
                         500, f"query failed: {html.escape(str(e)[:200])}"
                     )
-                if self.headers.get("Accept") == "application/json":
+                # media-type membership, not equality — real clients send
+                # "application/json, text/plain, */*" with q-values
+                if "application/json" in (self.headers.get("Accept") or ""):
                     return self._send(200, json.dumps(res), "application/json")
                 if "error" in res:
                     frag = f"<p>{html.escape(res['error'])}</p>"
@@ -207,8 +218,12 @@ def make_handler(app: IndexWebApp):
                 )
                 msg = app.upload(fn, data)
             except UploadRejected as e:
-                code = 413 if "limit" in str(e) else 400
-                return self._send(code, _PAGE.format(result="", message=f"<p>{html.escape(str(e))}</p>"))
+                return self._send(
+                    e.status,
+                    _PAGE.format(
+                        result="", message=f"<p>{html.escape(str(e))}</p>"
+                    ),
+                )
             except Exception as e:  # engine failure → 500, not a dropped socket
                 return self._send(
                     500,

@@ -197,3 +197,29 @@ def test_frame_sample_stride(spark):
     lens = {r["asset_id"]: len(bytes(r["payload"])) for r in build_assets(docs).collect()}
     for aid, n in counts.items():
         assert n == (lens[aid] - 1) // 50 + 1
+
+
+def test_interlaced_png_rejected_explicitly():
+    """Adam7 PNGs must fail with an explicit unsupported-format message,
+    not a misleading internal length-mismatch error (stdlib path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    payload = bytearray(encode_png(px))
+    # IHDR body starts at offset 16 (8 magic + 4 len + 4 type);
+    # interlace is its 13th byte. Patch it to 1 and fix the CRC.
+    ihdr = bytearray(payload[16 : 16 + 13])
+    ihdr[12] = 1
+    payload[16 : 16 + 13] = ihdr
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    payload[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    from map_reduce_using_cloud_functions_spark.operators.multimodal import (
+        _decode_png_stdlib,
+    )
+
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_png_stdlib(bytes(payload))

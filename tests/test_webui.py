@@ -127,3 +127,43 @@ def test_http_server_end_to_end(app):
     finally:
         srv.shutdown()
         t.join(timeout=5)
+
+
+def test_upload_too_large_is_typed_413(app):
+    """Status rides the exception TYPE (not message prose): rewording
+    the size-cap message must not flip 413 to 400."""
+    from map_reduce_using_cloud_functions_spark.webui import UploadTooLarge
+
+    with pytest.raises(UploadTooLarge) as ei:
+        app.upload("big.txt", b"x" * 2048)
+    assert ei.value.status == 413
+    with pytest.raises(UploadRejected) as ei:
+        app.upload("evil.pdf", b"x")
+    assert ei.value.status == 400
+
+
+def test_json_accept_with_qvalues(app):
+    """Standard clients send 'application/json, text/plain, */*' —
+    membership, not equality, selects the JSON representation."""
+    import email as _email  # noqa: F401 (keep import surface identical)
+
+    srv = serve(app, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        ctype, body = _multipart("q.txt", b"needle")
+        req = urllib.request.Request(
+            f"{base}/upload", data=body, headers={"Content-Type": ctype}
+        )
+        urllib.request.urlopen(req).read()
+        req = urllib.request.Request(
+            f"{base}/query?word=needle",
+            headers={"Accept": "application/json, text/plain, */*;q=0.8"},
+        )
+        res = json.loads(urllib.request.urlopen(req).read())
+        assert res == {"rows": [["q.txt", 1]]}
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
