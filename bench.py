@@ -166,22 +166,28 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    flaky: dict[str, str] = {}
     for name in BENCH_QUERIES:
         best: float | None = None
+        err: str | None = None
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 force(qs[name](spark, sf_dir))
             except Exception as exc:  # noqa: BLE001 — record and continue
-                # a successful earlier rep is still a valid steady-state
-                # sample — keep it; only an all-reps failure records null
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-                break
+                # every rep gets its attempt — a transient first-rep
+                # failure must not null a query a later rep can time
+                err = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: {name} FAILED: {err}", file=sys.stderr)
+                continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        if best is not None:
-            errors.pop(name, None)
+        if best is None:
+            errors[name] = err or "no successful rep"
+        elif err is not None:
+            # timed successfully AND failed at least once — that is a
+            # flaky query, and the artifact must say so, not mask it
+            flaky[name] = err
         timings[name] = None if best is None else round(best, 3)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
@@ -205,6 +211,7 @@ def main() -> None:
                 "reps": reps,
                 "streaming": streaming,
                 **({"errors": errors} if errors else {}),
+                **({"flaky": flaky} if flaky else {}),
             }
         )
     )

@@ -20,8 +20,10 @@ Spark-first decomposition:
   (c) a MAP-ONLY greedy merge application via the ``aggregate``
   higher-order function (left fold with lookback — leftmost-first
   greedy, exactly the reference algorithm's ``merge_vocab``).
-- Lineage is cut every ``checkpoint_every`` rounds with
-  ``localCheckpoint`` so n_merges rounds can't stack n_merges plans.
+- Lineage is cut after every ``checkpoint_every`` accumulated MERGE
+  expressions with ``localCheckpoint`` (merges, not driver rounds —
+  a batched round nests one expression per merge) so n_merges merges
+  can't stack n_merges plans.
 
 No UDFs anywhere — the per-word sequential merge walk (the part that
 looks imperative) is an ``F.aggregate`` fold, JVM-side.

@@ -254,13 +254,22 @@ def decode_media(payload: bytes) -> dict:
                 # rejects the rest) — the two paths must agree wherever
                 # both decode, and PIL-only modes get a defined 8-bit
                 # normalization rather than mode-dependent output.
+                # Metadata first: convert() returns a plain Image that
+                # loses PngImageFile attributes like n_frames (APNG).
+                width, height = im.width, im.height
+                n_frames = int(getattr(im, "n_frames", 1))
                 if im.mode not in ("L", "LA", "RGB", "RGBA"):
-                    im = im.convert("RGBA" if "A" in im.mode else "RGB")
+                    # palette PNGs carry alpha via a tRNS chunk, not the
+                    # mode letter — preserve it through the conversion
+                    has_alpha = (
+                        "A" in im.mode or "transparency" in im.info
+                    )
+                    im = im.convert("RGBA" if has_alpha else "RGB")
                 return {
                     "format": "png",
-                    "width": im.width,
-                    "height": im.height,
-                    "n_frames": getattr(im, "n_frames", 1),
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
                     "sample_rate": None,
                     "mean_value": float(np.asarray(im).mean()),
                 }

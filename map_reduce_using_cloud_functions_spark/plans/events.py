@@ -165,6 +165,11 @@ def user_retention(events: DataFrame) -> DataFrame:
     tiny cohort×offset relation. The events relation is scanned once;
     no self-join of the raw events.
     """
+    # Events without a timestamp cannot cohort — dropped EXPLICITLY on
+    # both sides (the oracle twin filters ts IS NOT NULL too; without
+    # the filter collect_set silently drops NULL weeks while SQL
+    # would group them into a NULL-offset row, diverging the hash).
+    events = events.where(F.col("ts").isNotNull())
     # DATE-typed week starts (DuckDB's date_trunc('week') yields DATE;
     # matching types keep the oracle hash aligned).
     per_user = events.groupBy("user_id").agg(

@@ -142,6 +142,26 @@ class IndexWebApp:
         return "File uploaded successfully. Indexing complete."
 
 
+def _accepts_json(accept: str | None) -> bool:
+    """True when the Accept header lists ``application/json`` with a
+    non-zero q — parsed per media-range, so ``application/json-seq``
+    does not match and ``application/json;q=0`` is an explicit NO."""
+    for part in (accept or "").split(","):
+        mt, _, params = part.partition(";")
+        if mt.strip().lower() != "application/json":
+            continue
+        q = 1.0
+        for p in params.split(";"):
+            k, _, v = p.partition("=")
+            if k.strip().lower() == "q":
+                try:
+                    q = float(v.strip())
+                except ValueError:
+                    q = 0.0
+        return q > 0
+    return False
+
+
 def _parse_multipart(content_type: str, body: bytes):
     """(filename, data) of the first file part of a multipart/form-data
     body — stdlib email parser, no external dependency (and no cgi
@@ -184,9 +204,7 @@ def make_handler(app: IndexWebApp):
                     return self._send(
                         500, f"query failed: {html.escape(str(e)[:200])}"
                     )
-                # media-type membership, not equality — real clients send
-                # "application/json, text/plain, */*" with q-values
-                if "application/json" in (self.headers.get("Accept") or ""):
+                if _accepts_json(self.headers.get("Accept")):
                     return self._send(200, json.dumps(res), "application/json")
                 if "error" in res:
                     frag = f"<p>{html.escape(res['error'])}</p>"

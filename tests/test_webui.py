@@ -145,7 +145,6 @@ def test_upload_too_large_is_typed_413(app):
 def test_json_accept_with_qvalues(app):
     """Standard clients send 'application/json, text/plain, */*' —
     membership, not equality, selects the JSON representation."""
-    import email as _email  # noqa: F401 (keep import surface identical)
 
     srv = serve(app, port=0)
     port = srv.server_address[1]

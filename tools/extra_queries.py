@@ -247,16 +247,17 @@ SELECT doc_id,
 FROM documents
 """
     sql["events_retention_cohorts"] = """
-WITH per_user AS (
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+per_user AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-  FROM events GROUP BY user_id
+  FROM ev GROUP BY user_id
 ),
 active AS (
   SELECT p.cohort_week,
          CAST(date_diff('day', p.cohort_week, date_trunc('week', e.ts)) / 7
               AS BIGINT) AS week_offset,
          count(DISTINCT e.user_id) AS n_active
-  FROM events e JOIN per_user p USING (user_id)
+  FROM ev e JOIN per_user p USING (user_id)
   GROUP BY 1, 2
 )
 SELECT cohort_week, week_offset, n_active,
