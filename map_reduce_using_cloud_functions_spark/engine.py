@@ -31,7 +31,9 @@ from .operators.index import (
 from .sources.text_corpus import read_text_corpus
 
 # Reference main/app.py:43-44 — a valid probe has no whitespace/newlines.
-_VALID_QUERY = re.compile(r"^[^\s\n]+$")
+# fullmatch, not match with '$': '$' matches BEFORE a trailing newline,
+# so 'abc\n' would pass the exact gate that names newlines.
+_VALID_QUERY = re.compile(r"[^\s\n]+")
 
 
 class InvertedIndexEngine:
@@ -89,7 +91,9 @@ class InvertedIndexEngine:
 
     def build_from_dataframe(self, corpus: DataFrame) -> None:
         """Build from any corpus(document, text) DataFrame."""
-        write_index(build_index(corpus), self.index_path)
+        corpus = self._apply_parallelism(corpus)
+        with self._shuffle_partitions(self.spark, self.reducers):
+            write_index(build_index(corpus), self.index_path)
 
     def add(self, corpus_path: str) -> None:
         """Incremental update (reference trigger path, O15/O19): index
@@ -100,15 +104,29 @@ class InvertedIndexEngine:
         read errors): a transient/corrupt read raises instead of being
         silently treated as 'no index yet'. Default replace-per-document;
         additive=True for reference parity."""
-        corpus = read_text_corpus(self.spark, corpus_path)
-        delta = build_index(corpus)
-        upsert_index(self.spark, delta, self.index_path, additive=self.additive)
+        corpus = self._apply_parallelism(read_text_corpus(self.spark, corpus_path))
+        with self._shuffle_partitions(self.spark, self.reducers):
+            delta = build_index(corpus)
+            # The corpus's documents are the EXPLICIT replace-set: a file
+            # re-indexed to token-free content has corpus rows but no
+            # delta postings, and its stale postings must still go.
+            # (A fully EMPTY file emits no corpus rows at all — the text
+            # source has nothing to attribute a filename to — so
+            # emptying a file entirely still leaves its old postings;
+            # delete-then-nothing is outside the upload contract.)
+            upsert_index(
+                self.spark,
+                delta,
+                self.index_path,
+                additive=self.additive,
+                documents=corpus.select("document"),
+            )
 
     # ---- query -------------------------------------------------------
 
     def is_valid_query(self, word: str) -> bool:
         """O18 predicate validation (reference main/app.py:43-44)."""
-        return bool(_VALID_QUERY.match(word))
+        return bool(_VALID_QUERY.fullmatch(word))
 
     def find_occurrences(self, word: str) -> DataFrame:
         """The reference's 'Find Occurances' (sic) query: documents

@@ -51,6 +51,27 @@ def tokens_array(text: Column) -> Column:
     return F.filter(F.split(normalize_text(text), " "), lambda w: w != "")
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """``array<string>`` of space-joined n-grams over a token array —
+    THE gram builder shared by shingle-MinHash, duplicated-span
+    detection, decontamination, and repetition scoring, so every
+    gram-keyed operator agrees on gram identity by construction.
+
+    Guard: ``sequence(1, 0)`` in Spark is the DESCENDING ``[1, 0]``,
+    not empty, so token arrays shorter than ``n`` need the explicit
+    empty-array branch."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def normalize_query_word_py(word: str) -> str:
     """Driver-side twin of ``normalize_query_word`` (the executable spec
     of reference ``main/app.py:67-68``). Used where the engine needs the

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.hashing import hex64, portable_hash64
-from ..functions.text import tokens_array
+from ..functions.text import gram_array, tokens_array
 
 # MinHash configuration — fixed so Spark and the oracle agree.
 MINHASH_K = 16
@@ -98,19 +98,7 @@ def _shingles(
 
     Built from the same tokenizer as the index so dedup and indexing
     agree on text normalization."""
-    toks = F.col("toks")
-    # Guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty,
-    # so short docs need an explicit empty-array branch.
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off) for off in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    gram = gram_array(F.col("toks"), n)
     out = documents.select(
         "doc_id", *keep, tokens_array(F.col("text")).alias("toks")
     ).select("doc_id", *keep, F.explode(gram).alias("shingle"))
@@ -422,24 +410,14 @@ def duplicate_spans(
     the spans whose every n-window repeats — maximal repeated regions
     ≥ n tokens — at dataflow cost; n tunes the sensitivity/precision
     trade like the 50-char threshold does."""
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                i.alias("i"),
-                F.concat_ws(
-                    " ", *[F.element_at(toks, i + off) for off in range(n)]
-                ).alias("gram"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
     pos_grams = (
         documents.select("doc_id", tokens_array(F.col("text")).alias("toks"))
-        .select("doc_id", F.explode(grams).alias("g"))
-        .select("doc_id", F.col("g.i").alias("i"), hex64(F.col("g.gram")).alias("gh"))
+        .select(
+            "doc_id",
+            F.posexplode(gram_array(F.col("toks"), n)).alias("p", "gram"),
+        )
+        # posexplode is 0-based; span positions stay 1-based
+        .select("doc_id", (F.col("p") + 1).alias("i"), hex64(F.col("gram")).alias("gh"))
     )
     dup = (
         pos_grams.groupBy("gh")

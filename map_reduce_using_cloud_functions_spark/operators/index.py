@@ -59,7 +59,12 @@ def build_index(corpus: DataFrame, text_col: str = "text", doc_col: str = "docum
     )
 
 
-def merge_index(old: DataFrame, delta: DataFrame, additive: bool = False) -> DataFrame:
+def merge_index(
+    old: DataFrame,
+    delta: DataFrame,
+    additive: bool = False,
+    replace_docs: DataFrame | None = None,
+) -> DataFrame:
     """Incremental index maintenance (reference ``master/main.py:106-126``).
 
     additive=True  — reference bit-parity: counts *add* per (word, doc),
@@ -71,6 +76,13 @@ def merge_index(old: DataFrame, delta: DataFrame, additive: bool = False) -> Dat
 
     Both are shuffle-on-key plans; at scale the anti join broadcasts the
     delta's (small) distinct-document set.
+
+    ``replace_docs`` (replace mode only): the EXPLICIT set of documents
+    being re-indexed. Defaults to the delta's own documents — which is
+    wrong exactly when a re-indexed document's new content produces NO
+    postings (emptied/token-free file): the delta then carries no row
+    for it, so its old postings would survive. Callers that know the
+    re-indexed set (the engine knows the corpus it read) pass it here.
     """
     if additive:
         return (
@@ -78,7 +90,11 @@ def merge_index(old: DataFrame, delta: DataFrame, additive: bool = False) -> Dat
             .groupBy("word", "document")
             .agg(F.sum("count").alias("count"))
         )
-    delta_docs = delta.select("document").distinct()
+    delta_docs = (
+        replace_docs.select("document").distinct()
+        if replace_docs is not None
+        else delta.select("document").distinct()
+    )
     # Re-select old's column order: a USING join promotes the join key
     # to the first column, which would make the merged schema unstable.
     kept = old.join(F.broadcast(delta_docs), "document", "left_anti").select(*old.columns)
@@ -176,7 +192,13 @@ def _write_docmap_full(index: DataFrame, path: str) -> None:
     )
 
 
-def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> None:
+def upsert_index(
+    spark,
+    delta: DataFrame,
+    path: str,
+    additive: bool = False,
+    documents: DataFrame | None = None,
+) -> None:
     """Incremental index maintenance at partition granularity (O15/O19).
 
     Merges ``delta`` postings into the persisted index at ``path``,
@@ -232,11 +254,20 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
         r["first"]
         for r in delta.select(F.substring("word", 1, 1).alias("first")).distinct().collect()
     }
-    if not letters:
-        return
     docmap = _docmap_path(path)
     have_docmap = _hadoop_exists(spark, docmap)
-    delta_docs = delta.select("document").distinct()
+    # ``documents``: the explicit re-indexed set (see merge_index's
+    # replace_docs). Without it, a document re-indexed to token-free
+    # content is invisible here (no delta row) and its stale postings
+    # would survive the replace.
+    delta_docs = (
+        documents.select("document").distinct()
+        if documents is not None
+        else delta.select("document").distinct()
+    )
+    if not letters and (additive or documents is None):
+        # nothing to add, and no explicit replace-set to scrub
+        return
     buckets = sorted(
         r["bucket"]
         for r in _with_bucket(delta_docs).select("bucket").distinct().collect()
@@ -260,13 +291,15 @@ def upsert_index(spark, delta: DataFrame, path: str, additive: bool = False) -> 
                 .distinct()
             )
         letters |= {r["first"] for r in stale.collect()}
+    if not letters:
+        return
     letters = sorted(letters)
     old = (
         spark.read.parquet(path)
         .where(F.col("first").isin(letters))
         .select("word", "document", "count")
     )
-    merged = merge_index(old, delta, additive=additive)
+    merged = merge_index(old, delta, additive=additive, replace_docs=delta_docs)
     out = (
         merged.withColumn("first", F.substring("word", 1, 1))
         .repartition("first")

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.hashing import hex64
-from ..functions.text import tokens_array
+from ..functions.text import gram_array, tokens_array
 
 # RE2-and-Java-compatible PII patterns (no lookaround, no backrefs —
 # the least common denominator of Spark's Java regex and DuckDB's RE2).
@@ -513,16 +513,7 @@ def _flagged_positions(documents: DataFrame, n: int, min_count: int) -> DataFram
     """(doc_id, pos, gram_hash) for every gram position whose gram
     occurs ≥ min_count times corpus-wide (steps 1–3 of
     ``duplicate_spans``'s plan)."""
-    toks = F.col("toks")
-    gram = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off) for off in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    gram = gram_array(F.col("toks"), n)
     grams = (
         documents.select("doc_id", tokens_array(F.col("text")).alias("toks"))
         .select("doc_id", F.posexplode(gram).alias("pos", "g"))

@@ -27,6 +27,48 @@ from ..functions.vectors import cosine, dot, l2_norm
 LSH_PLANES = 8
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k postlude for every strategy: rank per query by
+    (score desc, neighbor_id asc — the engine-wide deterministic
+    tiebreak), keep k, round for oracle-stable output. ONE definition so
+    a tiebreak/rounding policy change cannot drift across paths."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def _assign_nearest_list(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Corpus → single nearest centroid: broadcast the (tiny) centroid
+    table, argmax via partial-aggregable ``max_by`` (ties toward the
+    smaller centroid_id via struct ordering on (score, -id)). Shared by
+    Lloyd training and IVF probing so the assignment objective cannot
+    drift between them. Returns (vec_id, embedding, list_id)."""
+    return (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("list_id")
+        )
+        .select("vec_id", "embedding", "list_id")
+    )
+
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -48,12 +90,7 @@ def brute_force_topk(
             cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
-    )
+    return _rank_topk(scored, k)
 
 
 def queries_from_ids(embeddings: DataFrame, max_id: int) -> DataFrame:
@@ -199,12 +236,7 @@ def lsh_bucketed_topk(
             cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
-    )
+    return _rank_topk(scored, k)
 
 
 def brute_force_topk_vectorized(
@@ -227,9 +259,16 @@ def brute_force_topk_vectorized(
 
     sess = embeddings.sparkSession
     q_rows = queries.collect()
+    if not q_rows:
+        # empty query set: same empty relation the expression path
+        # returns (a 1-D empty ndarray would crash the axis-1 norm)
+        return sess.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, score double"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["q_embedding"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = sess.sparkContext.broadcast((q_ids, q_mat, k))
 
     def score_batches(batches):
@@ -241,12 +280,17 @@ def brute_force_topk_vectorized(
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
             scores = c_mat @ q_mat_l.T  # |batch| x |Q|
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids_l):
                 col = scores[:, j]
-                mask = c_ids != qid
+                # zero-norm vectors score NaN; the expression path's
+                # divide-by-zero yields NULL, which sorts LAST under
+                # desc — NaN would sort FIRST in argpartition. Drop
+                # them here (they can never beat a finite score).
+                mask = (c_ids != qid) & np.isfinite(col)
                 ids, vals = c_ids[mask], col[mask]
                 top = min(k_l, len(vals))
                 if not top:
@@ -262,12 +306,7 @@ def brute_force_topk_vectorized(
     local_top = embeddings.select("vec_id", "embedding").mapInPandas(
         score_batches, schema="query_id bigint, neighbor_id bigint, score double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        local_top.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
-    )
+    return _rank_topk(local_top, k)
 
 
 def _seed_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
@@ -422,24 +461,9 @@ def train_ivf_centroids(
     is the hash-slot seeds (the oracle-replayable configuration)."""
     cents = init if init is not None else _seed_centroids(embeddings, n_centroids)
     for _ in range(iters):
-        assigned = (
-            embeddings.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "embedding",
-                "centroid_id",
-                cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
-            )
-            .groupBy("vec_id", "embedding")
-            .agg(
-                F.max_by(
-                    "centroid_id", F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("nc"))
-                ).alias("list_id")
-            )
-        )
+        assigned = _assign_nearest_list(embeddings, cents)
         dims = assigned.select("list_id", F.posexplode("embedding").alias("dim", "x"))
-        cents = (
+        recomputed = (
             dims.groupBy("list_id", "dim")
             .agg(F.avg("x").alias("m"))
             .groupBy("list_id")
@@ -447,6 +471,21 @@ def train_ivf_centroids(
             .select(
                 F.col("list_id").alias("centroid_id"),
                 F.transform("dm", lambda s: s["m"]).alias("c_embedding"),
+            )
+        )
+        # A centroid whose list emptied this round has no recomputed
+        # row — KEEP its previous position (standard Lloyd practice)
+        # instead of silently shrinking below n_centroids with holes in
+        # the id space (consumers assume dense 0..k-1, and fewer lists
+        # quietly degrades recall below the configured budget).
+        cents = (
+            cents.select(
+                "centroid_id", F.col("c_embedding").alias("_prev_embedding")
+            )
+            .join(recomputed, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("c_embedding", "_prev_embedding").alias("c_embedding"),
             )
             .localCheckpoint()
         )
@@ -494,23 +533,7 @@ def ivf_topk(
     # Corpus → 1 nearest list: argmax via max_by over the broadcast-join
     # scores — partial-aggregable, ties broken toward the smaller
     # centroid_id (struct ordering on (score, -centroid_id)).
-    corpus_lists = (
-        embeddings.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "centroid_id",
-            cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
-        )
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.max_by(
-                "centroid_id", F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("nc"))
-            ).alias("list_id")
-        )
-        .select("vec_id", "embedding", "list_id")
-    )
+    corpus_lists = _assign_nearest_list(embeddings, cents)
 
     # Queries → n_probe nearest lists: the query set is small by contract,
     # so a window top-n over |Q|·n_centroids rows is negligible.
@@ -536,12 +559,7 @@ def ivf_topk(
             cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dedup(
@@ -734,9 +752,4 @@ def ann_topk_quantized(
             "score"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
-    )
+    return _rank_topk(scored, k)

@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.hashing import hex64
-from ..functions.text import tokens_array, normalize_text
+from ..functions.text import gram_array, tokens_array, normalize_text
 
 # Tiny per-language stopword inventories for the n-gram/stopword-hit
 # language heuristic. Fixed and mirrored in the oracle SQL — the point
@@ -393,15 +393,7 @@ def repetition_flags(
     # scanned the corpus 4× and sorted the full 2-gram relation in a
     # row_number window; measured 4× slower at sf0.01.)
     def grams(n: int, kind: int):
-        g = F.when(
-            F.size("_toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col("_toks"), i + off) for off in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        g = gram_array(F.col("_toks"), n)
         return F.transform(
             g, lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("s"))
         )

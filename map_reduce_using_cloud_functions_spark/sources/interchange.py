@@ -168,16 +168,26 @@ def zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = ZORDER_BITS):
         raise ValueError("zorder_key needs at least one column")
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed bigint")
+    kinds = dict(df.dtypes)
+
+    def as_double(c: str):
+        # DATE/TIMESTAMP_NTZ reject a direct double cast (DATATYPE_
+        # MISMATCH); route temporals through TIMESTAMP → epoch seconds.
+        if kinds[c] == "date" or kinds[c].startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
     for c in cols:
-        kind = dict(df.dtypes).get(c, "")
+        kind = kinds.get(c, "")
         if not (
-            kind.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal"))
+            kind in ("int", "bigint", "smallint", "tinyint", "float", "double")
+            or kind.startswith("decimal")
             or kind in ("date", "timestamp", "timestamp_ntz")
         ):
             raise ValueError(f"zorder_by column {c!r} has unsupported type {kind!r}")
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(as_double(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(as_double(c)).alias(f"mx_{c}") for c in cols],
     ).first()
     top = (1 << bits) - 1
     scaled = []
@@ -186,7 +196,7 @@ def zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = ZORDER_BITS):
         if mn is None or mx is None or mx == mn:
             scaled.append(F.lit(0).cast("bigint"))
         else:
-            x = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+            x = (as_double(c) - F.lit(mn)) / F.lit(mx - mn)
             scaled.append(
                 F.least(F.floor(x * (top + 1)), F.lit(top)).cast("bigint")
             )
@@ -346,7 +356,10 @@ def compact_dataset(
         "rebalance"
     )
     tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    swap_started = False
     try:
         write_dataset(
             rebalanced,
@@ -357,10 +370,18 @@ def compact_dataset(
             max_records_per_file=max_records_per_file,
         )
         rows = spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
+        # Two renames, never an early delete: the original survives (as
+        # `.compact.old`) until the compacted copy is IN PLACE. A crash
+        # at any point leaves at least one complete copy on disk — the
+        # failure mode of delete-then-rename (original gone, tmp
+        # cleaned by the error path) was the one way to lose data.
+        swap_started = True
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not swap_started:
+            shutil.rmtree(tmp, ignore_errors=True)
     return {
         "rows": rows,
         "files_before": files_before,

@@ -61,7 +61,15 @@ def start_file_index_stream(
         # overwrite) — a one-file batch rewrites a few directories, never
         # the whole index. Exactly-once: checkpoint + the idempotent
         # per-document replace (or additive reference parity).
-        upsert_index(spark, build_index(batch_df), index_path, additive=additive)
+        # the batch's documents are the explicit replace-set so a file
+        # re-dropped with token-free content scrubs its old postings
+        upsert_index(
+            spark,
+            build_index(batch_df),
+            index_path,
+            additive=additive,
+            documents=batch_df.select("document"),
+        )
 
     writer = corpus.writeStream.foreachBatch(upsert_batch).option(
         "checkpointLocation", checkpoint_dir

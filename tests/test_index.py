@@ -276,3 +276,70 @@ def test_cli_query_missing_index_is_a_clean_error(spark, tmp_path, capsys):
     rc = main(["query", str(tmp_path / "nope"), "apple"], spark=spark)
     assert rc == 2
     assert "no index at" in capsys.readouterr().err
+
+
+def test_upsert_scrubs_document_reindexed_to_token_free(spark, tmp_path):
+    """A document re-indexed to content with NO tokens (e.g. only
+    punctuation) produces an empty delta — with the explicit
+    ``documents`` replace-set its old postings must still be removed
+    (review r4: the delta-derived set misses exactly this case)."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        build_index,
+        read_index,
+        upsert_index,
+        write_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [("d1", "zebra quill"), ("d2", "banana")], "document string, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_index(build_index(v1), path)
+
+    # d1 v2 tokenizes to nothing (punctuation-only)
+    v2 = spark.createDataFrame([("d1", "?!... ---")], "document string, text string")
+    upsert_index(
+        spark,
+        build_index(v2),
+        path,
+        additive=False,
+        documents=v2.select("document"),
+    )
+
+    got = sorted(map(tuple, read_index(spark, path).collect()))
+    assert got == [("banana", "d2", 1)]
+    assert not os.path.exists(os.path.join(path, "first=z"))
+    assert not os.path.exists(os.path.join(path, "first=q"))
+    assert os.path.exists(os.path.join(path, "first=b"))
+
+    # and the sidecar forgot d1: re-adding text for d1 later must not
+    # consider any stale letters
+    v3 = spark.createDataFrame([("d1", "apple")], "document string, text string")
+    upsert_index(
+        spark, build_index(v3), path, additive=False, documents=v3.select("document")
+    )
+    got = sorted(map(tuple, read_index(spark, path).collect()))
+    assert got == [("apple", "d1", 1), ("banana", "d2", 1)]
+
+
+def test_engine_add_scrubs_token_free_reindex(spark, tmp_path):
+    """End-to-end through the engine: overwriting an uploaded file with
+    punctuation-only content removes its postings from the index."""
+    from map_reduce_using_cloud_functions_spark.engine import InvertedIndexEngine
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.txt").write_text("hello world")
+    (docs / "b.txt").write_text("keep this")
+    idx = str(tmp_path / "idx")
+    eng = InvertedIndexEngine(spark, idx)
+    eng.build(str(docs))
+    assert [r["document"] for r in eng.find_occurrences("hello").collect()] == ["a.txt"]
+
+    (docs / "a.txt").write_text("?!?! ...")
+    eng.add(str(docs / "a.txt"))
+    assert eng.find_occurrences("hello").collect() == []
+    assert eng.find_occurrences("world").collect() == []
+    assert [r["document"] for r in eng.find_occurrences("keep").collect()] == ["b.txt"]

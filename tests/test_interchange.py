@@ -402,3 +402,24 @@ def test_corpus_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
     stats = corrupt_record_stats(scan).first()
     assert stats["n_lines"] == 2 and stats["n_corrupt"] == 1
     assert scan.where("doc_id = 7").count() == 1
+
+
+def test_zorder_supports_date_and_timestamp(spark):
+    """The advertised temporal z-order support must not crash: DATE and
+    TIMESTAMP_NTZ reject a direct double cast (review r4, confirmed
+    live) — they route through TIMESTAMP now."""
+    import datetime
+
+    from map_reduce_using_cloud_functions_spark.sources.interchange import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), datetime.datetime(2024, 1, 1, 5), 1.0),
+            (datetime.date(2024, 6, 1), datetime.datetime(2024, 6, 1, 5), 2.0),
+        ],
+        "d date, t timestamp_ntz, v double",
+    )
+    keys = df.select(zorder_key(df, ("d", "v")).alias("z")).collect()
+    assert len({r["z"] for r in keys}) == 2
+    keys = df.select(zorder_key(df, ("t", "v")).alias("z")).collect()
+    assert len({r["z"] for r in keys}) == 2

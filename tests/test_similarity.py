@@ -413,3 +413,62 @@ def test_kmeans_parallel_init_deterministic_and_improves_seeding(spark, embeddin
     assert objective(clustered, km) > 0.99
     trained = train_ivf_centroids(clustered, 4, iters=1, init=km)
     assert objective(clustered, trained) > 0.99
+
+
+def test_vectorized_empty_queries_returns_empty(spark):
+    """Empty query set must return an empty (not crash the axis-1 norm
+    on a 1-D empty ndarray)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = spark.createDataFrame([], "query_id bigint, q_embedding array<float>")
+    assert brute_force_topk_vectorized(emb, q, k=3).count() == 0
+
+
+def test_vectorized_zero_norm_candidates_never_rank(spark):
+    """A zero corpus vector scores NaN in the matmul path — it must be
+    dropped (the expression path's NULL sorts last), never rank first."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero-norm
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id bigint, q_embedding array<float>"
+    )
+    got = brute_force_topk_vectorized(emb, q, k=2).collect()
+    assert [r["neighbor_id"] for r in got] == [2]
+
+
+def test_lloyd_keeps_empty_centroids(spark):
+    """A centroid that loses all members in a Lloyd round keeps its
+    previous position — the trained set never shrinks below its seeds."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    # two tight clusters; seed a third centroid far from everything so
+    # its list empties immediately
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)]
+        + [(10 + i, [0.0, 1.0]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])],
+        "centroid_id int, c_embedding array<double>",
+    )
+    cents = train_ivf_centroids(emb, n_centroids=3, iters=2, init=seeds)
+    got = {r["centroid_id"]: r["c_embedding"] for r in cents.collect()}
+    assert sorted(got) == [0, 1, 2]
+    assert got[2] == [-1.0, -1.0]  # kept, not dropped
