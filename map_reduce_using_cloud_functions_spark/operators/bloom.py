@@ -195,25 +195,40 @@ def _probed(big: DataFrame, bitmap: DataFrame, on: str, m: int, k: int) -> DataF
 
 
 def bloom_semi_join(
-    big: DataFrame, keys: DataFrame, on: str, fpp: float = 0.01
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """Exact ``big SEMI JOIN keys ON on`` where only bloom-positive rows
-    (true members + ~fpp of the rest) reach the shuffle join."""
-    bitmap, m, k = bloom_bitmap(keys, on, fpp=fpp)
+    (true members + ~fpp of the rest) reach the shuffle join.
+    ``expected_items`` forwards to the bitmap sizing — pass it when
+    known to skip the sizing pass's distinct-count over ``keys``.
+    The confirm join takes ``keys`` as-is: semi/anti semantics are
+    unaffected by duplicate build-side keys, so a pre-``distinct``
+    would be a wasted full shuffle."""
+    bitmap, m, k = bloom_bitmap(keys, on, expected_items=expected_items, fpp=fpp)
     pref = _probed(big, bitmap, on, m, k).where(F.col("_bloom_hit")).drop("_bloom_hit")
-    return pref.join(keys.select(on).distinct(), on, "left_semi")
+    return pref.join(keys.select(on), on, "left_semi")
 
 
 def bloom_anti_join(
-    big: DataFrame, keys: DataFrame, on: str, fpp: float = 0.01
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """Exact ``big ANTI JOIN keys ON on``: bloom-negative rows are
     definite non-members and pass through MAP-ONLY; only the bloom-
     positive sliver enters the exact anti join to weed out false
-    positives. Union restores the full result."""
-    bitmap, m, k = bloom_bitmap(keys, on, fpp=fpp)
+    positives. Union restores the full result. ``expected_items`` and
+    the undeduplicated confirm join: same rationale as
+    ``bloom_semi_join``."""
+    bitmap, m, k = bloom_bitmap(keys, on, expected_items=expected_items, fpp=fpp)
     probed = _probed(big, bitmap, on, m, k)
     definite_out = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
-    confirmed_out = maybe.join(keys.select(on).distinct(), on, "left_anti")
+    confirmed_out = maybe.join(keys.select(on), on, "left_anti")
     return definite_out.unionByName(confirmed_out)

@@ -28,10 +28,17 @@ def salted_join(
     """Join ``skewed ⋈ other`` on ``key`` with the hot-key rows of
     ``skewed`` spread over ``salt_buckets`` partitions.
 
-    ``salt_source`` picks the salt deterministically (defaults to a
-    hash of the skewed side's whole row via monotonically varying
-    ``spark_partition_id``+offset-free expression: crc32 of all cols) —
-    determinism keeps retries/speculative tasks consistent.
+    ``salt_source`` picks each row's salt. The default is a per-row
+    round-robin (``monotonically_increasing_id() mod S``), which spreads
+    even byte-identical duplicate rows — the classic hot key IS a value
+    repeated a billion times, where any content hash would assign every
+    copy the same salt and silently not spread at all. Correctness never
+    depends on WHICH salt a row gets (the right side carries every
+    salt), so retry/speculation nondeterminism is harmless here. A
+    custom ``salt_source`` is normalized with ``pmod`` (Spark ``%`` is
+    sign-preserving — a signed hash would put half the rows in negative
+    buckets that match nothing, silently dropping them) and
+    null-coalesced to bucket 0.
 
     Supported ``how``: left-preserving joins only (inner/left/semi/anti).
     Right/full-preserving joins would emit every unmatched right row
@@ -46,8 +53,11 @@ def salted_join(
             f"got how={how!r} (unmatched right rows would duplicate per salt)"
         )
     if salt_source is None:
-        salt_source = F.crc32(F.concat_ws("\x1f", *skewed.columns))
-    salted_left = skewed.withColumn("__salt", (salt_source % salt_buckets).cast("int"))
+        salt_source = F.monotonically_increasing_id()
+    salt = F.coalesce(
+        F.pmod(salt_source, F.lit(salt_buckets)), F.lit(0)
+    ).cast("int")
+    salted_left = skewed.withColumn("__salt", salt)
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias("__salt")
@@ -97,12 +107,26 @@ def as_of_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in value_cols
-    ] + [F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts")]
+    # Carry the most recent right ROW as one struct, not each column
+    # independently: per-column last(ignorenulls) would skip a right row
+    # whose value is genuinely NULL and resurrect an OLDER value while
+    # asof_ts still reported the newer timestamp — a stale (ts, value)
+    # pairing DuckDB's ASOF (the oracle) never produces. The struct is
+    # non-null for EVERY right row (even all-null values), so
+    # ignorenulls skips exactly the left-row placeholders.
+    rstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_r_ts").alias("ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    carried = F.last(rstruct, ignorenulls=True).over(w)
+    projected = [carried[c].alias(f"{prefix}{c}") for c in value_cols] + [
+        carried["ts"].alias(f"{prefix}ts")
+    ]
     return (
-        u.select("*", *carried)
+        u.select("*", *projected)
         .where(F.col("_side") == 1)
         .drop("_side", "_r_ts", *[f"_r_{c}" for c in value_cols])
     )

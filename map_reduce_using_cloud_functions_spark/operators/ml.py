@@ -86,12 +86,18 @@ def fit_ridge(
 
 def predict_col(features_col: str, weights: list[float], fit_intercept: bool = True) -> Column:
     """Map-only scoring expression: dot(features, w) (+ intercept).
-    Weights are plan literals — no join, no broadcast, no UDF."""
+    Weights are plan literals — no join, no broadcast, no UDF.
+
+    ``try_element_at``, not ``element_at``: this runs over the RAW
+    corpus (the fit cleans its own rows, scoring can't), and under the
+    session's default ANSI mode one short feature array would otherwise
+    throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT and kill the whole scan.
+    A short/malformed row scores NULL instead — filterable, never fatal."""
     x = F.col(features_col)
     n_feat = len(weights) - (1 if fit_intercept else 0)
     acc = F.lit(weights[-1]) if fit_intercept else F.lit(0.0)
     for i in range(n_feat):
-        acc = acc + F.lit(weights[i]) * F.element_at(x, i + 1).cast("double")
+        acc = acc + F.lit(weights[i]) * F.try_element_at(x, F.lit(i + 1)).cast("double")
     return acc
 
 

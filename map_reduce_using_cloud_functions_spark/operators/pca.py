@@ -38,9 +38,23 @@ def fit_pca(
     partitionings and BLAS builds)."""
     import numpy as np
 
-    nonempty = embeddings.where(F.size(F.col(vec_col)) > 0).select(
-        F.col(vec_col).alias("v")
-    )
+    # Clean-row contract (mirrors fit_ridge): the fit's dimensionality
+    # comes from the FIRST non-empty vector, and every summed row must
+    # match it — a mixed-dimension corpus would otherwise produce
+    # partials of different lengths whose posexplode positions overlap
+    # (one batch's Gram entry summing into another's mean entry), with
+    # the 1+d+d² consistency assert still passing on the garbage total.
+    # Null elements are excluded too (NaN poisons the Gram sums).
+    first = embeddings.where(F.size(F.col(vec_col)) > 0).select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    if first is None:
+        raise ValueError("fit_pca: no non-empty vectors")
+    dim = int(first["d"])
+    v = F.col(vec_col)
+    nonempty = embeddings.where(
+        (F.size(v) == dim) & F.forall(v, lambda e: e.isNotNull())
+    ).select(v.alias("v"))
 
     def partials(batches):
         import pandas as pd

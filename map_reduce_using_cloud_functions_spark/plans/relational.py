@@ -289,8 +289,11 @@ def part_type_margins(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def order_priority_counts(t: dict[str, DataFrame]) -> DataFrame:
-    """Correlated-EXISTS shape (TPC-H Q4): orders having ≥1 lineitem
-    shipped after order month start, counted by priority — semi join."""
+    """EXISTS-decorrelated-to-semi-join shape (the planner rewrite TPC-H
+    Q4 relies on): orders having ≥1 lineitem shipped on/after a fixed
+    cutoff date, counted by priority. (Q4's own predicate correlates on
+    the order's commit/receipt dates; this variant keeps the same
+    semi-join plan shape with an uncorrelated ship-date filter.)"""
     o = t["orders"]
     li = t["lineitem"].where(F.col("l_shipdate") >= F.lit("1995-01-01"))
     return (
@@ -414,7 +417,11 @@ def embedding_array_features(t: dict[str, DataFrame]) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_component"),
+        # try_element_at: an empty embedding yields NULL (matching
+        # DuckDB's out-of-bounds list access) instead of an ANSI throw
+        F.round(F.try_element_at(emb, F.lit(1)).cast("double"), 6).alias(
+            "first_component"
+        ),
         F.round(l2_norm(emb), 6).alias("l2"),
         F.round(F.aggregate(top3, F.lit(0.0), lambda a, x: a + x), 6).alias("top3_sum"),
     )

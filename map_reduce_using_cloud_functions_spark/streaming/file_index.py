@@ -59,8 +59,12 @@ def start_file_index_stream(
         # Partition-level upsert: only first-letter partitions touched by
         # this batch's postings are rewritten (dynamic partition
         # overwrite) — a one-file batch rewrites a few directories, never
-        # the whole index. Exactly-once: checkpoint + the idempotent
-        # per-document replace (or additive reference parity).
+        # the whole index. Effectively-once holds for the DEFAULT
+        # replace path only: foreachBatch is at-least-once, and the
+        # per-document replace is idempotent under batch replay. The
+        # additive path (reference bug-parity) is NOT — a replayed
+        # batch adds its counts again; don't run additive=True where a
+        # driver restart mid-commit is in play.
         # the batch's documents are the explicit replace-set so a file
         # re-dropped with token-free content scrubs its old postings
         upsert_index(

@@ -11,8 +11,15 @@ exactly what distinguishes this from a windowed aggregate: the
 reference's only 'state' is its stored index re-merged per trigger
 (master/main.py:106-126); this is the principled generalization.
 
-State is per-group (user), Arrow-batched, and bounded by a timeout —
-the pattern scales to any keyed cardinality a shuffle can partition.
+State is per-group (user), Arrow-batched, and bounded by an idle
+timeout (default 7 days of processing time): a user with no events for
+that long has their state EVICTED, so total state is bounded by the
+active-key set, not every key ever seen — the property that lets the
+pattern scale to any keyed cardinality a shuffle can partition. The
+trade is explicit: an evicted user who returns restarts their lifetime
+totals from zero. ``idle_timeout_minutes=None`` disables eviction
+(true lifetime totals, state grows with distinct keys forever — only
+for bounded key domains).
 """
 
 from __future__ import annotations
@@ -29,52 +36,77 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = "total_events bigint, total_value double"
 
-
-def _update_user_state(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    batch_events = 0
-    batch_value = 0.0
-    for pdf in pdfs:
-        batch_events += len(pdf)
-        batch_value += float(pdf["value"].fillna(0.0).sum())
-
-    if state.exists:
-        total_events, total_value = state.get
-    else:
-        total_events, total_value = 0, 0.0
-
-    prior_mean = (total_value / total_events) if total_events else None
-    total_events += batch_events
-    total_value += batch_value
-    state.update((total_events, total_value))
-
-    batch_mean = batch_value / batch_events if batch_events else 0.0
-    anomaly = prior_mean is not None and batch_mean > 3 * prior_mean
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "batch_events": [batch_events],
-            "total_events": [total_events],
-            "total_value": [total_value],
-            "anomaly": [anomaly],
-        }
-    )
+DEFAULT_IDLE_TIMEOUT_MINUTES = 7 * 24 * 60
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def _make_update_fn(timeout_ms: int | None):
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle eviction: drop the key's state, emit nothing
+            state.remove()
+            return
+        batch_events = 0
+        batch_value = 0.0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            batch_value += float(pdf["value"].fillna(0.0).sum())
+
+        if state.exists:
+            total_events, total_value = state.get
+        else:
+            total_events, total_value = 0, 0.0
+
+        prior_mean = (total_value / total_events) if total_events else None
+        total_events += batch_events
+        total_value += batch_value
+        state.update((total_events, total_value))
+        if timeout_ms is not None:
+            # re-armed every batch the user appears in; fires only
+            # after a full idle window
+            state.setTimeoutDuration(timeout_ms)
+
+        batch_mean = batch_value / batch_events if batch_events else 0.0
+        anomaly = prior_mean is not None and batch_mean > 3 * prior_mean
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_events": [batch_events],
+                "total_events": [total_events],
+                "total_value": [total_value],
+                "anomaly": [anomaly],
+            }
+        )
+
+    return update
+
+
+def running_user_totals(
+    events: DataFrame,
+    idle_timeout_minutes: int | None = DEFAULT_IDLE_TIMEOUT_MINUTES,
+) -> DataFrame:
     """Attach the stateful operator to a streaming events DataFrame
-    (must have user_id and value columns)."""
+    (must have user_id and value columns). See the module docstring for
+    the idle-eviction contract."""
+    timeout_ms = (
+        None if idle_timeout_minutes is None else idle_timeout_minutes * 60_000
+    )
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_state,
+            _make_update_fn(timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )

@@ -317,3 +317,51 @@ def test_range_join_bucket_width_invariance(spark):
         for w in (3, 10, 64)
     }
     assert results[3] == results[10] == results[64]
+
+
+def test_salted_join_custom_signed_salt_loses_no_rows(spark):
+    """A signed custom salt_source (e.g. F.hash) must not drop rows:
+    Spark % is sign-preserving, so pmod normalization is load-bearing."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.joins import salted_join
+
+    left = spark.range(1000).select((F.col("id") % 7).alias("k"), "id")
+    right = spark.createDataFrame([(i,) for i in range(7)], "k long")
+    got = salted_join(left, right, "k", salt_buckets=8, salt_source=F.hash("id"))
+    assert got.count() == 1000
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """The classic hot key is one row repeated verbatim — the default
+    salt must spread byte-identical copies across buckets (a whole-row
+    hash would give every copy the same salt)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.joins import salted_join
+
+    left = spark.range(800).select(F.lit(1).alias("k"), F.lit("same").alias("v"))
+    right = spark.createDataFrame([(1, "dim")], "k long, d string")
+    # count distinct salts the left side actually receives
+    salted = left.withColumn(
+        "__salt",
+        F.coalesce(F.pmod(F.monotonically_increasing_id(), F.lit(8)), F.lit(0)),
+    )
+    assert salted.select("__salt").distinct().count() > 1
+    assert salted_join(left, right, "k", salt_buckets=8).count() == 800
+
+
+def test_as_of_join_null_valued_right_row_wins(spark):
+    """A right row whose value is genuinely NULL is still 'the most
+    recent row': the join must return (its ts, NULL), never pair the
+    newer ts with an OLDER row's value (DuckDB ASOF semantics)."""
+    from map_reduce_using_cloud_functions_spark.operators.joins import as_of_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None)], "user_id long, ts long, value double"
+    )
+    left = spark.createDataFrame([(1, 3)], "user_id long, ts long")
+    got = as_of_join(left, right, key="user_id", ts_col="ts").collect()
+    assert len(got) == 1
+    assert got[0]["asof_ts"] == 2
+    assert got[0]["asof_value"] is None
