@@ -868,12 +868,19 @@ FROM documents
 WITH norms AS (SELECT doc_id, {_norm} AS norm FROM documents),
 grams AS (
   SELECT doc_id, substr(norm, i, 8) AS g
-  FROM (SELECT doc_id, norm, unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS i FROM norms)
+  FROM (SELECT doc_id, norm, unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS i
+        FROM norms WHERE length(norm) >= 1)
+),
+agg AS (
+  SELECT doc_id, min({_HEX64.format(col='g')}) AS min_fp,
+         max({_HEX64.format(col='g')}) AS max_fp,
+         count(DISTINCT g) AS n_grams
+  FROM grams GROUP BY doc_id
 )
-SELECT doc_id, min({_HEX64.format(col='g')}) AS min_fp,
-       max({_HEX64.format(col='g')}) AS max_fp,
-       count(DISTINCT g) AS n_grams
-FROM grams GROUP BY doc_id
+-- empty-normalized docs fingerprint as (NULL, NULL, 0), matching the
+-- engine (the ''-gram would alias every empty doc to one fingerprint)
+SELECT n.doc_id, a.min_fp, a.max_fp, coalesce(a.n_grams, 0) AS n_grams
+FROM norms n LEFT JOIN agg a USING (doc_id)
 """
 
     sql["text_tfidf"] = f"""

@@ -85,8 +85,19 @@ def normalize_query_word_py(word: str) -> str:
 def normalize_query_word(word: Column) -> Column:
     """Probe-word normalization (reference ``main/app.py:67-68``):
     strip, lower, delete non-alphanumerics (whitespace kept by the regex
-    class, but a valid query contains none — ``main/app.py:43-44``)."""
-    return F.regexp_replace(F.lower(F.trim(word)), _NON_ALNUM, "")
+    class, but a valid query contains none — ``main/app.py:43-44``).
+
+    Exact twin of ``normalize_query_word_py``: the deletion class keeps
+    PYTHON's whitespace set (spelled out — Java ``\\s`` is ASCII-only)
+    and the strip removes that same set, matching ``str.strip()``
+    (``F.trim`` strips spaces only, which diverged for tab-bearing
+    probes)."""
+    stripped = F.regexp_replace(
+        word, f"^[{_PY_WS_CHARS}]+|[{_PY_WS_CHARS}]+$", ""
+    )
+    return F.regexp_replace(
+        F.lower(stripped), f"[^a-zA-Z0-9{_PY_WS_CHARS}]", ""
+    )
 
 
 def register_sql_functions(spark) -> None:

@@ -11,8 +11,12 @@ Scale notes (100 TB design points):
 - minhash: signatures are k rows per doc (k=16); LSH banding turns the
   O(n²) pair space into an equi-join on (band, band_hash) — only
   colliding buckets produce candidates. Band buckets are skew-prone
-  (empty docs hash alike): AQE skew-join handles it; candidates are
-  verified with the exact signature overlap before reporting.
+  (boilerplate/templated docs share signatures): AQE skew-join handles
+  it; candidates are verified with the exact signature overlap before
+  reporting. Scope note: documents with fewer than ``shingle_n`` tokens
+  produce NO shingles, hence no signature — they are invisible to
+  MinHash near-dup BY DESIGN (near-similarity of 1-2-token docs is not
+  meaningful); ``exact_dedup`` keys the full text and covers them.
 - simhash: 32-bit fingerprint per doc via one explode(k bits) + sum —
   near-dup candidates are fingerprints at small Hamming distance.
 - token-set Jaccard: exact verification path; joined on shared token so
@@ -24,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.hashing import hex64, portable_hash64
+from ..functions.hashing import hex64
 from ..functions.text import gram_array, tokens_array
 
 # MinHash configuration — fixed so Spark and the oracle agree.
@@ -151,6 +155,12 @@ def _band_hashes(
     projection (no shuffle): each band hashes its slice of the array.
     ``keep_sig`` carries the full signature alongside so the verify step
     can run inside the banding join without re-reading the signatures."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} must divide evenly into bands={bands}: the trailing "
+            f"k % bands signature positions would silently never reach a "
+            f"band (reduced recall with no error)"
+        )
     rows_per_band = k // bands
     cols = [
         F.struct(
@@ -183,8 +193,8 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Equi-join documents on (band, band_hash): only bucket collisions
     become candidate pairs — the step that replaces the O(n²) pair space.
-    Bucket skew (e.g. many empty docs sharing a signature) is handled by
-    AQE skew-join splitting at runtime."""
+    Bucket skew (many boilerplate/near-identical docs sharing a band
+    hash) is handled by AQE skew-join splitting at runtime."""
     banded = _band_hashes(sig_wide, bands, k)
     other = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
@@ -300,9 +310,12 @@ def jaccard_shingle_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # no broadcast hint on the sizes relation: it is one row per
+    # DOCUMENT (corpus-sized at the 100 TB design point) — forcing it
+    # driver-side would OOM; AQE broadcasts it only when it is small
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -372,9 +385,12 @@ def jaccard_token_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # no broadcast hint on the sizes relation: it is one row per
+    # DOCUMENT (corpus-sized at the 100 TB design point) — forcing it
+    # driver-side would OOM; AQE broadcasts it only when it is small
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),

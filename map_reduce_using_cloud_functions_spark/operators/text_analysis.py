@@ -54,17 +54,35 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def _quality_expr():
+    """The composite quality formula over (n_tokens, n_distinct,
+    stopword_ratio) columns — ONE definition shared by ``quality_score``
+    and ``text_features`` so the value-identical twins cannot drift."""
+    return (
+        F.least(F.col("n_tokens") / 200.0, F.lit(1.0)) * 0.4
+        + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+    )
+
+
+def _lang_argmax(scores: dict):
+    """(best, guess) from per-language score columns: argmax with the
+    deterministic tiebreak (score desc, language asc), ``'und'`` when no
+    language scored — the cascade both the explode and map-only
+    variants share (mirrored verbatim in the oracle SQL)."""
+    best = F.greatest(*[scores[lang] for lang in sorted(scores)])
+    guess = F.lit(None).cast("string")
+    for lang in sorted(scores, reverse=True):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return best, F.when(best > 0, guess).otherwise(F.lit("und"))
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score in [0,1]-ish: rewards mid-length docs,
     lexical diversity, sane stopword rate. Pure arithmetic over
     text_stats — the shape of a production quality filter."""
     s = text_stats(documents)
-    score = (
-        F.least(F.col("n_tokens") / 200.0, F.lit(1.0)) * 0.4
-        + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
-        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
-    )
-    return s.select("doc_id", F.round(score, 6).alias("quality"))
+    return s.select("doc_id", F.round(_quality_expr(), 6).alias("quality"))
 
 
 def language_guess(documents: DataFrame) -> DataFrame:
@@ -79,15 +97,12 @@ def language_guess(documents: DataFrame) -> DataFrame:
         for lang, words in sorted(LANG_STOPWORDS.items())
     ]
     scored = toks.groupBy("doc_id").agg(*aggs)
-    # argmax via greatest + cascaded CASE in ascending language order —
-    # mirrored verbatim in the oracle SQL.
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_STOPWORDS)])
-    guess = F.lit(None).cast("string")
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
-        guess = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(guess)
+    best, guess = _lang_argmax(
+        {lang: F.col(f"s_{lang}") for lang in LANG_STOPWORDS}
+    )
     return scored.select(
         "doc_id",
-        F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+        guess.alias("lang_guess"),
         best.alias("best_score"),
     )
 
@@ -170,16 +185,26 @@ def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
     Map-only: the gram windows live in a per-row array, so min/max/
     distinct-count are array expressions — no explode, no groupBy, and
     (unlike the groupBy+countDistinct formulation) no shuffle of the
-    full char-gram stream. One scan at any corpus size."""
+    full char-gram stream. One scan at any corpus size.
+
+    Empty-normalized documents ('' or punctuation-only text) fingerprint
+    as (NULL, NULL, 0): the earlier ''-gram behavior gave EVERY such doc
+    identical min/max fingerprints, flooding a fingerprint-bucketed
+    first-pass dedup with false near-certain candidates."""
     grams = _char_grams(gram)
     hashes = F.transform(F.col("_grams"), lambda g: hex64(g))
+    empty = F.length(normalize_text(F.col("text"))) == 0
+    null_fp = F.lit(None).cast("bigint")
     return (
-        documents.select("doc_id", grams.alias("_grams"))
+        documents.select("doc_id", F.col("text"), grams.alias("_grams"))
         .select(
             "doc_id",
-            F.array_min(hashes).alias("min_fp"),
-            F.array_max(hashes).alias("max_fp"),
-            F.size(F.array_distinct("_grams")).cast("bigint").alias("n_grams"),
+            F.when(empty, null_fp).otherwise(F.array_min(hashes)).alias("min_fp"),
+            F.when(empty, null_fp).otherwise(F.array_max(hashes)).alias("max_fp"),
+            F.when(empty, F.lit(0))
+            .otherwise(F.size(F.array_distinct("_grams")))
+            .cast("bigint")
+            .alias("n_grams"),
         )
     )
 
@@ -214,10 +239,7 @@ def text_features(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
         lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
         for lang, words in sorted(LANG_STOPWORDS.items())
     }
-    best = F.greatest(*lang_hits.values())
-    guess = F.lit(None).cast("string")
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
-        guess = F.when(lang_hits[lang] == best, F.lit(lang)).otherwise(guess)
+    best, guess = _lang_argmax(lang_hits)
     feats = tok_rows.select(
         "doc_id",
         *keep,
@@ -230,7 +252,7 @@ def text_features(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
         ).alias("avg_token_len"),
         ratio(lambda x: x.isin(*STOPWORDS_EN)).alias("stopword_ratio"),
         ratio(lambda x: x.rlike("^[0-9]+$")).alias("digit_ratio"),
-        F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+        guess.alias("lang_guess"),
         best.cast("bigint").alias("best_score"),
     )
     score = (
@@ -538,8 +560,17 @@ def corpus_report(documents: DataFrame) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.expr("percentile(_ntoks, 0.5)"), 4).alias("p50_tokens"),
         F.round(F.expr("percentile(_ntoks, 0.9)"), 4).alias("p90_tokens"),
+        # each NULL-text doc counts as its own distinct document:
+        # countDistinct skips NULLs, which would otherwise report null
+        # rows as duplicates of each other
         F.round(
-            1 - F.countDistinct("_h") / F.count(F.lit(1)), 6
+            1
+            - (
+                F.countDistinct("_h")
+                + F.sum(F.col("_h").isNull().cast("long"))
+            )
+            / F.count(F.lit(1)),
+            6,
         ).alias("dup_frac"),
     )
 

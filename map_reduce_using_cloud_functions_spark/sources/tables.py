@@ -32,9 +32,31 @@ _TS_NORMALIZE_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _has_nanos_column(path: str, cols: tuple[str, ...]) -> bool:
+    """Footer-only peek: does any of ``cols`` carry TIMESTAMP(NANOS)?
+    Keeps the session-wide ``nanosAsLong`` flag OFF unless the fixture
+    actually ships nanos — the flag cannot be scoped to one read (it is
+    consulted at scan time, lazily), and leaving it on session-wide
+    silently changes the schema of any LATER user parquet read with
+    nanos columns. Conservative on errors (assume nanos) so an
+    unreadable footer degrades to the old always-on behavior."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        for c in cols:
+            if c in schema.names and str(schema.field(c).type) == "timestamp[ns]":
+                return True
+        return False
+    except Exception:
+        return True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (lazy; no IO until an action runs)."""
-    if name in _TS_NORMALIZE_COLUMNS:
+    if name in _TS_NORMALIZE_COLUMNS and _has_nanos_column(
+        os.path.join(sf_dir, f"{name}.parquet"), _TS_NORMALIZE_COLUMNS[name]
+    ):
         # Conf must be in place before this table's schema inference.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

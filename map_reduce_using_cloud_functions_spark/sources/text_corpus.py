@@ -31,8 +31,26 @@ def read_text_corpus(spark: SparkSession, path: str, wholetext: bool = False) ->
     """
     df = spark.read.text(path, wholetext=wholetext)
     return df.select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("document"),
+        document_from_file_name().alias("document"),
         F.col("value").alias("text"),
+    )
+
+
+def document_from_file_name():
+    """Document identity = decoded file basename, from
+    ``input_file_name()`` — shared by the batch and streaming text
+    readers so both agree with the reference's object-name identity.
+
+    ``input_file_name()`` returns a URL-encoded URI: 'my file.txt'
+    arrives as 'my%20file.txt', silently breaking the file-basename
+    contract (and colliding 'a b.txt' with 'a%20b.txt'). Decode
+    percent-escapes; literal '+' is pre-protected because url_decode is
+    form-decoding ('+' → space), and a malformed escape in an exotic
+    filename falls back to the raw basename (try_url_decode → NULL →
+    coalesce) rather than failing the scan."""
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return F.coalesce(
+        F.try_url_decode(F.replace(base, F.lit("+"), F.lit("%2B"))), base
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.index import build_index, upsert_index
+from ..sources.text_corpus import document_from_file_name
 
 
 def start_file_index_stream(
@@ -50,7 +51,8 @@ def start_file_index_stream(
     corpus = (
         reader.text(watch_dir)
         .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("document"),
+            # same decoded-basename identity as the batch reader
+            document_from_file_name().alias("document"),
             F.col("value").alias("text"),
         )
     )

@@ -1104,3 +1104,22 @@ def test_assign_splits_properties(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         assign_splits(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_fingerprints_empty_docs_dont_alias(spark):
+    """Empty/punctuation-only docs fingerprint as (NULL, NULL, 0) — the
+    old ''-gram gave every such doc IDENTICAL fingerprints, flooding a
+    (min_fp, max_fp) bucketed dedup with false candidates."""
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "!!!"), (3, "real text content here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    assert got[1]["min_fp"] is None and got[1]["max_fp"] is None
+    assert got[1]["n_grams"] == 0
+    assert got[2]["min_fp"] is None  # punctuation-only normalizes empty
+    assert got[3]["min_fp"] is not None

@@ -126,3 +126,38 @@ def test_registered_sql_udfs_match_expression_path(spark):
         for pos, tok in enumerate(reference_tokenize(t)):
             want.append((t, pos, tok))
     assert [(r["text"], r["pos"], r["token"]) for r in got] == want
+
+
+def test_normalize_query_word_column_matches_py_twin(spark):
+    """The Column variant and the executable-spec py twin must agree on
+    whitespace-bearing probes (review r4: F.trim strips spaces only and
+    the old deletion class ate tabs the py spec keeps)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.functions.text import (
+        normalize_query_word,
+        normalize_query_word_py,
+    )
+
+    probes = ["  word  ", "a\tb", "\tx\n", "Hello!", "naïve", "a b", "\x1fz\x1f"]
+    df = spark.createDataFrame([(p,) for p in probes], "w string")
+    got = [
+        r["n"] for r in df.select(normalize_query_word(F.col("w")).alias("n")).collect()
+    ]
+    assert got == [normalize_query_word_py(p) for p in probes]
+
+
+def test_read_text_corpus_decodes_spacey_filenames(spark, tmp_path):
+    """input_file_name() URL-encodes paths: 'my file.txt' must come back
+    as 'my file.txt', not 'my%20file.txt' (review r4, confirmed live);
+    '+' and '%' literals must survive the decode."""
+    from map_reduce_using_cloud_functions_spark.sources import read_text_corpus
+
+    (tmp_path / "my file.txt").write_text("alpha")
+    (tmp_path / "a+b.txt").write_text("beta")
+    (tmp_path / "100%.txt").write_text("gamma")
+    docs = {
+        r["document"]
+        for r in read_text_corpus(spark, str(tmp_path)).select("document").collect()
+    }
+    assert docs == {"my file.txt", "a+b.txt", "100%.txt"}

@@ -205,7 +205,9 @@ SELECT source, lang,
        sum(n_chars)::BIGINT AS total_chars,
        round(quantile_cont(len(l), 0.5), 4) AS p50_tokens,
        round(quantile_cont(len(l), 0.9), 4) AS p90_tokens,
-       round(1 - count(DISTINCT {hex64.format(col='text')})::DOUBLE / count(*), 6) AS dup_frac
+       round(1 - (count(DISTINCT {hex64.format(col='text')})
+                  + sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END))::DOUBLE
+                 / count(*), 6) AS dup_frac
 FROM doctoks GROUP BY source, lang
 """
     sql["text_unigram_logprob"] = f"""
