@@ -276,12 +276,17 @@ from map_reduce_using_cloud_functions_spark.functions.text import PY_WS_RE2
 
 # Brace-escaped so .format(col=...) leaves the RE2 \x{..} escapes alone.
 _PY_WS_RE2 = PY_WS_RE2.replace("{", "{{").replace("}", "}}")
+# ONE definition of the cross-engine hash twin (functions/hashing.py
+# keeps it adjacent to the Spark expression); re-exported under the
+# name the oracle templates below and tools/{retired,extra}_queries use.
 
 _TOKS_LIST = (
     "list_filter(string_split(regexp_replace(lower(regexp_replace({col}, '" + _PY_WS_RE2 + "', ' ', 'g')),"
     " '[^a-z0-9 ]', '', 'g'), ' '), w -> w <> '')"
 )
-_HEX64 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+from map_reduce_using_cloud_functions_spark.functions.hashing import (
+    HEX64_SQL as _HEX64,
+)
 
 _TOK_CTE = f"""
 WITH tok AS (
@@ -527,8 +532,11 @@ FROM purchases p ASOF LEFT JOIN clicks c
     sql["events_sessionize"] = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS is_start
+         -- floor(epoch): Spark's ts.cast('long') truncates to whole
+         -- seconds; DuckDB epoch() is fractional — without the floor
+         -- the 1800s break predicate diverges in a ~1s boundary window
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 THEN 1 ELSE 0 END AS is_start
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -856,7 +864,7 @@ FROM scored
     sql["text_token_counts"] = f"""
 SELECT doc_id,
        len({_TOKS_LIST.format(col='text')})::INT AS ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))::INT AS bpe_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s\\x{{b}}]'))::INT AS bpe_tokens,
        length(text)::INT AS n_chars_measured
 FROM documents
 """

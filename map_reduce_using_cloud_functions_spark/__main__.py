@@ -120,7 +120,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 max_files_per_trigger=args.max_files_per_trigger,
             )
             print(f"watching {args.watch_dir} (ctrl-c to stop)")
-            q.awaitTermination()
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                # documented clean exit: stop the query so the last
+                # checkpoint commit completes instead of a stack trace
+                q.stop()
         return 0
     finally:
         if owned:

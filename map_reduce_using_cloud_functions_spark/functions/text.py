@@ -169,7 +169,10 @@ def register_sql_functions(spark) -> None:
 # ASCII-only like Java's, so the same Python-whitespace extras are
 # spelled out in \x{...} form.
 PY_WS_RE2 = (
-    "[\\s\\x{1c}-\\x{1f}\\x{85}\\x{a0}\\x{1680}"
+    # \x{b} spelled out: RE2's \s is [\t\n\f\r ] — NO vertical tab —
+    # while Python/Java \s includes it; without it '0\x0b0' tokenizes
+    # to ['0','0'] in Spark but ['00'] in the DuckDB twin.
+    "[\\s\\x{b}\\x{1c}-\\x{1f}\\x{85}\\x{a0}\\x{1680}"
     "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
 )
 # Brace-escaped so the template survives str.format (the RE2 \x{..}

@@ -193,7 +193,11 @@ def fingerprints(documents: DataFrame, gram: int = 8) -> DataFrame:
     first-pass dedup with false near-certain candidates."""
     grams = _char_grams(gram)
     hashes = F.transform(F.col("_grams"), lambda g: hex64(g))
-    empty = F.length(normalize_text(F.col("text"))) == 0
+    # isNull first: length(NULL)==0 is NULL, which would route a
+    # NULL-text doc to the otherwise-branch where size(NULL) yields -1
+    empty = F.col("text").isNull() | (
+        F.length(normalize_text(F.col("text"))) == 0
+    )
     null_fp = F.lit(None).cast("bigint")
     return (
         documents.select("doc_id", F.col("text"), grams.alias("_grams"))

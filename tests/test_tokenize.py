@@ -161,3 +161,31 @@ def test_read_text_corpus_decodes_spacey_filenames(spark, tmp_path):
         for r in read_text_corpus(spark, str(tmp_path)).select("document").collect()
     }
     assert docs == {"my file.txt", "a+b.txt", "100%.txt"}
+
+
+def test_duckdb_token_sql_matches_spark_on_ws_edge_cases(spark):
+    """Cross-engine tokenizer parity on the whitespace set edge cases —
+    including \\x0b, which RE2's \\s EXCLUDES but Python/Java \\s
+    include (review r4: '0\\x0b0' tokenized ['0','0'] vs ['00'])."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.functions.text import (
+        TOKEN_SQL,
+        tokens_array,
+    )
+
+    texts = ["0\x0b0", "a\x1cb", "x y", "n\xa0m", "p\tq", "plain text"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_toks = [
+        r["t"] for r in df.select(tokens_array(F.col("text")).alias("t")).collect()
+    ]
+    con = duckdb.connect()
+    duck_toks = []
+    for t in texts:
+        expr = TOKEN_SQL.format(col="?")
+        rows = con.execute(
+            f"SELECT {expr} AS w FROM (SELECT 1)", [t]
+        ).fetchall()
+        duck_toks.append([r[0] for r in rows])
+    assert spark_toks == duck_toks

@@ -41,7 +41,13 @@ def canon_value(v):
             return "0"
         return f"{v:.9g}"
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%dT%H:%M:%S")
+        # full microseconds: second-resolution formatting would let a
+        # sub-second drift between engines canonicalize identically and
+        # report a false PASS; normalize any tz-aware value to UTC first
+        # (strftime would silently IGNORE tzinfo)
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
@@ -69,6 +75,16 @@ def main() -> int:
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    # Spark collects TimestampType via the PYTHON PROCESS timezone while
+    # DuckDB returns UTC naive datetimes — pin the process to UTC so the
+    # canonicalization comparison doesn't depend on the host TZ.
+    os.environ["TZ"] = "UTC"
+    try:
+        import time as _time
+
+        _time.tzset()
+    except AttributeError:
+        pass  # tzset is POSIX-only
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in ALL_FIXTURE_TABLES:
@@ -107,6 +123,16 @@ def main() -> int:
             "err": err,
         }
 
+    # A typo'd (or not-yet---with-retired) name must not produce a
+    # green-looking '0 passed, 0 failed' with exit code 0.
+    unknown = only - set(qs)
+    if unknown:
+        print(
+            f"error: unknown query name(s) {sorted(unknown)} "
+            f"(hint: retired/extras need --with-retired)",
+            file=sys.stderr,
+        )
+        return 2
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():

@@ -144,7 +144,7 @@ base AS (
 rawlines AS (
   SELECT doc_id,
          regexp_replace(unnest(string_split(text, chr(10))),
-                        '^\\s+|\\s+$', '', 'g') AS line
+                        '^[\\s\\x{{b}}]+|[\\s\\x{{b}}]+$', '', 'g') AS line
   FROM documents
 ),
 lines AS (SELECT doc_id, line FROM rawlines WHERE line <> ''),
