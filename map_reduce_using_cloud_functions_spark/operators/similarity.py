@@ -31,12 +31,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k postlude for every strategy: rank per query by
     (score desc, neighbor_id asc — the engine-wide deterministic
     tiebreak), keep k, round for oracle-stable output. ONE definition so
-    a tiebreak/rounding policy change cannot drift across paths."""
+    a tiebreak/rounding policy change cannot drift across paths.
+
+    NULL scores (zero-norm vectors under ``cosine``'s try_divide) are
+    dropped here — the same contract as the vectorized path's NaN mask,
+    so expression and Arrow paths return identical relations on inputs
+    containing zero vectors."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.where(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
@@ -287,9 +293,9 @@ def brute_force_topk_vectorized(
             for j, qid in enumerate(q_ids_l):
                 col = scores[:, j]
                 # zero-norm vectors score NaN; the expression path's
-                # divide-by-zero yields NULL, which sorts LAST under
-                # desc — NaN would sort FIRST in argpartition. Drop
-                # them here (they can never beat a finite score).
+                # try_divide yields NULL, which _rank_topk drops —
+                # drop the NaNs here so both paths agree (NaN would
+                # sort FIRST in argpartition otherwise).
                 mask = (c_ids != qid) & np.isfinite(col)
                 ids, vals = c_ids[mask], col[mask]
                 top = min(k_l, len(vals))
@@ -384,8 +390,13 @@ def kmeans_parallel_init(
                     )
                     % _KM_RESOLUTION
                 )
+                # try_divide: tot == 0 (every point identical to the
+                # seed) must mean "sample nothing", not an ANSI abort.
                 < F.floor(
-                    F.least(F.lit(l) * F.col("d2") / F.col("tot"), F.lit(1.0))
+                    F.least(
+                        F.try_divide(F.lit(l) * F.col("d2"), F.col("tot")),
+                        F.lit(1.0),
+                    )
                     * _KM_RESOLUTION
                 )
             )

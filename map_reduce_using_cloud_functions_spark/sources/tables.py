@@ -41,12 +41,19 @@ def _has_nanos_column(path: str, cols: tuple[str, ...]) -> bool:
     nanos columns. Conservative on errors (assume nanos) so an
     unreadable footer degrades to the old always-on behavior."""
     try:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         schema = pq.read_schema(path)
         for c in cols:
-            if c in schema.names and str(schema.field(c).type) == "timestamp[ns]":
-                return True
+            if c in schema.names:
+                t = schema.field(c).type
+                # Type API, not str(): a tz-aware nanos column prints as
+                # 'timestamp[ns, tz=...]' and a string match would
+                # silently miss it, leaving nanosAsLong unset and
+                # failing the subsequent Spark read.
+                if pa.types.is_timestamp(t) and t.unit == "ns":
+                    return True
         return False
     except Exception:
         return True

@@ -472,3 +472,42 @@ def test_lloyd_keeps_empty_centroids(spark):
     got = {r["centroid_id"]: r["c_embedding"] for r in cents.collect()}
     assert sorted(got) == [0, 1, 2]
     assert got[2] == [-1.0, -1.0]  # kept, not dropped
+
+
+def test_expression_paths_survive_zero_vectors(spark):
+    """ADVICE r4: plain `/` in cosine() aborted the job under ANSI mode
+    on zero-norm vectors while the vectorized path silently dropped
+    them. try_divide + _rank_topk's NULL filter must make every
+    expression path (brute/LSH/IVF) return the same relation the
+    vectorized path does — zero-norm candidates dropped, zero-norm
+    queries emit nothing, no crash."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero-norm candidate
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (99, [0.0, 0.0])],  # zero-norm query too
+        "query_id bigint, q_embedding array<float>",
+    )
+    expr = sorted(map(tuple, brute_force_topk(emb, q, k=2).collect()))
+    vect = sorted(map(tuple, brute_force_topk_vectorized(emb, q, k=2).collect()))
+    assert expr == vect, "expression/vectorized twin parity broke on zero vectors"
+    assert [r[1] for r in expr] == [2]  # only the finite candidate, only query 1
+    # approximate paths: no crash, and never a zero-norm neighbor/query
+    for got in (
+        lsh_bucketed_topk(emb, q, k=2).collect(),
+        ivf_topk(emb, q, k=2, n_centroids=1, n_probe=1).collect(),
+    ):
+        for r in got:
+            assert r["query_id"] == 1 and r["neighbor_id"] != 3
