@@ -481,3 +481,173 @@ def test_streaming_jsonl_ingest_prep_equals_batch(spark, tmp_path):
     }
     assert s == b and len(s) > 0
     assert streamed.where("doc_id = 999999").count() == 0
+
+
+# --- crash recovery (r5): the exactly-once claim under failure injection ---
+#
+# start_file_index_stream claims effectively-once for the default
+# replace path: foreachBatch is at-least-once, the per-document replace
+# is idempotent under batch replay. These tests PROVE it by killing the
+# query at the worst possible moments and restarting from the same
+# checkpoint:
+#   * after the index write but BEFORE the checkpoint commit (driver
+#     dies between the sink write and commit log append — the batch is
+#     fully applied on disk yet will be replayed on restart), and
+#   * before any write (the batch is lost entirely and must be retried).
+# The additive path's documented at-least-once double-count is pinned
+# too, so the docstring's "don't run additive=True under restarts"
+# warning stays honest.
+
+
+class _CrashAfterWrite(RuntimeError):
+    pass
+
+
+def _crashy_upsert(monkeypatch, crash_on_call: int, before_write: bool):
+    """Patch file_index.upsert_index to raise on call #crash_on_call
+    (1-based), either before or after performing the real upsert.
+    Returns the call-log list."""
+    from map_reduce_using_cloud_functions_spark.streaming import file_index as fi
+
+    real = fi.upsert_index
+    calls: list[int] = []
+
+    def wrapper(spark, delta, path, additive=False, documents=None):
+        calls.append(len(calls) + 1)
+        if before_write and len(calls) == crash_on_call:
+            raise _CrashAfterWrite("injected crash BEFORE index write")
+        real(spark, delta, path, additive=additive, documents=documents)
+        if not before_write and len(calls) == crash_on_call:
+            raise _CrashAfterWrite("injected crash AFTER write, before commit")
+
+    monkeypatch.setattr(fi, "upsert_index", wrapper)
+    return calls
+
+
+def test_crash_after_write_replays_idempotently(spark, tmp_path, monkeypatch):
+    """Worst case: batch 0's index write fully lands, the driver dies
+    before the checkpoint commit. Restart must replay batch 0; the
+    replace-path upsert must absorb the double application — final
+    index == batch build, exact counts, no lost file."""
+    import pyspark.errors
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "hello world hello")
+    _write(str(watch / "b.txt"), "world of spark")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    calls = _crashy_upsert(monkeypatch, crash_on_call=1, before_write=False)
+    q = start_file_index_stream(
+        spark, str(watch), index_path, ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.awaitTermination(180)
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    assert raised and calls == [1], "injection did not fire on batch 0"
+
+    # restart from the same checkpoint — batch 0 must REPLAY, then
+    # batch 1 runs: 2 upserts on restart = proof the double-application
+    # genuinely happened (not a silent skip of the uncommitted batch)
+    monkeypatch.undo()
+    from map_reduce_using_cloud_functions_spark.streaming import file_index as fi
+
+    real = fi.upsert_index
+    restart_calls: list[int] = []
+
+    def counting(spark_, delta, path, additive=False, documents=None):
+        restart_calls.append(1)
+        real(spark_, delta, path, additive=additive, documents=documents)
+
+    monkeypatch.setattr(fi, "upsert_index", counting)
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, max_files_per_trigger=1
+    ).awaitTermination(180)
+    monkeypatch.undo()
+    assert len(restart_calls) == 2, "uncommitted batch was not replayed"
+
+    streamed = sorted(map(tuple, read_index(spark, index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert streamed == batch, "replayed batch double-applied or lost"
+
+    # and the stream keeps working: a later file merges incrementally
+    _write(str(watch / "c.txt"), "hello again")
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, max_files_per_trigger=1
+    ).awaitTermination(180)
+    streamed = sorted(map(tuple, read_index(spark, index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert streamed == batch
+
+
+def test_crash_before_write_loses_nothing(spark, tmp_path, monkeypatch):
+    """Driver dies before the batch's write starts: the batch must be
+    retried on restart — no lost file."""
+    import pyspark.errors
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "alpha beta")
+    _write(str(watch / "b.txt"), "beta gamma")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    calls = _crashy_upsert(monkeypatch, crash_on_call=1, before_write=True)
+    q = start_file_index_stream(
+        spark, str(watch), index_path, ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.awaitTermination(180)
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    assert raised and calls == [1]
+    assert not os.path.exists(index_path), "crash-before-write wrote anyway"
+
+    monkeypatch.undo()
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, max_files_per_trigger=1
+    ).awaitTermination(180)
+    streamed = sorted(map(tuple, read_index(spark, index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert streamed == batch
+
+
+def test_additive_replay_double_counts_as_documented(spark, tmp_path, monkeypatch):
+    """The additive path (reference bug-parity) is documented NOT
+    exactly-once under replay — pin that: a replayed additive batch
+    doubles its counts. If this test ever fails, the docstring warning
+    in file_index.upsert_batch must be updated."""
+    import pyspark.errors
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "hello hello")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    _crashy_upsert(monkeypatch, crash_on_call=1, before_write=False)
+    q = start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    )
+    try:
+        q.awaitTermination(180)
+    except pyspark.errors.exceptions.base.PySparkException:
+        pass
+    monkeypatch.undo()
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    ).awaitTermination(180)
+    got = read_index(spark, index_path).collect()
+    assert [(r["word"], r["document"], r["count"]) for r in got] == [
+        ("hello", "a.txt", 4)  # 2 real + 2 replayed — the documented hazard
+    ]
