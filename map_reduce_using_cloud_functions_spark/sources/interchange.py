@@ -78,7 +78,28 @@ def write_index_json(index: DataFrame, path: str) -> None:
     )
 
 
-def fold_index_json(spark: SparkSession, path: str) -> dict:
+REFERENCE_JSON_MAX_ROWS = 1_000_000
+
+
+def _guard_reference_export(n_rows: int, max_rows: int, what: str) -> None:
+    """The reference-artifact exporters are the package's only
+    deliberately driver-bound APIs; a user pointing one at a real index
+    would OOM the driver. Count first, refuse with guidance."""
+    if n_rows > max_rows:
+        raise ValueError(
+            f"{what}: {n_rows:,} rows exceeds max_rows={max_rows:,}. "
+            "The single-object reference artifact is driver-bound by "
+            "design (it exists for bit-parity export of SMALL legacy "
+            "indexes); for a real index use the distributed "
+            "line-per-word export (write_index_json) or parquet/ORC. "
+            "Pass a larger max_rows only if the driver demonstrably "
+            "has the memory."
+        )
+
+
+def fold_index_json(
+    spark: SparkSession, path: str, max_rows: int = REFERENCE_JSON_MAX_ROWS
+) -> dict:
     """Fold a ``write_index_json`` export into the reference's literal
     ``final_results.json`` shape: ONE nested dict ``{word: {doc: count}}``
     (``master/main.py:124-126``, read back at ``main/app.py:62-64``).
@@ -87,22 +108,27 @@ def fold_index_json(spark: SparkSession, path: str) -> dict:
     memory (exactly its groupby bottleneck), so this exists only for
     bit-parity export of small indexes to the reference's consumers; the
     distributed interchange path is the line-per-word export itself.
+    ``max_rows`` guards the collect (count first, raise with guidance).
     """
-    rows = spark.read.json(
-        path, schema="word string, postings map<string, long>"
-    ).collect()
+    src = spark.read.json(path, schema="word string, postings map<string, long>")
+    _guard_reference_export(src.count(), max_rows, "fold_index_json")
+    rows = src.collect()
     return {r["word"]: dict(r["postings"]) for r in rows}
 
 
-def write_reference_json(index: DataFrame, file_path: str) -> None:
+def write_reference_json(
+    index: DataFrame, file_path: str, max_rows: int = REFERENCE_JSON_MAX_ROWS
+) -> None:
     """Export a (small) postings index as the reference's exact
     single-object ``final_results.json`` artifact (nested dict, sorted
     keys for deterministic bytes). See ``fold_index_json`` for the
-    scale caveat."""
+    scale caveat; ``max_rows`` guards the collect the same way."""
     import json
 
+    sel = index.select("word", "document", "count")
+    _guard_reference_export(sel.count(), max_rows, "write_reference_json")
     nested: dict = {}
-    for r in index.select("word", "document", "count").collect():
+    for r in sel.collect():
         nested.setdefault(r["word"], {})[r["document"]] = int(r["count"])
     with open(file_path, "w") as f:
         json.dump(nested, f, sort_keys=True)

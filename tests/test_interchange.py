@@ -423,3 +423,31 @@ def test_zorder_supports_date_and_timestamp(spark):
     assert len({r["z"] for r in keys}) == 2
     keys = df.select(zorder_key(df, ("t", "v")).alias("z")).collect()
     assert len({r["z"] for r in keys}) == 2
+
+
+def test_reference_json_exporters_guard_driver_memory(spark, tmp_path):
+    """r5: the driver-bound reference exporters refuse oversized inputs
+    (count-first guard) instead of OOMing the driver; the guidance names
+    the distributed alternative. Round-trip behavior under the guard is
+    unchanged (covered above)."""
+    import pytest as _pytest
+
+    from map_reduce_using_cloud_functions_spark.sources.interchange import (
+        fold_index_json,
+        write_index_json,
+        write_reference_json,
+    )
+
+    idx = spark.createDataFrame(
+        [("w%d" % i, "d.txt", 1) for i in range(10)],
+        "word string, document string, count long",
+    )
+    with _pytest.raises(ValueError, match="write_index_json"):
+        write_reference_json(idx, str(tmp_path / "ref.json"), max_rows=5)
+    out = str(tmp_path / "lines")
+    write_index_json(idx, out)
+    with _pytest.raises(ValueError, match="driver-bound"):
+        fold_index_json(spark, out, max_rows=5)
+    # at/below the cap both still work
+    write_reference_json(idx, str(tmp_path / "ref.json"), max_rows=10)
+    assert len(fold_index_json(spark, out, max_rows=10)) == 10
