@@ -206,7 +206,12 @@ def lsh_bucketed_topk(
     probe_bits=1 for 8 planes ≈ 3.5% of the corpus instead of 0.4%);
     the corpus side is untouched — still one sketch, still an
     equi-join. The judged/oracle row runs probe_bits=0; the recall
-    lift is pinned by tests and the BASELINE.md r4 table."""
+    lift is pinned by tests and the BASELINE.md r4 table.
+
+    Regime contract: a single AND-band serves NEAR-DUPLICATE retrieval
+    (all planes agree ⇒ high similarity). For moderate-similarity
+    retrieval (cos≈0.4, where this path measured recall@5 ≤ 0.425) use
+    ``lsh_banded_topk`` — the OR-of-bands construction — or IVF."""
     corpus_b = _sign_sketch(embeddings.select("vec_id", "embedding"), "embedding", planes)
     queries_b = _sign_sketch(queries, "q_embedding", planes)
     if probe_bits > 0:
@@ -241,6 +246,81 @@ def lsh_bucketed_topk(
             F.col("vec_id").alias("neighbor_id"),
             cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
         )
+    )
+    return _rank_topk(scored, k)
+
+
+def lsh_banded_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes_per_band: int = 6,
+    bands: int = 6,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Banded multi-probe LSH top-k — the retrieval-regime twin of
+    ``pairwise_near_dup``'s candidate generation (r4 verdict task 3).
+
+    ``lsh_bucketed_topk``'s single band is an AND over all its planes:
+    at moderate similarity (cos≈0.4, per-plane agreement p≈0.63) the
+    probability all 8 planes agree is p⁸≈0.025 — recall@5 measured
+    0.425 even with multiprobe. Banding ORs ``bands`` independent
+    r-plane buckets (recall 1-(1-p^r)^b), and per-band multiprobe
+    (``probe_bits`` XOR flips within a band's r bits) ORs in the
+    near-miss buckets too — per-band hit prob Σ_{i≤probe}C(r,i)p^{r-i}(1-p)^i.
+
+    Plan shape: corpus side is ONE ``_sign_sketch_bands`` projection
+    (bands rows per vector, no per-row hashing), query side the same
+    plus a plan-literal mask explode; candidates meet via the
+    (band, band_bucket) equi-join, are scored exactly, deduped across
+    bands with a (query, neighbor) groupBy (score is band-invariant,
+    max == the value), and ranked by the shared ``_rank_topk``. No
+    cross join; candidate volume = hit buckets only, and each
+    candidate pair is scored at most bands·(probes/band) times before
+    the fold.
+
+    Defaults r=6, b=6, probe=1 are measured on the fixture's cos≈0.4
+    regime (BASELINE.md r5 table): recall@5 ≥ 0.9 at a candidate pool
+    a fraction of brute force's |Q|·|C|. Returns
+    (query_id, neighbor_id, rank, score)."""
+    corpus_b = _sign_sketch_bands(
+        embeddings.select("vec_id", "embedding"), "embedding", planes_per_band, bands
+    )
+    queries_b = _sign_sketch_bands(queries, "q_embedding", planes_per_band, bands)
+    if probe_bits > 0:
+        from itertools import combinations
+
+        masks = [0]
+        for nbits in range(1, probe_bits + 1):
+            masks.extend(
+                sum(1 << b for b in bits)
+                for bits in combinations(range(planes_per_band), nbits)
+            )
+        queries_b = queries_b.select(
+            "query_id",
+            "q_embedding",
+            "band",
+            F.explode(F.array(*[F.lit(m).cast("bigint") for m in masks])).alias(
+                "_mask"
+            ),
+            F.col("band_bucket").alias("_home"),
+        ).select(
+            "query_id",
+            "q_embedding",
+            "band",
+            F.col("_home").bitwiseXOR(F.col("_mask")).alias("band_bucket"),
+        )
+    scored = (
+        corpus_b.join(queries_b, ["band", "band_bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+        )
+        # fold multi-band/multi-probe hits before ranking
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     return _rank_topk(scored, k)
 

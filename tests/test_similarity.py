@@ -511,3 +511,32 @@ def test_expression_paths_survive_zero_vectors(spark):
     ):
         for r in got:
             assert r["query_id"] == 1 and r["neighbor_id"] != 3
+
+
+def test_banded_lsh_topk_recall_at_moderate_similarity(embeddings):
+    """r4 verdict task 3: the banded multi-probe construction must serve
+    the retrieval regime (fixture true top-5 at cos≈0.33-0.45) where
+    single-band lsh_bucketed_topk measured recall@5 = 0.425 even with
+    probe_bits=2. Pin recall@5 ≥ 0.8 at the defaults, and every returned
+    hit must carry the exact brute-force score (approximation lives in
+    the candidate pool only)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        lsh_banded_topk,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    truth: dict[int, set[int]] = {}
+    bf_scores = {}
+    for r in brute_force_topk(embeddings, q, k=500).collect():
+        bf_scores[(r["query_id"], r["neighbor_id"])] = r["score"]
+        if r["rank"] <= 5:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = lsh_banded_topk(embeddings, q, k=5).collect()
+    hits: dict[int, set[int]] = {}
+    for r in got:
+        hits.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["score"] == bf_scores[(r["query_id"], r["neighbor_id"])]
+    recall = sum(
+        len(hits.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+    ) / len(truth)
+    assert recall >= 0.8, f"banded multiprobe recall@5 {recall} < 0.8"

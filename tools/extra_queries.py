@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import __spark_entry__ as entrymod
 from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+from map_reduce_using_cloud_functions_spark.operators import similarity as sim
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
 from map_reduce_using_cloud_functions_spark.plans import events as ev
@@ -57,6 +58,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "split"),
         "events_retention_cohorts": lambda s, d: ev.user_retention(
             load_table(s, d, "events")
+        ),
+        # r5: banded multi-probe LSH top-k (retrieval-regime LSH)
+        "ann_topk_lsh_banded": lambda s, d: sim.lsh_banded_topk(
+            load_table(s, d, "embeddings"),
+            sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
         ),
     }
 
@@ -269,5 +275,54 @@ SELECT cohort_week, week_offset, n_active,
              / max(CASE WHEN week_offset = 0 THEN n_active END)
                    OVER (PARTITION BY cohort_week), 6) AS retention_rate
 FROM active
+"""
+
+    # Banded multi-probe LSH twin: 36 deterministic hyperplanes -> 6
+    # bands x 6 sign bits; each query probes its home bucket plus every
+    # 1-bit flip (masks 0,1,2,4,8,16,32) per band; candidates are the
+    # distinct bucket hits, scored exactly, ranked like brute force.
+    hexp = entrymod._HEX64.format(col="(plane::VARCHAR || '|' || (i-1)::VARCHAR)")
+    cosqn = entrymod._COS.format(a="qe.embedding", b="ne.embedding")
+    sql["ann_topk_lsh_banded"] = f"""
+WITH comp AS (
+  SELECT vec_id, embedding, unnest(range(0, 36)) AS plane FROM embeddings
+),
+dims AS (
+  SELECT vec_id, plane, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM comp
+),
+dots AS (
+  SELECT vec_id, plane,
+         sum(embedding[i]::DOUBLE * ((({hexp}) % 2001 - 1000)::DOUBLE / 1000.0)) AS dot
+  FROM dims GROUP BY 1, 2
+),
+bsk AS (
+  SELECT vec_id, (plane // 6)::INT AS band,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (plane % 6)) ELSE 0 END)::BIGINT AS band_bucket
+  FROM dots GROUP BY 1, 2
+),
+masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32])::BIGINT AS m),
+qb AS (
+  SELECT b.vec_id AS query_id, b.band, xor(b.band_bucket, m.m) AS band_bucket
+  FROM bsk b CROSS JOIN masks m WHERE b.vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM bsk c JOIN qb q ON c.band = q.band AND c.band_bucket = q.band_bucket
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {cosqn} AS score
+  FROM cand cd
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+  JOIN embeddings ne ON ne.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id)::INT AS rank,
+         score
+  FROM scored
+) WHERE rank <= 5
 """
     return sql
