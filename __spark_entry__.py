@@ -537,7 +537,9 @@ WITH flagged AS (
          -- the 1800s break predicate diverges in a ~1s boundary window
          CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
                 OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 THEN 1 ELSE 0 END AS is_start
-  FROM events
+  -- NULL-ts events excluded by contract (r5 fuzzer: NULLS FIRST vs
+  -- NULLS LAST window order otherwise shifts session numbering)
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (

@@ -58,7 +58,14 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     Expressed with lag + running sum (not ``session_window``) so the
     batch plan is the *definition* both engines share bit-for-bit; the
     streaming module uses the built-in ``session_window`` for the same
-    semantics under watermarks. Returns one row per session."""
+    semantics under watermarks. Returns one row per session.
+
+    NULL-ts events are excluded by contract (an event without a time
+    cannot be placed in a session; ``session_window`` drops them too).
+    Found by the r5 parity fuzzer: without the explicit filter, Spark's
+    ASC NULLS FIRST vs DuckDB's NULLS LAST window order silently shifts
+    every later session_id for that user."""
+    events = events.where(F.col("ts").isNotNull())
     w_ord = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord)
     starts = events.withColumn(
