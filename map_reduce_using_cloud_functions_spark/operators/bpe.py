@@ -97,24 +97,54 @@ def pair_counts(words: DataFrame) -> DataFrame:
 
 
 def _select_disjoint_batch(
-    rows, batch_size: int, min_count: int
+    rows, batch_size: int, min_count: int, neighbor_max: dict | None = None
 ) -> list[tuple[str, str, int]]:
     """Greedy prefix of the (cnt desc, a, b) order that is pairwise
     symbol-disjoint. Stops at the FIRST conflicting pair (rather than
     skipping past it), so every selected rule outranks every unselected
     one — the property that keeps batched order consistent with the
     sequential argmax walk. ``a+b`` joins the used set too: a later
-    rule touching the newly minted symbol must wait for a recount."""
+    rule touching the newly minted symbol must wait for a recount.
+
+    ``neighbor_max`` closes the product-pair parity hole (found r5 on
+    the tie-heavy fixture vocabulary): merging (a, b) → ab CREATES
+    pairs (x, ab) / (ab, y), and the sequential argmax considers them
+    immediately. A created pair's count is bounded by the pre-merge
+    neighbor pair's — cnt(x, ab) ≤ cnt(x, a), cnt(ab, y) ≤ cnt(b, y) —
+    so the batch may continue only while the candidate's count is
+    STRICTLY above every earlier selection's max neighbor-pair count
+    (ties are unsafe too: a created pair that ties can still win the
+    (a asc, b asc) tie-break). ``neighbor_max`` maps
+    ``("L", sym) → max cnt of pairs ending in sym`` and
+    ``("R", sym) → max cnt of pairs starting with sym``; when absent
+    (batch_size=1) the guard is vacuous."""
     used: set[str] = set()
     batch: list[tuple[str, str, int]] = []
+    created_bound = -1  # max possible count of any pair a selection created
     for row in rows:
         a, b, cnt = row["a"], row["b"], int(row["cnt"])
         if cnt < min_count:
             break
         if a in used or b in used:
             break
+        if batch and cnt <= created_bound:
+            break
         batch.append((a, b, cnt))
         used.update((a, b, a + b))
+        if neighbor_max is not None:
+            created_bound = max(
+                created_bound,
+                min(
+                    cnt,
+                    max(
+                        neighbor_max.get(("L", a), 0),
+                        neighbor_max.get(("R", b), 0),
+                    ),
+                ),
+            )
+        else:
+            # without neighbor data nothing below cnt is provably safe
+            created_bound = cnt
         if len(batch) >= batch_size:
             break
     return batch
@@ -127,6 +157,7 @@ def train_bpe(
     end_mark: str = "·",
     checkpoint_every: int = 8,
     batch_merges: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` merge rules → [(a, b, count), ...] in
     merge order. Stops early when no pair reaches ``min_count``.
@@ -141,30 +172,65 @@ def train_bpe(
     conflict, so each selected rule was the argmax among all pairs its
     predecessors could not have changed. Counts of pairs disjoint from
     a merged {a, b} are invariant under that merge, so recorded counts
-    equal the sequential trainer's; the one divergence window — a
-    merge's PRODUCT immediately forming a pair that outcounts the rest
-    of the batch — is rare in natural frequency distributions and
-    pinned by the parity tests (tests/test_bpe.py: fixture corpus +
-    randomized corpora, batched ≡ sequential). Measured on the sf0.01
-    documents fixture (warm session): 30 merges = 30 driver rounds /
-    13.8 s sequential vs 16 rounds / 4.1 s at batch_merges=8 —
-    identical merge list (the small fixture vocabulary makes conflicts
-    frequent, so batches stop early; larger natural vocabularies batch
-    closer to full width)."""
+    equal the sequential trainer's. The remaining divergence window —
+    a merge's PRODUCT immediately forming a pair that outcounts (or
+    ties and tie-break-beats) the rest of the batch — is closed by the
+    created-pair bound guard in ``_select_disjoint_batch``
+    (neighbor-pair maxima cap what any created pair can count; the
+    batch stops before a candidate that bound could trump). Found live
+    by the r5 measurement on the tie-heavy fixture vocabulary — see
+    the guard's docstring; parity is pinned by tests/test_bpe.py
+    (fixture + randomized corpora + the sf0.1 relation) and measured
+    rounds/wall live in BASELINE.md's BPE section.
+
+    ``stats``: optional dict the trainer fills with ``{"rounds": N}`` —
+    the driver-round count is the batching win being measured, so it is
+    reported rather than re-derived by callers."""
     words = word_symbol_counts(documents, end_mark).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
     uncheckpointed = 0  # MERGE expressions since the last lineage cut
     while len(merges) < n_merges:
+        rounds += 1
         # fetch enough of the head to fill a batch even when some of it
         # conflicts; the stop-at-first-conflict rule needs only a prefix
+        pc = pair_counts(words)
+        if batch_merges > 1:
+            # Materialize the pair relation once: the head sort and the
+            # neighbor-maxima guard queries below reuse it instead of
+            # re-running the corpus-relation aggregation 3x per round.
+            pc = pc.localCheckpoint()
         head = (
-            pair_counts(words)
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(max(batch_merges * 2, 1))
             .collect()
         )
+        neighbor_max = None
+        if batch_merges > 1 and head:
+            # created-pair bounds for the guard: max count of any pair
+            # ending in a head 'a' (left neighbor) / starting with a
+            # head 'b' (right neighbor) — two small aggregations over
+            # the materialized pair relation, collecting |head| rows.
+            a_syms = list({r["a"] for r in head})
+            b_syms = list({r["b"] for r in head})
+            left = pc.where(F.col("b").isin(a_syms)).select(
+                F.lit("L").alias("side"), F.col("b").alias("sym"), "cnt"
+            )
+            right = pc.where(F.col("a").isin(b_syms)).select(
+                F.lit("R").alias("side"), F.col("a").alias("sym"), "cnt"
+            )
+            neighbor_max = {
+                (r["side"], r["sym"]): int(r["m"])
+                for r in left.unionByName(right)
+                .groupBy("side", "sym")
+                .agg(F.max("cnt").alias("m"))
+                .collect()
+            }
         batch = _select_disjoint_batch(
-            head, min(batch_merges, n_merges - len(merges)), min_count
+            head,
+            min(batch_merges, n_merges - len(merges)),
+            min_count,
+            neighbor_max,
         )
         if not batch:
             break
@@ -181,6 +247,8 @@ def train_bpe(
         if uncheckpointed >= checkpoint_every:
             words = words.localCheckpoint()
             uncheckpointed = 0
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -178,3 +178,52 @@ def test_random_corpora_match_python_reference(spark):
         want, _ = _py_train(docs, 12)
         got = train_bpe(df, 12)
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_batched_parity_on_tie_heavy_sf01_vocabulary(spark):
+    """r5 regression: on the sf0.1 fixture vocabulary (31 distinct
+    words — tie counts everywhere) the unguarded batch selector
+    diverged from sequential at merge 32: the product of ('c','o')
+    formed ('co','lu') which TIED the already-selected ('lu','m') at
+    9127 and wins the (a asc) tie-break sequentially. The created-pair
+    bound guard must stop the batch there; batched ≡ sequential."""
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    seq = train_bpe(docs, 40, batch_merges=1)
+    st: dict = {}
+    bat = train_bpe(docs, 40, batch_merges=8, stats=st)
+    assert bat == seq
+    assert st["rounds"] < 40  # batching still amortizes rounds
+
+
+def test_batched_parity_on_zipf_vocabulary(spark):
+    """Natural-shape vocabulary (seeded Zipf over generated words):
+    the regime batching exists for — wide batches, few conflicts —
+    must still match sequential exactly under the guard."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [
+        "".join(
+            rng.choice("etaoinshrdlucmfwypvbgk")
+            for _ in range(rng.randint(2, 9))
+        )
+        for _ in range(300)
+    ]
+    docs = [
+        (
+            i,
+            " ".join(
+                vocab[min(int(rng.paretovariate(1.1)) % 300, 299)]
+                for _ in range(40)
+            ),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    want, _ = _py_train(docs, 25)
+    st: dict = {}
+    got = train_bpe(df, 25, batch_merges=8, stats=st)
+    assert got == want
+    assert st["rounds"] <= 25
