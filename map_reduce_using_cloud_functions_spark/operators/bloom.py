@@ -39,6 +39,23 @@ Reference parity note: the reference engine has no bloom machinery —
 this is part of the beyond-reference scale toolbox (training-data
 pipelines: blocklist lookups, seen-before dedup probes, decontamination
 against very large gram sets).
+
+Versus Spark's built-in runtime bloom filter (benchmarked r5,
+BASELINE.md bloom section): ``spark.sql.optimizer.runtime.bloomFilter``
+injects the same idea inside the optimizer, but only for INNER/SEMI
+joins (never ANTI — an injected filter would discard probe rows an
+anti join must keep), only when the creation side carries a selective
+predicate and fits ``creationSideThreshold`` (10 MB default), and only
+when the application-side scan exceeds
+``applicationSideScanSizeThreshold`` (10 GB default — i.e. it is tuned
+to engage precisely in the network-bound regime, and measuring it
+locally requires forcing the thresholds). Use the built-in where its
+conditions hold; this module remains the tool for (a) anti-join
+pruning — the decontamination/blocklist case the optimizer never
+covers, (b) a bitmap built ONCE and reused across many queries or
+corpus shards (the built-in rebuilds per query), and (c) plan shapes
+without a selective creation-side predicate. Single-node wall both
+lose to a memory-speed SMJ shuffle — measured honestly for both.
 """
 
 from __future__ import annotations
