@@ -247,3 +247,53 @@ def test_tz_aware_nanos_fixture_loads(spark, tmp_path):
     got = sorted(r["ts"].isoformat() for r in df.select("ts").collect())
     assert got[0].startswith("2023-11-14")
     assert df.count() == 2
+
+
+FUZZ_EMBED_QUERIES = [
+    "ann_topk_bruteforce",
+    "dedup_embedding_pairs",
+    "embedding_array_features",
+]
+
+
+def _write_embeddings(rng: random.Random, path: str, n: int, dim: int = 16) -> None:
+    """Random embeddings stressing float parity: mixed magnitudes
+    (1e-6..1e3), negative-heavy vectors, planted near-duplicate pairs,
+    exact duplicates, and sign-boundary components (values near 0 flip
+    LSH sign bits between engines if the dot-product fold order ever
+    diverges). Zero vectors are excluded BY CONTRACT — cosine is
+    undefined on them and the engines' conventions genuinely differ
+    (Spark try_divide NULL-drop vs DuckDB list_cosine_similarity -1.0;
+    documented in functions/vectors.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs: list[list[float]] = []
+    for i in range(n):
+        mag = rng.choice([1e-6, 1e-2, 1.0, 37.5, 1e3])
+        v = [rng.uniform(-mag, mag) for _ in range(dim)]
+        if all(abs(x) < 1e-12 for x in v):
+            v[0] = mag  # contract: no zero vectors
+        if rng.random() < 0.1 and vecs:  # planted near-dup
+            src = list(vecs[rng.randrange(len(vecs))])
+            v = [x + rng.uniform(-1e-5, 1e-5) for x in src]
+        if rng.random() < 0.05 and vecs:  # exact dup
+            v = list(vecs[rng.randrange(len(vecs))])
+        vecs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([rng.randrange(0, 8) for _ in range(n)], pa.int32()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.mark.parametrize("seed", [19, 37])
+def test_fuzz_embeddings_parity(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    _write_embeddings(rng, str(tmp_path / "embeddings.parquet"), 200)
+    _run_twins(spark, str(tmp_path), FUZZ_EMBED_QUERIES, ["embeddings"])
