@@ -703,6 +703,15 @@ def pairwise_near_dup(
     verification/recall measurement only, never at scale).
     Returns (vec_a, vec_b, score).
 
+    Scale contract (measured, BASELINE.md r5 soak): candidate volume
+    carries an n²/2^r random-collision term per band, so the r=4
+    default (16 buckets/band) is for FIXTURE scales only — it went
+    candidate-bound (~n^1.7 wall) beyond ~50k vectors and DNF'd at
+    200k. r=8, b=6 completed the same 200k-vector corpus in 341 s with
+    ~95% of the pair mass (the loss is the cos 0.45–0.6 tail that
+    production thresholds exclude). Raise planes_per_band with corpus
+    size; recall at your τ follows the formula above.
+
     Zero vectors have no direction (cosine undefined; under ANSI mode
     the 0/0 would abort the job) and are excluded from BOTH paths —
     same contract as ``quantize_embeddings``.
