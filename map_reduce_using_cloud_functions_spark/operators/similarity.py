@@ -36,14 +36,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     NULL scores (zero-norm vectors under ``cosine``'s try_divide) are
     dropped here — the same contract as the vectorized path's NaN mask,
     so expression and Arrow paths return identical relations on inputs
-    containing zero vectors."""
+    containing zero vectors. The NULL filter sits AFTER the window on
+    purpose: desc ranks NULLS LAST, so post-window filtering is
+    value-identical, while a pre-window ``where(score IS NOT NULL)``
+    gets pushed into the upstream join condition and duplicates the
+    entire cosine aggregate there (measured +30% on
+    ann_topk_bruteforce)."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
-        scored.where(F.col("score").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= k) & F.col("score").isNotNull())
         .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
 
