@@ -515,6 +515,11 @@ FROM events GROUP BY 1, 2
     # As-of twin: DuckDB's native ASOF JOIN against the same
     # deduplicated click relation; the Spark side decomposes it into
     # the union + carry-forward window (operators/joins.as_of_join).
+    # NULL-ts contract (r5 fuzzer): a timeless click can match nothing,
+    # and a timeless purchase gets a NULL match. DuckDB's ASOF binary
+    # search instead treats a NULL probe as greatest and pairs it with
+    # the LATEST click — a quirk, not a semantics; the oracle routes
+    # NULL-ts purchases around the ASOF join to state the contract.
     sql["events_asof_join"] = """
 WITH purchases AS (
   SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
@@ -522,12 +527,17 @@ WITH purchases AS (
 ),
 clicks AS (
   SELECT user_id, ts, round(max(value), 6) AS click_value
-  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT p.event_id, p.user_id, p.purchase_value,
        c.click_value AS asof_click_value, c.ts AS asof_ts
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND c.ts <= p.ts
+WHERE p.ts IS NOT NULL
+UNION ALL
+SELECT event_id, user_id, purchase_value,
+       NULL AS asof_click_value, NULL::TIMESTAMP AS asof_ts
+FROM purchases WHERE ts IS NULL
 """
     sql["events_sessionize"] = """
 WITH flagged AS (

@@ -91,8 +91,16 @@ def as_of_join(
     Right rows should be unique per (key, ts) — pre-aggregate if not —
     otherwise which same-timestamp row wins is tie-dependent in ANY
     engine (DuckDB ASOF included).
+
+    NULL-ts right rows are excluded by contract: a row without a time
+    can never satisfy ``right.ts <= left.ts``. Found by the r5 parity
+    fuzzer — without the filter, Spark's ASC NULLS FIRST window order
+    carries a NULL-ts right row into EVERY later row of its key
+    (asof value with NULL asof_ts), a match DuckDB's ASOF predicate
+    never produces. NULL-ts LEFT rows need no filter: they sort before
+    every surviving right row, so both engines give them NULL matches.
     """
-    r = right.select(
+    r = right.where(F.col(ts_col).isNotNull()).select(
         F.col(key),
         F.col(ts_col),
         F.col(ts_col).alias("_r_ts"),

@@ -72,6 +72,7 @@ FUZZ_EVENT_QUERIES = [
     "events_sessionize",
     "events_pivot",
     "events_json_rollup",
+    "events_asof_join",
 ]
 
 
@@ -297,3 +298,55 @@ def test_fuzz_embeddings_parity(spark, tmp_path, seed):
     rng = random.Random(seed)
     _write_embeddings(rng, str(tmp_path / "embeddings.parquet"), 200)
     _run_twins(spark, str(tmp_path), FUZZ_EMBED_QUERIES, ["embeddings"])
+
+
+FUZZ_ORDER_QUERIES = ["price_percentiles"]
+
+
+def _write_orders(rng: random.Random, path: str, n: int) -> None:
+    """Random orders stressing percentile interpolation — the classic
+    cross-engine axis (Spark percentile vs DuckDB quantile_cont):
+    exact-tie clusters, strata with 1 and 2 rows (interpolation
+    endpoints), mixed magnitudes, negatives, and sub-cent values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    statuses = ["O", "F", "P", "X1", "X2"]  # X strata stay tiny
+    rows_status, rows_price = [], []
+    for i in range(n):
+        st = statuses[rng.randrange(0, 3)]
+        price = rng.choice(
+            [
+                round(rng.uniform(1, 1e5), 2),
+                round(rng.uniform(1, 1e5), 2),
+                12345.67,              # tie cluster
+                -round(rng.uniform(0, 100), 2),
+                rng.uniform(1e-4, 1e-2),
+                1e12,
+            ]
+        )
+        rows_status.append(st)
+        rows_price.append(float(price))
+    rows_status += ["X1", "X2", "X2"]  # 1-row and 2-row strata
+    rows_price += [42.0, 1.0, 2.0]
+    m = len(rows_status)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(m), pa.int64()),
+                "o_custkey": pa.array([rng.randrange(1, 50) for _ in range(m)], pa.int64()),
+                "o_orderstatus": pa.array(rows_status, pa.string()),
+                "o_totalprice": pa.array(rows_price, pa.float64()),
+                "o_orderdate": pa.array([1_500_000_000_000_000] * m, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * m, pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.mark.parametrize("seed", [23, 41])
+def test_fuzz_orders_percentile_parity(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    _write_orders(rng, str(tmp_path / "orders.parquet"), 400)
+    _run_twins(spark, str(tmp_path), FUZZ_ORDER_QUERIES, ["orders"])
