@@ -66,6 +66,16 @@ FUZZ_DOC_QUERIES = [
     "text_quality",
     "text_language_guess",
     "dedup_exact_groups",
+    # r5 widening: the hashing/banding and prep twins hold on the same
+    # corpora (probed over 4 seeds before admission)
+    "dedup_simhash",
+    "dedup_minhash_pairs",
+    "dedup_shingle_jaccard",
+    "dedup_jaccard_pairs",
+    "text_tfidf",
+    "text_chunks",
+    "text_pii_redaction",
+    "sample_corpus_mix",
 ]
 FUZZ_EVENT_QUERIES = [
     "events_tumbling_hourly",
@@ -350,3 +360,53 @@ def test_fuzz_orders_percentile_parity(spark, tmp_path, seed):
     rng = random.Random(seed)
     _write_orders(rng, str(tmp_path / "orders.parquet"), 400)
     _run_twins(spark, str(tmp_path), FUZZ_ORDER_QUERIES, ["orders"])
+
+
+FUZZ_LINEITEM_QUERIES = ["q1_pricing_summary", "order_value_statistics"]
+
+
+def _write_lineitem(rng: random.Random, path: str, n: int) -> None:
+    """Random lineitem stressing float-aggregation parity (sum/avg/
+    stddev/corr/covar under mixed magnitudes incl. 1e9 outliers and
+    sub-cent prices — fold-order sensitivity is the axis; the 4-decimal
+    result rounding is the contract that absorbs it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "l_orderkey": [], "l_partkey": [], "l_suppkey": [], "l_linenumber": [],
+        "l_quantity": [], "l_extendedprice": [], "l_discount": [], "l_tax": [],
+        "l_returnflag": [], "l_linestatus": [], "l_shipdate": [],
+    }
+    for i in range(n):
+        rows["l_orderkey"].append(i // 3)
+        rows["l_partkey"].append(rng.randrange(1, 200))
+        rows["l_suppkey"].append(rng.randrange(1, 50))
+        rows["l_linenumber"].append(i % 7)
+        rows["l_quantity"].append(
+            float(rng.choice([1, 50, rng.randrange(1, 51), rng.randrange(1, 51)]))
+        )
+        rows["l_extendedprice"].append(
+            rng.choice([round(rng.uniform(1, 1e5), 2), 0.01, 1e9])
+        )
+        rows["l_discount"].append(round(rng.uniform(0, 0.1), 2))
+        rows["l_tax"].append(round(rng.uniform(0, 0.08), 2))
+        rows["l_returnflag"].append(rng.choice(["A", "N", "R"]))
+        rows["l_linestatus"].append(rng.choice(["O", "F"]))
+        rows["l_shipdate"].append(rng.randrange(600_000_000, 1_000_000_000) * 1_000_000)
+    pq.write_table(
+        pa.table(
+            {
+                k: pa.array(v, pa.timestamp("us") if k == "l_shipdate" else None)
+                for k, v in rows.items()
+            }
+        ),
+        path,
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 55])
+def test_fuzz_lineitem_float_agg_parity(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    _write_lineitem(rng, str(tmp_path / "lineitem.parquet"), 500)
+    _run_twins(spark, str(tmp_path), FUZZ_LINEITEM_QUERIES, ["lineitem"])
