@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "corpus_split_assignment",
     "dedup_duplicate_spans",
+    "ann_topk_lsh_banded",  # r5: banded multi-probe LSH retrieval
 ]
 
 

@@ -154,25 +154,38 @@ def _sign_sketch_bands(
     dim = _vec_dim(df, vec_col)
     mat = _plane_matrix(planes_per_band * bands, dim)
 
-    def plane_dot(p: int):
-        # Σ v[d]·u_p[d] against the literal plane array. (An unrolled
-        # per-element multiply-add chain was measured SLOWER here: 16
-        # planes × dim terms in one projection blow past the codegen
-        # method limits and fall back to interpreted evaluation.)
-        return dot(F.col(vec_col), F.array(*[F.lit(v) for v in mat[p]]))
-
-    buckets = []
-    for b in range(bands):
-        bits = None
-        for r in range(planes_per_band):
-            bit = F.when(
-                plane_dot(b * planes_per_band + r) > 0, F.lit(1 << r).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            bits = bit if bits is None else bits + bit
-        buckets.append(
-            F.struct(F.lit(b).cast("int").alias("band"), bits.alias("band_bucket"))
+    # The whole sketch is assembled as ONE SQL expression string and
+    # parsed once. The obvious Column-by-Column construction
+    # (F.array(*[F.lit(v) ...]) per plane) costs one py4j round-trip
+    # PER LITERAL — planes×dim ≈ thousands of driver calls, measured
+    # ~4 s of pure plan-build time per sketch at 36 planes × 64 dims
+    # (execution itself is sub-second). Identical resulting plan:
+    # the same zip_with/aggregate fold, the same double literals (the
+    # D suffix keeps them DOUBLE — bare decimals parse as DECIMAL in
+    # SQL text and would change the arithmetic). An unrolled
+    # per-element multiply-add chain was measured SLOWER still: 16
+    # planes × dim terms in one projection blow past the codegen
+    # method limits and fall back to interpreted evaluation.
+    def plane_dot_sql(p: int) -> str:
+        lits = ", ".join(f"{v!r}D" for v in mat[p])
+        return (
+            f"aggregate(zip_with(`{vec_col}`, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-    return df.select("*", F.explode(F.array(*buckets)).alias("bb")).select(
+
+    band_structs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN ({plane_dot_sql(b * planes_per_band + r)}) > 0.0D "
+            f"THEN CAST({1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for r in range(planes_per_band)
+        )
+        band_structs.append(
+            f"struct(CAST({b} AS INT) AS band, ({bits}) AS band_bucket)"
+        )
+    bb = F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("bb")
+    return df.select("*", bb).select(
         *df.columns,
         F.col("bb.band").alias("band"),
         F.col("bb.band_bucket").alias("band_bucket"),
