@@ -123,16 +123,23 @@ def minhash_signatures_wide(
     """
     sh = _shingles(documents, shingle_n, distinct=False)
     base = sh.select("doc_id", (hex64(F.col("shingle")) % MINHASH_P).alias("h"))
+    # SQL-text projections, not per-Column construction: k hash columns
+    # built Column-by-Column cost ~6 py4j round-trips each (the same
+    # driver-side plan-build tax measured on the LSH sketch, r5); one
+    # selectExpr/expr string per stage is a single parse. L suffixes
+    # keep every literal BIGINT — identical arithmetic to the previous
+    # lit()*col()%P chain (a·h+b < 2^62, no overflow).
     hashes = [
-        ((F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % MINHASH_P).alias(f"h{i}")
+        f"(({_mh_a(i)}L * h + {_mh_b(i)}L) % {MINHASH_P}L) AS h{i}"
         for i in range(k)
     ]
-    mins = [F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(k)]
+    mins = [F.expr(f"min(h{i}) AS m{i}") for i in range(k)]
+    sig = "array(" + ", ".join(f"m{i}" for i in range(k)) + ") AS sig"
     return (
-        base.select("doc_id", *hashes)
+        base.selectExpr("doc_id", *hashes)
         .groupBy("doc_id")
         .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+        .selectExpr("doc_id", sig)
     )
 
 
