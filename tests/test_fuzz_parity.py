@@ -410,3 +410,46 @@ def test_fuzz_lineitem_float_agg_parity(spark, tmp_path, seed):
     rng = random.Random(seed)
     _write_lineitem(rng, str(tmp_path / "lineitem.parquet"), 500)
     _run_twins(spark, str(tmp_path), FUZZ_LINEITEM_QUERIES, ["lineitem"])
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_fuzz_streaming_prep_equals_batch(spark, tmp_path, seed):
+    """Stream ≡ batch on a FUZZED corpus (the fixture-only equality in
+    test_streaming can miss divergences that need hostile text):
+    the composed prep pipeline over a JSON file stream must match the
+    batch run on the same random documents, compared at the content
+    level (dedup survivor ids are arrival-order-dependent)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_corpus_prep,
+    )
+
+    rng = random.Random(seed)
+    texts = [_gen_text(rng) for _ in range(150)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "docs_json")
+    docs.coalesce(3).write.json(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = (
+        streaming_corpus_prep(stream, min_quality=0.2)
+        .writeStream.format("memory")
+        .queryName(f"fuzz_prep_{seed}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["text_hash"]: (r["n_tokens"], r["n_distinct"], r["lang_guess"], r["quality"])
+        for r in spark.sql(f"SELECT * FROM fuzz_prep_{seed}").collect()
+    }
+    batch = {
+        r["text_hash"]: (r["n_tokens"], r["n_distinct"], r["lang_guess"], r["quality"])
+        for r in streaming_corpus_prep(
+            docs.where(F.col("text").isNotNull()), min_quality=0.2
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
