@@ -298,8 +298,12 @@ def lsh_banded_topk(
 
     Defaults r=6, b=6, probe=1 are measured on the fixture's cos≈0.4
     regime (BASELINE.md r5 table): recall@5 ≥ 0.9 at a candidate pool
-    a fraction of brute force's |Q|·|C|. Returns
-    (query_id, neighbor_id, rank, score)."""
+    a fraction of brute force's |Q|·|C|. Same scale contract as
+    ``pairwise_near_dup``: the candidate pool carries a |Q|·|C|/2^r
+    random-collision term per probed bucket, so raise planes_per_band
+    with corpus size (the r5 soak measured the r=4 pairwise banding
+    going candidate-bound past ~50k vectors; the same arithmetic
+    applies here). Returns (query_id, neighbor_id, rank, score)."""
     corpus_b = _sign_sketch_bands(
         embeddings.select("vec_id", "embedding"), "embedding", planes_per_band, bands
     )
