@@ -493,9 +493,15 @@ def kmeans_parallel_init(
                 )
                 # try_divide: tot == 0 (every point identical to the
                 # seed) must mean "sample nothing", not an ANSI abort.
+                # least() SKIPS NULLs, so the NULL from try_divide must
+                # be coalesced to 0 BEFORE least — otherwise
+                # least(NULL, 1.0) = 1.0 samples the entire corpus.
                 < F.floor(
                     F.least(
-                        F.try_divide(F.lit(l) * F.col("d2"), F.col("tot")),
+                        F.coalesce(
+                            F.try_divide(F.lit(l) * F.col("d2"), F.col("tot")),
+                            F.lit(0.0),
+                        ),
                         F.lit(1.0),
                     )
                     * _KM_RESOLUTION

@@ -81,13 +81,17 @@ def write_index_json(index: DataFrame, path: str) -> None:
 REFERENCE_JSON_MAX_ROWS = 1_000_000
 
 
-def _guard_reference_export(n_rows: int, max_rows: int, what: str) -> None:
+def _guarded_collect(src: DataFrame, max_rows: int, what: str) -> list:
     """The reference-artifact exporters are the package's only
     deliberately driver-bound APIs; a user pointing one at a real index
-    would OOM the driver. Count first, refuse with guidance."""
-    if n_rows > max_rows:
+    would OOM the driver. ONE job: collect ``limit(max_rows + 1)`` and
+    refuse if the sentinel row materialized — atomic (no count-then-
+    collect race against a source growing between two jobs) and half the
+    scans of the count-first variant."""
+    rows = src.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"{what}: {n_rows:,} rows exceeds max_rows={max_rows:,}. "
+            f"{what}: more than max_rows={max_rows:,} rows. "
             "The single-object reference artifact is driver-bound by "
             "design (it exists for bit-parity export of SMALL legacy "
             "indexes); for a real index use the distributed "
@@ -95,6 +99,7 @@ def _guard_reference_export(n_rows: int, max_rows: int, what: str) -> None:
             "Pass a larger max_rows only if the driver demonstrably "
             "has the memory."
         )
+    return rows
 
 
 def fold_index_json(
@@ -108,11 +113,11 @@ def fold_index_json(
     memory (exactly its groupby bottleneck), so this exists only for
     bit-parity export of small indexes to the reference's consumers; the
     distributed interchange path is the line-per-word export itself.
-    ``max_rows`` guards the collect (count first, raise with guidance).
+    ``max_rows`` guards the collect (single-job limit probe, raise with
+    guidance).
     """
     src = spark.read.json(path, schema="word string, postings map<string, long>")
-    _guard_reference_export(src.count(), max_rows, "fold_index_json")
-    rows = src.collect()
+    rows = _guarded_collect(src, max_rows, "fold_index_json")
     return {r["word"]: dict(r["postings"]) for r in rows}
 
 
@@ -126,9 +131,8 @@ def write_reference_json(
     import json
 
     sel = index.select("word", "document", "count")
-    _guard_reference_export(sel.count(), max_rows, "write_reference_json")
     nested: dict = {}
-    for r in sel.collect():
+    for r in _guarded_collect(sel, max_rows, "write_reference_json"):
         nested.setdefault(r["word"], {})[r["document"]] = int(r["count"])
     with open(file_path, "w") as f:
         json.dump(nested, f, sort_keys=True)

@@ -415,6 +415,29 @@ def test_kmeans_parallel_init_deterministic_and_improves_seeding(spark, embeddin
     assert objective(clustered, trained) > 0.99
 
 
+def test_kmeans_degenerate_corpus_samples_nothing(spark):
+    """tot == 0 (every point identical to the seed) must mean "sample
+    nothing". Regression: Spark's least() SKIPS NULLs, so try_divide's
+    NULL collapsed to least(NULL, 1.0) = 1.0 and the whole corpus became
+    candidates (then hit the driver collect). The coalesce-to-0 guard
+    keeps the candidate set at exactly the seed, and the result is the
+    single (deduplicated) centroid position."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    n = 5000
+    degenerate = spark.range(n).selectExpr(
+        "id as vec_id", "array(1.0d, 0.0d, 0.0d) as embedding"
+    )
+    got = kmeans_parallel_init(degenerate, 4, rounds=2).collect()
+    # Guarded: only the seed survives, so the driver reduction caps at
+    # k = min(4, 1) = 1 centroid. Unguarded: ~n candidates reach the
+    # driver and the reduction emits 4 — so the length IS the signal.
+    assert len(got) == 1
+    assert got[0]["c_embedding"] == [1.0, 0.0, 0.0]
+
+
 def test_vectorized_empty_queries_returns_empty(spark):
     """Empty query set must return an empty (not crash the axis-1 norm
     on a 1-D empty ndarray)."""
@@ -535,7 +558,12 @@ def test_banded_lsh_topk_recall_at_moderate_similarity(embeddings):
     hits: dict[int, set[int]] = {}
     for r in got:
         hits.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        assert r["score"] == bf_scores[(r["query_id"], r["neighbor_id"])]
+        bf = bf_scores.get((r["query_id"], r["neighbor_id"]))
+        assert bf is not None, (
+            f"banded hit ({r['query_id']},{r['neighbor_id']}) ranked beyond "
+            "the brute-force top-500 reference — grow the reference k"
+        )
+        assert r["score"] == bf
     recall = sum(
         len(hits.get(qid, set()) & t) / len(t) for qid, t in truth.items()
     ) / len(truth)
