@@ -26,6 +26,68 @@ from ..functions.vectors import cosine, dot, l2_norm
 
 LSH_PLANES = 8
 
+# Expected RANDOM-collision candidate pairs a banded join may generate
+# before the guard escalates the banding. 5e8 exact-cosine verifies is
+# minutes of cluster work (the r5 soak measured 341 s for 4.7e8 at
+# r=8, b=6 on one box) — past it, candidate volume, not true-pair
+# volume, owns the wall clock.
+LSH_CANDIDATE_BUDGET = 500_000_000
+
+
+def _guard_banding(
+    expected_candidates,
+    planes_per_band: int,
+    what: str,
+    scale_guard: str,
+    budget: int | None = None,
+    max_planes: int = 24,
+) -> int:
+    """Enforce the banded-LSH scale contract (r5 soak, BASELINE.md):
+    candidate volume carries a random-collision term ∝ 1/2^r, so a
+    banding tuned for a small corpus goes candidate-bound — not merely
+    slow, hung — when n grows 100×. ``expected_candidates(r)`` is the
+    caller's closed-form estimate from counts the plan already implies;
+    if it exceeds ``budget`` the guard either raises with the remedy
+    (``scale_guard="raise"``) or escalates r until the estimate fits
+    (``"auto"``, with a warning carrying the recall formula). The same
+    shape as ``jaccard_token_pairs``'s max_df guard: the degenerate
+    configuration is refused/repaired BEFORE the join runs."""
+    if budget is None:
+        budget = LSH_CANDIDATE_BUDGET  # late-bound: tests may patch it
+    if scale_guard == "off":
+        return planes_per_band
+    if scale_guard not in ("auto", "raise"):
+        raise ValueError(f"scale_guard must be auto|raise|off, got {scale_guard!r}")
+    r = planes_per_band
+    est = expected_candidates(r)
+    if est <= budget:
+        return r
+    if scale_guard == "raise":
+        raise ValueError(
+            f"{what}: expected random-collision candidate volume "
+            f"≈{est:.2e} pairs at planes_per_band={r} exceeds the "
+            f"{budget:.0e} budget — this banding would hang at this "
+            "corpus size (measured: the r=4 default DNF'd at 200k "
+            "vectors, BASELINE.md r5 soak). Raise planes_per_band "
+            "(each +1 halves random collisions), pass "
+            "scale_guard='auto' to let the engine do it, or "
+            "scale_guard='off' if you have measured the volume."
+        )
+    while r < max_planes and expected_candidates(r) > budget:
+        r += 1
+    import warnings
+
+    warnings.warn(
+        f"{what}: escalated planes_per_band {planes_per_band}→{r} to "
+        f"keep expected random-collision candidates ≤{budget:.0e} "
+        f"(was ≈{est:.2e}). Recall for a pair with per-plane agreement "
+        "p is 1-(1-p^r)^b — raise `bands` if the escalated r thins "
+        "recall at your threshold, or pass scale_guard='off' to pin "
+        "the banding.",
+        stacklevel=3,
+    )
+    return r
+
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k postlude for every strategy: rank per query by
@@ -274,6 +336,7 @@ def lsh_banded_topk(
     planes_per_band: int = 6,
     bands: int = 6,
     probe_bits: int = 1,
+    scale_guard: str = "auto",
 ) -> DataFrame:
     """Banded multi-probe LSH top-k — the retrieval-regime twin of
     ``pairwise_near_dup``'s candidate generation (r4 verdict task 3).
@@ -299,11 +362,28 @@ def lsh_banded_topk(
     Defaults r=6, b=6, probe=1 are measured on the fixture's cos≈0.4
     regime (BASELINE.md r5 table): recall@5 ≥ 0.9 at a candidate pool
     a fraction of brute force's |Q|·|C|. Same scale contract as
-    ``pairwise_near_dup``: the candidate pool carries a |Q|·|C|/2^r
-    random-collision term per probed bucket, so raise planes_per_band
-    with corpus size (the r5 soak measured the r=4 pairwise banding
-    going candidate-bound past ~50k vectors; the same arithmetic
-    applies here). Returns (query_id, neighbor_id, rank, score)."""
+    ``pairwise_near_dup``, ENFORCED the same way since r6: the
+    candidate pool carries a |Q|·|C|/2^r random-collision term per
+    probed bucket (masks(r) = Σ_{i≤probe}C(r,i) probes per band), so
+    ``scale_guard`` counts both sides (column-less count-stars) and
+    compares bands·masks(r)·|Q|·|C|/2^r against ``LSH_CANDIDATE_BUDGET``
+    — ``"auto"`` escalates r, ``"raise"`` refuses with the remedy,
+    ``"off"`` pins the banding. Returns (query_id, neighbor_id, rank,
+    score)."""
+    if scale_guard != "off":
+        from math import comb
+
+        n, nq = embeddings.count(), queries.count()
+        planes_per_band = _guard_banding(
+            lambda r: bands
+            * sum(comb(r, i) for i in range(probe_bits + 1))
+            * nq
+            * n
+            / 2.0**r,
+            planes_per_band,
+            "lsh_banded_topk",
+            scale_guard,
+        )
     corpus_b = _sign_sketch_bands(
         embeddings.select("vec_id", "embedding"), "embedding", planes_per_band, bands
     )
@@ -685,6 +765,7 @@ def embedding_near_dedup(
     threshold: float,
     planes_per_band: int = 4,
     bands: int = 4,
+    scale_guard: str = "auto",
 ) -> DataFrame:
     """X2 end-to-end embedding near-dedup: banded-LSH cosine pairs →
     connected components → keep the min-vec_id survivor per cluster.
@@ -699,7 +780,11 @@ def embedding_near_dedup(
     from .dedup import cluster_survivors
 
     pairs = pairwise_near_dup(
-        embeddings, threshold, planes_per_band=planes_per_band, bands=bands
+        embeddings,
+        threshold,
+        planes_per_band=planes_per_band,
+        bands=bands,
+        scale_guard=scale_guard,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return cluster_survivors(embeddings, pairs, id_col="vec_id")
 
@@ -710,6 +795,7 @@ def pairwise_near_dup(
     planes_per_band: int = 4,
     bands: int = 4,
     exact: bool = False,
+    scale_guard: str = "auto",
 ) -> DataFrame:
     """X2 embedding-cosine near-dup: pairs with cosine ≥ threshold.
 
@@ -730,14 +816,21 @@ def pairwise_near_dup(
     verification/recall measurement only, never at scale).
     Returns (vec_a, vec_b, score).
 
-    Scale contract (measured, BASELINE.md r5 soak): candidate volume
-    carries an n²/2^r random-collision term per band, so the r=4
-    default (16 buckets/band) is for FIXTURE scales only — it went
-    candidate-bound (~n^1.7 wall) beyond ~50k vectors and DNF'd at
-    200k. r=8, b=6 completed the same 200k-vector corpus in 341 s with
-    ~95% of the pair mass (the loss is the cos 0.45–0.6 tail that
-    production thresholds exclude). Raise planes_per_band with corpus
-    size; recall at your τ follows the formula above.
+    Scale contract (measured, BASELINE.md r5 soak; ENFORCED since r6):
+    candidate volume carries an n²/2^r random-collision term per band,
+    so the r=4 default (16 buckets/band) is for FIXTURE scales only —
+    it went candidate-bound (~n^1.7 wall) beyond ~50k vectors and
+    DNF'd at 200k. r=8, b=6 completed the same 200k-vector corpus in
+    341 s with ~95% of the pair mass (the loss is the cos 0.45–0.6
+    tail that production thresholds exclude). ``scale_guard`` runs one
+    column-less count-star and compares the closed-form estimate
+    bands·n²/2^(r+1) against ``LSH_CANDIDATE_BUDGET``: ``"auto"``
+    (default) escalates planes_per_band until it fits (the 200k corpus
+    lands on exactly the r=8 the soak validated), ``"raise"`` refuses
+    with the remedy, ``"off"`` pins the requested banding (the
+    plan-build-is-free configuration). Recall at your τ follows the
+    formula above — raise ``bands`` alongside an escalated r if the
+    threshold is weak.
 
     Zero vectors have no direction (cosine undefined; under ANSI mode
     the 0/0 would abort the job) and are excluded from BOTH paths —
@@ -753,6 +846,16 @@ def pairwise_near_dup(
             .where(F.col("score") >= threshold)
             .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
         )
+    # One column-less count-star (parquet row-group metadata at scale)
+    # on the RAW relation — an upper bound on the nonzero count, so the
+    # guard is conservative and never pays the l2_norm scan twice.
+    n = embeddings.count()
+    planes_per_band = _guard_banding(
+        lambda r: bands * n * n / 2.0 ** (r + 1),
+        planes_per_band,
+        "pairwise_near_dup",
+        scale_guard,
+    )
     # Norms computed once per vector in the sketch projection: the
     # per-pair verify is then one dot + one division, not three array
     # aggregations. (Same fold order as ``cosine`` — identical doubles,

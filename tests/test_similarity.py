@@ -415,6 +415,71 @@ def test_kmeans_parallel_init_deterministic_and_improves_seeding(spark, embeddin
     assert objective(clustered, trained) > 0.99
 
 
+def test_scale_guard_escalates_banding_at_200k(spark):
+    """r5 verdict task 1: the 100× soak proved the default r=4,b=4
+    banding DNFs at ~200k vectors (BASELINE.md soak table); the fix
+    lived in a docstring. Now the guard enforces it at plan-build time:
+    a 200k-vector corpus must escalate planes_per_band (auto, to
+    exactly the r=8 the soak measured as good) or raise with the remedy
+    — never hand the band join a hanging configuration."""
+    import warnings
+
+    from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+
+    big = spark.range(200_000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 97 as double), cast(id % 89 as double), 1.0d) as embedding",
+    )
+    # auto (the default): plan builds with the escalated banding and warns
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df = sim.pairwise_near_dup(big, 0.9)
+    assert df is not None
+    msgs = [str(w.message) for w in caught if "escalated planes_per_band" in str(w.message)]
+    assert msgs, "auto guard did not escalate on a 200k-vector corpus"
+    assert "4→8" in msgs[0], msgs[0]  # the soak-validated banding
+
+    # raise mode: refuse with guidance instead of hanging
+    with pytest.raises(ValueError, match="candidate volume"):
+        sim.pairwise_near_dup(big, 0.9, scale_guard="raise")
+
+    # off: the caller's banding is pinned (plan builds, no jobs beyond
+    # what laziness implies — trust-the-operator escape hatch)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sim.pairwise_near_dup(big, 0.9, scale_guard="off")
+    assert not [w for w in caught if "escalated" in str(w.message)]
+
+    # topk twin: same contract, |Q|·|C| estimate — 200k corpus × 200k
+    # queries at the r=6 default must trip it too
+    with pytest.raises(ValueError, match="lsh_banded_topk"):
+        sim.lsh_banded_topk(
+            big,
+            big.selectExpr("vec_id as query_id", "embedding as q_embedding"),
+            scale_guard="raise",
+        )
+
+
+def test_scale_guard_escalated_plan_still_finds_exact_dups(spark, monkeypatch):
+    """End-to-end under escalation: squeeze the budget so a small corpus
+    escalates to a deep banding, then check planted exact duplicates
+    (per-plane agreement p=1 ⇒ band collision certain at ANY r) still
+    come back with score 1. Escalation trades the weak-similarity tail,
+    never the near-dup mass."""
+    from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "LSH_CANDIDATE_BUDGET", 100)
+    rows = [(i, [float(i % 13 + 1), float(i % 7), 1.0]) for i in range(200)]
+    rows += [(1000 + i, list(rows[i][1])) for i in range(5)]  # planted dups
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.warns(UserWarning, match="escalated planes_per_band"):
+        got = sim.pairwise_near_dup(df, 0.999).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    for i in range(5):
+        assert (i, 1000 + i) in found
+    assert all(r["score"] >= 0.999 for r in got)
+
+
 def test_kmeans_degenerate_corpus_samples_nothing(spark):
     """tot == 0 (every point identical to the seed) must mean "sample
     nothing". Regression: Spark's least() SKIPS NULLs, so try_divide's
