@@ -276,24 +276,25 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     tok = documents.select(
         "doc_id", F.explode(tokens_array(F.col("text"))).alias("word")
     ).select("doc_id", hex64(F.col("word")).alias("h"))
+    # SQL-text projections, not per-Column construction (the 61cda9c /
+    # 7eaf491 treatment): the bits× contribution/sum/fold chains built
+    # Column-by-Column cost ~6.5k py4j round-trips per plan; one parsed
+    # string per stage is ~1 round-trip per expression. L suffixes keep
+    # every literal BIGINT — identical arithmetic to the previous
+    # shiftright/bitwiseAND/when chain, pinned bit-identical by the
+    # dedup_simhash oracle row.
     contribs = [
-        (
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"c{b}")
-        for b in range(bits)
+        f"((shiftright(h, {b}) & 1L) * 2L - 1L) AS c{b}" for b in range(bits)
     ]
-    sums = [F.sum(F.col(f"c{b}")).alias(f"s{b}") for b in range(bits)]
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
+    sums = [F.expr(f"sum(c{b}) AS s{b}") for b in range(bits)]
+    fingerprint = " + ".join(
+        f"if(s{b} > 0, {1 << b}L, 0L)" for b in range(bits)
+    )
     return (
-        tok.select("doc_id", *contribs)
+        tok.selectExpr("doc_id", *contribs)
         .groupBy("doc_id")
         .agg(*sums)
-        .select("doc_id", fingerprint.alias("simhash"))
+        .selectExpr("doc_id", f"({fingerprint}) AS simhash")
     )
 
 
@@ -665,21 +666,19 @@ def simhash_pairs(
     fp = simhash_fingerprints(documents, bits)
     # Shift amounts must be literals (Spark's shiftrightunsigned takes
     # no column count), so each band's extraction is a CASE over the
-    # exploded band index — all JVM-side integer ops.
-    band_bits = sum(
-        F.when(
-            F.col("band") == i,
-            F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
-                F.lit((1 << widths[i]) - 1)
-            ),
-        ).otherwise(F.lit(0))
+    # exploded band index — all JVM-side integer ops, assembled as ONE
+    # parsed SQL string (not n_bands when() Columns — the same py4j
+    # plan-build tax fixed in simhash_fingerprints above).
+    band_bits = " + ".join(
+        f"if(band = {i}, shiftrightunsigned(simhash, {offsets[i]}) "
+        f"& {(1 << widths[i]) - 1}L, 0L)"
         for i in range(n_bands)
     )
-    bands = fp.select(
+    bands = fp.selectExpr(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
-    ).select("doc_id", "simhash", "band", band_bits.alias("band_bits"))
+        f"explode(array({', '.join(str(i) for i in range(n_bands))})) AS band",
+    ).selectExpr("doc_id", "simhash", "band", f"({band_bits}) AS band_bits")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "band_bits"
     )
