@@ -254,6 +254,16 @@ def upsert_index(
     if not _hadoop_exists(spark, path):
         write_index(delta, path)
         return
+    if not additive and _hadoop_exists(spark, _additive_path(path)):
+        # Replace semantics must see the document's FULL current postings
+        # to scrub stale rows; pending deltas live outside the base scan,
+        # so merging over the base alone would silently resurrect or
+        # miscount. Additive upserts compose fine (read_index sums).
+        raise ValueError(
+            f"index at {path} has uncompacted additive deltas "
+            f"({ADDITIVE_DELTA_DIR}/): run compact_index() before "
+            "replace-mode upserts"
+        )
     # One materialization of the delta — the letter collect, stale-scan
     # semi-join, merge, and final write otherwise re-run the caller's
     # whole delta lineage (tokenize/aggregate of the new corpus) per
@@ -382,4 +392,119 @@ def _hadoop_delete(spark, path: str) -> None:
 
 
 def read_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path).select("word", "document", "count")
+    """Logical view of the persisted index: the folded base table plus
+    any pending exactly-once additive deltas (``{path}/_additive``, see
+    ``write_additive_delta``) summed in. With no pending deltas this is
+    the bare base scan — zero overhead for the common case."""
+    base = spark.read.parquet(path).select("word", "document", "count")
+    add = _additive_path(path)
+    if _hadoop_exists(spark, add):
+        deltas = (
+            spark.read.schema(_ADDITIVE_SCHEMA)
+            .parquet(add)
+            .select("word", "document", "count")
+        )
+        return (
+            base.unionByName(deltas)
+            .groupBy("word", "document")
+            .agg(F.sum("count").alias("count"))
+        )
+    return base
+
+
+# --- exactly-once additive deltas ---------------------------------------
+#
+# The streaming additive path's idempotence ledger, done the Spark-native
+# way: instead of "merge into the base, then remember the batch id"
+# (which leaves a crash window between the data write and the ledger
+# append — exactly the kill-after-write-before-commit failure the replay
+# tests inject), each additive micro-batch writes its postings to its OWN
+# batch-keyed partition ``{path}/_additive/abatch=N/first=x``. A replayed
+# batch dynamically overwrites the SAME partitions (batch content is
+# pinned by the streaming file-source checkpoint, tokenization is
+# deterministic), so the write itself is the ledger: any crash point —
+# before, during, or after the write — converges to exactly one copy of
+# batch N after replay. This is the bare-parquet analogue of a
+# transactional format's versioned commit files.
+
+ADDITIVE_DELTA_DIR = "_additive"
+_ADDITIVE_SCHEMA = "word string, document string, count bigint"
+
+
+def _additive_path(path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(path), like the
+    # _docmap sidecar, so base-table readers never double-see deltas
+    return f"{path}/{ADDITIVE_DELTA_DIR}"
+
+
+def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotently apply one additive micro-batch to the index at
+    ``path`` (which must exist — the stream's first batch full-builds
+    via ``write_index``, itself an idempotent static overwrite).
+
+    Scale shape: one dynamic partition overwrite of the batch's own
+    ``(abatch, first)`` directories — cost scales with the delta, the
+    base table is never read or touched. Readers fold pending deltas
+    through ``read_index``; ``compact_index`` folds them into the base
+    when the tail grows. The docmap sidecar update is a distinct-union
+    (idempotent under replay by construction)."""
+    delta = delta.localCheckpoint()
+    (
+        delta.withColumn("abatch", F.lit(batch_id).cast("bigint"))
+        .withColumn("first", F.substring("word", 1, 1))
+        # same skew rationale as write_index's REBALANCE
+        .hint("rebalance", "first")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("abatch", "first")
+        .parquet(_additive_path(path))
+    )
+    # Keep the doc→letters sidecar current so later replace-mode
+    # upserts (after compaction) can prune. Union-distinct per touched
+    # bucket: replaying the same pairs is a no-op.
+    docmap = _docmap_path(path)
+    new_pairs = _doc_letters(delta)
+    if _hadoop_exists(spark, docmap):
+        buckets = sorted(
+            r["bucket"]
+            for r in _with_bucket(new_pairs.select("document").distinct())
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        old_map = (
+            spark.read.parquet(docmap)
+            .where(F.col("bucket").isin(buckets))
+            .select("document", "first")
+        )
+        staged = (
+            _with_bucket(old_map.unionByName(new_pairs).distinct())
+            .repartition("bucket")
+            .localCheckpoint()
+        )
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(docmap)
+        )
+    else:
+        _write_docmap_full(read_index(spark, path), path)
+
+
+def compact_index(spark, path: str) -> None:
+    """Fold pending additive deltas into the base table and drop them —
+    the maintenance companion of ``write_additive_delta``, bounding the
+    delta tail that reads fold.
+
+    Run with the stream paused. In-place static overwrite on bare
+    parquet is not crash-atomic (the same documented limit as every
+    other full rewrite here — a transactional table format is the
+    production answer); the merged relation is materialized via
+    ``localCheckpoint`` before the base files it read are replaced."""
+    add = _additive_path(path)
+    if not _hadoop_exists(spark, add):
+        return
+    merged = read_index(spark, path).localCheckpoint()
+    write_index(merged, path)
+    _hadoop_delete(spark, add)

@@ -12,8 +12,11 @@ Streaming query, which serializes batches by construction:
 
 At scale the upsert is a per-batch join against only the index
 partitions the delta touches (replace-document semantics), or a pure
-additive union (reference parity). Exactly-once comes from the
-checkpoint + idempotent per-document overwrite.
+batch-keyed additive delta partition. Exactly-once comes from the
+checkpoint + an idempotent write in BOTH modes: per-document overwrite
+(replace) or per-batch partition overwrite (additive); the legacy
+reference-parity additive merge (double-counts on replay) stays behind
+``legacy_additive_merge=True``.
 """
 
 from __future__ import annotations
@@ -23,7 +26,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.index import build_index, upsert_index
+from ..operators.index import (
+    _hadoop_exists,
+    build_index,
+    upsert_index,
+    write_additive_delta,
+    write_index,
+)
 from ..sources.text_corpus import document_from_file_name
 
 
@@ -35,6 +44,7 @@ def start_file_index_stream(
     additive: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    legacy_additive_merge: bool = False,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for new text files; maintain the index table
     at ``index_path``. One file = one document (basename identity,
@@ -43,7 +53,16 @@ def start_file_index_stream(
     ``max_files_per_trigger`` bounds each micro-batch (backpressure): a
     backlog of a million files drains as bounded batches instead of one
     giant first batch — the knob that keeps recovery-from-downtime
-    memory-safe on a production stream."""
+    memory-safe on a production stream.
+
+    ``legacy_additive_merge``: the pre-r6 additive behavior — merge each
+    batch's counts straight into the base table's letter partitions.
+    At-least-once ONLY: foreachBatch replays uncommitted batches, and a
+    replayed merge adds its counts AGAIN — bit-parity with the
+    reference's own double-count semantics (``master/main.py:112-121``),
+    kept reachable solely for that parity. The default additive path is
+    exactly-once (batch-keyed delta partitions, see
+    ``write_additive_delta``)."""
 
     reader = spark.readStream
     if max_files_per_trigger is not None:
@@ -58,15 +77,27 @@ def start_file_index_stream(
     )
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Partition-level upsert: only first-letter partitions touched by
-        # this batch's postings are rewritten (dynamic partition
-        # overwrite) — a one-file batch rewrites a few directories, never
-        # the whole index. Effectively-once holds for the DEFAULT
-        # replace path only: foreachBatch is at-least-once, and the
-        # per-document replace is idempotent under batch replay. The
-        # additive path (reference bug-parity) is NOT — a replayed
-        # batch adds its counts again; don't run additive=True where a
-        # driver restart mid-commit is in play.
+        # Exactly-once under foreachBatch's at-least-once replay, per
+        # mode:
+        # - replace (default): partition-level upsert — only the letter
+        #   partitions this batch touches are rewritten, and the
+        #   per-document replace absorbs a replay (idempotent).
+        # - additive: each batch writes its OWN (abatch, first) delta
+        #   partitions; a replay overwrites the same partitions, so the
+        #   write IS the idempotence ledger — no post-write ledger
+        #   append, no crash window between data and ledger. Readers
+        #   fold deltas via read_index; compact_index bounds the tail.
+        # - additive + legacy_additive_merge: the reference-parity
+        #   double-count path (docstring above).
+        if additive and not legacy_additive_merge:
+            if not _hadoop_exists(spark, index_path):
+                # first batch full-builds: static overwrite, idempotent
+                write_index(build_index(batch_df), index_path)
+            else:
+                write_additive_delta(
+                    spark, build_index(batch_df), index_path, batch_id
+                )
+            return
         # the batch's documents are the explicit replace-set so a file
         # re-dropped with token-free content scrubs its old postings
         upsert_index(

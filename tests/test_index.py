@@ -430,3 +430,73 @@ def test_hot_letter_write_skew_is_split_by_rebalance(spark, tmp_path):
         key=lambda r: (-r[1], r[0]),
     )
     assert list(map(tuple, lookup(read_index(spark, path), hot).collect())) == expected
+
+
+def test_additive_delta_write_fold_and_compact(spark, tmp_path):
+    """The exactly-once additive building blocks at batch level:
+    write_additive_delta is idempotent per batch id (re-applying batch N
+    overwrites its own partitions, counts unchanged), read_index folds
+    pending deltas, replace-mode upserts refuse an uncompacted index,
+    and compact_index folds the tail back into a bare base table."""
+    import os
+
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        build_index,
+        compact_index,
+        read_index,
+        upsert_index,
+        write_additive_delta,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = build_index(
+        spark.createDataFrame([("a.txt", "hello world hello")], "document string, text string")
+    )
+    write_index(base, path)
+
+    delta = build_index(
+        spark.createDataFrame([("b.txt", "hello spark")], "document string, text string")
+    )
+    write_additive_delta(spark, delta, path, batch_id=1)
+    expected = [
+        ("hello", "a.txt", 2),
+        ("hello", "b.txt", 1),
+        ("spark", "b.txt", 1),
+        ("world", "a.txt", 1),
+    ]
+    assert sorted(map(tuple, read_index(spark, path).collect())) == expected
+
+    # replaying the SAME batch id is a no-op on the logical table
+    write_additive_delta(spark, delta, path, batch_id=1)
+    assert sorted(map(tuple, read_index(spark, path).collect())) == expected
+
+    # a DIFFERENT batch id adds (additive semantics between batches)
+    write_additive_delta(spark, delta, path, batch_id=2)
+    doubled = sorted(
+        map(tuple, read_index(spark, path).where("document = 'b.txt'").collect())
+    )
+    assert doubled == [("hello", "b.txt", 2), ("spark", "b.txt", 2)]
+
+    # replace-mode upsert must refuse while deltas are pending
+    with pytest.raises(ValueError, match="uncompacted additive deltas"):
+        upsert_index(spark, delta, path, additive=False)
+
+    before = sorted(map(tuple, read_index(spark, path).collect()))
+    compact_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_additive"))
+    assert sorted(map(tuple, read_index(spark, path).collect())) == before
+    # and replace-mode upserts work again after compaction
+    upsert_index(
+        spark,
+        build_index(
+            spark.createDataFrame([("b.txt", "goodbye")], "document string, text string")
+        ),
+        path,
+        additive=False,
+    )
+    assert sorted(
+        map(tuple, read_index(spark, path).where("document = 'b.txt'").collect())
+    ) == [("goodbye", "b.txt", 1)]

@@ -494,9 +494,9 @@ def test_streaming_jsonl_ingest_prep_equals_batch(spark, tmp_path):
 #     dies between the sink write and commit log append — the batch is
 #     fully applied on disk yet will be replayed on restart), and
 #   * before any write (the batch is lost entirely and must be retried).
-# The additive path's documented at-least-once double-count is pinned
-# too, so the docstring's "don't run additive=True under restarts"
-# warning stays honest.
+# The legacy additive merge's documented at-least-once double-count is
+# pinned too, so the legacy_additive_merge docstring's replay warning
+# stays honest; the DEFAULT additive path is held to exactly-once.
 
 
 class _CrashAfterWrite(RuntimeError):
@@ -622,11 +622,103 @@ def test_crash_before_write_loses_nothing(spark, tmp_path, monkeypatch):
     assert streamed == batch
 
 
-def test_additive_replay_double_counts_as_documented(spark, tmp_path, monkeypatch):
-    """The additive path (reference bug-parity) is documented NOT
-    exactly-once under replay — pin that: a replayed additive batch
-    doubles its counts. If this test ever fails, the docstring warning
-    in file_index.upsert_batch must be updated."""
+def _crashy_additive_delta(monkeypatch, crash_on_call: int, before_write: bool):
+    """Patch file_index.write_additive_delta to raise on call
+    #crash_on_call (1-based), before or after the real write."""
+    from map_reduce_using_cloud_functions_spark.streaming import file_index as fi
+
+    real = fi.write_additive_delta
+    calls: list[int] = []
+
+    def wrapper(spark, delta, path, batch_id):
+        calls.append(batch_id)
+        if before_write and len(calls) == crash_on_call:
+            raise _CrashAfterWrite("injected crash BEFORE delta write")
+        real(spark, delta, path, batch_id)
+        if not before_write and len(calls) == crash_on_call:
+            raise _CrashAfterWrite("injected crash AFTER delta write, before commit")
+
+    monkeypatch.setattr(fi, "write_additive_delta", wrapper)
+    return calls
+
+
+def test_additive_replay_is_exactly_once(spark, tmp_path, monkeypatch):
+    """r5 verdict task 3: the DEFAULT additive path must survive the
+    same kill-after-write-before-commit injection the replace path
+    does. Batch 1's delta write fully lands, the driver dies before the
+    checkpoint commit; restart replays batch 1, which overwrites its
+    own (abatch=1, first=x) partitions — final counts equal ONE
+    application, not two."""
+    import pyspark.errors
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "hello hello")
+    _write(str(watch / "b.txt"), "hello world")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0 full-builds the base; the injected crash fires on the
+    # FIRST delta write (batch 1), after the data landed
+    calls = _crashy_additive_delta(monkeypatch, crash_on_call=1, before_write=False)
+    q = start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    )
+    try:
+        q.awaitTermination(180)
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    assert raised and calls == [1], "injection did not fire on the delta batch"
+
+    monkeypatch.undo()
+    from map_reduce_using_cloud_functions_spark.streaming import file_index as fi
+
+    replays: list[int] = []
+    real = fi.write_additive_delta
+
+    def counting(spark_, delta, path, batch_id):
+        replays.append(batch_id)
+        real(spark_, delta, path, batch_id)
+
+    monkeypatch.setattr(fi, "write_additive_delta", counting)
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    ).awaitTermination(180)
+    monkeypatch.undo()
+    assert replays == [1], "uncommitted delta batch was not replayed"
+
+    got = sorted(
+        (r["word"], r["document"], r["count"])
+        for r in read_index(spark, index_path).collect()
+    )
+    assert got == [
+        ("hello", "a.txt", 2),
+        ("hello", "b.txt", 1),
+        ("world", "b.txt", 1),
+    ], "replayed additive delta double-applied or lost"
+
+    # the stream keeps working, and compaction folds the delta tail
+    # into the base without changing the logical table
+    _write(str(watch / "c.txt"), "hello again")
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    ).awaitTermination(180)
+    from map_reduce_using_cloud_functions_spark.operators.index import compact_index
+
+    before = sorted(map(tuple, read_index(spark, index_path).collect()))
+    compact_index(spark, index_path)
+    assert not os.path.exists(os.path.join(index_path, "_additive"))
+    assert sorted(map(tuple, read_index(spark, index_path).collect())) == before
+
+
+def test_legacy_additive_merge_double_counts_as_documented(spark, tmp_path, monkeypatch):
+    """The LEGACY additive merge (reference bug-parity,
+    ``legacy_additive_merge=True``) is documented NOT exactly-once
+    under replay — pin that: a replayed legacy batch doubles its
+    counts, bit-matching the reference's own double-count semantics
+    (master/main.py:112-121). If this test ever fails, the
+    legacy_additive_merge docstring must be updated."""
     import pyspark.errors
 
     watch = tmp_path / "watch"
@@ -637,7 +729,13 @@ def test_additive_replay_double_counts_as_documented(spark, tmp_path, monkeypatc
 
     _crashy_upsert(monkeypatch, crash_on_call=1, before_write=False)
     q = start_file_index_stream(
-        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+        spark,
+        str(watch),
+        index_path,
+        ckpt,
+        additive=True,
+        max_files_per_trigger=1,
+        legacy_additive_merge=True,
     )
     try:
         q.awaitTermination(180)
@@ -645,7 +743,13 @@ def test_additive_replay_double_counts_as_documented(spark, tmp_path, monkeypatc
         pass
     monkeypatch.undo()
     start_file_index_stream(
-        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+        spark,
+        str(watch),
+        index_path,
+        ckpt,
+        additive=True,
+        max_files_per_trigger=1,
+        legacy_additive_merge=True,
     ).awaitTermination(180)
     got = read_index(spark, index_path).collect()
     assert [(r["word"], r["document"], r["count"]) for r in got] == [
