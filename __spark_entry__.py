@@ -451,7 +451,11 @@ SELECT o_orderkey,
        (o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')::TIMESTAMP AS ny_ts,
        round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
        floor(o_totalprice / 1000)::BIGINT AS price_k,
-       round(ln(o_totalprice + 1), 6) AS ln_price,
+       -- Spark's ln() returns NULL outside the domain; DuckDB raises.
+       -- The guard makes the twin faithful on ALL inputs (found by the
+       -- r6 orders fuzz axis), identical on the fixture's positives.
+       CASE WHEN o_totalprice + 1 > 0
+            THEN round(ln(o_totalprice + 1), 6) END AS ln_price,
        upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
        length(o_orderstatus)::INT AS status_len,
        concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,

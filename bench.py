@@ -127,7 +127,108 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 6) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _run_tree_bench(tree: str, reps: int) -> dict:
+    """One full bench pass of the repo tree at ``tree`` in a fresh
+    subprocess (own JVM — no cross-tree session contamination), parsed
+    from its one-line JSON contract."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=tree,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"bench in {tree} produced no JSON (rc={proc.returncode}): "
+        f"{proc.stderr[-500:]}"
+    )
+
+
+def ab_main(ref_tree: str, passes: int) -> None:
+    """Interleaved A/B protocol (BASELINE.md r5), mechanized: this host
+    drifts ±30% within an hour, so single-shot cross-round comparisons
+    are noise — only per-row minima over ALTERNATED full passes of the
+    two trees on the same host prove a regression. Runs
+    cur,ref,cur,ref,... (``passes`` each, reps=1 inside each pass),
+    takes per-row minima per tree, and emits the normal bench JSON for
+    the CURRENT tree plus an "ab" section with the ref rows and
+    cur/ref ratios. A ratio meaningfully above 1 across interleaved
+    minima is a real per-row regression; below 1, a real win."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur_runs: list[dict] = []
+    ref_runs: list[dict] = []
+    for i in range(passes):
+        print(f"ab pass {i + 1}/{passes}: current tree", file=sys.stderr)
+        cur_runs.append(_run_tree_bench(here, reps=1))
+        print(f"ab pass {i + 1}/{passes}: ref tree {ref_tree}", file=sys.stderr)
+        ref_runs.append(_run_tree_bench(ref_tree, reps=1))
+
+    def combine(runs: list[dict]) -> dict[str, float]:
+        rows: dict[str, float] = {}
+        for r in runs:
+            for name, t in (r.get("queries") or {}).items():
+                if t is not None:
+                    rows[name] = min(t, rows.get(name, t))
+        return rows
+
+    def stream_min(runs: list[dict]) -> dict | None:
+        rows = [
+            r["streaming"]
+            for r in runs
+            if isinstance(r.get("streaming"), dict) and "sec_per_file" in r["streaming"]
+        ]
+        return min(rows, key=lambda s: s["sec_per_file"]) if rows else None
+
+    cur, ref = combine(cur_runs), combine(ref_runs)
+    common = sorted(set(cur) & set(ref))
+    ratios = {
+        n: round(cur[n] / ref[n], 3) for n in common if ref[n] > 0
+    }
+    cur_common = round(sum(cur[n] for n in common), 3)
+    ref_common = round(sum(ref[n] for n in common), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(cur.values()), 3),
+        "unit": "sec",
+        "queries": cur,
+        "sf": cur_runs[-1].get("sf"),
+        "reps": passes,
+        "streaming": stream_min(cur_runs) or cur_runs[-1].get("streaming"),
+        "ab": {
+            "ref_tree": ref_tree,
+            "passes": passes,
+            "cur_total_common": cur_common,
+            "ref_total_common": ref_common,
+            "total_ratio": round(cur_common / ref_common, 3) if ref_common else None,
+            "ref_queries": ref,
+            "ratio": ratios,
+            "worst_rows": sorted(ratios.items(), key=lambda kv: -kv[1])[:5],
+            "ref_streaming": stream_min(ref_runs) or ref_runs[-1].get("streaming"),
+        },
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--ab" in sys.argv:
+        idx = sys.argv.index("--ab")
+        ref_tree = sys.argv[idx + 1]
+        passes = (
+            int(sys.argv[sys.argv.index("--ab-passes") + 1])
+            if "--ab-passes" in sys.argv
+            else 2
+        )
+        ab_main(ref_tree, passes)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("bench")

@@ -324,22 +324,39 @@ def _write_orders(rng: random.Random, path: str, n: int) -> None:
     statuses = ["O", "F", "P", "X1", "X2"]  # X strata stay tiny
     rows_status, rows_price = [], []
     for i in range(n):
-        st = statuses[rng.randrange(0, 3)]
-        price = rng.choice(
-            [
-                round(rng.uniform(1, 1e5), 2),
-                round(rng.uniform(1, 1e5), 2),
-                12345.67,              # tie cluster
-                -round(rng.uniform(0, 100), 2),
-                rng.uniform(1e-4, 1e-2),
-                1e12,
-            ]
-        )
+        # NULL group keys (an engine-parity axis of its own) and NULL
+        # prices (skipped by percentile/sum in BOTH engines; desc window
+        # ordering puts them last in both — pinned by the window fuzz)
+        st = None if rng.random() < 0.04 else statuses[rng.randrange(0, 3)]
+        if rng.random() < 0.05:
+            price = None
+        else:
+            price = float(
+                rng.choice(
+                    [
+                        round(rng.uniform(1, 1e5), 2),
+                        round(rng.uniform(1, 1e5), 2),
+                        12345.67,              # tie cluster
+                        -round(rng.uniform(0, 100), 2),
+                        rng.uniform(1e-4, 1e-2),
+                        1e12,
+                    ]
+                )
+            )
         rows_status.append(st)
-        rows_price.append(float(price))
+        rows_price.append(price)
     rows_status += ["X1", "X2", "X2"]  # 1-row and 2-row strata
     rows_price += [42.0, 1.0, 2.0]
     m = len(rows_status)
+    # midnight-aligned: o_orderdate is semantically a DATE (TPC-H), and
+    # the months_between oracle bridge assumes zero time-of-day — a
+    # time component is out of the column's contract, not a fuzz axis
+    dates = [
+        rng.choice(DATE_EDGES_US)
+        if rng.random() < 0.4
+        else rng.randrange(0, 11_574) * 86_400_000_000
+        for _ in range(m)
+    ]
     pq.write_table(
         pa.table(
             {
@@ -347,7 +364,7 @@ def _write_orders(rng: random.Random, path: str, n: int) -> None:
                 "o_custkey": pa.array([rng.randrange(1, 50) for _ in range(m)], pa.int64()),
                 "o_orderstatus": pa.array(rows_status, pa.string()),
                 "o_totalprice": pa.array(rows_price, pa.float64()),
-                "o_orderdate": pa.array([1_500_000_000_000_000] * m, pa.timestamp("us")),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
                 "o_orderpriority": pa.array(["1-URGENT"] * m, pa.string()),
             }
         ),
@@ -453,3 +470,237 @@ def test_fuzz_streaming_prep_equals_batch(spark, tmp_path, seed):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+# --- TPC-H-ish relational/window axis (r5 verdict task 5) -----------------
+
+FUZZ_DIM_QUERIES = [
+    "rollup_acctbal",            # ROLLUP subtotal rows alongside data NULLs
+    "nation_set_ops",            # INTERSECT / EXCEPT over overlapping keys
+    "customer_order_left_join",  # left join + conditional agg over NULLs
+    "customers_without_orders",  # NOT EXISTS anti-join
+    "revenue_by_region",         # 4-way join chain with orphan keys
+]
+# window ties, percentile interpolation over NULL groups, and the
+# scalar date-function battery all ride the fuzzed orders table
+FUZZ_ORDER_QUERIES_WIDE = [
+    "price_percentiles",
+    "top_orders_per_customer",
+    "scalar_function_sampler",
+]
+
+REGION_NAMES = ["AMERICA", "ASIA", "EUROPE", "AFRICA", "AMERICA"]  # dup name
+NATION_NAMES = [
+    "FRANCE", "GERMANY", "JAPAN", "PERÚ", "日本", "", "FRANCE",  # dup + empty
+    "BRAZIL", "CANADA", "INDIA", "KENYA", "EGYPT",
+]
+# epoch-micro edges: pre-1970, epoch, leap days, month ends, far future
+DATE_EDGES_US = [
+    -86_400_000_000,              # 1969-12-31
+    0,                            # 1970-01-01
+    825_552_000_000_000,          # 1996-02-29 (leap)
+    951_782_400_000_000,          # 2000-02-29 (century leap)
+    933_379_200_000_000,          # 1999-07-31 (31-day month end)
+    886_032_000_000_000,          # 1998-01-29
+]
+
+
+def _write_tpch_dims(rng: random.Random, dirpath: str) -> None:
+    """Hostile dimension tables: duplicate group names (groups merge),
+    orphan foreign keys (inner joins drop, left joins keep), NULL keys
+    and NULL measures, unicode/empty names, sub-cent and 1e9 balances,
+    exact-tie balances, and partial customer/supplier nation overlap so
+    both INTERSECT and EXCEPT branches are non-empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(REGION_NAMES, pa.string()),
+            }
+        ),
+        f"{dirpath}/region.parquet",
+    )
+    n_nat = len(NATION_NAMES)
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(n_nat), pa.int32()),
+                "n_name": pa.array(NATION_NAMES, pa.string()),
+                # regionkey 5 exists nowhere -> orphan nations drop on join
+                "n_regionkey": pa.array(
+                    [rng.randrange(0, 6) for _ in range(n_nat)], pa.int32()
+                ),
+            }
+        ),
+        f"{dirpath}/nation.parquet",
+    )
+    n_cust = 150
+    balances = [
+        rng.choice(
+            [
+                None,
+                0.0,
+                -0.0,
+                123.456789,        # exact tie cluster
+                123.456789,
+                round(rng.uniform(-1000, 10000), 2),
+                1e9,
+                rng.uniform(1e-4, 1e-2),
+            ]
+        )
+        for _ in range(n_cust)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [rng.choice(["Ann", "Ann", "Bö", "θ-cust", ""]) for _ in range(n_cust)],
+                    pa.string(),
+                ),
+                # NULL keys and orphan key 99: dropped by the inner joins,
+                # kept (as no-nation) nowhere — both engines must agree
+                "c_nationkey": pa.array(
+                    [
+                        rng.choice([None, 99, rng.randrange(0, n_nat)])
+                        if rng.random() < 0.2
+                        else rng.randrange(0, n_nat // 2)  # cust-heavy half
+                        for _ in range(n_cust)
+                    ],
+                    pa.int32(),
+                ),
+                "c_acctbal": pa.array(balances, pa.float64()),
+                "c_mktsegment": pa.array(
+                    [rng.choice(["BUILDING", "AUTO", None]) for _ in range(n_cust)],
+                    pa.string(),
+                ),
+            }
+        ),
+        f"{dirpath}/customer.parquet",
+    )
+    n_supp = 40
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+                "s_name": pa.array([f"s{i}" for i in range(n_supp)], pa.string()),
+                # supplier-heavy half barely overlaps the customer-heavy
+                # half -> INTERSECT and both EXCEPT directions non-empty
+                "s_nationkey": pa.array(
+                    [rng.randrange(n_nat // 2 - 1, n_nat) for _ in range(n_supp)],
+                    pa.int32(),
+                ),
+                "s_acctbal": pa.array(
+                    [round(rng.uniform(-100, 1000), 2) for _ in range(n_supp)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{dirpath}/supplier.parquet",
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 59, 71])
+def test_fuzz_relational_dims_parity(spark, tmp_path, seed):
+    """Grouping sets / set ops / outer joins / anti joins / join chains
+    over hostile dims: subtotal NULLs vs data NULLs, duplicate group
+    names, orphan and NULL foreign keys, tie/NULL/-0.0 measures."""
+    rng = random.Random(seed)
+    _write_tpch_dims(rng, str(tmp_path))
+    _write_orders(rng, str(tmp_path / "orders.parquet"), 300)
+    _write_lineitem(rng, str(tmp_path / "lineitem.parquet"), 400)
+    _run_twins(
+        spark,
+        str(tmp_path),
+        FUZZ_DIM_QUERIES,
+        ["region", "nation", "customer", "supplier", "orders", "lineitem"],
+    )
+
+
+@pytest.mark.parametrize("seed", [61, 83])
+def test_fuzz_orders_window_scalar_parity(spark, tmp_path, seed):
+    """Window ranking with exact ties + NULL measures (desc is
+    NULLS LAST in BOTH engines — pinned here), percentile interpolation
+    over NULL groups/prices, and the scalar date battery over leap days,
+    month ends, and pre-1970 dates."""
+    rng = random.Random(seed)
+    _write_orders(rng, str(tmp_path / "orders.parquet"), 400)
+    _run_twins(spark, str(tmp_path), FUZZ_ORDER_QUERIES_WIDE, ["orders"])
+
+
+# --- declared-out contracts, pinned (r5 verdict task 5) --------------------
+
+
+def test_nan_inf_aggregation_contract(spark):
+    """The fuzzer excludes NaN/Inf from aggregated doubles because the
+    engines genuinely order them differently. That exclusion is only
+    honest if THIS engine's behavior is pinned somewhere — here:
+
+    - NaN equals itself in grouping (ONE NaN group, not one per row),
+    - ordering: NaN sorts GREATER than +Infinity,
+    - sum/avg propagate NaN; +Inf + -Inf sums to NaN,
+    - same-signed Inf stays Inf through sum.
+
+    These are Spark SQL's documented NaN semantics; if an upgrade ever
+    changes them, this test fails before a user's pipeline does."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    nan, inf = float("nan"), float("inf")
+
+    df = spark.createDataFrame(
+        [(1, nan), (2, nan), (3, inf), (4, -inf), (5, 1.5)], "id int, v double"
+    )
+    groups = df.groupBy("v").count().collect()
+    nan_groups = [r for r in groups if r["v"] is not None and math.isnan(r["v"])]
+    assert len(nan_groups) == 1 and nan_groups[0]["count"] == 2
+
+    ordered = [r["id"] for r in df.orderBy(F.desc("v")).collect()]
+    assert ordered[:2] in ([1, 2], [2, 1]), "NaN must sort above +Inf"
+    assert ordered[2] == 3, "+Inf next after NaN"
+
+    assert math.isnan(df.agg(F.sum("v")).first()[0])  # NaN propagates
+    inf_sum = (
+        df.where(F.col("id").isin(3, 4)).agg(F.sum("v")).first()[0]
+    )
+    assert math.isnan(inf_sum), "+Inf + -Inf must aggregate to NaN"
+    same_signed = (
+        df.where(F.col("id").isin(3, 5)).agg(F.sum("v")).first()[0]
+    )
+    assert same_signed == inf, "+Inf + finite stays +Inf"
+
+
+def test_invalid_json_extraction_contract(spark):
+    """The fuzzer's props generator emits only VALID JSON because the
+    engines' malformed-JSON contracts genuinely differ — pinned here:
+    Spark's get_json_object returns NULL for every malformed fragment
+    (never raises), so json_props_rollup counts such rows in ``n`` but
+    excludes them from sum_k/avg_k; DuckDB's json_extract_string RAISES
+    on the same input (verified InvalidInputException), which is why
+    malformed fragments cannot appear in an oracle-twinned corpus."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.plans.events import json_props_rollup
+
+    frags = ["not json", "{", '{"k":}', "[1,", "", '{"k": 7}', None]
+    df = spark.createDataFrame(
+        [(i, "t", f) for i, f in enumerate(frags)],
+        "event_id int, event_type string, props string",
+    )
+    got = [
+        r["v"]
+        for r in df.select(
+            F.get_json_object("props", "$.k").alias("v")
+        ).collect()
+    ]
+    assert got == [None, None, None, None, None, "7", None]
+
+    roll = json_props_rollup(df).collect()
+    assert len(roll) == 1
+    r = roll[0]
+    # all 7 rows counted; only the single valid fragment aggregates
+    assert (r["n"], r["sum_k"], r["avg_k"]) == (7, 7, 7.0)
