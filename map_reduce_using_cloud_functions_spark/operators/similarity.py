@@ -690,6 +690,42 @@ def train_ivf_centroids(
     return cents
 
 
+def _probe_query_lists(queries: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """Queries → their ``n_probe`` nearest inverted lists: broadcast the
+    (tiny) centroid table, window top-n over |Q|·n_centroids rows —
+    negligible because the query set is small by contract. Shared by the
+    in-plan and persisted-index paths so the probe objective (cosine,
+    ties toward the smaller centroid_id) cannot drift between them.
+    Returns (query_id, q_embedding, list_id)."""
+    q_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_embedding",
+        "centroid_id",
+        cosine(F.col("q_embedding"), F.col("c_embedding")).alias("c_score"),
+    )
+    wn = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("centroid_id"))
+    return (
+        q_scored.withColumn("crn", F.row_number().over(wn))
+        .where(F.col("crn") <= n_probe)
+        .select("query_id", "q_embedding", F.col("centroid_id").alias("list_id"))
+    )
+
+
+def _score_probed(corpus_lists: DataFrame, query_lists: DataFrame, k: int) -> DataFrame:
+    """Candidate equi-join on ``list_id`` + exact cosine + shared top-k
+    rank — the corpus never cross-joins the query set."""
+    scored = (
+        corpus_lists.join(query_lists, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -699,6 +735,7 @@ def ivf_topk(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the query's ``n_probe``
@@ -717,47 +754,125 @@ def ivf_topk(
 
     Approximation contract: every returned neighbor carries its exact
     cosine; recall < 1 when a true neighbor lives in an unprobed list.
+
+    ``centroids``: a precomputed (centroid_id, c_embedding) table (e.g.
+    ``load_ivf_centroids``) — skips seeding/training entirely, so a
+    trained centroid set amortizes across query batches instead of
+    refitting per call. For the full amortization (corpus-side
+    assignment too) use ``build_ivf_index`` + ``ivf_topk_indexed``.
     """
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = _train_or_seed(embeddings, n_centroids, train, train_iters, train_init)
+
+    # Corpus → 1 nearest list: argmax via max_by over the broadcast-join
+    # scores — partial-aggregable, ties broken toward the smaller
+    # centroid_id (struct ordering on (score, -centroid_id)).
+    corpus_lists = _assign_nearest_list(embeddings, cents)
+    query_lists = _probe_query_lists(queries, cents, n_probe)
+    return _score_probed(corpus_lists, query_lists, k)
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    train: bool = False,
+    train_iters: int = 2,
+    train_init: str = "hash",
+) -> None:
+    """Persist an IVF index so the corpus-side work amortizes across
+    query batches: ``ivf_topk`` refits centroids AND re-assigns the
+    whole corpus on every call, which is exactly backwards at 100 TB —
+    the corpus scan is the expensive side and the query batch the cheap
+    one.
+
+    Layout under ``path``:
+
+    - ``centroids/`` — the (tiny) centroid table, cast to
+      ``array<double>`` so hash-seeded (float) and Lloyd-trained
+      (double) centroids round-trip through one stable schema;
+    - ``lists/`` — the corpus assignment ``(vec_id, embedding)``
+      **partitioned by list_id**, so probing n of k lists at query time
+      is parquet partition pruning: the scan physically reads only the
+      probed lists' files (~n_probe/n_centroids of the corpus), no
+      filter evaluation over unprobed rows at all.
+
+    Assignment reads the centroids BACK from parquet (not the in-plan
+    lineage) so the persisted values are by construction the ones the
+    lists were built against."""
+    cents = _train_or_seed(embeddings, n_centroids, train, train_iters, train_init)
+    (
+        cents.select(
+            "centroid_id",
+            F.col("c_embedding").cast("array<double>").alias("c_embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    saved = load_ivf_centroids(embeddings.sparkSession, path)
+    (
+        _assign_nearest_list(embeddings, saved)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def _train_or_seed(
+    embeddings: DataFrame,
+    n_centroids: int,
+    train: bool,
+    train_iters: int,
+    train_init: str,
+) -> DataFrame:
     if train:
         init = (
             kmeans_parallel_init(embeddings, n_centroids)
             if train_init == "kmeans||"
             else None
         )
-        cents = train_ivf_centroids(embeddings, n_centroids, train_iters, init=init)
-    else:
-        cents = _seed_centroids(embeddings, n_centroids)
+        return train_ivf_centroids(embeddings, n_centroids, train_iters, init=init)
+    return _seed_centroids(embeddings, n_centroids)
 
-    # Corpus → 1 nearest list: argmax via max_by over the broadcast-join
-    # scores — partial-aggregable, ties broken toward the smaller
-    # centroid_id (struct ordering on (score, -centroid_id)).
-    corpus_lists = _assign_nearest_list(embeddings, cents)
 
-    # Queries → n_probe nearest lists: the query set is small by contract,
-    # so a window top-n over |Q|·n_centroids rows is negligible.
-    q_scored = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "q_embedding",
-        "centroid_id",
-        cosine(F.col("q_embedding"), F.col("c_embedding")).alias("c_score"),
-    )
-    wn = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("centroid_id"))
-    query_lists = (
-        q_scored.withColumn("crn", F.row_number().over(wn))
-        .where(F.col("crn") <= n_probe)
-        .select("query_id", "q_embedding", F.col("centroid_id").alias("list_id"))
+def load_ivf_centroids(spark, path: str) -> DataFrame:
+    """Read a ``build_ivf_index`` centroid table back (explicit schema —
+    the index contract, not footer inference)."""
+    return spark.read.schema("centroid_id int, c_embedding array<double>").parquet(
+        f"{path}/centroids"
     )
 
-    scored = (
-        corpus_lists.join(query_lists, "list_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
-        )
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k against a persisted ``build_ivf_index``: load
+    the centroid table (tiny), pick each query's ``n_probe`` nearest
+    lists, then scan ONLY those lists' parquet partitions.
+
+    The probed list ids are collected to the driver (bounded by
+    n_centroids — a handful of ints) and planted as a literal ``IN``
+    filter on the partition column, which Spark turns into partition
+    pruning: with the default 2-of-8 probe the scan touches ~25% of the
+    corpus bytes, and none of the skipped rows are even deserialized.
+    Scoring/ranking share ``ivf_topk``'s exact code paths, so indexed
+    and in-plan answers are identical for identical centroids."""
+    cents = load_ivf_centroids(spark, path)
+    query_lists = _probe_query_lists(queries, cents, n_probe)
+    probed = sorted(
+        r["list_id"] for r in query_lists.select("list_id").distinct().collect()
     )
-    return _rank_topk(scored, k)
+    corpus_lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(probed)
+    )
+    return _score_probed(corpus_lists, query_lists, k)
 
 
 def embedding_near_dedup(
