@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators.index import (
     build_index,
-    lookup,
+    lookup_persisted,
     read_index,
     upsert_index,
     write_index,
@@ -138,8 +138,10 @@ class InvertedIndexEngine:
                 "query must be a single word without whitespace "
                 "(reference main/app.py:43-44 semantics)"
             )
-        index = self.spark.read.parquet(self.index_path)
-        return lookup(index, word)
+        # Pruned to the probe's first-letter partitions AND folds any
+        # pending streaming additive deltas — a bare base-table read
+        # would serve stale counts between delta write and compaction.
+        return lookup_persisted(self.spark, self.index_path, word)
 
     def vocabulary_size(self) -> int:
         index = read_index(self.spark, self.index_path)

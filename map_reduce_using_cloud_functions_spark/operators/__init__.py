@@ -2,6 +2,7 @@ from .index import (
     tokenize,
     build_index,
     lookup,
+    lookup_persisted,
     merge_index,
     distinct_words,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "tokenize",
     "build_index",
     "lookup",
+    "lookup_persisted",
     "merge_index",
     "distinct_words",
 ]

@@ -391,25 +391,49 @@ def _hadoop_delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
-def read_index(spark, path: str) -> DataFrame:
+def read_index(spark, path: str, first_letter: str | None = None) -> DataFrame:
     """Logical view of the persisted index: the folded base table plus
     any pending exactly-once additive deltas (``{path}/_additive``, see
     ``write_additive_delta``) summed in. With no pending deltas this is
-    the bare base scan — zero overhead for the common case."""
-    base = spark.read.parquet(path).select("word", "document", "count")
+    the bare base scan — zero overhead for the common case.
+
+    ``first_letter``: optional partition predicate applied to BOTH
+    sides (base is first-partitioned, deltas (abatch, first)-
+    partitioned) BEFORE the 3-column projection drops the partition
+    column — so a point lookup lists one directory per side instead of
+    the table. Without it, a ``word =`` filter over this view cannot
+    prune (the projection has already removed ``first`` from the plan);
+    at real file counts that's a full-table scan per query (measured in
+    BASELINE.md's r6 100× soak). Point lookups should go through
+    ``lookup_persisted``, which derives the letter from the probe."""
+    base = spark.read.parquet(path)
+    if first_letter is not None:
+        base = base.where(F.col("first") == F.lit(first_letter))
+    base = base.select("word", "document", "count")
     add = _additive_path(path)
     if _hadoop_exists(spark, add):
-        deltas = (
-            spark.read.schema(_ADDITIVE_SCHEMA)
-            .parquet(add)
-            .select("word", "document", "count")
-        )
+        deltas = spark.read.schema(_ADDITIVE_SCHEMA).parquet(add)
+        if first_letter is not None:
+            deltas = deltas.where(F.col("first") == F.lit(first_letter))
         return (
-            base.unionByName(deltas)
+            base.unionByName(deltas.select("word", "document", "count"))
             .groupBy("word", "document")
             .agg(F.sum("count").alias("count"))
         )
     return base
+
+
+def lookup_persisted(spark, path: str, word: str) -> DataFrame:
+    """Point lookup against a persisted index that is BOTH pruned and
+    delta-correct: prunes base and pending-additive scans to the
+    probe's first-letter partitions, folds any pending streaming
+    deltas, then applies ``lookup``'s exact filter/sort contract.
+
+    This is the serving path (engine/web UI): reading the base alone
+    misses pending additive deltas; reading through the unpruned
+    ``read_index`` view scans the whole table per query."""
+    w = normalize_query_word_py(word)
+    return lookup(read_index(spark, path, first_letter=w[:1]), w)
 
 
 # --- exactly-once additive deltas ---------------------------------------

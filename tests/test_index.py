@@ -500,3 +500,91 @@ def test_additive_delta_write_fold_and_compact(spark, tmp_path):
     assert sorted(
         map(tuple, read_index(spark, path).where("document = 'b.txt'").collect())
     ) == [("goodbye", "b.txt", 1)]
+
+
+def test_lookup_persisted_prunes_and_folds_pending_deltas(spark, tmp_path):
+    """r6: the serving path must be BOTH pruned and delta-correct.
+    Before it, engine.find_occurrences read the bare base (pruned but
+    blind to pending streaming deltas) while read_index+lookup folded
+    deltas but projected away the partition column before the filter —
+    a full-table scan per point query at real file counts."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        build_index,
+        lookup_persisted,
+        read_index,
+        write_additive_delta,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_index(
+        build_index(
+            spark.createDataFrame(
+                [("a.txt", "hello world hello"), ("c.txt", "zebra hello")],
+                "document string, text string",
+            )
+        ),
+        path,
+    )
+
+    # pruned base-only lookup: plan carries a first-letter PartitionFilter
+    got = lookup_persisted(spark, path, "Hello!")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("first" in f and "= h" in f for f in pf), plan[:500]
+    assert [tuple(r) for r in got.collect()] == [("a.txt", 2), ("c.txt", 1)]
+
+    # a pending streaming additive delta must be visible immediately
+    delta = build_index(
+        spark.createDataFrame([("b.txt", "hello hello")], "document string, text string")
+    )
+    write_additive_delta(spark, delta, path, batch_id=7)
+    got2 = lookup_persisted(spark, path, "hello")
+    # BOTH sides of the fold stay pruned (base + delta scans); read the
+    # plan BEFORE executing — the post-AQE final plan prints shuffle
+    # stages as references and hides the FileScan lines
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    pf2 = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan2)
+    assert len([f for f in pf2 if "first" in f and "= h" in f]) == 2, plan2[:800]
+    assert [tuple(r) for r in got2.collect()] == [
+        ("a.txt", 2),
+        ("b.txt", 2),
+        ("c.txt", 1),
+    ]
+
+    # unpruned read_index stays the unchanged full logical view
+    assert ("hello", "b.txt", 2) in set(map(tuple, read_index(spark, path).collect()))
+
+
+def test_engine_find_occurrences_sees_pending_delta(spark, tmp_path):
+    """The UI/engine query path serves through lookup_persisted: counts
+    written by an uncompacted streaming batch appear in query results."""
+    from map_reduce_using_cloud_functions_spark.engine import InvertedIndexEngine
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        build_index,
+        write_additive_delta,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_index(
+        build_index(
+            spark.createDataFrame([("a.txt", "alpha beta")], "document string, text string")
+        ),
+        path,
+    )
+    write_additive_delta(
+        spark,
+        build_index(
+            spark.createDataFrame([("b.txt", "alpha alpha")], "document string, text string")
+        ),
+        path,
+        batch_id=1,
+    )
+    eng = InvertedIndexEngine(spark, index_path=path)
+    assert [tuple(r) for r in eng.find_occurrences("alpha").collect()] == [
+        ("b.txt", 2),
+        ("a.txt", 1),
+    ]
