@@ -64,7 +64,44 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"),
             sim.queries_from_ids(load_table(s, d, "embeddings"), 8),
         ),
+        # r6: persisted-index serving paths — same answers as their
+        # in-plan twins, plus the write/read/prune machinery under oracle
+        "index_lookup_persisted": _q_index_lookup_persisted,
+        "ann_topk_ivf_indexed": _q_ann_topk_ivf_indexed,
     }
+
+
+def _q_index_lookup_persisted(s: SparkSession, d: str) -> DataFrame:
+    """Gate row index_lookup's probe served through the PERSISTED path:
+    write_index to disk, then lookup_persisted (first-letter partition
+    pruning + pending-delta fold). Same oracle SQL as index_lookup —
+    persistence must not change answers."""
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.sources.text_corpus import (
+        documents_as_corpus,
+    )
+
+    path = tempfile.mkdtemp(prefix="oracle_idx_") + "/idx"
+    ix.write_index(
+        ix.build_index(documents_as_corpus(load_table(s, d, "documents"))), path
+    )
+    return ix.lookup_persisted(s, path, "The!")
+
+
+def _q_ann_topk_ivf_indexed(s: SparkSession, d: str) -> DataFrame:
+    """Gate row ann_topk_ivf's query batch served through a persisted
+    build_ivf_index (hash-seed centroids — the oracle-replayable
+    configuration; cosine casts elements to double, so the index's
+    array<double> centroid storage is value-identical to the in-plan
+    float seeds). Same oracle SQL as ann_topk_ivf."""
+    import tempfile
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_ivf_") + "/ivf"
+    sim.build_ivf_index(emb, path, n_centroids=8)
+    return sim.ivf_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -325,4 +362,7 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+    gate = entrymod.oracle_sql()
+    sql["index_lookup_persisted"] = gate["index_lookup"]
+    sql["ann_topk_ivf_indexed"] = gate["ann_topk_ivf"]
     return sql
