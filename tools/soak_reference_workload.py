@@ -19,10 +19,14 @@ measures:
   4. ``sessionize``    — gaps-and-islands over 100x events with 100x
                          the user (= window partition) population
 
-Usage: python tools/soak_reference_workload.py [REP] [SF_DIR]
-(defaults: 100 /root/testdata/sf0.1). Writes the index under a temp
-dir it removes at exit; prints one human-readable block for
-BASELINE.md.
+Usage: python tools/soak_reference_workload.py [REP] [SF_DIR] [MAX_RECS]
+(defaults: 100 /root/testdata/sf0.1 0). MAX_RECS > 0 caps
+``maxRecordsPerFile`` on the index write to simulate real-cluster file
+counts (one box compacts 11.6M postings into ~19 files, where a
+1000-executor write produces thousands — the regime where partition
+pruning vs full listing actually separates; measured 240-file rows in
+BASELINE.md r6). Writes the index under a temp dir it removes at
+exit; prints one human-readable block for BASELINE.md.
 """
 
 from __future__ import annotations
@@ -67,6 +71,7 @@ def noop(df) -> None:
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    max_recs = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     spark = get_spark("soak_reference")
     tmp = tempfile.mkdtemp(prefix="soak_ref_")
     try:
@@ -94,7 +99,19 @@ def main() -> None:
         # --- persist: real file counts ------------------------------
         path = f"{tmp}/idx"
         t0 = time.time()
-        ix.write_index(built, path)
+        if max_recs > 0:
+            (
+                built.withColumn("first", F.substring("word", 1, 1))
+                .hint("rebalance", "first")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .option("maxRecordsPerFile", max_recs)
+                .partitionBy("first")
+                .parquet(path)
+            )
+            ix._write_docmap_full(built, path)
+        else:
+            ix.write_index(built, path)
         t_write = time.time() - t0
         import os
 
@@ -113,17 +130,22 @@ def main() -> None:
         )
 
         # --- lookup-after-write: pruned serving path vs unpruned view
-        for word in ("the", "zigzag"):
+        # hot probe via count() (collect of a 100x-replicated hot word's
+        # postings is driver-transfer-bound and measures py4j, not the
+        # scan); absent probe via collect (pure listing/footer cost)
+        for word, action in (("the", "count"), ("zzzabsent", "collect")):
             t_pruned = wall(
-                lambda w=word: ix.lookup_persisted(spark, path, w).collect()
+                lambda w=word: getattr(ix.lookup_persisted(spark, path, w), action)()
             )
             t_full = wall(
-                lambda w=word: ix.lookup(ix.read_index(spark, path), w).collect()
+                lambda w=word: getattr(
+                    ix.lookup(ix.read_index(spark, path), w), action
+                )()
             )
             n = ix.lookup_persisted(spark, path, word).count()
             print(
-                f"lookup '{word}' ({n:,} docs): pruned {t_pruned:.2f} s vs "
-                f"unpruned-view {t_full:.2f} s (min-of-3 each)"
+                f"lookup '{word}' ({n:,} docs, {action}): pruned "
+                f"{t_pruned:.2f} s vs unpruned-view {t_full:.2f} s (min-of-3)"
             )
 
         # --- sessionize at REPx: distinct users per replica ----------
