@@ -516,16 +516,41 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
         _write_docmap_full(read_index(spark, path), path)
 
 
+def pending_additive_batches(spark, path: str) -> list[int]:
+    """Sorted batch ids with pending additive delta partitions under
+    ``{path}/_additive`` — one directory listing, no data read. The
+    stream's auto-compaction trigger and operational monitoring ("how
+    long is the delta tail?") both key off this."""
+    add = _additive_path(path)
+    if not _hadoop_exists(spark, add):
+        return []
+    fs = _hadoop_fs(spark, add)
+    out = []
+    for st in fs.listStatus(_hadoop_path(spark, add)):
+        name = st.getPath().getName()
+        if name.startswith("abatch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 def compact_index(spark, path: str) -> None:
     """Fold pending additive deltas into the base table and drop them —
     the maintenance companion of ``write_additive_delta``, bounding the
     delta tail that reads fold.
 
-    Run with the stream paused. In-place static overwrite on bare
-    parquet is not crash-atomic (the same documented limit as every
-    other full rewrite here — a transactional table format is the
-    production answer); the merged relation is materialized via
-    ``localCheckpoint`` before the base files it read are replaced."""
+    Run with the stream paused (or from inside its own ``foreachBatch``
+    via ``compact_every`` — single writer either way). Crash semantics
+    on bare parquet, stated exactly: the fold is ONE static overwrite
+    of ``path``, and that overwrite clears ``_additive`` together with
+    the old base (verified live — the job rewrites the whole directory),
+    so there is no window where the base contains the deltas AND the
+    delta partitions still exist (no double-count on any crash/replay).
+    The remaining window is the static overwrite itself: a crash
+    mid-job can lose the table — the same documented limit as every
+    full rewrite here, and the reason a production deployment puts a
+    transactional table format (Delta/Iceberg) under this exact logic.
+    The merged relation is materialized via ``localCheckpoint`` before
+    the base files it read are replaced."""
     add = _additive_path(path)
     if not _hadoop_exists(spark, add):
         return

@@ -29,6 +29,8 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.index import (
     _hadoop_exists,
     build_index,
+    compact_index,
+    pending_additive_batches,
     upsert_index,
     write_additive_delta,
     write_index,
@@ -45,6 +47,7 @@ def start_file_index_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     legacy_additive_merge: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for new text files; maintain the index table
     at ``index_path``. One file = one document (basename identity,
@@ -62,7 +65,18 @@ def start_file_index_stream(
     reference's own double-count semantics (``master/main.py:112-121``),
     kept reachable solely for that parity. The default additive path is
     exactly-once (batch-keyed delta partitions, see
-    ``write_additive_delta``)."""
+    ``write_additive_delta``).
+
+    ``compact_every`` (additive default path only): fold the pending
+    delta tail into the base whenever it reaches this many batches, in
+    the same single-writer foreachBatch thread — unbounded tails make
+    every read's fold wider. Off (None) by default because compaction
+    on bare parquet is a full static overwrite: a crash MID-COMPACT can
+    lose the table (``compact_index``'s documented window; there is no
+    fold-but-deltas-remain double-count window — the overwrite clears
+    both together). Streams that must survive arbitrary kill points
+    should leave this off and compact out-of-band with the stream
+    paused, or put a transactional table format under the index."""
 
     reader = spark.readStream
     if max_files_per_trigger is not None:
@@ -97,6 +111,12 @@ def start_file_index_stream(
                 write_additive_delta(
                     spark, build_index(batch_df), index_path, batch_id
                 )
+                if (
+                    compact_every is not None
+                    and len(pending_additive_batches(spark, index_path))
+                    >= compact_every
+                ):
+                    compact_index(spark, index_path)
             return
         # the batch's documents are the explicit replace-set so a file
         # re-dropped with token-free content scrubs its old postings

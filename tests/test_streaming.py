@@ -755,3 +755,63 @@ def test_legacy_additive_merge_double_counts_as_documented(spark, tmp_path, monk
     assert [(r["word"], r["document"], r["count"]) for r in got] == [
         ("hello", "a.txt", 4)  # 2 real + 2 replayed — the documented hazard
     ]
+
+
+def test_additive_stream_auto_compacts_delta_tail(spark, tmp_path):
+    """r6: compact_every folds the pending additive tail inside the
+    stream's own foreachBatch — the tail stays bounded, the logical
+    table is unchanged by compaction, and replace-mode upserts work
+    immediately when the tail happens to be empty at shutdown."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        pending_additive_batches,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(7):
+        _write(str(watch / f"d{i}.txt"), f"alpha w{i} w{i} shared")
+
+    start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        ckpt,
+        additive=True,
+        max_files_per_trigger=1,
+        compact_every=2,
+    ).awaitTermination(300)
+
+    # batch 0 full-builds; batches 1..6 write deltas with compaction at
+    # tail length 2 — the tail can never exceed compact_every at rest
+    pending = pending_additive_batches(spark, index_path)
+    assert len(pending) < 2, pending
+
+    batch = build_index(
+        read_text_corpus(spark, str(watch))
+    )
+    assert sorted(map(tuple, read_index(spark, index_path).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_pending_additive_batches_listing(spark, tmp_path):
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        compact_index,
+        pending_additive_batches,
+        write_additive_delta,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    write_index(mk("a.txt", "one two"), path)
+    assert pending_additive_batches(spark, path) == []
+    write_additive_delta(spark, mk("b.txt", "one"), path, 3)
+    write_additive_delta(spark, mk("c.txt", "two"), path, 11)
+    assert pending_additive_batches(spark, path) == [3, 11]
+    compact_index(spark, path)
+    assert pending_additive_batches(spark, path) == []
