@@ -78,6 +78,12 @@ def start_file_index_stream(
     should leave this off and compact out-of-band with the stream
     paused, or put a transactional table format under the index."""
 
+    if compact_every is not None and (not additive or legacy_additive_merge):
+        raise ValueError(
+            "compact_every applies only to the default additive path "
+            "(additive=True, legacy_additive_merge=False) — the replace "
+            "path has no delta tail and the legacy merge folds eagerly"
+        )
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

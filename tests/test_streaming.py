@@ -815,3 +815,17 @@ def test_pending_additive_batches_listing(spark, tmp_path):
     assert pending_additive_batches(spark, path) == [3, 11]
     compact_index(spark, path)
     assert pending_additive_batches(spark, path) == []
+
+
+def test_compact_every_rejected_outside_default_additive(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="compact_every applies only"):
+        start_file_index_stream(
+            spark,
+            str(tmp_path),
+            str(tmp_path / "i"),
+            str(tmp_path / "c"),
+            additive=False,
+            compact_every=3,
+        )
