@@ -815,6 +815,12 @@ def build_ivf_index(
     saved = load_ivf_centroids(embeddings.sparkSession, path)
     (
         _assign_nearest_list(embeddings, saved)
+        # same rationale as write_index's REBALANCE on the letter: a
+        # bare partitionBy writes one file per (task, list) — file-count
+        # explosion at real task counts — while a hash repartition pins
+        # each list to ONE task (hot lists serialize). AQE's rebalance
+        # coalesces small lists and splits skewed ones.
+        .hint("rebalance", "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
