@@ -126,7 +126,9 @@ def distinct_words(index: DataFrame) -> DataFrame:
     return index.select("word").distinct()
 
 
-def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
+def write_index(
+    index: DataFrame, path: str, buckets: int = 64, versioned: bool = False
+) -> None:
     """Persist the index for point lookups: partitioned by first letter
     (coarse pruning) — a lookup touches one directory, not the table.
 
@@ -146,16 +148,44 @@ def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
     oversized letter across tasks (multiple files per dir — readers
     don't care; lookup prunes by directory). Measured in the r5 skew
     test: the hot letter splits, untouched letters stay single-file.
+
+    ``versioned=True`` opts into crash-atomic rebuilds: the table is
+    written to an immutable ``v=N`` directory and becomes visible only
+    when its commit file lands (see the versioned-commits section
+    above). Once a table is versioned, every later full rewrite
+    continues the protocol regardless of the flag — forking a
+    versioned table back to in-place would reintroduce the window the
+    caller opted out of. A versioned rebuild also supersedes any
+    pending additive deltas via the ``folded_through`` watermark (the
+    in-place rewrite's directory wipe does the same thing physically).
     """
+    spark = index.sparkSession
+    commits = _list_commits(spark, path)
+    if versioned or commits:
+        _, prev_folded, _ = _resolve_version(spark, path)
+        v = (commits[-1] + 1) if commits else 0
+        target = _version_dir(path, v)
+        _write_base(index, target)
+        _write_docmap_full(index, target)
+        raw = _list_additive_batches(spark, path)
+        _write_commit(
+            spark, path, v, folded_through=max([prev_folded] + raw)
+        )
+        gc_index_versions(spark, path)
+        return
+    _write_base(index, path)
+    _write_docmap_full(index, path)
+
+
+def _write_base(index: DataFrame, target: str) -> None:
     (
         index.withColumn("first", F.substring("word", 1, 1))
         .hint("rebalance", "first")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("first")
-        .parquet(path)
+        .parquet(target)
     )
-    _write_docmap_full(index, path)
 
 
 # --- doc→letters sidecar -------------------------------------------------
@@ -254,11 +284,18 @@ def upsert_index(
     if not _hadoop_exists(spark, path):
         write_index(delta, path)
         return
-    if not additive and _hadoop_exists(spark, _additive_path(path)):
+    # Versioned tables: partition-granular upserts operate IN PLACE on
+    # the current version directory (the full-rewrite protocol is for
+    # full rewrites; per-partition dynamic overwrite keeps its own
+    # documented mid-swap window either way).
+    base_dir, _folded, _ver = _resolve_version(spark, path)
+    if not additive and pending_additive_batches(spark, path):
         # Replace semantics must see the document's FULL current postings
         # to scrub stale rows; pending deltas live outside the base scan,
         # so merging over the base alone would silently resurrect or
         # miscount. Additive upserts compose fine (read_index sums).
+        # (Superseded-but-not-yet-GC'd deltas under a versioned commit
+        # watermark don't count — the base already holds them.)
         raise ValueError(
             f"index at {path} has uncompacted additive deltas "
             f"({ADDITIVE_DELTA_DIR}/): run compact_index() before "
@@ -273,7 +310,7 @@ def upsert_index(
         r["first"]
         for r in delta.select(F.substring("word", 1, 1).alias("first")).distinct().collect()
     }
-    docmap = _docmap_path(path)
+    docmap = _docmap_path(base_dir)
     have_docmap = _hadoop_exists(spark, docmap)
     # ``documents``: the explicit re-indexed set (see merge_index's
     # replace_docs). Without it, a document re-indexed to token-free
@@ -304,7 +341,7 @@ def upsert_index(
         else:
             # Legacy index (no sidecar yet): one full column-pruned scan.
             stale = (
-                spark.read.parquet(path)
+                spark.read.parquet(base_dir)
                 .join(F.broadcast(delta_docs), "document", "left_semi")
                 .select(F.substring("word", 1, 1).alias("first"))
                 .distinct()
@@ -314,7 +351,7 @@ def upsert_index(
         return
     letters = sorted(letters)
     old = (
-        spark.read.parquet(path)
+        spark.read.parquet(base_dir)
         .where(F.col("first").isin(letters))
         .select("word", "document", "count")
     )
@@ -329,7 +366,7 @@ def upsert_index(
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("first")
-        .parquet(path)
+        .parquet(base_dir)
     )
     # A touched partition whose merged content is EMPTY is not written at
     # all (dynamic overwrite only replaces partitions present in the
@@ -337,7 +374,7 @@ def upsert_index(
     nonempty = {r["first"] for r in out.select("first").distinct().collect()}
     for letter in letters:
         if letter not in nonempty:
-            _hadoop_delete(spark, f"{path}/first={letter}")
+            _hadoop_delete(spark, f"{base_dir}/first={letter}")
     # Keep the sidecar current. With a sidecar: rewrite only the delta
     # documents' buckets (old rows for OTHER documents in those buckets
     # survive; replace mode drops the delta docs' old rows, additive
@@ -364,7 +401,7 @@ def upsert_index(
             .parquet(docmap)
         )
     else:
-        _write_docmap_full(spark.read.parquet(path), path)
+        _write_docmap_full(spark.read.parquet(base_dir), base_dir)
 
 
 def _hadoop_path(spark, path: str):
@@ -391,6 +428,146 @@ def _hadoop_delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+# --- versioned commits (opt-in crash-atomic full rewrites) ----------------
+#
+# The one crash window the partition-granular machinery can't close is
+# the FULL rewrite: write_index/compact_index statically overwrite the
+# table in place, so a crash mid-job loses it. This is the micro-subset
+# of a transactional format the workload actually needs, on bare
+# parquet: base versions are IMMUTABLE directories ``{path}/v=N``, and
+# the current version is named by the highest ``{path}/_versions/
+# N.commit`` file — written whole to a temp name and renamed into place
+# (rename-to-fresh-name: atomic on local/HDFS; a single small-object
+# PUT elsewhere). A crash at ANY point of a rebuild/compaction leaves
+# the previous commit untouched and readers never see a partial table;
+# the orphaned v-dir is silently overwritten by the next attempt.
+#
+# The commit also records ``folded_through``: the highest additive
+# batch id folded into (or superseded by) that base. Readers ignore
+# delta partitions ≤ the watermark, which closes compaction's other
+# window — there is no state where a fold is visible AND its source
+# deltas still count (delta deletion becomes lazy GC, not a
+# correctness step). Partition-granular upserts keep operating in
+# place on the current version dir with their own (smaller, documented)
+# mid-swap window — versioning full rewrites only is the deliberate
+# scope.
+#
+# Opt in with ``write_index(..., versioned=True)``; every other
+# operation (read/lookup/upsert/stream/compact) detects the layout and
+# continues it. Reading a versioned table with a bare
+# ``spark.read.parquet(path)`` is a user error — go through
+# ``read_index``/``lookup_persisted``.
+
+VERSIONS_DIR = "_versions"
+
+
+def _versions_path(path: str) -> str:
+    return f"{path}/{VERSIONS_DIR}"
+
+
+def _version_dir(path: str, v: int) -> str:
+    return f"{path}/v={v}"
+
+
+def _list_commits(spark, path: str) -> list[int]:
+    vp = _versions_path(path)
+    if not _hadoop_exists(spark, vp):
+        return []
+    fs = _hadoop_fs(spark, vp)
+    out = []
+    for st in fs.listStatus(_hadoop_path(spark, vp)):
+        name = st.getPath().getName()
+        if name.endswith(".commit"):
+            try:
+                out.append(int(name[: -len(".commit")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_commit(spark, path: str, v: int) -> dict:
+    import json
+
+    f = f"{_versions_path(path)}/{v}.commit"
+    stream = _hadoop_fs(spark, f).open(_hadoop_path(spark, f))
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_commit(spark, path: str, v: int, folded_through: int) -> None:
+    import json
+    import uuid
+
+    vp = _versions_path(path)
+    fs = _hadoop_fs(spark, vp)
+    fs.mkdirs(_hadoop_path(spark, vp))
+    payload = json.dumps({"v": v, "folded_through": folded_through}).encode()
+    tmp = _hadoop_path(spark, f"{vp}/.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload))
+    out.close()
+    if not fs.rename(tmp, _hadoop_path(spark, f"{vp}/{v}.commit")):
+        fs.delete(tmp, False)
+        raise IOError(f"version commit rename failed for v={v} at {path}")
+
+
+def _resolve_version(spark, path: str) -> tuple[str, int, int | None]:
+    """(base_dir, folded_through, version). Legacy layout (no commits):
+    ``(path, -1, None)`` — the base IS the path and nothing is folded."""
+    commits = _list_commits(spark, path)
+    if not commits:
+        return path, -1, None
+    v = commits[-1]
+    meta = _read_commit(spark, path, v)
+    return _version_dir(path, v), int(meta.get("folded_through", -1)), v
+
+
+def index_version(spark, path: str) -> int | None:
+    """Current committed version of the index at ``path`` (None for a
+    legacy in-place table)."""
+    return _resolve_version(spark, path)[2]
+
+
+def _list_additive_batches(spark, path: str) -> list[int]:
+    """Raw (abatch=) partition listing — includes batches a versioned
+    commit has already superseded; use ``pending_additive_batches`` for
+    the logical tail."""
+    add = _additive_path(path)
+    if not _hadoop_exists(spark, add):
+        return []
+    fs = _hadoop_fs(spark, add)
+    out = []
+    for st in fs.listStatus(_hadoop_path(spark, add)):
+        name = st.getPath().getName()
+        if name.startswith("abatch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def gc_index_versions(spark, path: str, keep: int = 2) -> None:
+    """Lazy cleanup for a versioned index: drop base versions older than
+    the newest ``keep`` and every additive delta partition at or below
+    the current ``folded_through`` watermark. Pure space reclamation —
+    readers resolve through the commit files and never reference what
+    this deletes, so it is safe at any time (and a crash mid-GC just
+    leaves garbage for the next GC)."""
+    commits = _list_commits(spark, path)
+    if not commits:
+        return
+    _, folded, _ = _resolve_version(spark, path)
+    for old in commits[:-keep] if keep > 0 else commits[:-1]:
+        _hadoop_delete(spark, _version_dir(path, old))
+        _hadoop_delete(spark, f"{_versions_path(path)}/{old}.commit")
+    for b in _list_additive_batches(spark, path):
+        if b <= folded:
+            _hadoop_delete(spark, f"{_additive_path(path)}/abatch={b}")
+
+
 def read_index(spark, path: str, first_letter: str | None = None) -> DataFrame:
     """Logical view of the persisted index: the folded base table plus
     any pending exactly-once additive deltas (``{path}/_additive``, see
@@ -405,14 +582,24 @@ def read_index(spark, path: str, first_letter: str | None = None) -> DataFrame:
     prune (the projection has already removed ``first`` from the plan);
     at real file counts that's a full-table scan per query (measured in
     BASELINE.md's r6 100× soak). Point lookups should go through
-    ``lookup_persisted``, which derives the letter from the probe."""
-    base = spark.read.parquet(path)
+    ``lookup_persisted``, which derives the letter from the probe.
+
+    Versioned tables resolve through the commit files: the base scan
+    reads the current ``v=N`` directory, and delta partitions at or
+    below the commit's ``folded_through`` watermark are excluded (they
+    are already inside the base — GC merely hasn't reclaimed them)."""
+    base_dir, folded, _v = _resolve_version(spark, path)
+    base = spark.read.parquet(base_dir)
     if first_letter is not None:
         base = base.where(F.col("first") == F.lit(first_letter))
     base = base.select("word", "document", "count")
     add = _additive_path(path)
-    if _hadoop_exists(spark, add):
+    if _hadoop_exists(spark, add) and any(
+        b > folded for b in _list_additive_batches(spark, path)
+    ):
         deltas = spark.read.schema(_ADDITIVE_SCHEMA).parquet(add)
+        if folded >= 0:
+            deltas = deltas.where(F.col("abatch") > folded)
         if first_letter is not None:
             deltas = deltas.where(F.col("first") == F.lit(first_letter))
         return (
@@ -485,8 +672,10 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
     )
     # Keep the doc→letters sidecar current so later replace-mode
     # upserts (after compaction) can prune. Union-distinct per touched
-    # bucket: replaying the same pairs is a no-op.
-    docmap = _docmap_path(path)
+    # bucket: replaying the same pairs is a no-op. (Versioned tables:
+    # the sidecar lives inside the current version dir.)
+    base_dir, _folded, _ver = _resolve_version(spark, path)
+    docmap = _docmap_path(base_dir)
     new_pairs = _doc_letters(delta)
     if _hadoop_exists(spark, docmap):
         buckets = sorted(
@@ -513,24 +702,21 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
             .parquet(docmap)
         )
     else:
-        _write_docmap_full(read_index(spark, path), path)
+        _write_docmap_full(read_index(spark, path), base_dir)
 
 
 def pending_additive_batches(spark, path: str) -> list[int]:
-    """Sorted batch ids with pending additive delta partitions under
-    ``{path}/_additive`` — one directory listing, no data read. The
-    stream's auto-compaction trigger and operational monitoring ("how
-    long is the delta tail?") both key off this."""
-    add = _additive_path(path)
-    if not _hadoop_exists(spark, add):
+    """Sorted batch ids of additive deltas the current base does NOT
+    yet contain — one directory listing, no data read. The stream's
+    auto-compaction trigger and operational monitoring ("how long is
+    the delta tail?") both key off this. On a versioned table, batches
+    at or below the commit's ``folded_through`` watermark are excluded
+    (already folded; awaiting GC)."""
+    raw = _list_additive_batches(spark, path)
+    if not raw:
         return []
-    fs = _hadoop_fs(spark, add)
-    out = []
-    for st in fs.listStatus(_hadoop_path(spark, add)):
-        name = st.getPath().getName()
-        if name.startswith("abatch="):
-            out.append(int(name.split("=", 1)[1]))
-    return sorted(out)
+    _, folded, _ = _resolve_version(spark, path)
+    return [b for b in raw if b > folded]
 
 
 def compact_index(spark, path: str) -> None:
@@ -540,20 +726,29 @@ def compact_index(spark, path: str) -> None:
 
     Run with the stream paused (or from inside its own ``foreachBatch``
     via ``compact_every`` — single writer either way). Crash semantics
-    on bare parquet, stated exactly: the fold is ONE static overwrite
-    of ``path``, and that overwrite clears ``_additive`` together with
-    the old base (verified live — the job rewrites the whole directory),
-    so there is no window where the base contains the deltas AND the
-    delta partitions still exist (no double-count on any crash/replay).
-    The remaining window is the static overwrite itself: a crash
-    mid-job can lose the table — the same documented limit as every
-    full rewrite here, and the reason a production deployment puts a
-    transactional table format (Delta/Iceberg) under this exact logic.
+    on bare parquet, stated exactly, per layout:
+
+    - In-place (legacy) table: the fold is ONE static overwrite of
+      ``path``, and that overwrite clears ``_additive`` together with
+      the old base (verified live — the job rewrites the whole
+      directory), so there is no window where the base contains the
+      deltas AND the delta partitions still count (no double-count on
+      any crash/replay). The remaining window is the static overwrite
+      itself: a crash mid-job can lose the table.
+    - Versioned table (``write_index(versioned=True)``): the fold goes
+      through the version protocol — written to a fresh ``v=N+1`` dir,
+      visible only once its commit (carrying the new ``folded_through``
+      watermark) lands, superseded deltas reclaimed by GC. A crash at
+      ANY point leaves the previous commit serving exact counts; both
+      full-rewrite windows are closed.
+
     The merged relation is materialized via ``localCheckpoint`` before
-    the base files it read are replaced."""
-    add = _additive_path(path)
-    if not _hadoop_exists(spark, add):
+    any files it read are replaced."""
+    if not pending_additive_batches(spark, path):
         return
     merged = read_index(spark, path).localCheckpoint()
     write_index(merged, path)
-    _hadoop_delete(spark, add)
+    if _resolve_version(spark, path)[2] is None:
+        # in-place layout: the overwrite above already wiped _additive;
+        # this covers filesystems where that cleanup semantics differs
+        _hadoop_delete(spark, _additive_path(path))

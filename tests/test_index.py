@@ -588,3 +588,222 @@ def test_engine_find_occurrences_sees_pending_delta(spark, tmp_path):
         ("b.txt", 2),
         ("a.txt", 1),
     ]
+
+
+# --- versioned commits (r6: crash-atomic full rewrites) -------------------
+
+
+def _mk_idx(spark, rows):
+    return build_index(
+        spark.createDataFrame(rows, "document string, text string")
+    )
+
+
+def test_versioned_write_roundtrip_and_rebuild(spark, tmp_path):
+    """Opt-in versioned layout: answers identical to in-place, version
+    advances per full rebuild, lookups stay partition-pruned inside the
+    current version directory."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        index_version,
+        lookup_persisted,
+        read_index,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_index(_mk_idx(spark, [("a.txt", "hello world hello")]), path, versioned=True)
+    assert index_version(spark, path) == 0
+    assert sorted(map(tuple, read_index(spark, path).collect())) == [
+        ("hello", "a.txt", 2),
+        ("world", "a.txt", 1),
+    ]
+
+    # full rebuild — flag no longer needed, the layout continues itself
+    write_index(_mk_idx(spark, [("a.txt", "bye world")]), path)
+    assert index_version(spark, path) == 1
+    assert sorted(map(tuple, read_index(spark, path).collect())) == [
+        ("bye", "a.txt", 1),
+        ("world", "a.txt", 1),
+    ]
+
+    got = lookup_persisted(spark, path, "world")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "= w" in plan
+    assert [tuple(r) for r in got.collect()] == [("a.txt", 1)]
+
+
+def test_versioned_crash_before_commit_serves_previous_version(spark, tmp_path):
+    """Failure injection: a rebuild that wrote its v=1 directory but
+    died before the commit file landed is INVISIBLE — readers serve
+    v=0 exactly; the next rebuild self-heals by overwriting the orphan
+    and committing v=1."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        _version_dir,
+        _write_base,
+        _write_docmap_full,
+        index_version,
+        read_index,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_index(_mk_idx(spark, [("a.txt", "old old")]), path, versioned=True)
+
+    # crash: v=1 fully written, no commit
+    orphan = _mk_idx(spark, [("a.txt", "newer")])
+    _write_base(orphan, _version_dir(path, 1))
+    _write_docmap_full(orphan, _version_dir(path, 1))
+
+    assert index_version(spark, path) == 0
+    assert sorted(map(tuple, read_index(spark, path).collect())) == [
+        ("old", "a.txt", 2)
+    ]
+
+    # recovery: the next rebuild takes v=1 for itself and commits it
+    write_index(_mk_idx(spark, [("a.txt", "recovered")]), path)
+    assert index_version(spark, path) == 1
+    assert sorted(map(tuple, read_index(spark, path).collect())) == [
+        ("recovered", "a.txt", 1)
+    ]
+
+
+def test_versioned_compaction_exactly_once_with_lagging_gc(spark, tmp_path, monkeypatch):
+    """The watermark closes compaction's double-count window: with GC
+    disabled (simulating a crash between commit and cleanup), the
+    folded delta partitions still sit on disk but count exactly once;
+    replace-mode upserts are allowed (the base already holds them); a
+    later GC changes nothing logically and reclaims the files."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "hello world")]), path, versioned=True)
+    ix.write_additive_delta(spark, _mk_idx(spark, [("b.txt", "hello")]), path, 1)
+    ix.write_additive_delta(spark, _mk_idx(spark, [("b.txt", "hello")]), path, 2)
+    expected = [
+        ("hello", "a.txt", 1),
+        ("hello", "b.txt", 2),
+        ("world", "a.txt", 1),
+    ]
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == expected
+
+    monkeypatch.setattr(ix, "gc_index_versions", lambda *a, **k: None)
+    ix.compact_index(spark, path)
+    monkeypatch.undo()
+
+    # deltas physically present, logically folded — exactly once
+    assert os.path.exists(os.path.join(path, "_additive", "abatch=1"))
+    assert ix.pending_additive_batches(spark, path) == []
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == expected
+    assert ix.index_version(spark, path) == 1
+
+    # replace-mode upsert is legal now (superseded deltas don't block)
+    ix.upsert_index(
+        spark, _mk_idx(spark, [("b.txt", "goodbye")]), path, additive=False
+    )
+    after_upsert = sorted(
+        map(tuple, ix.read_index(spark, path).collect())
+    )
+    assert after_upsert == [
+        ("goodbye", "b.txt", 1),
+        ("hello", "a.txt", 1),
+        ("world", "a.txt", 1),
+    ]
+
+    ix.gc_index_versions(spark, path)
+    assert not os.path.exists(os.path.join(path, "_additive", "abatch=1"))
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == after_upsert
+
+
+def test_versioned_upsert_in_place_keeps_version(spark, tmp_path):
+    """Partition-granular upserts stay in place inside the current
+    version dir — version unchanged, untouched partitions' files
+    byte-identical."""
+    import glob
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        _version_dir,
+        index_version,
+        read_index,
+        upsert_index,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_index(
+        _mk_idx(spark, [("a.txt", "hello world"), ("b.txt", "zebra")]),
+        path,
+        versioned=True,
+    )
+    vdir = _version_dir(path, 0)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(vdir, "first=z", "*.parquet"))
+    }
+    assert before
+
+    upsert_index(spark, _mk_idx(spark, [("c.txt", "hello")]), path)
+    assert index_version(spark, path) == 0
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(vdir, "first=z", "*.parquet"))
+    }
+    assert after == before
+    assert ("hello", "c.txt", 1) in set(map(tuple, read_index(spark, path).collect()))
+
+
+def test_versioned_streaming_additive_with_compaction(spark, tmp_path):
+    """A stream pointed at a pre-built versioned table continues the
+    protocol: deltas fold through versioned compactions, end state
+    equals the batch build, version advanced, tail bounded."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        index_version,
+        pending_additive_batches,
+        read_index,
+        write_index,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import read_text_corpus
+    from map_reduce_using_cloud_functions_spark.streaming.file_index import (
+        start_file_index_stream,
+    )
+
+    watch = tmp_path / "watch"
+    seed = tmp_path / "seed"
+    watch.mkdir()
+    seed.mkdir()
+    path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # base built from a dir the stream does NOT watch (watched files
+    # would be ingested as deltas on top of themselves)
+    with open(seed / "s0.txt", "w") as f:
+        f.write("seed words here")
+    write_index(
+        build_index(read_text_corpus(spark, str(seed))), path, versioned=True
+    )
+    for i in range(1, 6):
+        with open(watch / f"f{i}.txt", "w") as f:
+            f.write(f"alpha w{i} w{i}")
+
+    start_file_index_stream(
+        spark,
+        str(watch),
+        path,
+        ckpt,
+        additive=True,
+        max_files_per_trigger=1,
+        compact_every=2,
+    ).awaitTermination(300)
+
+    assert len(pending_additive_batches(spark, path)) < 2
+    assert index_version(spark, path) >= 1
+    batch = build_index(
+        read_text_corpus(spark, str(seed)).unionByName(
+            read_text_corpus(spark, str(watch))
+        )
+    )
+    assert sorted(map(tuple, read_index(spark, path).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
