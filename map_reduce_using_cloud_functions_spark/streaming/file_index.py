@@ -70,13 +70,14 @@ def start_file_index_stream(
     ``compact_every`` (additive default path only): fold the pending
     delta tail into the base whenever it reaches this many batches, in
     the same single-writer foreachBatch thread — unbounded tails make
-    every read's fold wider. Off (None) by default because compaction
-    on bare parquet is a full static overwrite: a crash MID-COMPACT can
-    lose the table (``compact_index``'s documented window; there is no
-    fold-but-deltas-remain double-count window — the overwrite clears
-    both together). Streams that must survive arbitrary kill points
-    should leave this off and compact out-of-band with the stream
-    paused, or put a transactional table format under the index."""
+    every read's fold wider. Off (None) by default. Crash safety
+    depends on the table layout (``compact_index``): on a VERSIONED
+    table (pre-build with ``write_index(versioned=True)``) compaction
+    is crash-atomic — turn this on freely. On an in-place table a crash
+    mid-compact can lose the table (full static overwrite; no
+    double-count window either way), so in-place streams that must
+    survive arbitrary kill points should compact out-of-band with the
+    stream paused instead."""
 
     if compact_every is not None and (not additive or legacy_additive_merge):
         raise ValueError(
