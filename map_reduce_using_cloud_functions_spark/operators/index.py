@@ -488,14 +488,7 @@ def _list_commits(spark, path: str) -> list[int]:
 def _read_commit(spark, path: str, v: int) -> dict:
     import json
 
-    f = f"{_versions_path(path)}/{v}.commit"
-    stream = _hadoop_fs(spark, f).open(_hadoop_path(spark, f))
-    try:
-        data = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
+    data = _read_small_file(spark, f"{_versions_path(path)}/{v}.commit")
     return json.loads(data.decode("utf-8"))
 
 
@@ -516,12 +509,53 @@ def _write_commit(spark, path: str, v: int, folded_through: int) -> None:
         raise IOError(f"version commit rename failed for v={v} at {path}")
 
 
+FOLDED_MARKER = "_folded_through"
+
+
+def _read_small_file(spark, path: str) -> bytes:
+    stream = _hadoop_fs(spark, path).open(_hadoop_path(spark, path))
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
+def _write_small_file(spark, path: str, payload: bytes) -> None:
+    """Whole-file write via temp name + rename (rename-to-fresh-name is
+    the atomic primitive; the caller deletes any stale target first)."""
+    import uuid
+
+    fs = _hadoop_fs(spark, path)
+    parent = path.rsplit("/", 1)[0]
+    tmp = _hadoop_path(spark, f"{parent}/.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload))
+    out.close()
+    target = _hadoop_path(spark, path)
+    if fs.exists(target):
+        fs.delete(target, False)
+    if not fs.rename(tmp, target):
+        fs.delete(tmp, False)
+        raise IOError(f"atomic small-file write failed for {path}")
+
+
 def _resolve_version(spark, path: str) -> tuple[str, int, int | None]:
-    """(base_dir, folded_through, version). Legacy layout (no commits):
-    ``(path, -1, None)`` — the base IS the path and nothing is folded."""
+    """(base_dir, folded_through, version). In-place layout (no
+    commits): the base IS the path, and ``folded_through`` comes from
+    the ``_folded_through`` marker an in-place compaction leaves behind
+    (-1 when absent) — the minimal watermark that keeps a crashed
+    stream's replay of an already-compacted batch from double-counting
+    (found by the lifecycle random-walk test; the versioned layout
+    carries the same watermark inside its commit files)."""
     commits = _list_commits(spark, path)
     if not commits:
-        return path, -1, None
+        marker = f"{path}/{FOLDED_MARKER}"
+        folded = -1
+        if _hadoop_exists(spark, marker):
+            folded = int(_read_small_file(spark, marker).decode("ascii"))
+        return path, folded, None
     v = commits[-1]
     meta = _read_commit(spark, path, v)
     return _version_dir(path, v), int(meta.get("folded_through", -1)), v
@@ -658,7 +692,31 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
     base table is never read or touched. Readers fold pending deltas
     through ``read_index``; ``compact_index`` folds them into the base
     when the tail grows. The docmap sidecar update is a distinct-union
-    (idempotent under replay by construction)."""
+    (idempotent under replay by construction).
+
+    Versioned tables: a ``batch_id`` at or below the commit's
+    ``folded_through`` watermark is already inside the base (a crashed
+    stream replaying a batch that compaction beat it to), so the write
+    is skipped — the no-op IS the exactly-once semantics. The warning
+    exists for the one case that is NOT a replay: pointing a stream
+    with a FRESH checkpoint (batch ids restarting at 0) at a table
+    whose watermark has passed those ids silently drops data — new
+    checkpoints belong with new ids (or a fresh rebuild)."""
+    base_dir, folded, _ver = _resolve_version(spark, path)
+    if batch_id <= folded:
+        import warnings
+
+        warnings.warn(
+            f"additive batch {batch_id} is at or below the index's "
+            f"folded_through watermark ({folded}) — treating as a "
+            "replay of an already-folded batch (no-op; exactly-once "
+            "under crash replay, either layout). If this is a NEW "
+            "stream with a fresh checkpoint, its restarted batch ids "
+            "collide with folded ones and its data would be dropped: "
+            "rebuild the index or keep the original checkpoint.",
+            stacklevel=2,
+        )
+        return
     delta = delta.localCheckpoint()
     (
         delta.withColumn("abatch", F.lit(batch_id).cast("bigint"))
@@ -673,8 +731,7 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
     # Keep the doc→letters sidecar current so later replace-mode
     # upserts (after compaction) can prune. Union-distinct per touched
     # bucket: replaying the same pairs is a no-op. (Versioned tables:
-    # the sidecar lives inside the current version dir.)
-    base_dir, _folded, _ver = _resolve_version(spark, path)
+    # the sidecar lives inside the current version dir, resolved above.)
     docmap = _docmap_path(base_dir)
     new_pairs = _doc_letters(delta)
     if _hadoop_exists(spark, docmap):
@@ -744,11 +801,21 @@ def compact_index(spark, path: str) -> None:
 
     The merged relation is materialized via ``localCheckpoint`` before
     any files it read are replaced."""
-    if not pending_additive_batches(spark, path):
+    pending = pending_additive_batches(spark, path)
+    if not pending:
         return
+    _, prev_folded, _ = _resolve_version(spark, path)
     merged = read_index(spark, path).localCheckpoint()
     write_index(merged, path)
     if _resolve_version(spark, path)[2] is None:
-        # in-place layout: the overwrite above already wiped _additive;
-        # this covers filesystems where that cleanup semantics differs
+        # in-place layout: the overwrite above already wiped _additive
+        # (and any previous marker); the delete covers filesystems
+        # where that cleanup semantics differs, and the marker records
+        # the watermark so a crashed stream's replay of a batch this
+        # fold just absorbed stays a no-op instead of double-counting.
         _hadoop_delete(spark, _additive_path(path))
+        _write_small_file(
+            spark,
+            f"{path}/{FOLDED_MARKER}",
+            str(max([prev_folded] + pending)).encode("ascii"),
+        )
