@@ -67,6 +67,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: persisted-index serving paths — same answers as their
         # in-plan twins, plus the write/read/prune machinery under oracle
         "index_lookup_persisted": _q_index_lookup_persisted,
+        "index_lookup_versioned": _q_index_lookup_versioned,
         "ann_topk_ivf_indexed": _q_ann_topk_ivf_indexed,
     }
 
@@ -87,6 +88,43 @@ def _q_index_lookup_persisted(s: SparkSession, d: str) -> DataFrame:
     ix.write_index(
         ix.build_index(documents_as_corpus(load_table(s, d, "documents"))), path
     )
+    return ix.lookup_persisted(s, path, "The!")
+
+
+def _q_index_lookup_versioned(s: SparkSession, d: str) -> DataFrame:
+    """The same probe on the r6 VERSIONED layout, exercised the hard
+    way: versioned base build from docs < 300, the rest arrives as a
+    streaming-style additive delta, a compaction folds it (new version
+    + folded_through watermark), and the batch is REPLAYED after the
+    fold (must be a no-op). The final lookup must equal index_lookup's
+    oracle over the full corpus — layout and lifecycle must not change
+    answers."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.sources.text_corpus import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(load_table(s, d, "documents"))
+    path = tempfile.mkdtemp(prefix="oracle_idxv_") + "/idx"
+    ix.write_index(
+        ix.build_index(corpus.where(F.col("document").cast("bigint") < 300)),
+        path,
+        versioned=True,
+    )
+    delta = ix.build_index(
+        corpus.where(F.col("document").cast("bigint") >= 300)
+    )
+    ix.write_additive_delta(s, delta, path, batch_id=1)
+    ix.compact_index(s, path)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # replay warning is the point
+        ix.write_additive_delta(s, delta, path, batch_id=1)
     return ix.lookup_persisted(s, path, "The!")
 
 
@@ -364,5 +402,6 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
 """
     gate = entrymod.oracle_sql()
     sql["index_lookup_persisted"] = gate["index_lookup"]
+    sql["index_lookup_versioned"] = gate["index_lookup"]
     sql["ann_topk_ivf_indexed"] = gate["ann_topk_ivf"]
     return sql
