@@ -34,6 +34,11 @@ def _build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("build", help="index a directory of text files (full rebuild)")
     b.add_argument("corpus_dir")
     b.add_argument("index_path")
+    b.add_argument(
+        "--versioned",
+        action="store_true",
+        help="crash-atomic rebuilds via versioned commits (v=N dirs + commit files)",
+    )
 
     a = sub.add_parser("add", help="incrementally index new/changed files")
     a.add_argument("corpus_dir")
@@ -74,7 +79,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from .engine import InvertedIndexEngine
 
         if args.cmd == "build":
-            InvertedIndexEngine(spark, args.index_path).build(args.corpus_dir)
+            InvertedIndexEngine(spark, args.index_path).build(
+                args.corpus_dir, versioned=args.versioned
+            )
             print(f"indexed {args.corpus_dir} -> {args.index_path}")
         elif args.cmd == "add":
             InvertedIndexEngine(

@@ -83,17 +83,20 @@ class InvertedIndexEngine:
             if self.n is not None:
                 self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
-    def build(self, corpus_path: str) -> None:
-        """One-shot index build from a directory/glob of text files."""
+    def build(self, corpus_path: str, versioned: bool = False) -> None:
+        """One-shot index build from a directory/glob of text files.
+        ``versioned=True`` opts the table into crash-atomic rebuilds
+        (``write_index``'s versioned commit protocol); an already-
+        versioned table continues the protocol either way."""
         corpus = self._apply_parallelism(read_text_corpus(self.spark, corpus_path))
         with self._shuffle_partitions(self.spark, self.reducers):
-            write_index(build_index(corpus), self.index_path)
+            write_index(build_index(corpus), self.index_path, versioned=versioned)
 
-    def build_from_dataframe(self, corpus: DataFrame) -> None:
+    def build_from_dataframe(self, corpus: DataFrame, versioned: bool = False) -> None:
         """Build from any corpus(document, text) DataFrame."""
         corpus = self._apply_parallelism(corpus)
         with self._shuffle_partitions(self.spark, self.reducers):
-            write_index(build_index(corpus), self.index_path)
+            write_index(build_index(corpus), self.index_path, versioned=versioned)
 
     def add(self, corpus_path: str) -> None:
         """Incremental update (reference trigger path, O15/O19): index
