@@ -788,16 +788,21 @@ def compact_index(spark, path: str) -> None:
     - In-place (legacy) table: the fold is ONE static overwrite of
       ``path``, and that overwrite clears ``_additive`` together with
       the old base (verified live — the job rewrites the whole
-      directory), so there is no window where the base contains the
-      deltas AND the delta partitions still count (no double-count on
-      any crash/replay). The remaining window is the static overwrite
-      itself: a crash mid-job can lose the table.
+      directory); a ``_folded_through`` marker written AFTER the fold
+      makes a crashed stream's replay of a folded batch a no-op. Two
+      windows remain, stated exactly: a crash mid-overwrite can lose
+      the table, and a crash between the overwrite and the marker
+      write leaves one replay able to double-count (the marker is a
+      separate step on this layout).
     - Versioned table (``write_index(versioned=True)``): the fold goes
       through the version protocol — written to a fresh ``v=N+1`` dir,
       visible only once its commit (carrying the new ``folded_through``
-      watermark) lands, superseded deltas reclaimed by GC. A crash at
-      ANY point leaves the previous commit serving exact counts; both
-      full-rewrite windows are closed.
+      watermark) lands, superseded deltas reclaimed by GC. The fold
+      and the watermark commit are ONE atomic commit-file write, so a
+      crash at ANY point leaves the previous commit serving exact
+      counts and no replay can double-count — all three windows
+      closed. Streams that must survive arbitrary kill points belong
+      on this layout.
 
     The merged relation is materialized via ``localCheckpoint`` before
     any files it read are replaced."""
