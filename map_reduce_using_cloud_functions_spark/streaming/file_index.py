@@ -74,10 +74,10 @@ def start_file_index_stream(
     depends on the table layout (``compact_index``): on a VERSIONED
     table (pre-build with ``write_index(versioned=True)``) compaction
     is crash-atomic — turn this on freely. On an in-place table a crash
-    mid-compact can lose the table (full static overwrite; no
-    double-count window either way), so in-place streams that must
-    survive arbitrary kill points should compact out-of-band with the
-    stream paused instead."""
+    mid-compact can lose the table, and one crashed-at-the-wrong-moment
+    replay can double-count (``compact_index``'s exact window list), so
+    in-place streams that must survive arbitrary kill points should
+    compact out-of-band with the stream paused instead."""
 
     if compact_every is not None and (not additive or legacy_additive_merge):
         raise ValueError(
