@@ -127,7 +127,11 @@ def distinct_words(index: DataFrame) -> DataFrame:
 
 
 def write_index(
-    index: DataFrame, path: str, buckets: int = 64, versioned: bool = False
+    index: DataFrame,
+    path: str,
+    buckets: int = 64,
+    versioned: bool = False,
+    folded_through: int | None = None,
 ) -> None:
     """Persist the index for point lookups: partitioned by first letter
     (coarse pruning) — a lookup touches one directory, not the table.
@@ -158,10 +162,25 @@ def write_index(
     caller opted out of. A versioned rebuild also supersedes any
     pending additive deltas via the ``folded_through`` watermark (the
     in-place rewrite's directory wipe does the same thing physically).
+
+    ``folded_through``: optional FLOOR for the watermark this build
+    records (versioned: in the commit; in-place: the ``_folded_through``
+    marker). A streaming first-batch full build passes its own batch id
+    here so a crash between this write and the checkpoint commit makes
+    the replayed batch a watermark no-op instead of a double count —
+    without it the replay finds the index existing and re-applies the
+    same postings as an additive delta (the r6-ADVICE batch-0 window).
     """
     spark = index.sparkSession
     commits = _list_commits(spark, path)
+    floor = [folded_through] if folded_through is not None else []
     if versioned or commits:
+        # Migration detection BEFORE writing: an in-place table being
+        # re-written versioned leaves its legacy top-level base behind
+        # (dead first=* dirs + sidecars a stray bare
+        # spark.read.parquet(path) would still see) — cleaned up after
+        # the commit lands, below.
+        migrating = not commits and _hadoop_exists(spark, f"{path}/_SUCCESS")
         _, prev_folded, _ = _resolve_version(spark, path)
         v = (commits[-1] + 1) if commits else 0
         target = _version_dir(path, v)
@@ -169,12 +188,27 @@ def write_index(
         _write_docmap_full(index, target)
         raw = _list_additive_batches(spark, path)
         _write_commit(
-            spark, path, v, folded_through=max([prev_folded] + raw)
+            spark, path, v, folded_through=max([prev_folded] + raw + floor)
         )
         gc_index_versions(spark, path)
+        if migrating:
+            # The caller's ``index`` lineage (often read_index over the
+            # legacy base) has fully materialized into v=0 by now, so
+            # the old top-level layout is safe to reclaim. The stream-
+            # checkpoint binding is NOT legacy state — it survives.
+            for name in ("_docmap", FOLDED_MARKER, "_SUCCESS"):
+                _hadoop_delete(spark, f"{path}/{name}")
+            fs = _hadoop_fs(spark, path)
+            for st in fs.listStatus(_hadoop_path(spark, path)):
+                if st.getPath().getName().startswith("first="):
+                    _hadoop_delete(spark, str(st.getPath()))
         return
     _write_base(index, path)
     _write_docmap_full(index, path)
+    if folded_through is not None:
+        _write_small_file(
+            spark, f"{path}/{FOLDED_MARKER}", str(folded_through).encode("ascii")
+        )
 
 
 def _write_base(index: DataFrame, target: str) -> None:
@@ -231,12 +265,29 @@ def _write_docmap_full(index: DataFrame, path: str) -> None:
     )
 
 
+def index_exists(spark, path: str) -> bool:
+    """True iff a COMMITTED index base exists at ``path`` — versioned
+    layout: a commit file; in-place layout: the job committer's
+    ``_SUCCESS`` marker. A bare directory-exists check (the pre-r7
+    behavior) misreads a crashed pre-commit build as a live table: a
+    versioned build killed before its commit file, or an in-place
+    overwrite killed mid-job, leaves the path existing but unreadable —
+    a streaming first batch must REBUILD over such a carcass, not start
+    appending deltas to it."""
+    if not _hadoop_exists(spark, path):
+        return False
+    if _list_commits(spark, path):
+        return True
+    return _hadoop_exists(spark, f"{path}/_SUCCESS")
+
+
 def upsert_index(
     spark,
     delta: DataFrame,
     path: str,
     additive: bool = False,
     documents: DataFrame | None = None,
+    versioned: bool = False,
 ) -> None:
     """Incremental index maintenance at partition granularity (O15/O19).
 
@@ -281,8 +332,11 @@ def upsert_index(
     filesystem layer, so ``path`` may live on any supported scheme
     (local, HDFS, s3a, ...), not just the driver's local disk.
     """
-    if not _hadoop_exists(spark, path):
-        write_index(delta, path)
+    if not index_exists(spark, path):
+        # ``versioned`` applies only to this first full build — an
+        # existing table keeps whatever layout it has (the protocol
+        # continues itself; see write_index).
+        write_index(delta, path, versioned=versioned)
         return
     # Versioned tables: partition-granular upserts operate IN PLACE on
     # the current version directory (the full-rewrite protocol is for
@@ -511,6 +565,14 @@ def _write_commit(spark, path: str, v: int, folded_through: int) -> None:
 
 FOLDED_MARKER = "_folded_through"
 
+# Stream-checkpoint binding: the additive streaming writer records WHICH
+# checkpoint built/owns the table (start_file_index_stream). Lets the
+# fresh-checkpoint id-collision case (silent data drop) be detected and
+# refused instead of masquerading as a crash replay. Top-level small
+# file; survives versioned rewrites by construction and is explicitly
+# preserved across in-place compaction folds.
+STREAM_BINDING = "_stream_checkpoint"
+
 
 def _read_small_file(spark, path: str) -> bytes:
     stream = _hadoop_fs(spark, path).open(_hadoop_path(spark, path))
@@ -682,7 +744,13 @@ def _additive_path(path: str) -> str:
     return f"{path}/{ADDITIVE_DELTA_DIR}"
 
 
-def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> None:
+def write_additive_delta(
+    spark,
+    delta: DataFrame,
+    path: str,
+    batch_id: int,
+    allow_replayed_ids: bool = False,
+) -> None:
     """Idempotently apply one additive micro-batch to the index at
     ``path`` (which must exist — the stream's first batch full-builds
     via ``write_index``, itself an idempotent static overwrite).
@@ -694,29 +762,37 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
     when the tail grows. The docmap sidecar update is a distinct-union
     (idempotent under replay by construction).
 
-    Versioned tables: a ``batch_id`` at or below the commit's
-    ``folded_through`` watermark is already inside the base (a crashed
-    stream replaying a batch that compaction beat it to), so the write
-    is skipped — the no-op IS the exactly-once semantics. The warning
-    exists for the one case that is NOT a replay: pointing a stream
-    with a FRESH checkpoint (batch ids restarting at 0) at a table
-    whose watermark has passed those ids silently drops data — new
-    checkpoints belong with new ids (or a fresh rebuild)."""
+    A ``batch_id`` at or below the table's ``folded_through`` watermark
+    means one of two things, and they must not share a code path:
+
+    - a CRASH REPLAY of a batch the base already absorbed (a stream's
+      checkpoint re-delivering the batch compaction or the first full
+      build beat it to) — the no-op IS the exactly-once semantics.
+      Only a caller that KNOWS it is replaying (the streaming
+      checkpoint path, which binds its checkpoint to the table) may
+      assert that, via ``allow_replayed_ids=True``;
+    - a NEW stream with a FRESH checkpoint whose restarted ids collide
+      with folded ones — its data would be silently and permanently
+      DROPPED. The pre-r7 code warned here; a warning on a headless
+      production stream is unread, so the default is now an error
+      (r6 verdict task 2 / ADVICE)."""
     base_dir, folded, _ver = _resolve_version(spark, path)
     if batch_id <= folded:
-        import warnings
-
-        warnings.warn(
+        if allow_replayed_ids:
+            # checkpoint-verified crash replay of an already-folded
+            # batch: the no-op is exactly-once, either layout
+            return
+        raise ValueError(
             f"additive batch {batch_id} is at or below the index's "
-            f"folded_through watermark ({folded}) — treating as a "
-            "replay of an already-folded batch (no-op; exactly-once "
-            "under crash replay, either layout). If this is a NEW "
-            "stream with a fresh checkpoint, its restarted batch ids "
-            "collide with folded ones and its data would be dropped: "
-            "rebuild the index or keep the original checkpoint.",
-            stacklevel=2,
+            f"folded_through watermark ({folded}) at {path}. If this "
+            "is a crash replay of an already-folded batch (the same "
+            "streaming checkpoint re-delivering it), pass "
+            "allow_replayed_ids=True — skipping it is the exactly-once "
+            "semantics. If this is a NEW stream with a fresh "
+            "checkpoint, its restarted batch ids collide with folded "
+            "ones and this write would be silently DROPPED: keep the "
+            "original checkpoint, or rebuild the index at a fresh path."
         )
-        return
     delta = delta.localCheckpoint()
     (
         delta.withColumn("abatch", F.lit(batch_id).cast("bigint"))
@@ -758,8 +834,22 @@ def write_additive_delta(spark, delta: DataFrame, path: str, batch_id: int) -> N
             .partitionBy("bucket")
             .parquet(docmap)
         )
-    else:
-        _write_docmap_full(read_index(spark, path), base_dir)
+    # No sidecar (a table written before the sidecar existed): do NOT
+    # rebuild it here — that is a full index scan inside a streaming
+    # micro-batch, stalling the stream (r6 verdict). Nothing needs it
+    # while deltas are pending (replace-mode upserts are refused until
+    # compaction, and compaction's write_index rebuilds it in full);
+    # to backfill eagerly, call ``rebuild_docmap`` out-of-band.
+
+
+def rebuild_docmap(spark, path: str) -> None:
+    """Out-of-band backfill of the doc→letters sidecar for a table
+    written before the sidecar existed: one full column-pruned scan of
+    the logical index (base + pending deltas), after which every
+    replace-mode upsert prunes. Run it from maintenance, never from
+    inside a micro-batch — that's the point (r6 verdict task 6)."""
+    base_dir, _folded, _ver = _resolve_version(spark, path)
+    _write_docmap_full(read_index(spark, path), base_dir)
 
 
 def pending_additive_batches(spark, path: str) -> list[int]:
@@ -774,6 +864,64 @@ def pending_additive_batches(spark, path: str) -> list[int]:
         return []
     _, folded, _ = _resolve_version(spark, path)
     return [b for b in raw if b > folded]
+
+
+def _dir_bytes(spark, path: str) -> int:
+    fs = _hadoop_fs(spark, path)
+    p = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
+def index_size_info(spark, path: str) -> dict:
+    """Base vs pending-delta-tail sizes from filesystem metadata alone
+    (no data read): ``{"base_bytes", "tail_bytes", "pending_batches",
+    "version"}``. ``base_bytes`` is the current base directory
+    including its sidecars — fine for a ratio policy, which only needs
+    the order of magnitude. This is the measurement behind
+    ``should_compact``'s size trigger and the operational "how big is
+    the tail?" dashboard number."""
+    base_dir, _folded, v = _resolve_version(spark, path)
+    pending = pending_additive_batches(spark, path)
+    tail = sum(
+        _dir_bytes(spark, f"{_additive_path(path)}/abatch={b}") for b in pending
+    )
+    return {
+        "base_bytes": _dir_bytes(spark, base_dir),
+        "tail_bytes": tail,
+        "pending_batches": pending,
+        "version": v,
+    }
+
+
+def should_compact(
+    spark,
+    path: str,
+    max_pending: int | None = None,
+    max_tail_ratio: float | None = None,
+) -> bool:
+    """Compaction trigger policy. ``max_pending`` is the legacy
+    count trigger; ``max_tail_ratio`` is the one that AMORTIZES: each
+    compaction is a full base rewrite (O(base) — 100.6 s at the 100×
+    soak base, BASELINE.md r6), so folding every K batches costs
+    O(base) per K batches no matter how small the tail is and gets
+    quadratically worse as the base grows. Triggering at
+    ``tail_bytes ≥ ratio · base_bytes`` instead makes each fold grow
+    the base by ≥ ratio, so total compaction work over a table's life
+    is O(total bytes ingested / ratio) — amortized constant per byte
+    at ANY base size (the classic LSM/log-compaction bound). Both
+    triggers consult filesystem metadata only; no data is read."""
+    pending = pending_additive_batches(spark, path)
+    if not pending:
+        return False
+    if max_pending is not None and len(pending) >= max_pending:
+        return True
+    if max_tail_ratio is not None:
+        info = index_size_info(spark, path)
+        if info["tail_bytes"] >= max_tail_ratio * max(info["base_bytes"], 1):
+            return True
+    return False
 
 
 def compact_index(spark, path: str) -> None:
@@ -810,6 +958,15 @@ def compact_index(spark, path: str) -> None:
     if not pending:
         return
     _, prev_folded, _ = _resolve_version(spark, path)
+    # The in-place fold's static overwrite wipes every top-level file,
+    # including the stream-checkpoint binding a streaming writer left —
+    # preserve it across the rewrite (versioned folds never touch it).
+    binding_path = f"{path}/{STREAM_BINDING}"
+    binding = (
+        _read_small_file(spark, binding_path)
+        if _hadoop_exists(spark, binding_path)
+        else None
+    )
     merged = read_index(spark, path).localCheckpoint()
     write_index(merged, path)
     if _resolve_version(spark, path)[2] is None:
@@ -824,3 +981,5 @@ def compact_index(spark, path: str) -> None:
             f"{path}/{FOLDED_MARKER}",
             str(max([prev_folded] + pending)).encode("ascii"),
         )
+        if binding is not None:
+            _write_small_file(spark, binding_path, binding)

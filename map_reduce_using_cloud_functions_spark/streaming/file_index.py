@@ -17,25 +17,81 @@ checkpoint + an idempotent write in BOTH modes: per-document overwrite
 (replace) or per-batch partition overwrite (additive); the legacy
 reference-parity additive merge (double-counts on replay) stays behind
 ``legacy_additive_merge=True``.
+
+Since r7 the stream defaults to the VERSIONED table layout — the only
+layout whose full rewrites and compactions are crash-atomic at every
+kill point (``compact_index``'s window list) — and binds its checkpoint
+identity to the table so a fresh checkpoint pointed at an old table is
+refused instead of silently dropping colliding batch ids.
 """
 
 from __future__ import annotations
 
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.index import (
+    STREAM_BINDING,
     _hadoop_exists,
+    _read_small_file,
+    _write_small_file,
     build_index,
     compact_index,
-    pending_additive_batches,
+    index_exists,
+    should_compact,
     upsert_index,
     write_additive_delta,
     write_index,
 )
 from ..sources.text_corpus import document_from_file_name
+
+
+def _canon_ckpt(checkpoint_dir: str) -> str:
+    # local paths normalize (relative vs absolute must compare equal);
+    # URI schemes pass through untouched
+    return (
+        checkpoint_dir if "://" in checkpoint_dir else os.path.abspath(checkpoint_dir)
+    )
+
+
+def _bind_checkpoint(spark, index_path: str, checkpoint_dir: str) -> None:
+    _write_small_file(
+        spark,
+        f"{index_path}/{STREAM_BINDING}",
+        _canon_ckpt(checkpoint_dir).encode("utf-8"),
+    )
+
+
+def _check_checkpoint_binding(spark, index_path: str, checkpoint_dir: str) -> None:
+    """Refuse the silent-data-drop configuration: a FRESH checkpoint
+    (batch ids restarting at 0) pointed at a table another checkpoint
+    built. Its low ids collide with the table's folded_through
+    watermark and every colliding batch would be dropped as if it were
+    a crash replay — and with availableNow it would also re-read files
+    the table already counted, double-counting the rest. A table with
+    no binding yet (pre-built via write_index, then handed to a
+    stream) is ADOPTED: the first stream to touch it writes the
+    binding."""
+    marker = f"{index_path}/{STREAM_BINDING}"
+    if not _hadoop_exists(spark, marker):
+        _bind_checkpoint(spark, index_path, checkpoint_dir)
+        return
+    bound = _read_small_file(spark, marker).decode("utf-8")
+    current = _canon_ckpt(checkpoint_dir)
+    if bound != current:
+        raise ValueError(
+            f"index table {index_path} is bound to streaming checkpoint "
+            f"{bound!r}, but this stream uses {current!r}. A fresh "
+            "checkpoint restarts batch ids at 0: ids at or below the "
+            "table's folded_through watermark would be silently dropped "
+            "as replays, and an availableNow stream would re-count files "
+            "the table already holds. Keep the original checkpoint, or "
+            "rebuild the index at a fresh path (delete the table AND "
+            f"its {STREAM_BINDING} marker to deliberately rebind)."
+        )
 
 
 def start_file_index_stream(
@@ -48,6 +104,8 @@ def start_file_index_stream(
     max_files_per_trigger: int | None = None,
     legacy_additive_merge: bool = False,
     compact_every: int | None = None,
+    compact_tail_ratio: float | None = None,
+    versioned: bool = True,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for new text files; maintain the index table
     at ``index_path``. One file = one document (basename identity,
@@ -58,6 +116,19 @@ def start_file_index_stream(
     giant first batch — the knob that keeps recovery-from-downtime
     memory-safe on a production stream.
 
+    ``versioned`` (default True since r7): the stream's first full
+    build creates the table on the crash-atomic versioned layout —
+    immutable ``v=N`` dirs, atomic commit files, ``folded_through``
+    watermark (``write_index``) — because a stream is exactly the
+    workload that "must survive arbitrary kill points"
+    (``compact_index``'s own window list: the in-place layout can lose
+    the table mid-compaction and double-count in the
+    overwrite-to-marker gap). Measured overhead is constant metadata
+    per commit (BASELINE.md r6: 1.97 vs 1.58 s at the 10× base,
+    constant at 100×). ``versioned=False`` keeps the in-place layout
+    reachable for bit-layout parity; a table that already exists keeps
+    whatever layout it has either way.
+
     ``legacy_additive_merge``: the pre-r6 additive behavior — merge each
     batch's counts straight into the base table's letter partitions.
     At-least-once ONLY: foreachBatch replays uncommitted batches, and a
@@ -65,25 +136,33 @@ def start_file_index_stream(
     reference's own double-count semantics (``master/main.py:112-121``),
     kept reachable solely for that parity. The default additive path is
     exactly-once (batch-keyed delta partitions, see
-    ``write_additive_delta``).
+    ``write_additive_delta``); its first batch records itself as the
+    ``folded_through`` watermark, so even a crash between the first
+    full build and the checkpoint commit replays as a no-op instead of
+    a double count (the r6-ADVICE batch-0 window, pinned by
+    test_streaming's crash-on-batch-0 test).
 
-    ``compact_every`` (additive default path only): fold the pending
-    delta tail into the base whenever it reaches this many batches, in
-    the same single-writer foreachBatch thread — unbounded tails make
-    every read's fold wider. Off (None) by default. Crash safety
-    depends on the table layout (``compact_index``): on a VERSIONED
-    table (pre-build with ``write_index(versioned=True)``) compaction
-    is crash-atomic — turn this on freely. On an in-place table a crash
-    mid-compact can lose the table, and one crashed-at-the-wrong-moment
-    replay can double-count (``compact_index``'s exact window list), so
-    in-place streams that must survive arbitrary kill points should
-    compact out-of-band with the stream paused instead."""
+    ``compact_every`` / ``compact_tail_ratio`` (additive default path
+    only): fold the pending delta tail into the base, in the same
+    single-writer foreachBatch thread, when the tail reaches this many
+    batches / this fraction of the base's bytes. The ratio trigger is
+    the one to use on long-lived streams: each fold is a full base
+    rewrite, so a count trigger costs O(base) per K batches forever,
+    while the ratio trigger amortizes to constant work per ingested
+    byte (``should_compact``). Off (None) by default. On the default
+    versioned layout compaction is crash-atomic — turn either on
+    freely; on an opt-out in-place table a crash mid-compact can lose
+    the table (``compact_index``'s exact window list), so compact
+    out-of-band with the stream paused instead."""
 
-    if compact_every is not None and (not additive or legacy_additive_merge):
+    if (compact_every is not None or compact_tail_ratio is not None) and (
+        not additive or legacy_additive_merge
+    ):
         raise ValueError(
-            "compact_every applies only to the default additive path "
-            "(additive=True, legacy_additive_merge=False) — the replace "
-            "path has no delta tail and the legacy merge folds eagerly"
+            "compact_every/compact_tail_ratio apply only to the default "
+            "additive path (additive=True, legacy_additive_merge=False) — "
+            "the replace path has no delta tail and the legacy merge "
+            "folds eagerly"
         )
     reader = spark.readStream
     if max_files_per_trigger is not None:
@@ -108,20 +187,36 @@ def start_file_index_stream(
         #   write IS the idempotence ledger — no post-write ledger
         #   append, no crash window between data and ledger. Readers
         #   fold deltas via read_index; compact_index bounds the tail.
+        #   The FIRST batch full-builds and stamps its batch id as the
+        #   folded_through watermark in the same write, so its own
+        #   replay is a watermark no-op (no double count); the
+        #   checkpoint binding distinguishes genuine replays from a
+        #   fresh checkpoint's colliding ids (which raise).
         # - additive + legacy_additive_merge: the reference-parity
         #   double-count path (docstring above).
         if additive and not legacy_additive_merge:
-            if not _hadoop_exists(spark, index_path):
-                # first batch full-builds: static overwrite, idempotent
-                write_index(build_index(batch_df), index_path)
-            else:
-                write_additive_delta(
-                    spark, build_index(batch_df), index_path, batch_id
+            if not index_exists(spark, index_path):
+                write_index(
+                    build_index(batch_df),
+                    index_path,
+                    versioned=versioned,
+                    folded_through=batch_id,
                 )
-                if (
-                    compact_every is not None
-                    and len(pending_additive_batches(spark, index_path))
-                    >= compact_every
+                _bind_checkpoint(spark, index_path, checkpoint_dir)
+            else:
+                _check_checkpoint_binding(spark, index_path, checkpoint_dir)
+                write_additive_delta(
+                    spark,
+                    build_index(batch_df),
+                    index_path,
+                    batch_id,
+                    allow_replayed_ids=True,
+                )
+                if should_compact(
+                    spark,
+                    index_path,
+                    max_pending=compact_every,
+                    max_tail_ratio=compact_tail_ratio,
                 ):
                     compact_index(spark, index_path)
             return
@@ -133,6 +228,7 @@ def start_file_index_stream(
             index_path,
             additive=additive,
             documents=batch_df.select("document"),
+            versioned=versioned,
         )
 
     writer = corpus.writeStream.foreachBatch(upsert_batch).option(

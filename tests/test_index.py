@@ -872,7 +872,8 @@ def test_index_lifecycle_random_walk_matches_model(spark, tmp_path, seed, versio
             # Batch-id semantics differ by contract: in-place wipes
             # _additive so ids are free again; versioned keeps the
             # folded_through watermark monotonic, so reusing an old id
-            # is a (warned) no-op — new streams need fresh ids.
+            # is a no-op only under allow_replayed_ids (else it raises)
+            # — new streams need fresh ids.
             if not versioned:
                 applied_batches.clear()
                 applied_rows.clear()
@@ -920,7 +921,11 @@ def test_index_lifecycle_random_walk_matches_model(spark, tmp_path, seed, versio
                 # by rewriting the batch's exact partitions, so skip
                 # model update and rewrite nothing new: use stored rows
                 rows = applied_rows[bid]
-                ix.write_additive_delta(spark, df_of(rows), path, bid)
+                # the streaming checkpoint path's assertion — without it
+                # a folded id raises (pinned separately)
+                ix.write_additive_delta(
+                    spark, df_of(rows), path, bid, allow_replayed_ids=True
+                )
             else:
                 bid = max(applied_batches, default=-1) + 1
                 ix.write_additive_delta(spark, df_of(rows), path, bid)
@@ -942,3 +947,183 @@ def test_index_lifecycle_random_walk_matches_model(spark, tmp_path, seed, versio
         key=lambda t: (-t[1], t[0]),
     )
     assert got == want
+
+
+# --- r7: raise-on-folded-id, migration cleanup, docmap backfill, size policy
+
+
+def test_additive_folded_id_raises_without_replay_flag(spark, tmp_path):
+    """r6 verdict task 2: a batch id at/below the folded_through
+    watermark outside a declared replay is an ERROR (silent data drop
+    otherwise); with allow_replayed_ids=True it is the exactly-once
+    no-op."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    ix.write_index(mk("a.txt", "one two"), path, versioned=True)
+    ix.write_additive_delta(spark, mk("b.txt", "one"), path, 1)
+    ix.compact_index(spark, path)  # folded_through -> 1
+    before = sorted(map(tuple, ix.read_index(spark, path).collect()))
+
+    with pytest.raises(ValueError, match="allow_replayed_ids"):
+        ix.write_additive_delta(spark, mk("c.txt", "three"), path, 0)
+    with pytest.raises(ValueError, match="folded_through watermark"):
+        ix.write_additive_delta(spark, mk("c.txt", "three"), path, 1)
+    # the declared-replay path: no-op, table unchanged
+    ix.write_additive_delta(spark, mk("b.txt", "one"), path, 1, allow_replayed_ids=True)
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == before
+
+
+def test_first_build_watermark_makes_batch0_replay_noop(spark, tmp_path):
+    """The write_index(folded_through=0) stamp (streaming first batch):
+    a replayed batch 0 hits the watermark no-op on BOTH layouts."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    for versioned in (True, False):
+        path = str(tmp_path / f"idx_{versioned}")
+        ix.write_index(mk("a.txt", "hello hello"), path, versioned=versioned, folded_through=0)
+        before = sorted(map(tuple, ix.read_index(spark, path).collect()))
+        ix.write_additive_delta(spark, mk("a.txt", "hello hello"), path, 0, allow_replayed_ids=True)
+        assert sorted(map(tuple, ix.read_index(spark, path).collect())) == before, versioned
+        # and batch 1 still applies normally
+        ix.write_additive_delta(spark, mk("b.txt", "hello"), path, 1)
+        assert ("hello", "b.txt", 1) in set(map(tuple, ix.read_index(spark, path).collect()))
+
+
+def test_versioned_migration_reclaims_legacy_inplace_layout(spark, tmp_path):
+    """r6 ADVICE (low): migrating an in-place table with
+    write_index(versioned=True) must delete the dead top-level base
+    (first=* dirs, _docmap, _folded_through, _SUCCESS) once v=0
+    commits — otherwise a stray bare spark.read.parquet(path) serves
+    stale merged data forever."""
+    import os as _os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    mk = lambda rows: build_index(
+        spark.createDataFrame(rows, "document string, text string")
+    )
+    ix.write_index(mk([("a.txt", "old words here")]), path)
+    # leave a folded marker behind too (in-place compaction artifact)
+    ix.write_additive_delta(spark, mk([("b.txt", "tail")]), path, 1)
+    ix.compact_index(spark, path)
+    assert _os.path.exists(_os.path.join(path, "_folded_through"))
+
+    # migrate: rebuild versioned from the current logical table
+    ix.write_index(ix.read_index(spark, path).localCheckpoint(), path, versioned=True)
+
+    top = set(_os.listdir(path))
+    assert not any(d.startswith("first=") for d in top), top
+    assert "_docmap" not in top and "_folded_through" not in top and "_SUCCESS" not in top
+    assert any(d.startswith("v=") for d in top) and "_versions" in top
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == sorted(
+        [("old", "a.txt", 1), ("tail", "b.txt", 1), ("words", "a.txt", 1), ("here", "a.txt", 1)]
+    )
+
+
+def test_additive_delta_skips_docmap_rebuild_on_legacy_table(spark, tmp_path):
+    """r6 verdict task 6: a table with no _docmap sidecar must NOT
+    trigger a full-index docmap rebuild inside the micro-batch path —
+    the backfill happens at compaction (write_index) or via the
+    explicit rebuild_docmap()."""
+    import os as _os
+    import shutil
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    ix.write_index(mk("a.txt", "alpha beta"), path)
+    shutil.rmtree(_os.path.join(path, "_docmap"))  # simulate a pre-sidecar table
+
+    ix.write_additive_delta(spark, mk("b.txt", "beta gamma"), path, 1)
+    assert not _os.path.exists(
+        _os.path.join(path, "_docmap")
+    ), "micro-batch path rebuilt the sidecar (full scan in-stream)"
+    # logical view unaffected
+    assert ("beta", "b.txt", 1) in set(map(tuple, ix.read_index(spark, path).collect()))
+
+    # explicit out-of-band backfill restores it, covering base + deltas
+    ix.rebuild_docmap(spark, path)
+    assert _os.path.exists(_os.path.join(path, "_docmap"))
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(_os.path.join(path, "_docmap"))
+            .select("document", "first")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, ix._doc_letters(ix.read_index(spark, path)).collect()))
+    assert got == want
+
+
+def test_should_compact_size_and_count_triggers(spark, tmp_path):
+    """r6 verdict task 5: the bytes-ratio trigger fires on tail growth
+    relative to the base, not on batch count — a big base with a tiny
+    tail stays un-compacted where the count trigger would have paid a
+    full O(base) rewrite."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    big_text = " ".join(f"w{i % 997} common" for i in range(20000))
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    ix.write_index(mk("big.txt", big_text), path, versioned=True)
+    assert ix.should_compact(spark, path, max_pending=1, max_tail_ratio=0.5) is False
+
+    # tiny delta: count trigger would fire, the ratio trigger must not
+    ix.write_additive_delta(spark, mk("tiny.txt", "one two"), path, 1)
+    assert ix.should_compact(spark, path, max_pending=1) is True
+    assert ix.should_compact(spark, path, max_tail_ratio=0.5) is False
+
+    info = ix.index_size_info(spark, path)
+    assert info["pending_batches"] == [1]
+    assert 0 < info["tail_bytes"] < 0.5 * info["base_bytes"]
+
+    # grow the tail past the ratio: comparable-sized delta
+    ix.write_additive_delta(spark, mk("big2.txt", big_text), path, 2)
+    assert ix.should_compact(spark, path, max_tail_ratio=0.5) is True
+    ix.compact_index(spark, path)
+    assert ix.should_compact(spark, path, max_pending=1, max_tail_ratio=0.5) is False
+
+
+def test_index_exists_ignores_uncommitted_carcass(spark, tmp_path):
+    """index_exists: a versioned build that died before its commit file
+    (v-dir present, no commit) and a bare directory are NOT an index;
+    committed in-place (_SUCCESS) and versioned (commit file) are."""
+    import os as _os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    assert ix.index_exists(spark, str(tmp_path / "nope")) is False
+
+    carcass = str(tmp_path / "carcass")
+    _os.makedirs(_os.path.join(carcass, "v=0"))
+    with open(_os.path.join(carcass, "v=0", "junk"), "w") as f:
+        f.write("partial")
+    assert ix.index_exists(spark, carcass) is False
+
+    inplace = str(tmp_path / "inplace")
+    ix.write_index(mk("a.txt", "x"), inplace)
+    assert ix.index_exists(spark, inplace) is True
+
+    versioned = str(tmp_path / "versioned")
+    ix.write_index(mk("a.txt", "x"), versioned, versioned=True)
+    assert ix.index_exists(spark, versioned) is True

@@ -47,12 +47,20 @@ def test_file_drop_builds_and_extends_index(spark, tmp_path):
 
     # Untouched-partition evidence: snapshot the data files of partitions
     # the incoming delta ("hello again" → h/, a/) does NOT touch.
+    # (r7: streams default to the versioned layout — letter partitions
+    # live under the current v=N dir; upserts operate in place there.)
     import glob
+
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        _resolve_version,
+    )
+
+    base_dir = _resolve_version(spark, index_path)[0]
 
     def part_files(letter):
         return {
             p: os.path.getmtime(p)
-            for p in glob.glob(os.path.join(index_path, f"first={letter}", "*.parquet"))
+            for p in glob.glob(os.path.join(base_dir, f"first={letter}", "*.parquet"))
         }
 
     before = {letter: part_files(letter) for letter in ("o", "s", "w")}
@@ -512,11 +520,11 @@ def _crashy_upsert(monkeypatch, crash_on_call: int, before_write: bool):
     real = fi.upsert_index
     calls: list[int] = []
 
-    def wrapper(spark, delta, path, additive=False, documents=None):
+    def wrapper(spark, delta, path, *args, **kwargs):
         calls.append(len(calls) + 1)
         if before_write and len(calls) == crash_on_call:
             raise _CrashAfterWrite("injected crash BEFORE index write")
-        real(spark, delta, path, additive=additive, documents=documents)
+        real(spark, delta, path, *args, **kwargs)
         if not before_write and len(calls) == crash_on_call:
             raise _CrashAfterWrite("injected crash AFTER write, before commit")
 
@@ -558,9 +566,9 @@ def test_crash_after_write_replays_idempotently(spark, tmp_path, monkeypatch):
     real = fi.upsert_index
     restart_calls: list[int] = []
 
-    def counting(spark_, delta, path, additive=False, documents=None):
+    def counting(spark_, delta, path, *args, **kwargs):
         restart_calls.append(1)
-        real(spark_, delta, path, additive=additive, documents=documents)
+        real(spark_, delta, path, *args, **kwargs)
 
     monkeypatch.setattr(fi, "upsert_index", counting)
     start_file_index_stream(
@@ -630,11 +638,11 @@ def _crashy_additive_delta(monkeypatch, crash_on_call: int, before_write: bool):
     real = fi.write_additive_delta
     calls: list[int] = []
 
-    def wrapper(spark, delta, path, batch_id):
+    def wrapper(spark, delta, path, batch_id, **kwargs):
         calls.append(batch_id)
         if before_write and len(calls) == crash_on_call:
             raise _CrashAfterWrite("injected crash BEFORE delta write")
-        real(spark, delta, path, batch_id)
+        real(spark, delta, path, batch_id, **kwargs)
         if not before_write and len(calls) == crash_on_call:
             raise _CrashAfterWrite("injected crash AFTER delta write, before commit")
 
@@ -677,9 +685,9 @@ def test_additive_replay_is_exactly_once(spark, tmp_path, monkeypatch):
     replays: list[int] = []
     real = fi.write_additive_delta
 
-    def counting(spark_, delta, path, batch_id):
+    def counting(spark_, delta, path, batch_id, **kwargs):
         replays.append(batch_id)
-        real(spark_, delta, path, batch_id)
+        real(spark_, delta, path, batch_id, **kwargs)
 
     monkeypatch.setattr(fi, "write_additive_delta", counting)
     start_file_index_stream(
@@ -704,11 +712,23 @@ def test_additive_replay_is_exactly_once(spark, tmp_path, monkeypatch):
     start_file_index_stream(
         spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
     ).awaitTermination(180)
-    from map_reduce_using_cloud_functions_spark.operators.index import compact_index
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        compact_index,
+        gc_index_versions,
+        pending_additive_batches,
+    )
 
     before = sorted(map(tuple, read_index(spark, index_path).collect()))
     compact_index(spark, index_path)
-    assert not os.path.exists(os.path.join(index_path, "_additive"))
+    # versioned layout (the r7 stream default): the fold supersedes the
+    # deltas via the commit watermark; the physical partitions await
+    # lazy GC, which must reclaim every folded abatch dir
+    assert pending_additive_batches(spark, index_path) == []
+    gc_index_versions(spark, index_path)
+    add_dir = os.path.join(index_path, "_additive")
+    assert not os.path.exists(add_dir) or not [
+        d for d in os.listdir(add_dir) if d.startswith("abatch=")
+    ]
     assert sorted(map(tuple, read_index(spark, index_path).collect())) == before
 
 
@@ -820,7 +840,7 @@ def test_pending_additive_batches_listing(spark, tmp_path):
 def test_compact_every_rejected_outside_default_additive(spark, tmp_path):
     import pytest
 
-    with pytest.raises(ValueError, match="compact_every applies only"):
+    with pytest.raises(ValueError, match="compact_every/compact_tail_ratio apply only"):
         start_file_index_stream(
             spark,
             str(tmp_path),
@@ -829,3 +849,161 @@ def test_compact_every_rejected_outside_default_additive(spark, tmp_path):
             additive=False,
             compact_every=3,
         )
+
+
+# --- r7: batch-0 replay window, checkpoint binding, size-based compaction ---
+
+
+def test_crash_on_batch0_full_build_replays_as_noop(spark, tmp_path, monkeypatch):
+    """r6 ADVICE (high): the FIRST batch's full build lands, the driver
+    dies before the checkpoint commit. The replayed batch 0 finds the
+    index existing and takes the additive-delta branch — pre-r7 that
+    re-applied batch 0's counts (double count). The full build now
+    stamps batch 0 as the folded_through watermark in the same write,
+    so the replay is a watermark no-op: final counts == ONE
+    application."""
+    import pyspark.errors
+
+    from map_reduce_using_cloud_functions_spark.streaming import file_index as fi
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "hello hello world")
+    _write(str(watch / "b.txt"), "world again")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_write = fi.write_index
+    calls: list[int] = []
+
+    def crashy_write(index, path, *args, **kwargs):
+        calls.append(1)
+        real_write(index, path, *args, **kwargs)
+        raise _CrashAfterWrite("injected crash AFTER first full build, before commit")
+
+    monkeypatch.setattr(fi, "write_index", crashy_write)
+    q = start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    )
+    try:
+        q.awaitTermination(180)
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    assert raised and calls == [1], "injection did not fire on batch 0's full build"
+    monkeypatch.undo()
+
+    # restart: batch 0 REPLAYS down the additive-delta branch and must
+    # hit the watermark no-op; batch 1 then applies normally
+    replayed: list[int] = []
+    real_delta = fi.write_additive_delta
+
+    def counting(spark_, delta, path, batch_id, **kwargs):
+        replayed.append(batch_id)
+        real_delta(spark_, delta, path, batch_id, **kwargs)
+
+    monkeypatch.setattr(fi, "write_additive_delta", counting)
+    start_file_index_stream(
+        spark, str(watch), index_path, ckpt, additive=True, max_files_per_trigger=1
+    ).awaitTermination(180)
+    monkeypatch.undo()
+    assert 0 in replayed, "batch 0 was not replayed through the delta branch"
+
+    got = sorted(map(tuple, read_index(spark, index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert got == batch, "replayed first batch double-applied or lost"
+
+
+def test_fresh_checkpoint_against_existing_table_raises(spark, tmp_path):
+    """r6 verdict task 2 + ADVICE: a NEW stream (fresh checkpoint, batch
+    ids restarting at 0) pointed at a table another checkpoint built
+    must be REFUSED — pre-r7 its colliding ids were silently dropped
+    behind a warning."""
+    import pyspark.errors
+    import pytest
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "alpha beta")
+    _write(str(watch / "b.txt"), "beta gamma")
+    index_path = str(tmp_path / "index")
+
+    start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        str(tmp_path / "ckpt1"),
+        additive=True,
+        max_files_per_trigger=1,
+    ).awaitTermination(180)
+    before = sorted(map(tuple, read_index(spark, index_path).collect()))
+
+    _write(str(watch / "c.txt"), "gamma delta")
+    q = start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        str(tmp_path / "ckpt2"),  # fresh checkpoint: ids restart at 0
+        additive=True,
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="bound to streaming checkpoint",
+    ):
+        q.awaitTermination(180)
+    # and nothing was silently dropped OR applied by the refused stream
+    assert sorted(map(tuple, read_index(spark, index_path).collect())) == before
+
+    # the ORIGINAL checkpoint still works and picks up the new file
+    start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        str(tmp_path / "ckpt1"),
+        additive=True,
+        max_files_per_trigger=1,
+    ).awaitTermination(180)
+    got = sorted(map(tuple, read_index(spark, index_path).collect()))
+    batch = sorted(
+        map(tuple, build_index(read_text_corpus(spark, str(watch))).collect())
+    )
+    assert got == batch
+
+
+def test_additive_stream_size_based_compaction(spark, tmp_path):
+    """r6 verdict task 5: compact_tail_ratio folds when the delta tail's
+    BYTES reach the configured fraction of the base — with same-sized
+    files the ratio-0.9 trigger fires repeatedly (each batch's delta is
+    comparable to the base), keeping the tail short, and the logical
+    table stays equal to the batch build."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        pending_additive_batches,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(5):
+        _write(str(watch / f"d{i}.txt"), f"alpha w{i} w{i} shared " * 20)
+
+    start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        ckpt,
+        additive=True,
+        max_files_per_trigger=1,
+        compact_tail_ratio=0.9,
+    ).awaitTermination(300)
+
+    # every delta is ~the base's size, so each batch trips the ratio:
+    # at rest the pending tail must be compacted away
+    assert pending_additive_batches(spark, index_path) == []
+    batch = build_index(read_text_corpus(spark, str(watch)))
+    assert sorted(map(tuple, read_index(spark, index_path).collect())) == sorted(
+        map(tuple, batch.collect())
+    )

@@ -120,11 +120,10 @@ def _q_index_lookup_versioned(s: SparkSession, d: str) -> DataFrame:
     )
     ix.write_additive_delta(s, delta, path, batch_id=1)
     ix.compact_index(s, path)
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # replay warning is the point
-        ix.write_additive_delta(s, delta, path, batch_id=1)
+    # the replay of the just-folded batch must be a watermark no-op
+    # (allow_replayed_ids is the streaming checkpoint path's assertion;
+    # without it the same call raises — pinned by test_index)
+    ix.write_additive_delta(s, delta, path, batch_id=1, allow_replayed_ids=True)
     return ix.lookup_persisted(s, path, "The!")
 
 
