@@ -116,11 +116,24 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 6) -> dict:
         )
         q.awaitTermination()
         total = time.perf_counter() - t0
-        n_postings = spark.read.parquet(os.path.join(base, "index")).count()
+        # Per-batch trigger durations (engine-reported, excludes harness
+        # setup): the unit the A/B protocol takes minima over — a single
+        # sec_per_file aggregate folds all six batches into one sample,
+        # so one noisy batch poisons the whole section (the r6 "<1.3x is
+        # noise" caveat). Sorted so rank-k batches align across passes.
+        batch_secs = sorted(
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        )
+        from map_reduce_using_cloud_functions_spark.operators.index import read_index
+
+        n_postings = read_index(spark, os.path.join(base, "index")).count()
         return {
             "files": n_files,
             "total_sec": round(total, 3),
             "sec_per_file": round(total / n_files, 3),
+            "batch_secs": batch_secs,
             "postings": n_postings,
         }
     finally:
@@ -181,14 +194,38 @@ def ab_main(ref_tree: str, passes: int) -> None:
         return rows
 
     def stream_min(runs: list[dict]) -> dict | None:
+        """Per-TREE minima over the interleaved streaming sections (r6
+        verdict task 3): min total/sec_per_file across passes, plus
+        ELEMENT-WISE minima over the sorted per-batch durations — the
+        per-file floor that makes streaming deltas as trustworthy as the
+        batch rows' per-row minima (retires the '<1.3x is noise' band)."""
         rows = [
             r["streaming"]
             for r in runs
             if isinstance(r.get("streaming"), dict) and "sec_per_file" in r["streaming"]
         ]
-        return min(rows, key=lambda s: s["sec_per_file"]) if rows else None
+        if not rows:
+            return None
+        best = dict(min(rows, key=lambda s: s["sec_per_file"]))
+        best["sec_per_file"] = min(s["sec_per_file"] for s in rows)
+        best["total_sec"] = min(s["total_sec"] for s in rows)
+        batch_lists = [s["batch_secs"] for s in rows if s.get("batch_secs")]
+        if batch_lists and len({len(b) for b in batch_lists}) == 1:
+            best["batch_secs"] = [round(min(c), 3) for c in zip(*batch_lists)]
+        return best
 
     cur, ref = combine(cur_runs), combine(ref_runs)
+    cur_stream, ref_stream = stream_min(cur_runs), stream_min(ref_runs)
+    streaming_ratio = None
+    if (
+        cur_stream
+        and ref_stream
+        and ref_stream.get("sec_per_file")
+        and cur_stream.get("files") == ref_stream.get("files")
+    ):
+        streaming_ratio = round(
+            cur_stream["sec_per_file"] / ref_stream["sec_per_file"], 3
+        )
     common = sorted(set(cur) & set(ref))
     ratios = {
         n: round(cur[n] / ref[n], 3) for n in common if ref[n] > 0
@@ -202,7 +239,7 @@ def ab_main(ref_tree: str, passes: int) -> None:
         "queries": cur,
         "sf": cur_runs[-1].get("sf"),
         "reps": passes,
-        "streaming": stream_min(cur_runs) or cur_runs[-1].get("streaming"),
+        "streaming": cur_stream or cur_runs[-1].get("streaming"),
         "ab": {
             "ref_tree": ref_tree,
             "passes": passes,
@@ -212,7 +249,11 @@ def ab_main(ref_tree: str, passes: int) -> None:
             "ref_queries": ref,
             "ratio": ratios,
             "worst_rows": sorted(ratios.items(), key=lambda kv: -kv[1])[:5],
-            "ref_streaming": stream_min(ref_runs) or ref_runs[-1].get("streaming"),
+            "ref_streaming": ref_stream or ref_runs[-1].get("streaming"),
+            # per-tree minima over interleaved streaming sections — the
+            # sec_per_file ratio is now held to the same evidence
+            # standard as the batch rows' per-row minima
+            "streaming_ratio": streaming_ratio,
         },
     }
     print(json.dumps(out))
