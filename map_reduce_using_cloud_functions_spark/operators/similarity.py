@@ -41,6 +41,7 @@ def _guard_banding(
     scale_guard: str,
     budget: int | None = None,
     max_planes: int = 24,
+    explicit: bool = False,
 ) -> int:
     """Enforce the banded-LSH scale contract (r5 soak, BASELINE.md):
     candidate volume carries a random-collision term ∝ 1/2^r, so a
@@ -51,7 +52,12 @@ def _guard_banding(
     (``scale_guard="raise"``) or escalates r until the estimate fits
     (``"auto"``, with a warning carrying the recall formula). The same
     shape as ``jaccard_token_pairs``'s max_df guard: the degenerate
-    configuration is refused/repaired BEFORE the join runs."""
+    configuration is refused/repaired BEFORE the join runs.
+
+    ``explicit``: the caller pinned ``planes_per_band`` deliberately
+    (r6 ADVICE) — silently escalating would change THEIR tuned recall,
+    so ``"auto"`` degrades to raise-with-remedy for explicit bandings;
+    auto-escalation applies only to engine defaults."""
     if budget is None:
         budget = LSH_CANDIDATE_BUDGET  # late-bound: tests may patch it
     if scale_guard == "off":
@@ -62,6 +68,17 @@ def _guard_banding(
     est = expected_candidates(r)
     if est <= budget:
         return r
+    if scale_guard == "auto" and explicit:
+        raise ValueError(
+            f"{what}: expected random-collision candidate volume "
+            f"≈{est:.2e} pairs at your EXPLICIT planes_per_band={r} "
+            f"exceeds the {budget:.0e} budget, and auto-escalation is "
+            "disabled for explicit bandings (it would silently change "
+            "the recall you tuned: recall = 1-(1-p^r)^b). Raise "
+            "planes_per_band yourself (each +1 halves random "
+            "collisions), leave it unset to let the engine escalate, "
+            "or pass scale_guard='off' if you have measured the volume."
+        )
     if scale_guard == "raise":
         raise ValueError(
             f"{what}: expected random-collision candidate volume "
@@ -87,6 +104,21 @@ def _guard_banding(
         stacklevel=3,
     )
     return r
+
+
+def _probe_masks(planes_per_band: int, probe_bits: int) -> list[int]:
+    """Multiprobe XOR masks: every bit pattern with ≤ probe_bits bits set
+    within a band's r sign bits (Lv et al. multiprobe applied to sign
+    sketches) — plan literals, exploded query-side."""
+    from itertools import combinations
+
+    masks = [0]
+    for nbits in range(1, probe_bits + 1):
+        masks.extend(
+            sum(1 << b for b in bits)
+            for bits in combinations(range(planes_per_band), nbits)
+        )
+    return masks
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -297,14 +329,7 @@ def lsh_bucketed_topk(
         # XOR-mask expansion, plan-literal: all masks with ≤ probe_bits
         # bits set, exploded query-side (small by contract), bucket^mask
         # restores an equi-join key.
-        from itertools import combinations
-
-        masks = [0]
-        for nbits in range(1, probe_bits + 1):
-            masks.extend(
-                sum(1 << b for b in bits)
-                for bits in combinations(range(planes), nbits)
-            )
+        masks = _probe_masks(planes, probe_bits)
         queries_b = queries_b.select(
             "query_id",
             "q_embedding",
@@ -333,7 +358,7 @@ def lsh_banded_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    planes_per_band: int = 6,
+    planes_per_band: int | None = None,
     bands: int = 6,
     probe_bits: int = 1,
     scale_guard: str = "auto",
@@ -368,8 +393,17 @@ def lsh_banded_topk(
     ``scale_guard`` counts both sides (column-less count-stars) and
     compares bands·masks(r)·|Q|·|C|/2^r against ``LSH_CANDIDATE_BUDGET``
     — ``"auto"`` escalates r, ``"raise"`` refuses with the remedy,
-    ``"off"`` pins the banding. Returns (query_id, neighbor_id, rank,
-    score)."""
+    ``"off"`` pins the banding. Since r7 (ADVICE), an EXPLICITLY passed
+    ``planes_per_band`` is never silently escalated — ``"auto"`` raises
+    instead, because escalation changes the recall the caller tuned;
+    leave it at None (default r=6) for auto-repair. Note the guard's
+    counts: metadata-only on a parquet scan, but a FULL job when
+    ``embeddings`` is a derived lineage — pass ``scale_guard="off"``
+    on hot paths where the volume is already known. Returns
+    (query_id, neighbor_id, rank, score)."""
+    explicit = planes_per_band is not None
+    if planes_per_band is None:
+        planes_per_band = 6
     if scale_guard != "off":
         from math import comb
 
@@ -383,20 +417,14 @@ def lsh_banded_topk(
             planes_per_band,
             "lsh_banded_topk",
             scale_guard,
+            explicit=explicit,
         )
     corpus_b = _sign_sketch_bands(
         embeddings.select("vec_id", "embedding"), "embedding", planes_per_band, bands
     )
     queries_b = _sign_sketch_bands(queries, "q_embedding", planes_per_band, bands)
     if probe_bits > 0:
-        from itertools import combinations
-
-        masks = [0]
-        for nbits in range(1, probe_bits + 1):
-            masks.extend(
-                sum(1 << b for b in bits)
-                for bits in combinations(range(planes_per_band), nbits)
-            )
+        masks = _probe_masks(planes_per_band, probe_bits)
         queries_b = queries_b.select(
             "query_id",
             "q_embedding",
@@ -781,6 +809,7 @@ def build_ivf_index(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    quantize: bool = False,
 ) -> None:
     """Persist an IVF index so the corpus-side work amortizes across
     query batches: ``ivf_topk`` refits centroids AND re-assigns the
@@ -801,7 +830,19 @@ def build_ivf_index(
 
     Assignment reads the centroids BACK from parquet (not the in-plan
     lineage) so the persisted values are by construction the ones the
-    lists were built against."""
+    lists were built against.
+
+    ``quantize=True`` (r6 verdict task 7) stores the lists as int8
+    rows ``(vec_id, q_scale, qvec)`` instead of raw floats — the
+    composition of the r4 int8 path with the persisted index: every
+    indexed probe's scan reads ~3.5× fewer bytes per row ON TOP of the
+    n_probe/n_centroids partition pruning, and scoring runs the same
+    rescaled integer dot product as ``ann_topk_quantized`` (~1e-2
+    cosine error, bounded by the recall pytest). List ASSIGNMENT still
+    uses the raw floats (centroid geometry should not inherit
+    quantization error); zero vectors are dropped (no direction — the
+    float layout keeps them but they score NULL and never rank, so
+    answers agree)."""
     cents = _train_or_seed(embeddings, n_centroids, train, train_iters, train_init)
     (
         cents.select(
@@ -813,8 +854,15 @@ def build_ivf_index(
         .parquet(f"{path}/centroids")
     )
     saved = load_ivf_centroids(embeddings.sparkSession, path)
+    assigned = _assign_nearest_list(embeddings, saved)
+    if quantize:
+        assigned = (
+            assigned.select("vec_id", "list_id")
+            .join(quantize_embeddings(embeddings), "vec_id")
+            .select("vec_id", "q_scale", "qvec", "list_id")
+        )
     (
-        _assign_nearest_list(embeddings, saved)
+        assigned
         # same rationale as write_index's REBALANCE on the letter: a
         # bare partitionBy writes one file per (task, list) — file-count
         # explosion at real task counts — while a hash repartition pins
@@ -869,7 +917,14 @@ def ivf_topk_indexed(
     pruning: with the default 2-of-8 probe the scan touches ~25% of the
     corpus bytes, and none of the skipped rows are even deserialized.
     Scoring/ranking share ``ivf_topk``'s exact code paths, so indexed
-    and in-plan answers are identical for identical centroids."""
+    and in-plan answers are identical for identical centroids.
+
+    A ``build_ivf_index(quantize=True)`` index is detected from the
+    lists' schema: queries are quantized the same way and scored with
+    the rescaled integer dot product (``ann_topk_quantized``'s exact
+    arithmetic — probing ALL lists reproduces it bit-for-bit, pinned
+    by pytest), stacking the int8 3.5× byte cut on the partition
+    pruning."""
     cents = load_ivf_centroids(spark, path)
     query_lists = _probe_query_lists(queries, cents, n_probe)
     probed = sorted(
@@ -878,13 +933,195 @@ def ivf_topk_indexed(
     corpus_lists = spark.read.parquet(f"{path}/lists").where(
         F.col("list_id").isin(probed)
     )
+    if "qvec" in corpus_lists.columns:
+        qq = (
+            quantize_embeddings(queries, vec_col="q_embedding", id_col="query_id")
+            .withColumnRenamed("q_scale", "qq_scale")
+            .withColumnRenamed("qvec", "qqvec")
+        )
+        scored = (
+            corpus_lists.join(query_lists.select("query_id", "list_id"), "list_id")
+            .join(F.broadcast(qq), "query_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    _int_dot(F.col("qvec"), F.col("qqvec"))
+                    * F.col("q_scale")
+                    * F.col("qq_scale")
+                ).alias("score"),
+            )
+        )
+        return _rank_topk(scored, k)
     return _score_probed(corpus_lists, query_lists, k)
+
+
+# ------------------------------------------------- persisted banded LSH
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    planes_per_band: int = 6,
+    bands: int = 6,
+) -> None:
+    """Persist a banded-LSH retrieval index so the corpus-side sketch
+    amortizes across query batches (r6 verdict task 4 — the IVF
+    treatment applied to ``lsh_banded_topk``, which re-sketches the
+    whole corpus on every call: exactly backwards for a serving
+    workload where the corpus is the expensive side).
+
+    Layout under ``path``:
+
+    - ``meta/`` — one row (planes_per_band, bands, dim, n): the sketch
+      parameters probes must replay (the hyperplanes are derived from
+      the portable hash, so the parameters ARE the index identity) and
+      the corpus count the probe-side candidate guard needs without
+      rescanning;
+    - ``vectors/`` — ``(vec_id, embedding)`` stored ONCE, for the exact
+      re-rank;
+    - ``buckets/`` — the narrow ``(vec_id, band_bucket)`` relation
+      partitioned by ``band`` and sorted by ``band_bucket`` within each
+      band file. Deliberately NOT the sketch-with-embeddings relation:
+      that would carry ``bands`` copies of the embedding column through
+      storage (the duplication ``lsh_banded_topk``'s docstring avoids
+      in-plan); candidates are found on the narrow ints, and only
+      surviving (query, candidate) pairs fetch vectors. Each band has
+      exactly n rows (zero skew by construction), so one task per band
+      writes one bucket-sorted file — parquet min/max stats then prune
+      row groups under a bucket predicate."""
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", "embedding")
+    n = base.count()
+    dim = _vec_dim(base, "embedding")
+    (
+        spark.createDataFrame(
+            [(planes_per_band, bands, dim, n)],
+            "planes_per_band int, bands int, dim int, n bigint",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    base.write.mode("overwrite").parquet(f"{path}/vectors")
+    sk = _sign_sketch_bands(base, "embedding", planes_per_band, bands).select(
+        "vec_id", "band", "band_bucket"
+    )
+    (
+        sk.repartition("band")
+        .sortWithinPartitions("band_bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def load_lsh_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema("planes_per_band int, bands int, dim int, n bigint")
+        .parquet(f"{path}/meta")
+        .first()
+    )
+    return row.asDict()
+
+
+def lsh_banded_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    probe_bits: int = 1,
+    scale_guard: str = "raise",
+) -> DataFrame:
+    """Banded multi-probe LSH top-k against a persisted
+    ``build_lsh_index``: sketch ONLY the query batch (with the index's
+    own stored parameters), equi-join the narrow persisted buckets,
+    dedup candidates across bands/probes BEFORE fetching vectors, then
+    exact-cosine re-rank through the shared ``_rank_topk`` — identical
+    answers to the in-plan ``lsh_banded_topk`` at the same parameters
+    (oracle row ``ann_topk_lsh_indexed``), with the corpus sketch paid
+    once at build time instead of per call.
+
+    Plan shape at scale: the query side (sketch + mask explode —
+    |Q|·bands·masks narrow rows) broadcasts into the buckets join; the
+    buckets scan is (int, bigint, bigint) rows only; the vectors table
+    is touched once per SURVIVING candidate via an equi-join on
+    vec_id. No corpus-wide sketch projection anywhere in the plan.
+
+    The candidate-volume guard runs against the STORED corpus count
+    (no rescan). ``scale_guard``: ``"raise"`` (default) refuses an
+    over-budget probe — escalation is impossible post-build (r is
+    baked into the sketch), so the remedy is rebuilding with a higher
+    ``planes_per_band`` or fewer probe bits; ``"off"`` trusts the
+    caller."""
+    meta = load_lsh_meta(spark, path)
+    r, bands, n = meta["planes_per_band"], meta["bands"], meta["n"]
+    masks = _probe_masks(r, probe_bits)
+    if scale_guard not in ("raise", "off"):
+        raise ValueError(
+            f"scale_guard must be raise|off for the indexed probe "
+            f"(r={r} is baked into the stored sketch — auto-escalation "
+            f"would need a rebuild), got {scale_guard!r}"
+        )
+    if scale_guard == "raise":
+        nq = queries.count()
+        est = bands * len(masks) * nq * n / 2.0**r
+        if est > LSH_CANDIDATE_BUDGET:
+            raise ValueError(
+                f"lsh_banded_topk_indexed: expected random-collision "
+                f"candidate volume ≈{est:.2e} pairs at the index's "
+                f"planes_per_band={r} with probe_bits={probe_bits} "
+                f"exceeds the {LSH_CANDIDATE_BUDGET:.0e} budget. "
+                "Rebuild the index with a higher planes_per_band "
+                "(each +1 halves random collisions), probe fewer bits, "
+                "or pass scale_guard='off' if you have measured the "
+                "volume."
+            )
+    queries_b = _sign_sketch_bands(queries, "q_embedding", r, bands)
+    if probe_bits > 0:
+        queries_b = queries_b.select(
+            "query_id",
+            "band",
+            F.explode(F.array(*[F.lit(m).cast("bigint") for m in masks])).alias(
+                "_mask"
+            ),
+            F.col("band_bucket").alias("_home"),
+        ).select(
+            "query_id",
+            "band",
+            F.col("_home").bitwiseXOR(F.col("_mask")).alias("band_bucket"),
+        )
+    else:
+        queries_b = queries_b.select("query_id", "band", "band_bucket")
+    buckets = spark.read.parquet(f"{path}/buckets")
+    cands = (
+        buckets.join(F.broadcast(queries_b), ["band", "band_bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        # dedup across bands AND probes BEFORE the vector fetch: each
+        # surviving pair is scored exactly once (the in-plan path
+        # scores per hit and folds with max — same relation, since
+        # the exact score is band-invariant)
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    scored = (
+        cands.join(F.broadcast(queries.select("query_id", "q_embedding")), "query_id")
+        .join(vectors, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dedup(
     embeddings: DataFrame,
     threshold: float,
-    planes_per_band: int = 4,
+    planes_per_band: int | None = None,
     bands: int = 4,
     scale_guard: str = "auto",
 ) -> DataFrame:
@@ -913,7 +1150,7 @@ def embedding_near_dedup(
 def pairwise_near_dup(
     embeddings: DataFrame,
     threshold: float,
-    planes_per_band: int = 4,
+    planes_per_band: int | None = None,
     bands: int = 4,
     exact: bool = False,
     scale_guard: str = "auto",
@@ -957,6 +1194,9 @@ def pairwise_near_dup(
     the 0/0 would abort the job) and are excluded from BOTH paths —
     same contract as ``quantize_embeddings``.
     """
+    explicit = planes_per_band is not None
+    if planes_per_band is None:
+        planes_per_band = 4
     nonzero = embeddings.where(l2_norm(F.col("embedding")) > 0)
     if exact:
         a = nonzero.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
@@ -976,6 +1216,7 @@ def pairwise_near_dup(
         planes_per_band,
         "pairwise_near_dup",
         scale_guard,
+        explicit=explicit,
     )
     # Norms computed once per vector in the sketch projection: the
     # per-pair verify is then one dot + one division, not three array

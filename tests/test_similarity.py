@@ -721,3 +721,150 @@ def test_ivf_index_trained_roundtrip(spark, embeddings, tmp_path):
 
     got = ivf_topk_indexed(spark, path, queries_from_ids(embeddings, 4), k=3).collect()
     assert got and all(r["rank"] <= 3 for r in got)
+
+
+# --- r7: persisted banded LSH, quantized IVF lists, explicit-banding guard
+
+
+def test_lsh_index_roundtrip_matches_in_plan(spark, embeddings, tmp_path):
+    """r6 verdict task 4: a persisted build_lsh_index must answer
+    EXACTLY like the in-plan lsh_banded_topk at the same parameters —
+    the index amortizes the corpus sketch, it must not change answers
+    (same contract as the IVF roundtrip)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        build_lsh_index,
+        load_lsh_meta,
+        lsh_banded_topk,
+        lsh_banded_topk_indexed,
+    )
+
+    path = str(tmp_path / "lsh")
+    build_lsh_index(embeddings, path)
+    q = queries_from_ids(embeddings, 8)
+
+    meta = load_lsh_meta(spark, path)
+    assert meta["planes_per_band"] == 6 and meta["bands"] == 6
+    assert meta["n"] == embeddings.count()
+
+    direct = sorted(map(tuple, lsh_banded_topk(embeddings, q, k=5).collect()))
+    indexed = sorted(
+        map(tuple, lsh_banded_topk_indexed(spark, path, q, k=5).collect())
+    )
+    assert indexed == direct and len(indexed) > 0
+
+    # probe_bits=0 variant agrees too (no mask explode path)
+    direct0 = sorted(
+        map(tuple, lsh_banded_topk(embeddings, q, k=5, probe_bits=0).collect())
+    )
+    indexed0 = sorted(
+        map(
+            tuple,
+            lsh_banded_topk_indexed(spark, path, q, k=5, probe_bits=0).collect(),
+        )
+    )
+    assert indexed0 == direct0
+
+
+def test_lsh_indexed_probe_guard_raises_on_overbudget(spark, embeddings, tmp_path, monkeypatch):
+    """The indexed probe cannot auto-escalate (r is baked into the
+    stored sketch), so an over-budget probe must raise with the rebuild
+    remedy, using the STORED corpus count (no corpus rescan)."""
+    from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+
+    path = str(tmp_path / "lsh")
+    sim.build_lsh_index(embeddings, path)
+    q = queries_from_ids(embeddings, 8)
+    monkeypatch.setattr(sim, "LSH_CANDIDATE_BUDGET", 1)
+    with pytest.raises(ValueError, match="Rebuild the index"):
+        sim.lsh_banded_topk_indexed(spark, path, q)
+    # escape hatch still runs
+    assert sim.lsh_banded_topk_indexed(spark, path, q, scale_guard="off").count() > 0
+    with pytest.raises(ValueError, match="raise\\|off"):
+        sim.lsh_banded_topk_indexed(spark, path, q, scale_guard="auto")
+
+
+def test_ivf_quantized_lists_match_quantized_bruteforce(spark, embeddings, tmp_path):
+    """r6 verdict task 7: int8 lists compose with the persisted IVF
+    index. Probing ALL lists must reproduce ann_topk_quantized
+    bit-for-bit (same quantization expressions, same tiebreaks), and a
+    partial probe returns well-formed top-k with the narrower scan."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        ann_topk_quantized,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivfq")
+    build_ivf_index(embeddings, path, n_centroids=8, quantize=True)
+    q = queries_from_ids(embeddings, 8)
+
+    # stored lists are int8 + scale, not floats
+    lists = spark.read.parquet(f"{path}/lists")
+    assert "qvec" in lists.columns and "embedding" not in lists.columns
+    assert dict(lists.dtypes)["qvec"] == "array<tinyint>"
+
+    allprobe = sorted(
+        map(tuple, ivf_topk_indexed(spark, path, q, k=5, n_probe=8).collect())
+    )
+    want = sorted(map(tuple, ann_topk_quantized(embeddings, q, k=5).collect()))
+    assert allprobe == want and len(allprobe) > 0
+
+    part = ivf_topk_indexed(spark, path, q, k=5, n_probe=2)
+    rows = part.collect()
+    assert len(rows) > 0
+    assert {r["rank"] for r in rows} <= set(range(1, 6))
+
+
+def test_ivf_quantized_recall_vs_float_indexed(spark, embeddings, tmp_path):
+    """Quantization must cost recall/score accuracy, not correctness:
+    vs the float indexed path at the same probes, neighbor overlap stays
+    high and scores agree to the int8 error bound (~1e-2)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    fpath, qpath = str(tmp_path / "ivff"), str(tmp_path / "ivfq")
+    build_ivf_index(embeddings, fpath, n_centroids=8)
+    build_ivf_index(embeddings, qpath, n_centroids=8, quantize=True)
+    q = queries_from_ids(embeddings, 8)
+
+    f = {(r["query_id"], r["neighbor_id"]): r["score"]
+         for r in ivf_topk_indexed(spark, fpath, q, k=5, n_probe=8).collect()}
+    qz = {(r["query_id"], r["neighbor_id"]): r["score"]
+          for r in ivf_topk_indexed(spark, qpath, q, k=5, n_probe=8).collect()}
+    overlap = len(set(f) & set(qz)) / len(f)
+    assert overlap >= 0.8, f"int8 lists dropped too many true neighbors: {overlap}"
+    for key in set(f) & set(qz):
+        assert abs(f[key] - qz[key]) < 0.05, (key, f[key], qz[key])
+
+
+def test_explicit_banding_is_never_silently_escalated(spark):
+    """r6 ADVICE: scale_guard='auto' (the default) silently escalated an
+    EXPLICITLY tuned planes_per_band, changing the caller's recall. Now
+    auto-escalation applies only to engine defaults; explicit bandings
+    raise with the remedy."""
+    from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+
+    big = spark.range(200_000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 97 as double), cast(id % 89 as double), 1.0d) as embedding",
+    )
+    with pytest.raises(ValueError, match="EXPLICIT planes_per_band"):
+        sim.pairwise_near_dup(big, 0.9, planes_per_band=4)
+    with pytest.raises(ValueError, match="EXPLICIT planes_per_band"):
+        sim.lsh_banded_topk(
+            big,
+            big.selectExpr("vec_id as query_id", "embedding as q_embedding"),
+            planes_per_band=6,
+        )
+    # explicit banding that fits the budget is honored untouched
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        small = spark.range(100).selectExpr(
+            "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+        )
+        sim.pairwise_near_dup(small, 0.9, planes_per_band=4)
+    assert not [w for w in caught if "escalated" in str(w.message)]

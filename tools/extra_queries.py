@@ -69,6 +69,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lookup_persisted": _q_index_lookup_persisted,
         "index_lookup_versioned": _q_index_lookup_versioned,
         "ann_topk_ivf_indexed": _q_ann_topk_ivf_indexed,
+        # r7: persisted banded-LSH serving path — identical answers to
+        # the in-plan ann_topk_lsh_banded at the index's parameters
+        "ann_topk_lsh_indexed": _q_ann_topk_lsh_indexed,
     }
 
 
@@ -139,6 +142,20 @@ def _q_ann_topk_ivf_indexed(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_ivf_") + "/ivf"
     sim.build_ivf_index(emb, path, n_centroids=8)
     return sim.ivf_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_lsh_indexed(s: SparkSession, d: str) -> DataFrame:
+    """Gate-extras row ann_topk_lsh_banded's query batch served through
+    a persisted build_lsh_index (r6 verdict task 4): sketch parameters
+    (r=6, b=6) and probe (1 bit) match the in-plan row, so the same
+    oracle SQL applies — the index amortizes the corpus sketch, it must
+    not change answers."""
+    import tempfile
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_lsh_") + "/lsh"
+    sim.build_lsh_index(emb, path)
+    return sim.lsh_banded_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -403,4 +420,5 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
     sql["index_lookup_persisted"] = gate["index_lookup"]
     sql["index_lookup_versioned"] = gate["index_lookup"]
     sql["ann_topk_ivf_indexed"] = gate["ann_topk_ivf"]
+    sql["ann_topk_lsh_indexed"] = sql["ann_topk_lsh_banded"]
     return sql
