@@ -1,0 +1,234 @@
+"""r7 BASELINE measurements.
+
+1. size-policy at the 100x base: should_compact's decision is
+   filesystem metadata only — measure its cost against a 100x-scale
+   index with a tiny pending tail, vs the full-rewrite fold the count
+   trigger would have paid (the r6 soak measured that rewrite at
+   ~100 s).
+2. persisted banded-LSH amortization: in-plan lsh_banded_topk
+   (re-sketches the corpus per call) vs build_lsh_index once +
+   lsh_banded_topk_indexed per batch, at a replicated corpus.
+3. int8 IVF lists: float vs quantized persisted lists — bytes on
+   disk, per-batch probe wall, neighbor overlap and score error.
+4. versioned-vs-in-place streaming first build + per-batch delta cost
+   (the 'no stream-cost change' row for the r7 default flip).
+
+Usage: python tools/measure_r7.py [section ...]  (default: all)
+Sections: size lsh ivf stream
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, ".")
+
+from map_reduce_using_cloud_functions_spark.operators import index as ix  # noqa: E402
+from map_reduce_using_cloud_functions_spark.operators import similarity as sim  # noqa: E402
+from map_reduce_using_cloud_functions_spark.session import get_spark  # noqa: E402
+from map_reduce_using_cloud_functions_spark.sources import load_table  # noqa: E402
+from map_reduce_using_cloud_functions_spark.sources.text_corpus import (  # noqa: E402
+    documents_as_corpus,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def wall(action, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        action()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(path) for f in fs
+    )
+
+
+def section_size(spark) -> None:
+    rep = 100
+    docs = load_table(spark, SF_DIR, "documents")
+    reps = F.broadcast(spark.range(rep).select(F.col("id").alias("rep")))
+    corpus = docs.crossJoin(reps).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("rep").cast("string")).alias(
+            "document"
+        ),
+        "text",
+    )
+    tmp = tempfile.mkdtemp(prefix="r7size_")
+    path = f"{tmp}/idx"
+    try:
+        t0 = time.time()
+        ix.write_index(ix.build_index(corpus), path, versioned=True)
+        t_build = time.time() - t0
+        small = ix.build_index(
+            spark.createDataFrame([("newdoc", "a few new words")], "document string, text string")
+        )
+        ix.write_additive_delta(spark, small, path, 1)
+        t_decide = wall(lambda: ix.should_compact(spark, path, max_tail_ratio=0.25), n=3)
+        info = ix.index_size_info(spark, path)
+        fired = ix.should_compact(spark, path, max_tail_ratio=0.25)
+        fired_count = ix.should_compact(spark, path, max_pending=1)
+        print(
+            f"size-policy @100x: base {info['base_bytes']/1e6:.1f} MB, tail "
+            f"{info['tail_bytes']/1e3:.1f} KB ({len(info['pending_batches'])} batch); "
+            f"decision {t_decide*1000:.0f} ms (min-of-3, metadata-only); "
+            f"ratio-0.25 trigger fired={fired} vs count-1 trigger fired={fired_count} "
+            f"(the count trigger would pay the full {t_build:.1f} s-scale base rewrite "
+            "for a KB tail)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def section_lsh(spark) -> None:
+    rep = 50
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n0 = emb.count()
+    reps = F.broadcast(spark.range(rep).select(F.col("id").alias("rep")))
+    big = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10**9)).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint()
+    )
+    q = sim.queries_from_ids(emb, 8)
+    tmp = tempfile.mkdtemp(prefix="r7lsh_")
+    path = f"{tmp}/lsh"
+    try:
+        t0 = time.time()
+        sim.build_lsh_index(big, path)
+        t_build = time.time() - t0
+        t_inplan = wall(
+            lambda: sim.lsh_banded_topk(big, q, scale_guard="off").write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n=3,
+        )
+        t_indexed = wall(
+            lambda: sim.lsh_banded_topk_indexed(spark, path, q, scale_guard="off")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n=3,
+        )
+        same = sorted(
+            map(tuple, sim.lsh_banded_topk_indexed(spark, path, q).collect())
+        ) == sorted(map(tuple, sim.lsh_banded_topk(big, q, scale_guard="off").collect()))
+        print(
+            f"lsh-index @{n0 * rep:,} vectors: build {t_build:.1f} s once; per "
+            f"8-query batch in-plan {t_inplan:.2f} s vs indexed {t_indexed:.2f} s "
+            f"(min-of-3) = {t_inplan / t_indexed:.1f}x per batch; answers identical: {same}"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def section_ivf(spark) -> None:
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = sim.queries_from_ids(emb, 64)
+    tmp = tempfile.mkdtemp(prefix="r7ivf_")
+    fpath, qpath = f"{tmp}/f", f"{tmp}/q"
+    try:
+        sim.build_ivf_index(emb, fpath, n_centroids=8)
+        sim.build_ivf_index(emb, qpath, n_centroids=8, quantize=True)
+        fb = _dir_bytes(f"{fpath}/lists")
+        qb = _dir_bytes(f"{qpath}/lists")
+        t_f = wall(
+            lambda: sim.ivf_topk_indexed(spark, fpath, q, n_probe=2)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n=3,
+        )
+        t_q = wall(
+            lambda: sim.ivf_topk_indexed(spark, qpath, q, n_probe=2)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n=3,
+        )
+        f = {
+            (r["query_id"], r["neighbor_id"]): r["score"]
+            for r in sim.ivf_topk_indexed(spark, fpath, q, n_probe=2).collect()
+        }
+        qz = {
+            (r["query_id"], r["neighbor_id"]): r["score"]
+            for r in sim.ivf_topk_indexed(spark, qpath, q, n_probe=2).collect()
+        }
+        overlap = len(set(f) & set(qz)) / max(len(f), 1)
+        err = max((abs(f[k] - qz[k]) for k in set(f) & set(qz)), default=0.0)
+        print(
+            f"ivf int8 lists @{emb.count():,} vectors, 64-query batch, 2/8 probe: "
+            f"lists {fb/1e6:.2f} MB float vs {qb/1e6:.2f} MB int8 "
+            f"({fb/qb:.2f}x narrower); probe {t_f:.2f} s float vs {t_q:.2f} s int8 "
+            f"(min-of-3); neighbor overlap {overlap:.3f}, max |score err| {err:.4f}"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def section_stream(spark) -> None:
+    from map_reduce_using_cloud_functions_spark.streaming.file_index import (
+        start_file_index_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    texts = [r["text"] for r in docs.select("text").limit(600).collect()]
+    for versioned in (True, False):
+        base = tempfile.mkdtemp(prefix=f"r7stream_{versioned}_")
+        watch = os.path.join(base, "watch")
+        os.makedirs(watch)
+        try:
+            for i in range(6):
+                with open(os.path.join(watch, f"p{i}.txt"), "w") as f:
+                    f.write("\n".join(texts[i::6]))
+            t0 = time.time()
+            q = start_file_index_stream(
+                spark,
+                watch,
+                os.path.join(base, "idx"),
+                os.path.join(base, "ckpt"),
+                additive=True,
+                max_files_per_trigger=1,
+                versioned=versioned,
+            )
+            q.awaitTermination()
+            total = time.time() - t0
+            batch_secs = [
+                round(p["durationMs"]["triggerExecution"] / 1000.0, 2)
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+            print(
+                f"additive stream versioned={versioned}: {total/6:.2f} s/file "
+                f"(6 files; per-batch {batch_secs})"
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    sections = sys.argv[1:] or ["size", "lsh", "ivf", "stream"]
+    spark = get_spark("measure_r7")
+    spark.sparkContext.setLogLevel("ERROR")
+    for s in sections:
+        {"size": section_size, "lsh": section_lsh, "ivf": section_ivf, "stream": section_stream}[
+            s
+        ](spark)
+
+
+if __name__ == "__main__":
+    main()
