@@ -506,11 +506,13 @@ def _hadoop_delete(spark, path: str) -> None:
 # mid-swap window — versioning full rewrites only is the deliberate
 # scope.
 #
-# Opt in with ``write_index(..., versioned=True)``; every other
-# operation (read/lookup/upsert/stream/compact) detects the layout and
-# continues it. Reading a versioned table with a bare
-# ``spark.read.parquet(path)`` is a user error — go through
-# ``read_index``/``lookup_persisted``.
+# Opt in with ``write_index(..., versioned=True)`` — and since r7 the
+# streaming writer (``start_file_index_stream``) creates its tables on
+# this layout BY DEFAULT (streams are exactly the workload that must
+# survive arbitrary kill points); every other operation
+# (read/lookup/upsert/stream/compact) detects the layout and continues
+# it. Reading a versioned table with a bare ``spark.read.parquet(path)``
+# is a user error — go through ``read_index``/``lookup_persisted``.
 
 VERSIONS_DIR = "_versions"
 
@@ -950,7 +952,8 @@ def compact_index(spark, path: str) -> None:
       crash at ANY point leaves the previous commit serving exact
       counts and no replay can double-count — all three windows
       closed. Streams that must survive arbitrary kill points belong
-      on this layout.
+      on this layout — which is why ``start_file_index_stream``
+      creates its tables versioned BY DEFAULT since r7.
 
     The merged relation is materialized via ``localCheckpoint`` before
     any files it read are replaced."""

@@ -105,9 +105,9 @@ class IndexWebApp:
             return {
                 "error": "Invalid input! Please avoid spaces and newline characters."
             }
-        from .operators.index import _hadoop_exists
+        from .operators.index import index_exists
 
-        if not _hadoop_exists(self.spark, self.index_path):
+        if not index_exists(self.spark, self.index_path):
             return {"empty": "Word not present in corpus."}
         rows = self.engine.find_occurrences(word).limit(top).collect()
         if not rows:
