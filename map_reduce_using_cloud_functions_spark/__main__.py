@@ -8,6 +8,9 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark query  INDEX_PATH WORD [--top N]
     python -m map_reduce_using_cloud_functions_spark watch  WATCH_DIR INDEX_PATH CKPT_DIR
     python -m map_reduce_using_cloud_functions_spark web    INDEX_PATH UPLOAD_DIR [--port P]
+    python -m map_reduce_using_cloud_functions_spark info    INDEX_PATH
+    python -m map_reduce_using_cloud_functions_spark compact INDEX_PATH [--if-tail-ratio R]
+    python -m map_reduce_using_cloud_functions_spark gc      INDEX_PATH [--keep N]
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -19,6 +22,14 @@ the reference's double-count merge); ``query`` prints per-document
 counts most-frequent-first exactly like the UI table
 (``main/app.py:104-124``); ``watch`` runs the streaming trigger path
 (O19) until interrupted.
+
+The r7 maintenance trio operates the table out-of-band (run them with
+any stream paused — single writer): ``info`` prints layout/version,
+the folded_through watermark, pending delta batches and base-vs-tail
+bytes (``index_size_info``); ``compact`` folds the pending tail
+(``--if-tail-ratio`` applies the size policy instead of folding
+unconditionally); ``gc`` reclaims superseded versions and folded
+deltas on the versioned layout.
 """
 
 from __future__ import annotations
@@ -64,6 +75,23 @@ def _build_parser() -> argparse.ArgumentParser:
     u.add_argument("--host", default="127.0.0.1")
     u.add_argument("--port", type=int, default=8080)
     u.add_argument("--additive", action="store_true", help="reference double-count parity")
+
+    i = sub.add_parser("info", help="layout, watermark, pending tail, sizes")
+    i.add_argument("index_path")
+
+    c = sub.add_parser("compact", help="fold pending additive deltas into the base")
+    c.add_argument("index_path")
+    c.add_argument(
+        "--if-tail-ratio",
+        type=float,
+        default=None,
+        metavar="R",
+        help="only fold when tail_bytes >= R * base_bytes (the amortizing policy)",
+    )
+
+    g = sub.add_parser("gc", help="reclaim superseded versions + folded deltas")
+    g.add_argument("index_path")
+    g.add_argument("--keep", type=int, default=2, help="base versions to retain")
     return p
 
 
@@ -103,6 +131,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print("no occurrences")
             for r in rows:
                 print(f"{r['document']}\t{r['count']}")
+        elif args.cmd in ("info", "compact", "gc"):
+            from .operators import index as ix
+
+            if not ix.index_exists(spark, args.index_path):
+                print(f"no index at {args.index_path}", file=sys.stderr)
+                return 2
+            if args.cmd == "info":
+                base_dir, folded, version = ix._resolve_version(spark, args.index_path)
+                info = ix.index_size_info(spark, args.index_path)
+                layout = "versioned" if version is not None else "in-place"
+                print(f"layout\t{layout}" + (f" (v={version})" if version is not None else ""))
+                print(f"base_dir\t{base_dir}")
+                print(f"folded_through\t{folded}")
+                print(f"pending_batches\t{info['pending_batches']}")
+                print(f"base_bytes\t{info['base_bytes']}")
+                print(f"tail_bytes\t{info['tail_bytes']}")
+            elif args.cmd == "compact":
+                if args.if_tail_ratio is not None and not ix.should_compact(
+                    spark, args.index_path, max_tail_ratio=args.if_tail_ratio
+                ):
+                    info = ix.index_size_info(spark, args.index_path)
+                    print(
+                        f"not compacting: tail {info['tail_bytes']} B < "
+                        f"{args.if_tail_ratio} x base {info['base_bytes']} B"
+                    )
+                else:
+                    pending = ix.pending_additive_batches(spark, args.index_path)
+                    ix.compact_index(spark, args.index_path)
+                    print(f"compacted {len(pending)} pending batches into {args.index_path}")
+            else:
+                ix.gc_index_versions(spark, args.index_path, keep=args.keep)
+                print(f"gc done (keep={args.keep})")
         elif args.cmd == "web":
             from .webui import IndexWebApp, serve
 

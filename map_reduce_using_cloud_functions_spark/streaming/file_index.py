@@ -65,20 +65,26 @@ def _bind_checkpoint(spark, index_path: str, checkpoint_dir: str) -> None:
     )
 
 
-def _check_checkpoint_binding(spark, index_path: str, checkpoint_dir: str) -> None:
+def _check_checkpoint_binding(spark, index_path: str, checkpoint_dir: str) -> str:
     """Refuse the silent-data-drop configuration: a FRESH checkpoint
     (batch ids restarting at 0) pointed at a table another checkpoint
     built. Its low ids collide with the table's folded_through
     watermark and every colliding batch would be dropped as if it were
     a crash replay — and with availableNow it would also re-read files
-    the table already counted, double-counting the rest. A table with
-    no binding yet (pre-built via write_index, then handed to a
-    stream) is ADOPTED: the first stream to touch it writes the
-    binding."""
+    the table already counted, double-counting the rest.
+
+    Returns ``"bound"`` when the table's binding matches this stream's
+    checkpoint (folded ids below the watermark ARE genuine replays) or
+    ``"adopting"`` when the table has no binding yet (pre-built via
+    write_index, or a pre-binding-era table). An adopting stream has
+    NOT proven that low batch ids are replays, so the caller must not
+    assert allow_replayed_ids for it — a colliding id raises instead
+    of silently no-opping — and must write the binding only AFTER a
+    successful batch (binding an unverified checkpoint first would
+    convert the refusal into a silent drop on the operator's retry)."""
     marker = f"{index_path}/{STREAM_BINDING}"
     if not _hadoop_exists(spark, marker):
-        _bind_checkpoint(spark, index_path, checkpoint_dir)
-        return
+        return "adopting"
     bound = _read_small_file(spark, marker).decode("utf-8")
     current = _canon_ckpt(checkpoint_dir)
     if bound != current:
@@ -92,6 +98,7 @@ def _check_checkpoint_binding(spark, index_path: str, checkpoint_dir: str) -> No
             "rebuild the index at a fresh path (delete the table AND "
             f"its {STREAM_BINDING} marker to deliberately rebind)."
         )
+    return "bound"
 
 
 def start_file_index_stream(
@@ -196,22 +203,44 @@ def start_file_index_stream(
         #   double-count path (docstring above).
         if additive and not legacy_additive_merge:
             if not index_exists(spark, index_path):
+                # Binding-vs-build ordering closes the crash window
+                # between them: on the versioned layout the binding is
+                # written FIRST — a crash mid-build leaves binding +
+                # uncommitted carcass, and the replay (index_exists
+                # False) simply rebuilds; a crash after the commit but
+                # before the checkpoint commit replays as a BOUND
+                # watermark no-op. On the opt-out in-place layout the
+                # full build's static overwrite would wipe a
+                # pre-written marker, so it binds after — leaving a
+                # narrow build-to-bind window where a replay is
+                # REFUSED loudly (adoption collision) instead of
+                # recovered; that residue is part of what the
+                # versioned default buys.
+                if versioned:
+                    _bind_checkpoint(spark, index_path, checkpoint_dir)
                 write_index(
                     build_index(batch_df),
                     index_path,
                     versioned=versioned,
                     folded_through=batch_id,
                 )
-                _bind_checkpoint(spark, index_path, checkpoint_dir)
+                if not versioned:
+                    _bind_checkpoint(spark, index_path, checkpoint_dir)
             else:
-                _check_checkpoint_binding(spark, index_path, checkpoint_dir)
+                binding = _check_checkpoint_binding(spark, index_path, checkpoint_dir)
+                # Only a MATCHED binding proves folded ids are crash
+                # replays; an adopting stream (unbound table) gets the
+                # raise-on-collision default, and earns its binding
+                # only after a batch actually lands.
                 write_additive_delta(
                     spark,
                     build_index(batch_df),
                     index_path,
                     batch_id,
-                    allow_replayed_ids=True,
+                    allow_replayed_ids=(binding == "bound"),
                 )
+                if binding != "bound":
+                    _bind_checkpoint(spark, index_path, checkpoint_dir)
                 if should_compact(
                     spark,
                     index_path,

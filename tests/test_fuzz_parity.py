@@ -191,8 +191,11 @@ def _run_twins(spark, sf_dir: str, names: list[str], tables: list[str]) -> None:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from tools.extra_queries import extra_oracle_sql, extra_queries
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs.update(extra_queries())
+    oracles.update(extra_oracle_sql())
     con = duckdb.connect()
     for t in tables:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -264,6 +267,11 @@ FUZZ_EMBED_QUERIES = [
     "ann_topk_bruteforce",
     "dedup_embedding_pairs",
     "embedding_array_features",
+    # r7: the banded multi-probe twins — in-plan and persisted-index —
+    # on sign-boundary-hostile vectors (a fold-order divergence between
+    # the engines' dot products flips band buckets and shows up here)
+    "ann_topk_lsh_banded",
+    "ann_topk_lsh_indexed",
 ]
 
 

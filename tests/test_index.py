@@ -1127,3 +1127,53 @@ def test_index_exists_ignores_uncommitted_carcass(spark, tmp_path):
     versioned = str(tmp_path / "versioned")
     ix.write_index(mk("a.txt", "x"), versioned, versioned=True)
     assert ix.index_exists(spark, versioned) is True
+
+
+def test_cli_info_compact_gc(spark, tmp_path, capsys):
+    """The r7 maintenance trio: info reports layout/watermark/tail,
+    compact honors the size policy gate, gc reclaims folded deltas on
+    the versioned layout."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("apple banana " * 200)
+    idx = str(tmp_path / "idx")
+    assert main(["build", str(corpus), idx, "--versioned"], spark=spark) == 0
+    mk = lambda doc, text: ix.build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    ix.write_additive_delta(spark, mk("b.txt", "cherry"), idx, 1)
+    capsys.readouterr()
+
+    assert main(["info", idx], spark=spark) == 0
+    out = dict(
+        line.split("\t", 1) for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert out["layout"].startswith("versioned") and out["folded_through"] == "-1"
+    assert out["pending_batches"] == "[1]"
+    assert int(out["tail_bytes"]) > 0
+
+    # size-gated compact: tiny tail under a huge ratio -> refused
+    assert main(["compact", idx, "--if-tail-ratio", "0.99"], spark=spark) == 0
+    assert capsys.readouterr().out.startswith("not compacting")
+    assert ix.pending_additive_batches(spark, idx) == [1]
+
+    # unconditional compact folds, gc reclaims the superseded partition
+    assert main(["compact", idx], spark=spark) == 0
+    assert "compacted 1 pending" in capsys.readouterr().out
+    assert ix.pending_additive_batches(spark, idx) == []
+    assert main(["gc", idx, "--keep", "1"], spark=spark) == 0
+    capsys.readouterr()
+    import os as _os
+
+    add_dir = _os.path.join(idx, "_additive")
+    assert not _os.path.exists(add_dir) or not [
+        d for d in _os.listdir(add_dir) if d.startswith("abatch=")
+    ]
+    # the logical table survived the whole lifecycle
+    rows = {(r["word"], r["document"]) for r in ix.read_index(spark, idx).collect()}
+    assert ("cherry", "b.txt") in rows and ("apple", "a.txt") in rows
+
+    assert main(["info", str(tmp_path / "nope")], spark=spark) == 2

@@ -1007,3 +1007,50 @@ def test_additive_stream_size_based_compaction(spark, tmp_path):
     assert sorted(map(tuple, read_index(spark, index_path).collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_unbound_table_with_passed_watermark_refuses_fresh_ids(spark, tmp_path):
+    """Adoption hardening: a table with NO checkpoint binding (pre-r7,
+    or binding lost) whose folded_through watermark has passed the
+    incoming ids must REFUSE the colliding batch — an adopting stream
+    has not proven the id is a replay, so it must not get the silent
+    no-op. (A matched binding is what buys allow_replayed_ids.)"""
+    import pyspark.errors
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    _write(str(watch / "a.txt"), "alpha beta")
+    index_path = str(tmp_path / "index")
+
+    # pre-built, UNBOUND table whose watermark is already past id 0
+    ix.write_index(
+        build_index(
+            spark.createDataFrame(
+                [("old.txt", "old words")], "document string, text string"
+            )
+        ),
+        index_path,
+        versioned=True,
+        folded_through=5,
+    )
+    before = sorted(map(tuple, ix.read_index(spark, index_path).collect()))
+
+    q = start_file_index_stream(
+        spark,
+        str(watch),
+        index_path,
+        str(tmp_path / "fresh_ckpt"),
+        additive=True,
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="folded_through watermark",
+    ):
+        q.awaitTermination(180)
+    # refused loudly; nothing dropped, nothing applied, still unbound
+    assert sorted(map(tuple, ix.read_index(spark, index_path).collect())) == before
+    assert not os.path.exists(os.path.join(index_path, "_stream_checkpoint"))
