@@ -862,7 +862,8 @@ def test_index_lifecycle_random_walk_matches_model(spark, tmp_path, seed, versio
     check("init")
     for step in range(14):
         op = rng.choice(
-            ["rebuild", "upsert_replace", "upsert_additive", "delta", "compact", "gc"]
+            ["rebuild", "upsert_replace", "upsert_additive", "delta", "compact", "gc",
+             "rebuild_docmap"]
         )
         if op == "rebuild":
             rows = rand_corpus(rng.randrange(1, 4))
@@ -937,6 +938,11 @@ def test_index_lifecycle_random_walk_matches_model(spark, tmp_path, seed, versio
             ix.compact_index(spark, path)
         elif op == "gc":
             ix.gc_index_versions(spark, path)
+        elif op == "rebuild_docmap":
+            # maintenance no-op on the logical table at any point in
+            # the lifecycle (r7): the sidecar rebuild must never change
+            # what readers see
+            ix.rebuild_docmap(spark, path)
         check(f"{step}:{op}")
 
     # final sanity: lookups agree with the model for a sampled word
