@@ -965,6 +965,7 @@ def build_lsh_index(
     path: str,
     planes_per_band: int = 6,
     bands: int = 6,
+    quantize: bool = False,
 ) -> None:
     """Persist a banded-LSH retrieval index so the corpus-side sketch
     amortizes across query batches (r6 verdict task 4 — the IVF
@@ -990,7 +991,18 @@ def build_lsh_index(
       surviving (query, candidate) pairs fetch vectors. Each band has
       exactly n rows (zero skew by construction), so one task per band
       writes one bucket-sorted file — parquet min/max stats then prune
-      row groups under a bucket predicate."""
+      row groups under a bucket predicate.
+
+    ``quantize=True``: the vectors table stores int8 rows
+    ``(vec_id, q_scale, qvec)`` — the same composition as
+    ``build_ivf_index(quantize=True)``: 3.5× narrower re-rank fetches,
+    scored with the rescaled integer dot product. The SKETCH is still
+    computed from raw floats (bucket geometry stays
+    quantization-free), so candidates are identical to the float
+    layout; only re-rank scores carry the ~1e-2 int8 error. Zero
+    vectors are dropped from the quantized vectors table (the float
+    layout keeps them but their NULL cosine never ranks — answers
+    agree)."""
     spark = embeddings.sparkSession
     base = embeddings.select("vec_id", "embedding")
     n = base.count()
@@ -1004,7 +1016,8 @@ def build_lsh_index(
         .write.mode("overwrite")
         .parquet(f"{path}/meta")
     )
-    base.write.mode("overwrite").parquet(f"{path}/vectors")
+    vectors = quantize_embeddings(base) if quantize else base
+    vectors.write.mode("overwrite").parquet(f"{path}/vectors")
     sk = _sign_sketch_bands(base, "embedding", planes_per_band, bands).select(
         "vec_id", "band", "band_bucket"
     )
@@ -1106,6 +1119,29 @@ def lsh_banded_topk_indexed(
         .distinct()
     )
     vectors = spark.read.parquet(f"{path}/vectors")
+    if "qvec" in vectors.columns:
+        # int8 vectors layout (build_lsh_index(quantize=True)): same
+        # candidates (buckets were sketched from raw floats at build),
+        # re-rank with ann_topk_quantized's rescaled integer dot
+        qq = (
+            quantize_embeddings(queries, vec_col="q_embedding", id_col="query_id")
+            .withColumnRenamed("q_scale", "qq_scale")
+            .withColumnRenamed("qvec", "qqvec")
+        )
+        scored = (
+            cands.join(F.broadcast(qq), "query_id")
+            .join(vectors, "vec_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    _int_dot(F.col("qvec"), F.col("qqvec"))
+                    * F.col("q_scale")
+                    * F.col("qq_scale")
+                ).alias("score"),
+            )
+        )
+        return _rank_topk(scored, k)
     scored = (
         cands.join(F.broadcast(queries.select("query_id", "q_embedding")), "query_id")
         .join(vectors, "vec_id")

@@ -868,3 +868,31 @@ def test_explicit_banding_is_never_silently_escalated(spark):
         )
         sim.pairwise_near_dup(small, 0.9, planes_per_band=4)
     assert not [w for w in caught if "escalated" in str(w.message)]
+
+
+def test_lsh_index_quantized_vectors(spark, embeddings, tmp_path):
+    """build_lsh_index(quantize=True): identical CANDIDATES to the
+    float layout (buckets sketched from raw floats either way), int8
+    storage for the re-rank fetch, scores within the int8 error
+    bound."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_banded_topk_indexed,
+    )
+
+    fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+    build_lsh_index(embeddings, fpath)
+    build_lsh_index(embeddings, qpath, quantize=True)
+    q = queries_from_ids(embeddings, 8)
+
+    vec = spark.read.parquet(f"{qpath}/vectors")
+    assert "qvec" in vec.columns and "embedding" not in vec.columns
+
+    f = {(r["query_id"], r["neighbor_id"]): r["score"]
+         for r in lsh_banded_topk_indexed(spark, fpath, q, k=5).collect()}
+    qz = {(r["query_id"], r["neighbor_id"]): r["score"]
+          for r in lsh_banded_topk_indexed(spark, qpath, q, k=5).collect()}
+    overlap = len(set(f) & set(qz)) / len(f)
+    assert overlap >= 0.8, overlap
+    for key in set(f) & set(qz):
+        assert abs(f[key] - qz[key]) < 0.05, (key, f[key], qz[key])
