@@ -66,6 +66,23 @@ def _build_parser() -> argparse.ArgumentParser:
     w.add_argument("index_path")
     w.add_argument("checkpoint_dir")
     w.add_argument("--max-files-per-trigger", type=int, default=None)
+    w.add_argument(
+        "--additive",
+        action="store_true",
+        help="exactly-once additive deltas instead of replace-per-document",
+    )
+    w.add_argument(
+        "--compact-tail-ratio",
+        type=float,
+        default=None,
+        metavar="R",
+        help="(additive) fold the delta tail in-stream at tail >= R x base bytes",
+    )
+    w.add_argument(
+        "--in-place",
+        action="store_true",
+        help="opt OUT of the crash-atomic versioned table layout",
+    )
 
     u = sub.add_parser(
         "web", help="serve the upload+query UI (reference main/app.py twin)"
@@ -183,8 +200,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.watch_dir,
                 args.index_path,
                 args.checkpoint_dir,
+                additive=args.additive,
                 available_now=False,
                 max_files_per_trigger=args.max_files_per_trigger,
+                compact_tail_ratio=args.compact_tail_ratio,
+                versioned=not args.in_place,
             )
             print(f"watching {args.watch_dir} (ctrl-c to stop)")
             try:
