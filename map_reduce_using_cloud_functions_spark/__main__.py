@@ -76,7 +76,13 @@ def _build_parser() -> argparse.ArgumentParser:
         type=float,
         default=None,
         metavar="R",
-        help="(additive) fold the delta tail in-stream at tail >= R x base bytes",
+        help="(additive) fold the delta tail in-stream at tail >= R x base "
+        "bytes (default: auto - 1.0 on versioned tables, off on in-place)",
+    )
+    w.add_argument(
+        "--no-auto-compact",
+        action="store_true",
+        help="disable the default in-stream auto-compaction entirely",
     )
     w.add_argument(
         "--in-place",
@@ -195,6 +201,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "watch":
             from .streaming.file_index import start_file_index_stream
 
+            if args.no_auto_compact:
+                ratio = None
+            elif args.compact_tail_ratio is not None:
+                ratio = args.compact_tail_ratio
+            else:
+                ratio = "auto"
             q = start_file_index_stream(
                 spark,
                 args.watch_dir,
@@ -203,7 +215,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 additive=args.additive,
                 available_now=False,
                 max_files_per_trigger=args.max_files_per_trigger,
-                compact_tail_ratio=args.compact_tail_ratio,
+                compact_tail_ratio=ratio,
                 versioned=not args.in_place,
             )
             print(f"watching {args.watch_dir} (ctrl-c to stop)")

@@ -41,6 +41,7 @@ from ..operators.index import (
     build_index,
     compact_index,
     index_exists,
+    index_version,
     should_compact,
     upsert_index,
     write_additive_delta,
@@ -111,7 +112,7 @@ def start_file_index_stream(
     max_files_per_trigger: int | None = None,
     legacy_additive_merge: bool = False,
     compact_every: int | None = None,
-    compact_tail_ratio: float | None = None,
+    compact_tail_ratio: float | None | str = "auto",
     versioned: bool = True,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for new text files; maintain the index table
@@ -156,21 +157,32 @@ def start_file_index_stream(
     the one to use on long-lived streams: each fold is a full base
     rewrite, so a count trigger costs O(base) per K batches forever,
     while the ratio trigger amortizes to constant work per ingested
-    byte (``should_compact``). Off (None) by default. On the default
-    versioned layout compaction is crash-atomic — turn either on
-    freely; on an opt-out in-place table a crash mid-compact can lose
-    the table (``compact_index``'s exact window list), so compact
-    out-of-band with the stream paused instead."""
+    byte (``should_compact``).
 
-    if (compact_every is not None or compact_tail_ratio is not None) and (
-        not additive or legacy_additive_merge
-    ):
+    ``compact_tail_ratio="auto"`` (the default) resolves to **1.0 on
+    the versioned layout** — fold whenever the delta tail reaches the
+    base's size — and **off on the in-place opt-out**: versioned folds
+    are crash-atomic at every kill point, so bounding the tail by
+    default costs nothing in safety and keeps every read's delta fold
+    bounded (an unbounded tail makes each ``read_index`` sum wider
+    forever — the r6 pattern of a safe mechanism left opt-in);
+    in-place folds carry the documented crash windows, so they stay
+    opt-in — compact out-of-band with the stream paused, or pass an
+    explicit ratio to accept the risk. Pass ``None`` to disable
+    auto-compaction entirely."""
+
+    explicit_compaction = compact_every is not None or (
+        compact_tail_ratio is not None and compact_tail_ratio != "auto"
+    )
+    if explicit_compaction and (not additive or legacy_additive_merge):
         raise ValueError(
             "compact_every/compact_tail_ratio apply only to the default "
             "additive path (additive=True, legacy_additive_merge=False) — "
             "the replace path has no delta tail and the legacy merge "
             "folds eagerly"
         )
+    if compact_tail_ratio == "auto" and (not additive or legacy_additive_merge):
+        compact_tail_ratio = None  # no delta tail on those paths
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -241,11 +253,22 @@ def start_file_index_stream(
                 )
                 if binding != "bound":
                     _bind_checkpoint(spark, index_path, checkpoint_dir)
+                ratio = compact_tail_ratio
+                if ratio == "auto":
+                    # resolve against the table's ACTUAL layout, not the
+                    # versioned flag — that flag only shapes first
+                    # builds, and auto-compaction must never put an
+                    # in-place table's crash windows in the hot path
+                    ratio = (
+                        1.0
+                        if index_version(spark, index_path) is not None
+                        else None
+                    )
                 if should_compact(
                     spark,
                     index_path,
                     max_pending=compact_every,
-                    max_tail_ratio=compact_tail_ratio,
+                    max_tail_ratio=ratio,
                 ):
                     compact_index(spark, index_path)
             return

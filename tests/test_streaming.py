@@ -1054,3 +1054,56 @@ def test_unbound_table_with_passed_watermark_refuses_fresh_ids(spark, tmp_path):
     # refused loudly; nothing dropped, nothing applied, still unbound
     assert sorted(map(tuple, ix.read_index(spark, index_path).collect())) == before
     assert not os.path.exists(os.path.join(index_path, "_stream_checkpoint"))
+
+
+def test_auto_compaction_default_follows_table_layout(spark, tmp_path):
+    """compact_tail_ratio='auto' (the default): on the VERSIONED layout
+    (where folds are crash-atomic) the tail is auto-bounded at
+    tail>=base without any opt-in; on the in-place opt-out (where
+    in-stream folds carry crash windows) nothing auto-compacts — the
+    safety default keys off the table's ACTUAL layout."""
+    from map_reduce_using_cloud_functions_spark.operators.index import (
+        index_version,
+        pending_additive_batches,
+    )
+
+    for versioned, expect_bounded in ((True, True), (False, False)):
+        watch = tmp_path / f"watch_{versioned}"
+        watch.mkdir()
+        index_path = str(tmp_path / f"index_{versioned}")
+        for i in range(5):
+            _write(str(watch / f"d{i}.txt"), f"alpha w{i} w{i} shared " * 20)
+        start_file_index_stream(
+            spark,
+            str(watch),
+            index_path,
+            str(tmp_path / f"ckpt_{versioned}"),
+            additive=True,
+            max_files_per_trigger=1,
+            versioned=versioned,
+        ).awaitTermination(300)
+        pending = pending_additive_batches(spark, index_path)
+        if expect_bounded:
+            from map_reduce_using_cloud_functions_spark.operators.index import (
+                index_version as iv,
+                should_compact,
+            )
+
+            assert index_version(spark, index_path) is not None
+            # the amortizing invariant at rest: at least one fold
+            # happened (not all 4 deltas pending) and the residual
+            # tail sits BELOW the ratio (tail < base) — the policy
+            # folds exactly when the tail catches the base, never
+            # leaves it unbounded
+            assert len(pending) < 4, pending
+            assert should_compact(spark, index_path, max_tail_ratio=1.0) is False
+        else:
+            assert index_version(spark, index_path) is None
+            # in-place: all 4 delta batches still pending — nothing
+            # auto-compacted a layout whose folds aren't crash-atomic
+            assert pending == [1, 2, 3, 4], pending
+        # either way the logical table equals the batch build
+        batch = build_index(read_text_corpus(spark, str(watch)))
+        assert sorted(map(tuple, read_index(spark, index_path).collect())) == sorted(
+            map(tuple, batch.collect())
+        )
