@@ -87,7 +87,11 @@ class InvertedIndexEngine:
         """One-shot index build from a directory/glob of text files.
         ``versioned=True`` opts the table into crash-atomic rebuilds
         (``write_index``'s versioned commit protocol); an already-
-        versioned table continues the protocol either way."""
+        versioned table continues the protocol either way. Unlike the
+        streaming writer (versioned by default since r7 — nobody can
+        re-run a dead stream's history), a one-shot build keeps the
+        reference-parity in-place default: its recovery story is
+        simply re-running the build."""
         corpus = self._apply_parallelism(read_text_corpus(self.spark, corpus_path))
         with self._shuffle_partitions(self.spark, self.reducers):
             write_index(build_index(corpus), self.index_path, versioned=versioned)

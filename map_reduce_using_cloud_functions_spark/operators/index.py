@@ -318,7 +318,8 @@ def upsert_index(
     touched partitions' worth of data) both breaks that read-your-writes
     hazard and is the local equivalent of staging delta partitions
     before a commit. First build (no index yet) degrades to
-    ``write_index``.
+    ``write_index`` — that is the only place ``versioned`` applies;
+    an existing table keeps its layout.
 
     Consistency contract: per-partition replacement commits through
     Spark's Hadoop output committer — a crash mid-commit can leave a

@@ -20,9 +20,11 @@ reference-parity additive merge (double-counts on replay) stays behind
 
 Since r7 the stream defaults to the VERSIONED table layout — the only
 layout whose full rewrites and compactions are crash-atomic at every
-kill point (``compact_index``'s window list) — and binds its checkpoint
+kill point (``compact_index``'s window list) — binds its checkpoint
 identity to the table so a fresh checkpoint pointed at an old table is
-refused instead of silently dropping colliding batch ids.
+refused instead of silently dropping colliding batch ids, and
+auto-compacts the additive delta tail on that layout (size-ratio
+policy; the in-place opt-out never auto-compacts).
 """
 
 from __future__ import annotations

@@ -1183,3 +1183,32 @@ def test_cli_info_compact_gc(spark, tmp_path, capsys):
     assert ("cherry", "b.txt") in rows and ("apple", "a.txt") in rows
 
     assert main(["info", str(tmp_path / "nope")], spark=spark) == 2
+
+
+def test_inplace_compaction_preserves_stream_binding(spark, tmp_path):
+    """The in-place fold's static overwrite wipes every top-level file;
+    compact_index must restore the stream-checkpoint binding so an
+    explicit-ratio in-place stream keeps its replay/fresh-checkpoint
+    discrimination across folds."""
+    import os as _os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.streaming.file_index import (
+        _bind_checkpoint,
+    )
+
+    path = str(tmp_path / "idx")
+    mk = lambda doc, text: build_index(
+        spark.createDataFrame([(doc, text)], "document string, text string")
+    )
+    ix.write_index(mk("a.txt", "one two"), path)  # in-place
+    _bind_checkpoint(spark, path, str(tmp_path / "ckpt"))
+    marker = _os.path.join(path, ix.STREAM_BINDING)
+    before = open(marker, "rb").read()
+
+    ix.write_additive_delta(spark, mk("b.txt", "three"), path, 1)
+    ix.compact_index(spark, path)
+
+    assert ix.index_version(spark, path) is None  # still in-place
+    assert _os.path.exists(marker), "in-place fold lost the binding"
+    assert open(marker, "rb").read() == before
