@@ -779,6 +779,15 @@ def write_additive_delta(
       DROPPED. The pre-r7 code warned here; a warning on a headless
       production stream is unread, so the default is now an error
       (r6 verdict task 2 / ADVICE)."""
+    if not index_exists(spark, path):
+        # enforce the documented precondition: a delta with no
+        # committed base would create an unreadable delta-only table
+        # (read_index's base scan has nothing to fold into)
+        raise ValueError(
+            f"no committed index at {path} — the first batch must "
+            "full-build via write_index (the streaming writer does "
+            "this automatically)"
+        )
     base_dir, folded, _ver = _resolve_version(spark, path)
     if batch_id <= folded:
         if allow_replayed_ids:

@@ -1212,3 +1212,18 @@ def test_inplace_compaction_preserves_stream_binding(spark, tmp_path):
     assert ix.index_version(spark, path) is None  # still in-place
     assert _os.path.exists(marker), "in-place fold lost the binding"
     assert open(marker, "rb").read() == before
+
+
+def test_additive_delta_requires_committed_base(spark, tmp_path):
+    """write_additive_delta enforces its precondition: a delta against
+    a missing/uncommitted base is refused (it would create an
+    unreadable delta-only table), with the remedy in the message."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    delta = build_index(
+        spark.createDataFrame([("a.txt", "word")], "document string, text string")
+    )
+    with pytest.raises(ValueError, match="no committed index"):
+        ix.write_additive_delta(spark, delta, str(tmp_path / "nope"), 0)
