@@ -1107,7 +1107,35 @@ def lsh_banded_topk_indexed(
         )
     else:
         queries_b = queries_b.select("query_id", "band", "band_bucket")
+    # Materialize the tiny probe relation (|Q|·bands·masks rows) ONCE:
+    # both the pruning collect below and the candidate join reuse it,
+    # instead of re-planning and re-executing the 36-plane sketch
+    # expression twice (the sketch's SQL-text plan build is the
+    # expensive part at small |Q| — measured ~1 s per extra build).
+    queries_b = queries_b.localCheckpoint()
     buckets = spark.read.parquet(f"{path}/buckets")
+    # The IVF treatment applied to the bucket scan: collect the probed
+    # (band, bucket) set (bounded by |Q|·bands·masks — queries are
+    # small by contract) and plant it as literal predicates, so the
+    # band partition dirs prune to probed bands and the bucket-sorted
+    # files prune row groups via parquet min/max stats — the scan
+    # reads ~|probed buckets| row groups, not the whole bucket
+    # relation. Past the literal cap (plan-size protection for huge
+    # query batches) the plain equi-join still answers correctly —
+    # one full scan of the narrow int relation.
+    probed = queries_b.select("band", "band_bucket").distinct().collect()
+    if len(probed) <= 10_000:
+        by_band: dict[int, list[int]] = {}
+        for row in probed:
+            by_band.setdefault(row["band"], []).append(int(row["band_bucket"]))
+        cond = None
+        for b in sorted(by_band):
+            c = (F.col("band") == b) & F.col("band_bucket").isin(
+                sorted(by_band[b])
+            )
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            buckets = buckets.where(cond)
     cands = (
         buckets.join(F.broadcast(queries_b), ["band", "band_bucket"])
         .where(F.col("vec_id") != F.col("query_id"))

@@ -896,3 +896,35 @@ def test_lsh_index_quantized_vectors(spark, embeddings, tmp_path):
     assert overlap >= 0.8, overlap
     for key in set(f) & set(qz):
         assert abs(f[key] - qz[key]) < 0.05, (key, f[key], qz[key])
+
+
+def test_lsh_index_probe_prunes_bucket_scan(spark, embeddings, tmp_path):
+    """The indexed probe's bucket scan must carry the probed set as
+    literal predicates (the IVF pruning treatment): band lands in the
+    FileScan's PartitionFilters, band_bucket in the data filters (row-
+    group pruning via the bucket-sorted files' min/max stats) — and the
+    pruned path answers identically to the in-plan twin."""
+    import re
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_banded_topk,
+        lsh_banded_topk_indexed,
+    )
+
+    path = str(tmp_path / "lsh")
+    build_lsh_index(embeddings, path)
+    q = queries_from_ids(embeddings, 4)
+
+    df = lsh_banded_topk_indexed(spark, path, q, k=5)
+    # capture the plan BEFORE executing (post-AQE trees hide FileScan)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*band[^\]]*)\]", plan)
+    assert m, f"no band partition filter on the bucket scan: {plan[:600]}"
+    assert "band_bucket" in plan and (
+        "PushedFilters" in plan or "band_bucket IN" in plan or "band_bucket#" in plan
+    )
+
+    indexed = sorted(map(tuple, df.collect()))
+    direct = sorted(map(tuple, lsh_banded_topk(embeddings, q, k=5).collect()))
+    assert indexed == direct and len(indexed) > 0
