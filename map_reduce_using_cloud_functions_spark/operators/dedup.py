@@ -758,3 +758,186 @@ def dedup_against_reference(
     )
     recovered = documents.join(maybe_ids, "doc_id", "left_semi")
     return definite_new.unionByName(recovered)
+
+
+# ------------------------------------------- cross-release NEAR-dup ledger
+#
+# ``dedup_against_reference`` covers exact cross-release dedup; this is
+# its near-dup sibling: a persisted MinHash signature + band-bucket
+# ledger of everything released so far, probed by each new release so
+# near-duplicates of PRIOR text are caught without re-sketching (or even
+# re-reading) any previous release. At 100 TB the standing corpus is the
+# expensive side — the ledger stores k=16 longs per doc (sigs/) plus a
+# narrow (doc_id, band_hash) relation (bands/), ~200 bytes/doc total,
+# and a probe costs O(new batch) sketch + an equi-join on band buckets.
+#
+# MinHash parameters are pure functions of the portable hash — NOT of
+# any corpus sample — so ledger probes are bit-identical in sketch space
+# to a from-scratch joint sketch (the ``dedup_ledger_pairs`` oracle row
+# pins batch-vs-ledger pairs against exactly the joint-corpus SQL twin).
+# No drift, no rebuild-for-quality, ever.
+
+
+def _ledger_meta_path(path: str) -> str:
+    return f"{path}/meta"
+
+
+def build_minhash_ledger(
+    documents: DataFrame,
+    path: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+    release: int = 0,
+) -> None:
+    """Create the ledger at ``path`` from the first release.
+
+    Layout:
+
+    - ``meta/`` — one row (k, bands, shingle_n): the sketch parameters
+      every append and probe must replay (they ARE the ledger identity —
+      mixing parameters would silently compare incomparable sketches,
+      so both re-read them from here rather than taking arguments);
+    - ``sigs/`` — (doc_id, sig: array<k longs>) partitioned by
+      ``release``, stored ONCE per doc (the verify step fetches
+      signatures only for colliding candidates — bands never carry
+      them, the same narrow-relation rule as ``build_lsh_index``);
+    - ``bands/`` — (doc_id, band_hash) partitioned by
+      (``release``, ``band``): band-level partition pruning for probes
+      that only care about some bands, release-level pruning for
+      audits, and — the reason release leads — each release writes
+      ONLY its own partition directories.
+    """
+    if k % bands:
+        raise ValueError(
+            f"k={k} must divide evenly into bands={bands} (same contract "
+            "as _band_hashes: trailing positions would never reach a band)"
+        )
+    spark = documents.sparkSession
+    (
+        spark.createDataFrame(
+            [(k, bands, shingle_n)], "k int, bands int, shingle_n int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_ledger_meta_path(path))
+    )
+    append_minhash_ledger(documents, path, release=release)
+
+
+def load_ledger_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema("k int, bands int, shingle_n int")
+        .parquet(_ledger_meta_path(path))
+        .first()
+    )
+    return row.asDict()
+
+
+def append_minhash_ledger(documents: DataFrame, path: str, release: int) -> None:
+    """Record a release in the ledger: sketch it with the stored
+    parameters and write its ``sigs/`` and ``bands/`` partitions.
+
+    Replay-idempotent by layout: the write uses dynamic partition
+    overwrite, so re-running a release (crash recovery, a corrected
+    re-ship) REPLACES that release's partitions instead of
+    double-inserting — the property parquet ``append`` mode cannot give
+    (and the reason this ledger doesn't need the word index's batch-id
+    watermark protocol: the release id in the path IS the watermark).
+    Distinct releases are the caller's contract, exactly like
+    ``dedup_against_reference``'s append-per-release hash ledger."""
+    spark = documents.sparkSession
+    meta = load_ledger_meta(spark, path)
+    sigs = minhash_signatures_wide(
+        documents, k=meta["k"], shingle_n=meta["shingle_n"]
+    ).withColumn("release", F.lit(release))
+    (
+        sigs.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(f"{path}/sigs")
+    )
+    banded = (
+        _band_hashes(
+            spark.read.parquet(f"{path}/sigs").where(F.col("release") == release),
+            bands=meta["bands"],
+            k=meta["k"],
+        )
+        .withColumn("release", F.lit(release))
+        .select("doc_id", "band_hash", "release", "band")
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("band_hash")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release", "band")
+        .parquet(f"{path}/bands")
+    )
+
+
+def ledger_near_dup_pairs(
+    spark, documents: DataFrame, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """Probe the ledger with a NEW batch: returns
+    ``(doc_id, ledger_doc, est_jaccard)`` — each batch document paired
+    with every prior-release document whose estimated Jaccard clears
+    ``threshold``.
+
+    Plan shape: sketch ONLY the batch (signatures ride through its
+    banding projection); equi-join the persisted narrow ``bands/``
+    relation on (band, band_hash); dedup candidate (doc_id, ledger_doc)
+    pairs across bands BEFORE fetching ledger signatures (each
+    candidate fetches/verifies exactly once — multi-band collisions
+    are folded on the narrow relation, not after the sig join); then
+    one equi-join against ``sigs/`` verifies with the exact
+    zip_with overlap. No previous release's text — or signature that
+    doesn't collide — is ever read; the batch side never shuffles its
+    text at all."""
+    meta = load_ledger_meta(spark, path)
+    batch = _band_hashes(
+        minhash_signatures_wide(documents, k=meta["k"], shingle_n=meta["shingle_n"]),
+        bands=meta["bands"],
+        k=meta["k"],
+        keep_sig=True,
+    ).localCheckpoint()
+    ledger_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("doc_id").alias("ledger_doc"), "band", "band_hash"
+    )
+    cands = (
+        batch.select("doc_id", "band", "band_hash")
+        .join(ledger_bands, ["band", "band_hash"])
+        .select("doc_id", "ledger_doc")
+        .distinct()
+    )
+    lsigs = spark.read.parquet(f"{path}/sigs").select(
+        F.col("doc_id").alias("ledger_doc"), F.col("sig").alias("lsig")
+    )
+    bsigs = batch.select("doc_id", "sig").distinct()
+    agree = F.size(
+        F.filter(F.zip_with("sig", "lsig", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        cands.join(bsigs, "doc_id")
+        .join(lsigs, "ledger_doc")
+        .select(
+            "doc_id",
+            "ledger_doc",
+            (agree.cast("double") / F.lit(meta["k"])).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def near_dedup_against_ledger(
+    spark, documents: DataFrame, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """Cross-release near-dedup: the rows of ``documents`` that are NOT
+    a near-duplicate of anything already in the ledger, all columns
+    intact — ``dedup_against_reference``'s contract at near-dup
+    strength. Ship the survivors, then ``append_minhash_ledger`` them
+    as the next release."""
+    matched = ledger_near_dup_pairs(spark, documents, path, threshold).select(
+        "doc_id"
+    )
+    return documents.join(matched, "doc_id", "left_anti")

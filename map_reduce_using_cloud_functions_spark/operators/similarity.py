@@ -957,6 +957,67 @@ def ivf_topk_indexed(
     return _score_probed(corpus_lists, query_lists, k)
 
 
+def append_ivf_index(embeddings: DataFrame, path: str) -> None:
+    """Add vectors to a persisted ``build_ivf_index`` WITHOUT refitting:
+    assign the new batch against the stored centroids (broadcast-sized)
+    and append its rows to the ``lists/`` partitions. This is the
+    additive-delta treatment applied to the ANN index — the same
+    asymmetry ``write_additive_delta`` exploits for the word index: at
+    100 TB the standing corpus is the expensive side, and a new release
+    should cost O(new batch), not O(corpus) re-assignment (let alone an
+    O(corpus) Lloyd refit).
+
+    Contract (FAISS ``add``-style): **centroids are frozen at build
+    time.** Appends never move them, so every query before and after an
+    append probes the same partition geometry; if the corpus
+    distribution drifts far from the build-time sample, rebuild with
+    ``train=True`` — drift shows up as skewed list sizes, observable
+    from the ``lists/`` partition file listing without scanning rows.
+    ``vec_id``s must be unique across build + appends (the same
+    contract the word index's doc_id column carries).
+
+    A ``quantize=True`` index is detected from the stored lists'
+    schema and the appended rows are quantized identically, so one
+    probe plan serves any mix of built and appended rows. Assignment
+    always uses the raw floats (same rule as build: centroid geometry
+    never inherits quantization error).
+
+    Crash safety: the append is one Spark job per table — a kill
+    before job commit leaves the index at its previous contents (the
+    committer only moves task files into place at job commit), and a
+    re-run of the same batch after a SUCCESSFUL commit double-adds
+    (parquet append is not idempotent), so drive replays off a
+    streaming checkpoint or an external ledger, exactly as the word
+    index's batch-id protocol does."""
+    spark = embeddings.sparkSession
+    try:
+        cents = load_ivf_centroids(spark, path)
+        have = bool(cents.head(1))
+    except Exception:
+        have = False
+    if not have:
+        raise ValueError(
+            f"append_ivf_index: no centroids at {path}/centroids — "
+            "build_ivf_index must run before appends (appends assign "
+            "against the stored centroids; there is nothing to assign "
+            "against)."
+        )
+    stored = spark.read.parquet(f"{path}/lists")
+    assigned = _assign_nearest_list(embeddings, cents)
+    if "qvec" in stored.columns:
+        assigned = (
+            assigned.select("vec_id", "list_id")
+            .join(quantize_embeddings(embeddings), "vec_id")
+            .select("vec_id", "q_scale", "qvec", "list_id")
+        )
+    (
+        assigned.hint("rebalance", "list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 # ------------------------------------------------- persisted banded LSH
 
 
@@ -1037,6 +1098,65 @@ def load_lsh_meta(spark, path: str) -> dict:
         .first()
     )
     return row.asDict()
+
+
+def append_lsh_index(embeddings: DataFrame, path: str) -> None:
+    """Add vectors to a persisted ``build_lsh_index`` WITHOUT
+    re-sketching the standing corpus: sketch ONLY the new batch with
+    the index's stored parameters and append its rows to ``vectors/``
+    and the band-partitioned ``buckets/``.
+
+    Unlike IVF appends, this one is EXACT by construction: the
+    hyperplanes are derived from (plane, dimension) hashes — pure
+    functions of the stored ``planes_per_band``/``bands``/``dim``, not
+    of any corpus sample — so an index built on half the corpus and
+    appended with the rest is bit-identical in sketch space to one
+    built on everything (pinned by the ``ann_topk_lsh_appended``
+    oracle row). There is no drift caveat and never a reason to
+    rebuild for quality; appends cost O(new batch) sketch + write.
+
+    The ``meta/`` corpus count is rewritten FIRST (old n + batch):
+    if the append dies between meta and data, the probe-side
+    candidate guard overestimates volume — refusing marginal probes
+    is the safe failure direction. Dimensions must match the stored
+    ``dim`` (checked); ``vec_id`` uniqueness across build + appends
+    is the caller's contract, and replaying a batch after a
+    successful commit double-inserts — drive replays off a
+    checkpoint/ledger as with ``append_ivf_index``."""
+    spark = embeddings.sparkSession
+    meta = load_lsh_meta(spark, path)
+    base = embeddings.select("vec_id", "embedding")
+    dim = _vec_dim(base, "embedding")
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"append_lsh_index: batch dimension {dim} != index "
+            f"dimension {meta['dim']} at {path} — the stored "
+            "hyperplane sketch is dimension-specific; rebuild the "
+            "index or fix the batch."
+        )
+    n_new = base.count()
+    (
+        spark.createDataFrame(
+            [(meta["planes_per_band"], meta["bands"], meta["dim"], meta["n"] + n_new)],
+            "planes_per_band int, bands int, dim int, n bigint",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    stored = spark.read.parquet(f"{path}/vectors")
+    vectors = quantize_embeddings(base) if "qvec" in stored.columns else base
+    vectors.write.mode("append").parquet(f"{path}/vectors")
+    sk = _sign_sketch_bands(
+        base, "embedding", meta["planes_per_band"], meta["bands"]
+    ).select("vec_id", "band", "band_bucket")
+    (
+        sk.repartition("band")
+        .sortWithinPartitions("band_bucket")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{path}/buckets")
+    )
 
 
 def lsh_banded_topk_indexed(

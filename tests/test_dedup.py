@@ -470,3 +470,126 @@ def test_dedup_against_reference_ledger_append_flow(spark):
     )
     kept = dedup_against_reference(r3, ledger)
     assert [r["doc_id"] for r in kept.collect()] == [22]
+
+
+def test_minhash_ledger_probe_matches_joint_sketch(spark):
+    """r7: the near-dup ledger's cross-release pairs must equal the
+    joint-corpus minhash_dedup_pairs restricted to cross-split pairs —
+    the sketch parameters are functions of the portable hash, so
+    'sketch prior releases once, probe with the batch' is exactly the
+    joint sketch, never an approximation of it."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        build_minhash_ledger,
+        ledger_near_dup_pairs,
+        minhash_dedup_pairs,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prior = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = "file:///tmp/mhled_joint/led"
+    import shutil
+
+    shutil.rmtree("/tmp/mhled_joint", ignore_errors=True)
+    build_minhash_ledger(prior, path)
+    got = sorted(
+        (r["doc_id"], r["ledger_doc"], round(r["est_jaccard"], 9))
+        for r in ledger_near_dup_pairs(spark, batch, path, threshold=0.25).collect()
+    )
+    joint = minhash_dedup_pairs(docs, threshold=0.25).collect()
+    expected = sorted(
+        (
+            (r["doc_a"], r["doc_b"])
+            if r["doc_a"] % 2 == 1
+            else (r["doc_b"], r["doc_a"])
+        )
+        + (round(r["est_jaccard"], 9),)
+        for r in joint
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_minhash_ledger_append_replay_idempotent(spark, tmp_path):
+    """Re-shipping a release must REPLACE its partitions, not
+    double-insert (dynamic partition overwrite is the ledger's
+    replay-idempotence), and a multi-release ledger catches near-dups
+    of every release it holds."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        append_minhash_ledger,
+        build_minhash_ledger,
+        ledger_near_dup_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    r0 = spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely here now")],
+        "doc_id bigint, text string",
+    )
+    r1 = spark.createDataFrame(
+        [(10, base + " eleven")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "led")
+    build_minhash_ledger(r0, path)
+    append_minhash_ledger(r1, path, release=1)
+    n_sigs = spark.read.parquet(f"{path}/sigs").count()
+    n_bands = spark.read.parquet(f"{path}/bands").count()
+    # replay the same release: counts must not change
+    append_minhash_ledger(r1, path, release=1)
+    assert spark.read.parquet(f"{path}/sigs").count() == n_sigs == 3
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands == 12
+
+    probe = spark.createDataFrame(
+        [(100, base + " twelve")], "doc_id bigint, text string"
+    )
+    hits = ledger_near_dup_pairs(spark, probe, path, threshold=0.3).collect()
+    assert {r["ledger_doc"] for r in hits} == {1, 10}, (
+        "a multi-release ledger must surface near-dups from every release"
+    )
+
+
+def test_near_dedup_against_ledger_survivors(spark, tmp_path):
+    """Survivor contract (dedup_against_reference at near-dup
+    strength): matched batch docs drop, the rest pass with ALL columns
+    intact; sub-shingle docs are invisible to MinHash by design and
+    always survive."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        build_minhash_ledger,
+        near_dedup_against_ledger,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    prior = spark.createDataFrame(
+        [(1, shared + " theta", "r0")],
+        "doc_id bigint, text string, tag string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, shared + " iota", "r1"),
+            (11, "unrelated corpus content with fresh vocabulary", "r1"),
+            (12, "tiny", "r1"),
+        ],
+        "doc_id bigint, text string, tag string",
+    )
+    path = str(tmp_path / "led")
+    build_minhash_ledger(prior, path)
+    kept = near_dedup_against_ledger(spark, batch, path, threshold=0.5)
+    assert set(kept.columns) == {"doc_id", "text", "tag"}
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+
+
+def test_minhash_ledger_param_validation(spark, tmp_path):
+    """Band layouts that would silently drop signature positions are
+    refused at build time (same contract as _band_hashes)."""
+    import pytest as _pytest
+
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        build_minhash_ledger,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="divide evenly"):
+        build_minhash_ledger(docs, str(tmp_path / "led"), k=16, bands=5)

@@ -928,3 +928,128 @@ def test_lsh_index_probe_prunes_bucket_scan(spark, embeddings, tmp_path):
     indexed = sorted(map(tuple, df.collect()))
     direct = sorted(map(tuple, lsh_banded_topk(embeddings, q, k=5).collect()))
     assert indexed == direct and len(indexed) > 0
+
+
+def test_lsh_index_append_equals_full_build(spark, embeddings, tmp_path):
+    """r7: append_lsh_index is EXACT — the hyperplanes are functions of
+    the stored parameters, not of any corpus sample, so build-on-half +
+    append-the-rest must be answer-identical to build-on-everything,
+    and the meta corpus count (the probe guard's input) must track the
+    appended total."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        append_lsh_index,
+        build_lsh_index,
+        load_lsh_meta,
+        lsh_banded_topk_indexed,
+    )
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    odds = embeddings.where(F.col("vec_id") % 2 == 1)
+    build_lsh_index(evens, inc)
+    append_lsh_index(odds, inc)
+    build_lsh_index(embeddings, full)
+
+    assert load_lsh_meta(spark, inc)["n"] == embeddings.count()
+
+    q = queries_from_ids(embeddings, 8)
+    a = sorted(map(tuple, lsh_banded_topk_indexed(spark, inc, q).collect()))
+    b = sorted(map(tuple, lsh_banded_topk_indexed(spark, full, q).collect()))
+    assert a == b and len(a) > 0
+
+    # dimension mismatch is refused (the sketch is dimension-specific)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9999, [0.1, 0.2])], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="dimension"):
+        append_lsh_index(bad, inc)
+
+
+def test_lsh_index_append_preserves_quantized_layout(spark, embeddings, tmp_path):
+    """Appending to a quantize=True index must store int8 rows (one
+    probe plan serves built + appended rows) and still answer like the
+    quantized full build."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        append_lsh_index,
+        build_lsh_index,
+        lsh_banded_topk_indexed,
+    )
+
+    inc, full = str(tmp_path / "incq"), str(tmp_path / "fullq")
+    build_lsh_index(embeddings.where(F.col("vec_id") % 2 == 0), inc, quantize=True)
+    append_lsh_index(embeddings.where(F.col("vec_id") % 2 == 1), inc)
+    vectors = spark.read.parquet(f"{inc}/vectors")
+    assert "qvec" in vectors.columns and "embedding" not in vectors.columns
+
+    build_lsh_index(embeddings, full, quantize=True)
+    q = queries_from_ids(embeddings, 8)
+    a = sorted(map(tuple, lsh_banded_topk_indexed(spark, inc, q).collect()))
+    b = sorted(map(tuple, lsh_banded_topk_indexed(spark, full, q).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_index_append_frozen_centroids(spark, embeddings, tmp_path):
+    """r7: append_ivf_index adds vectors by assigning against the
+    STORED centroids (never moving them — the FAISS add contract): after
+    appending, the lists must equal the in-plan assignment of the whole
+    corpus against the build-time centroid table, every vec_id exactly
+    once, and the indexed probe still answers over built + appended
+    rows through one plan."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        _assign_nearest_list,
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+    )
+
+    path = str(tmp_path / "ivf")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    build_ivf_index(evens, path, n_centroids=8)
+    before = sorted(map(tuple, load_ivf_centroids(spark, path).collect()))
+    append_ivf_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
+    after = sorted(map(tuple, load_ivf_centroids(spark, path).collect()))
+    assert before == after, "append moved centroids — the frozen contract broke"
+
+    lists = spark.read.parquet(f"{path}/lists").select("vec_id", "list_id")
+    expected = _assign_nearest_list(embeddings, load_ivf_centroids(spark, path)).select(
+        "vec_id", "list_id"
+    )
+    assert sorted(map(tuple, lists.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    got = ivf_topk_indexed(spark, path, queries_from_ids(embeddings, 4))
+    odd_neighbors = got.where(F.col("neighbor_id") % 2 == 1).count()
+    assert got.count() > 0 and odd_neighbors > 0, "appended rows never rank"
+
+
+def test_ivf_index_append_quantized_and_unbuilt(spark, embeddings, tmp_path):
+    """Quantized lists stay quantized across appends; appending to a
+    path with no centroid table is refused with the build remedy."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    path = str(tmp_path / "ivfq")
+    build_ivf_index(
+        embeddings.where(F.col("vec_id") % 2 == 0), path, n_centroids=8, quantize=True
+    )
+    append_ivf_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert "qvec" in lists.columns and "embedding" not in lists.columns
+    assert lists.select("vec_id").distinct().count() == embeddings.count()
+
+    with _pytest.raises(Exception, match="build_ivf_index"):
+        append_ivf_index(embeddings, str(tmp_path / "nowhere"))

@@ -72,6 +72,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: persisted banded-LSH serving path — identical answers to
         # the in-plan ann_topk_lsh_banded at the index's parameters
         "ann_topk_lsh_indexed": _q_ann_topk_lsh_indexed,
+        # r7: index-maintenance appends — build on half the corpus,
+        # append the rest, probe. LSH appends are provably exact (the
+        # sketch is corpus-independent), so the full-build oracle
+        # applies untouched; IVF appends freeze build-time centroids,
+        # so the oracle seeds centroids from the BUILD half only.
+        "ann_topk_lsh_appended": _q_ann_topk_lsh_appended,
+        "ann_topk_ivf_appended": _q_ann_topk_ivf_appended,
+        # r7: cross-release near-dup ledger (dedup_against_reference's
+        # sibling at MinHash strength) — ledger holds even doc_ids,
+        # the odd half probes it; the twin is the joint-corpus sketch
+        # restricted to even×odd pairs.
+        "dedup_ledger_pairs": _q_dedup_ledger_pairs,
+        "dedup_ledger_survivors": _q_dedup_ledger_survivors,
     }
 
 
@@ -156,6 +169,73 @@ def _q_ann_topk_lsh_indexed(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_lsh_") + "/lsh"
     sim.build_lsh_index(emb, path)
     return sim.lsh_banded_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_lsh_appended(s: SparkSession, d: str) -> DataFrame:
+    """build_lsh_index on even vec_ids + append_lsh_index of the odds,
+    probed like ann_topk_lsh_banded. The hyperplanes are functions of
+    the stored parameters alone, so the appended index must be
+    answer-identical to a full build — the oracle is the unmodified
+    ann_topk_lsh_banded SQL."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_lsha_") + "/lsh"
+    sim.build_lsh_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    sim.append_lsh_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return sim.lsh_banded_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_ivf_appended(s: SparkSession, d: str) -> DataFrame:
+    """build_ivf_index on even vec_ids + append_ivf_index of the odds.
+    Centroids are frozen at build (FAISS add contract), so the oracle
+    is the ann_topk_ivf SQL with its centroid seeding restricted to
+    the even half — corpus assignment still covers everything."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_ivfa_") + "/ivf"
+    sim.build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=8)
+    sim.append_ivf_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return sim.ivf_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_dedup_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
+    """Near-dup ledger probe: ledger = even doc_ids, batch = odd.
+    Must equal the joint-corpus minhash pairs restricted to cross-split
+    pairs (the sketch is corpus-independent — probing a persisted
+    ledger IS the joint sketch, pinned here against DuckDB)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from map_reduce_using_cloud_functions_spark.operators import dedup as ddm
+
+    docs = load_table(s, d, "documents")
+    path = tempfile.mkdtemp(prefix="oracle_led_") + "/led"
+    ddm.build_minhash_ledger(docs.where(F.col("doc_id") % 2 == 0), path)
+    return ddm.ledger_near_dup_pairs(
+        s, docs.where(F.col("doc_id") % 2 == 1), path, threshold=0.25
+    )
+
+
+def _q_dedup_ledger_survivors(s: SparkSession, d: str) -> DataFrame:
+    """The survivor face of the same probe: odd docs that are NOT a
+    near-dup of any even (ledger) doc at the 0.25 threshold."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from map_reduce_using_cloud_functions_spark.operators import dedup as ddm
+
+    docs = load_table(s, d, "documents")
+    path = tempfile.mkdtemp(prefix="oracle_leds_") + "/led"
+    ddm.build_minhash_ledger(docs.where(F.col("doc_id") % 2 == 0), path)
+    return ddm.near_dedup_against_ledger(
+        s, docs.where(F.col("doc_id") % 2 == 1), path, threshold=0.25
+    ).select("doc_id")
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -421,4 +501,49 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
     sql["index_lookup_versioned"] = gate["index_lookup"]
     sql["ann_topk_ivf_indexed"] = gate["ann_topk_ivf"]
     sql["ann_topk_lsh_indexed"] = sql["ann_topk_lsh_banded"]
+    # appended LSH ≡ full build (corpus-independent sketch): unmodified twin
+    sql["ann_topk_lsh_appended"] = sql["ann_topk_lsh_banded"]
+    # appended IVF: centroids seeded from the BUILD (even) half only
+    _ivf_cents_src = "FROM embeddings WHERE (vec_id % 97) < 8"
+    assert gate["ann_topk_ivf"].count(_ivf_cents_src) == 1
+    sql["ann_topk_ivf_appended"] = gate["ann_topk_ivf"].replace(
+        _ivf_cents_src,
+        "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 8",
+    )
+    # near-dup ledger: joint-corpus sketch restricted to even(ledger) ×
+    # odd(batch) pairs — sigs over everything, candidates via banding,
+    # exact signature-overlap verify, same arithmetic as the gate row
+    _ledger_core = (
+        entrymod._MINHASH_SQL
+        + f""",
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         {entrymod._HEX64.format(col="string_agg(minhash::VARCHAR, ',' ORDER BY seed)")} AS band_hash
+  FROM sigs GROUP BY doc_id, (seed // 4)::INT
+),
+cands AS (
+  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS ledger_doc
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+verified AS (
+  SELECT c.doc_id, c.ledger_doc,
+         (sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0) AS est_jaccard
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.ledger_doc
+  JOIN sigs sb ON sb.doc_id = c.doc_id AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+"""
+    )
+    sql["dedup_ledger_pairs"] = (
+        _ledger_core
+        + "SELECT doc_id, ledger_doc, est_jaccard FROM verified WHERE est_jaccard >= 0.25"
+    )
+    sql["dedup_ledger_survivors"] = (
+        _ledger_core
+        + """SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM verified WHERE est_jaccard >= 0.25)"""
+    )
     return sql
