@@ -11,6 +11,8 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark info    INDEX_PATH
     python -m map_reduce_using_cloud_functions_spark compact INDEX_PATH [--if-tail-ratio R]
     python -m map_reduce_using_cloud_functions_spark gc      INDEX_PATH [--keep N]
+    python -m map_reduce_using_cloud_functions_spark history INDEX_PATH
+    python -m map_reduce_using_cloud_functions_spark diff    INDEX_PATH V_FROM V_TO
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -115,6 +117,17 @@ def _build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("gc", help="reclaim superseded versions + folded deltas")
     g.add_argument("index_path")
     g.add_argument("--keep", type=int, default=2, help="base versions to retain")
+
+    h = sub.add_parser("history", help="commit log of a versioned index")
+    h.add_argument("index_path")
+
+    f = sub.add_parser(
+        "diff", help="posting-level changelog between two committed versions"
+    )
+    f.add_argument("index_path")
+    f.add_argument("v_from", type=int)
+    f.add_argument("v_to", type=int)
+    f.add_argument("--top", type=int, default=50, help="rows to print")
     return p
 
 
@@ -154,7 +167,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print("no occurrences")
             for r in rows:
                 print(f"{r['document']}\t{r['count']}")
-        elif args.cmd in ("info", "compact", "gc"):
+        elif args.cmd in ("info", "compact", "gc", "history", "diff"):
             from .operators import index as ix
 
             if not ix.index_exists(spark, args.index_path):
@@ -183,9 +196,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     pending = ix.pending_additive_batches(spark, args.index_path)
                     ix.compact_index(spark, args.index_path)
                     print(f"compacted {len(pending)} pending batches into {args.index_path}")
-            else:
+            elif args.cmd == "gc":
                 ix.gc_index_versions(spark, args.index_path, keep=args.keep)
                 print(f"gc done (keep={args.keep})")
+            elif args.cmd == "history":
+                hist = ix.index_history(spark, args.index_path)
+                if not hist:
+                    print("no history (in-place layout)")
+                for h in hist:
+                    print(f"v={h['v']}\tfolded_through={h['folded_through']}")
+            else:  # diff
+                rows = (
+                    ix.index_diff(spark, args.index_path, args.v_from, args.v_to)
+                    .orderBy("word", "document")
+                    .limit(args.top)
+                    .collect()
+                )
+                for r in rows:
+                    print(
+                        f"{r['word']}\t{r['document']}\t"
+                        f"{r['count_from']}->{r['count_to']}\t{r['delta']:+d}"
+                    )
         elif args.cmd == "web":
             from .webui import IndexWebApp, serve
 

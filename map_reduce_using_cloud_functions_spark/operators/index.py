@@ -667,6 +667,71 @@ def gc_index_versions(spark, path: str, keep: int = 2) -> None:
             _hadoop_delete(spark, f"{_additive_path(path)}/abatch={b}")
 
 
+def index_history(spark, path: str) -> list[dict]:
+    """The commit log of a versioned index, oldest first:
+    ``[{"v": N, "folded_through": M}, ...]`` (``[]`` for an in-place
+    table — that layout keeps no history by construction). Each entry
+    is a snapshot ``read_index_at`` can serve until
+    ``gc_index_versions`` reclaims it (``keep`` bounds the time-travel
+    horizon — history depth is a retention POLICY, not an accident of
+    what GC hasn't gotten to)."""
+    return [_read_commit(spark, path, v) for v in _list_commits(spark, path)]
+
+
+def read_index_at(
+    spark, path: str, version: int, first_letter: str | None = None
+) -> DataFrame:
+    """Snapshot read: the index exactly as committed at ``version`` —
+    the immutable ``v=N`` base alone, NO pending-delta fold. Deltas are
+    not part of any snapshot (a snapshot must reproduce byte-identically
+    for as long as its commit exists, but the delta tail keeps moving
+    under the live table); the head read that folds them is
+    ``read_index``. Raises — naming the surviving commits — for a
+    version GC has reclaimed or that never existed, instead of silently
+    serving the wrong counts from a stale directory listing."""
+    commits = _list_commits(spark, path)
+    if version not in commits:
+        raise ValueError(
+            f"index at {path} has no committed version {version} "
+            f"(available: {commits or 'none — in-place layout?'}). "
+            "Old versions are reclaimed by gc_index_versions(keep=N); "
+            "raise `keep` to retain a longer time-travel horizon."
+        )
+    base = spark.read.parquet(_version_dir(path, version))
+    if first_letter is not None:
+        base = base.where(F.col("first") == F.lit(first_letter))
+    return base.select("word", "document", "count")
+
+
+def index_diff(spark, path: str, v_from: int, v_to: int) -> DataFrame:
+    """Changelog between two committed snapshots:
+    (word, document, count_from, count_to, delta) for every posting
+    whose count changed — inserts carry ``count_from = 0``, deletes
+    ``count_to = 0`` (upsert streams can scrub a document's postings).
+    One full-outer hash join on the posting key; both sides are bare
+    immutable-snapshot scans, so the diff of a 100 TB table is one
+    shuffle of exactly the two snapshots, never a log replay."""
+    a = read_index_at(spark, path, v_from).withColumnsRenamed(
+        {"count": "count_from"}
+    )
+    b = read_index_at(spark, path, v_to).withColumnsRenamed({"count": "count_to"})
+    return (
+        a.join(b, ["word", "document"], "full_outer")
+        .select(
+            "word",
+            "document",
+            F.coalesce(F.col("count_from"), F.lit(0).cast("bigint")).alias(
+                "count_from"
+            ),
+            F.coalesce(F.col("count_to"), F.lit(0).cast("bigint")).alias(
+                "count_to"
+            ),
+        )
+        .withColumn("delta", F.col("count_to") - F.col("count_from"))
+        .where(F.col("delta") != 0)
+    )
+
+
 def read_index(spark, path: str, first_letter: str | None = None) -> DataFrame:
     """Logical view of the persisted index: the folded base table plus
     any pending exactly-once additive deltas (``{path}/_additive``, see

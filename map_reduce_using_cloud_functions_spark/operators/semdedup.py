@@ -1,0 +1,255 @@
+"""SemDeDup — semantic deduplication by embedding clustering (X2/X3).
+
+Published method (Abbas et al., *SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication*, arXiv:2303.09540): k-means
+the corpus embeddings, compute pairwise cosine WITHIN each cluster only
+(the quadratic term is bounded per cluster, never corpus-wide), call a
+pair above ``threshold`` a semantic duplicate, and keep the member with
+the LOWEST cosine to its cluster centroid — the paper's
+keep-the-"edge"-examples rule (§3: "we keep the example with the lowest
+cosine similarity to the cluster centroid"). The reference repo's
+dedup story is exact word counts only; this is the embedding-space
+sibling of ``dedup.py``'s MinHash family for the near-dup semantics
+exact hashing can't see (paraphrases, re-encodings, templated text).
+
+Spark-first shape:
+
+- assignment = one broadcast join against the tiny centroid table +
+  partial-aggregated ``max_by`` argmax (shared objective with the IVF
+  family via the same expressions — see ``similarity._assign_nearest_list``);
+- candidate pairs = a plain hash equi-join of the assignment relation
+  with itself on ``list_id`` — Catalyst shuffles both sides once on the
+  cluster key and AQE splits a skewed cluster's partitions; there is NO
+  corpus-wide cross join anywhere;
+- the keep/drop rule is a per-pair struct comparison + one distinct —
+  no window over the corpus, no driver-side loop.
+
+Scale contract: within-cluster pair volume is Σ_c n_c·(n_c−1)/2. With
+k ∝ n (the paper runs 50k clusters for ~a few hundred million docs)
+cluster sizes — and therefore per-cluster work — stay constant as the
+corpus grows; with k fixed the volume grows quadratically. The guard
+measures the actual histogram at plan-build time (one extra corpus
+pass: broadcast-argmax + a k-row aggregate) and REFUSES a configuration
+whose measured volume exceeds the budget, naming the k that fits —
+auto-escalating k would silently change which pairs are comparable
+(cluster granularity IS the recall knob), so unlike the LSH guard there
+is no auto mode. ``scale_guard="off"`` skips the extra pass.
+
+Determinism: seeded centroids (``train=False``, the oracle-replayed
+configuration) are the hash-slot seeds the DuckDB twin replays;
+``train=True`` runs the deterministic Lloyd/k-means|| fit (better
+balance, pytest-verified recall, not SQL-twinned). Ties in the
+keep/drop rule (exact-duplicate vectors have identical centroid
+cosines) break toward keeping the smaller ``vec_id``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.vectors import cosine
+from .similarity import _train_or_seed
+
+# Measured-volume ceiling for the within-cluster self-join. Matches the
+# LSH candidate budget's order of magnitude: ~5e8 exact-cosine pairs is
+# hours of work on one box and a fair shuffle on a cluster; beyond it
+# the right fix is more clusters, not a bigger join.
+SEMDEDUP_PAIR_BUDGET = 500_000_000
+
+
+def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Corpus → (vec_id, embedding, list_id, c_score): nearest centroid
+    plus the winning cosine (the paper's pruning key). Same argmax
+    objective and tie rule as ``similarity._assign_nearest_list``
+    (ties toward the smaller centroid_id), kept separate only because
+    SemDeDup needs the score the IVF path drops."""
+    scored = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
+        )
+    )
+    return scored.groupBy("vec_id", "embedding").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("list_id"),
+        F.max("c_score").alias("c_score"),
+    )
+
+
+def _guard_cluster_volume(
+    assigned: DataFrame,
+    n_clusters: int,
+    what: str,
+    scale_guard: str,
+    budget: int | None = None,
+) -> None:
+    """Refuse a clustering whose measured within-cluster pair volume
+    exceeds ``budget`` — BEFORE the self-join runs. One extra corpus
+    pass (the broadcast argmax feeding a k-row histogram); the remedy
+    names the cluster count that would fit, because escalating k
+    silently changes which pairs are comparable (granularity is the
+    recall knob) — so no auto mode, by design."""
+    if budget is None:
+        budget = SEMDEDUP_PAIR_BUDGET  # late-bound: tests patch it
+    if scale_guard == "off":
+        return
+    if scale_guard != "raise":
+        raise ValueError(
+            f"scale_guard must be raise|off for semdedup (escalating "
+            f"n_clusters would change pair comparability), got "
+            f"{scale_guard!r}"
+        )
+    row = (
+        assigned.groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)).alias("pairs"),
+            F.max("n").alias("max_n"),
+            F.sum("n").alias("total"),
+        )
+        .collect()
+    )
+    if not row or row[0]["pairs"] is None:
+        return
+    pairs, max_n, total = row[0]["pairs"], row[0]["max_n"], row[0]["total"]
+    if pairs <= budget:
+        return
+    # target: average cluster small enough that even the measured skew
+    # factor (max_n / mean_n) keeps the quadratic sum inside budget
+    mean_n = max(total / max(n_clusters, 1), 1.0)
+    skew = max(max_n / mean_n, 1.0)
+    import math
+
+    fit_k = math.ceil(total * skew * total / (2 * budget))
+    raise ValueError(
+        f"{what}: measured within-cluster pair volume ≈{pairs:.2e} at "
+        f"n_clusters={n_clusters} exceeds the {budget:.0e} budget "
+        f"(largest cluster {max_n} of {total} vectors) — the "
+        "within-cluster self-join would be the corpus-wide cross join "
+        "the clustering exists to avoid. Raise n_clusters (≈"
+        f"{min(fit_k, total)} fits at the measured skew; SemDeDup runs "
+        "k ∝ corpus size), pass train=True for better-balanced "
+        "clusters, or scale_guard='off' if you have measured the "
+        "volume."
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    train: bool = False,
+    train_iters: int = 2,
+    train_init: str = "hash",
+    centroids: DataFrame | None = None,
+    scale_guard: str = "raise",
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs:
+    (list_id, vec_a, vec_b, score) with ``vec_a < vec_b`` and exact
+    cosine ``score >= threshold``, rounded to 6 places (the engine-wide
+    oracle-comparison contract). Recall is by construction ≤ the
+    all-pairs relation: a duplicate pair split across clusters is
+    invisible — that approximation IS the method (arXiv:2303.09540
+    accepts it for the quadratic-cost bound); finer k trades recall
+    for cost."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _train_or_seed(embeddings, n_clusters, train, train_iters, train_init)
+    )
+    assigned = assign_clusters(embeddings, cents)
+    _guard_cluster_volume(assigned, n_clusters, "semdedup_pairs", scale_guard)
+    return _pairs_from_assigned(assigned, threshold)
+
+
+def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+    a = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("c_score").alias("c_score_a"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("c_score").alias("c_score_b"),
+    )
+    return (
+        a.join(b, "list_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "list_id",
+            "vec_a",
+            "vec_b",
+            "c_score_a",
+            "c_score_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("raw_score"),
+        )
+        .where(F.col("raw_score") >= threshold)
+        .select(
+            "list_id",
+            "vec_a",
+            "vec_b",
+            "c_score_a",
+            "c_score_b",
+            F.round("raw_score", 6).alias("score"),
+        )
+    )
+
+
+def _dropped(pairs: DataFrame) -> DataFrame:
+    """The paper's keep rule, relational form: of each duplicate pair,
+    drop the member with the HIGHER cosine to its centroid (keep the
+    "edge" example); exact ties — identical vectors — keep the smaller
+    vec_id. Struct comparison orders (c_score, vec_id) fieldwise in
+    both engines, so the DuckDB twin is a row-value CASE."""
+    loser = F.when(
+        F.struct(F.col("c_score_a"), F.col("vec_a"))
+        > F.struct(F.col("c_score_b"), F.col("vec_b")),
+        F.col("vec_a"),
+    ).otherwise(F.col("vec_b"))
+    return pairs.select(loser.alias("vec_id")).distinct()
+
+
+def semdedup_survivors(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    train: bool = False,
+    train_iters: int = 2,
+    train_init: str = "hash",
+    centroids: DataFrame | None = None,
+    scale_guard: str = "raise",
+) -> DataFrame:
+    """The deduplicated corpus: (vec_id, list_id, c_score) for every
+    vector NOT dominated by a same-cluster semantic duplicate with a
+    lower centroid cosine. This is the relation a training pipeline
+    joins back to ``documents`` to materialize the kept set.
+
+    Note the rule is the single-pass dominance form (Meta's published
+    implementation): x is dropped iff SOME same-cluster duplicate
+    precedes it in the keep order — not the sequential greedy walk, so
+    a chain a–b–c (a,c not duplicates) keeps only a where greedy would
+    keep a and c. Deterministic, order-free, and one shuffle; the
+    difference only appears on chains whose ends are not themselves
+    duplicates."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _train_or_seed(embeddings, n_clusters, train, train_iters, train_init)
+    )
+    assigned = assign_clusters(embeddings, cents)
+    _guard_cluster_volume(assigned, n_clusters, "semdedup_survivors", scale_guard)
+    pairs = _pairs_from_assigned(assigned, threshold)
+    return (
+        assigned.join(_dropped(pairs), "vec_id", "left_anti")
+        .select("vec_id", "list_id", F.round("c_score", 6).alias("c_score"))
+    )

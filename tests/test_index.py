@@ -1227,3 +1227,127 @@ def test_additive_delta_requires_committed_base(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no committed index"):
         ix.write_additive_delta(spark, delta, str(tmp_path / "nope"), 0)
+
+
+# --- time travel (r7: snapshot reads + changelog over the commit log) ------
+
+
+def test_time_travel_history_and_snapshot_reads(spark, tmp_path):
+    """Every committed version stays readable exactly as committed:
+    history lists the commit log, read_index_at(v) serves the immutable
+    v=N base, and pending deltas move the HEAD view only — a snapshot
+    must reproduce identically while the live table keeps ingesting."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "hello world hello")]), path, versioned=True)
+    ix.write_index(
+        _mk_idx(spark, [("a.txt", "bye world"), ("b.txt", "world")]), path
+    )
+
+    assert ix.index_history(spark, path) == [
+        {"v": 0, "folded_through": -1},
+        {"v": 1, "folded_through": -1},
+    ]
+    v0 = sorted(map(tuple, ix.read_index_at(spark, path, 0).collect()))
+    assert v0 == [("hello", "a.txt", 2), ("world", "a.txt", 1)]
+    v1 = sorted(map(tuple, ix.read_index_at(spark, path, 1).collect()))
+    assert v1 == [("bye", "a.txt", 1), ("world", "a.txt", 1), ("world", "b.txt", 1)]
+
+    # a pending additive delta is visible at head, not in any snapshot
+    ix.write_additive_delta(
+        spark, _mk_idx(spark, [("c.txt", "world")]), path, batch_id=0
+    )
+    head = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert ("world", "c.txt", 1) in head
+    assert sorted(map(tuple, ix.read_index_at(spark, path, 1).collect())) == v1
+
+    # snapshot reads prune like the head read: letter predicate reaches
+    # the v=N scan as a partition filter
+    pruned = ix.read_index_at(spark, path, 1, first_letter="w")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "= w" in plan
+
+
+def test_index_diff_between_versions(spark, tmp_path):
+    """The changelog: inserts carry count_from=0, deletes count_to=0,
+    count changes carry both, unchanged postings are absent, and the
+    diff is symmetric under swapping endpoints (delta negates)."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(
+        _mk_idx(spark, [("a.txt", "hello world hello"), ("b.txt", "stale")]),
+        path,
+        versioned=True,
+    )
+    ix.write_index(
+        _mk_idx(spark, [("a.txt", "hello world world"), ("c.txt", "fresh")]), path
+    )
+
+    got = {
+        (r["word"], r["document"]): (r["count_from"], r["count_to"], r["delta"])
+        for r in ix.index_diff(spark, path, 0, 1).collect()
+    }
+    assert got == {
+        ("hello", "a.txt"): (2, 1, -1),
+        ("world", "a.txt"): (1, 2, 1),
+        ("stale", "b.txt"): (1, 0, -1),
+        ("fresh", "c.txt"): (0, 1, 1),
+    }
+    swapped = {
+        (r["word"], r["document"]): r["delta"]
+        for r in ix.index_diff(spark, path, 1, 0).collect()
+    }
+    assert swapped == {k: -v[2] for k, v in got.items()}
+
+
+def test_time_travel_horizon_is_gc_policy(spark, tmp_path):
+    """GC bounds the time-travel horizon deliberately: a reclaimed
+    version raises naming the surviving commits (never silently serves
+    stale files), and an in-place table has no history at all."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "one")]), path, versioned=True)
+    ix.write_index(_mk_idx(spark, [("a.txt", "two")]), path)
+    ix.write_index(_mk_idx(spark, [("a.txt", "three")]), path)
+    ix.gc_index_versions(spark, path, keep=2)
+    assert [h["v"] for h in ix.index_history(spark, path)] == [1, 2]
+    with pytest.raises(ValueError, match=r"no committed version 0.*keep"):
+        ix.read_index_at(spark, path, 0)
+
+    flat = str(tmp_path / "flat")
+    ix.write_index(_mk_idx(spark, [("a.txt", "one")]), flat, versioned=False)
+    assert ix.index_history(spark, flat) == []
+    with pytest.raises(ValueError, match="in-place"):
+        ix.read_index_at(spark, flat, 0)
+
+
+def test_cli_history_and_diff(spark, tmp_path, capsys):
+    """history prints the commit log; diff prints the posting-level
+    changelog with signed deltas; an in-place table reports no
+    history instead of inventing one."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    idx = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "apple apple")]), idx, versioned=True)
+    ix.write_index(_mk_idx(spark, [("a.txt", "apple pear")]), idx)
+    capsys.readouterr()
+
+    assert main(["history", idx], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == ["v=0\tfolded_through=-1", "v=1\tfolded_through=-1"]
+
+    assert main(["diff", idx, "0", "1"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "apple\ta.txt\t2->1\t-1" in out
+    assert "pear\ta.txt\t0->1\t+1" in out
+
+    flat = str(tmp_path / "flat")
+    ix.write_index(_mk_idx(spark, [("a.txt", "x")]), flat, versioned=False)
+    assert main(["history", flat], spark=spark) == 0
+    assert "no history" in capsys.readouterr().out

@@ -1,0 +1,178 @@
+"""SemDeDup tests (arXiv:2303.09540): a pure-python replay of the whole
+method — seeded centroids, argmax assignment, within-cluster cosine,
+keep-lowest-centroid-sim pruning — is the oracle; Spark must match it
+row-for-row. Plus the tie rule on exact-duplicate vectors, partition
+invariance, the measured-volume guard, and the trained-centroid path's
+structural properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators import semdedup as sd
+from map_reduce_using_cloud_functions_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+TAU = 0.4
+K = 8
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def vecs(embeddings):
+    return {r["vec_id"]: list(r["embedding"]) for r in embeddings.collect()}
+
+
+def py_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb)
+
+
+def py_model(vecs, k=K, tau=TAU):
+    """The paper's method, sequentially: hash-slot seed centroids,
+    nearest-centroid assignment (tie toward smaller centroid_id),
+    within-cluster pairs >= tau, drop the higher-(c_score, vec_id)
+    member of each pair."""
+    slots = {}
+    for vid in sorted(vecs):
+        slot = vid % 97
+        if slot < k and slot not in slots:
+            slots[slot] = vecs[vid]
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(slots.items(), key=lambda cv: (py_cos(v, cv[1]), -cv[0]))
+        assign[vid] = (best[0], py_cos(v, best[1]))
+    pairs, dropped = [], set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign[a][0] != assign[b][0]:
+                continue
+            s = py_cos(vecs[a], vecs[b])
+            if s >= tau:
+                pairs.append((assign[a][0], a, b, round(s, 6)))
+                ca, cb = assign[a][1], assign[b][1]
+                dropped.add(a if (ca, a) > (cb, b) else b)
+    survivors = {
+        vid: (assign[vid][0], round(assign[vid][1], 6))
+        for vid in vecs
+        if vid not in dropped
+    }
+    return pairs, survivors
+
+
+def test_pairs_match_python_model(embeddings, vecs):
+    got = sorted(
+        (r["list_id"], r["vec_a"], r["vec_b"], r["score"])
+        for r in sd.semdedup_pairs(embeddings, n_clusters=K, threshold=TAU).collect()
+    )
+    expected, _ = py_model(vecs)
+    assert len(got) == len(expected)
+    for g, e in zip(got, sorted(expected)):
+        assert g[:3] == e[:3]
+        assert abs(g[3] - e[3]) < 2e-6
+
+
+def test_survivors_match_python_model(embeddings, vecs):
+    got = {
+        r["vec_id"]: (r["list_id"], r["c_score"])
+        for r in sd.semdedup_survivors(
+            embeddings, n_clusters=K, threshold=TAU
+        ).collect()
+    }
+    _, expected = py_model(vecs)
+    assert set(got) == set(expected)
+    for vid, (lid, cs) in expected.items():
+        assert got[vid][0] == lid
+        assert abs(got[vid][1] - cs) < 2e-6
+
+
+def test_partition_invariance(embeddings):
+    base = sorted(
+        tuple(r)
+        for r in sd.semdedup_pairs(embeddings, threshold=TAU)
+        .select("list_id", "vec_a", "vec_b", "score")
+        .collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in sd.semdedup_pairs(embeddings.repartition(13), threshold=TAU)
+        .select("list_id", "vec_a", "vec_b", "score")
+        .collect()
+    )
+    assert base == shuffled
+
+
+def test_exact_duplicate_tie_keeps_smaller_id(spark):
+    # two identical vectors tie exactly on centroid cosine; the rule
+    # must keep the smaller vec_id deterministically
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.6, 0.8, 0.0]),
+        (11, [0.6, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    surv = {
+        r["vec_id"]
+        for r in sd.semdedup_survivors(emb, n_clusters=2, threshold=0.99).collect()
+    }
+    assert 10 in surv and 11 not in surv
+    assert {0, 1} <= surv  # non-duplicates untouched
+
+
+def test_dominance_rule_drops_higher_centroid_sim(spark):
+    # c is closest to the centroid direction; (b,c) duplicates -> c
+    # (higher centroid cosine) is dropped, b (the "edge" example) kept
+    rows = [
+        (0, [1.0, 0.0]),  # seeds slot 0 -> centroid [1, 0]
+        (5, [0.92, 0.392]),  # b: cos to centroid ~.920
+        (6, [0.98, 0.199]),  # c: cos to centroid ~.980; cos(b,c) ~.979
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    surv = {
+        r["vec_id"]
+        for r in sd.semdedup_survivors(emb, n_clusters=1, threshold=0.97).collect()
+    }
+    assert 5 in surv and 6 not in surv
+
+
+def test_volume_guard_refuses_oversized_clusters(embeddings, monkeypatch):
+    monkeypatch.setattr(sd, "SEMDEDUP_PAIR_BUDGET", 100)
+    with pytest.raises(ValueError, match="Raise n_clusters"):
+        sd.semdedup_pairs(embeddings, n_clusters=2, threshold=TAU)
+    # the explicit opt-out skips the measurement entirely
+    assert (
+        sd.semdedup_pairs(
+            embeddings, n_clusters=2, threshold=TAU, scale_guard="off"
+        ).count()
+        > 0
+    )
+
+
+def test_trained_centroids_path(embeddings, vecs):
+    # not SQL-twinned (Lloyd fit), so assert the structural contract:
+    # survivors tile the corpus minus dropped, and every dropped vector
+    # has a same-cluster surviving duplicate that dominates it
+    surv = sd.semdedup_survivors(
+        embeddings, n_clusters=K, threshold=TAU, train=True
+    ).collect()
+    surv_ids = {r["vec_id"] for r in surv}
+    assert surv_ids <= set(vecs)
+    dropped = set(vecs) - surv_ids
+    pairs = sd.semdedup_pairs(
+        embeddings, n_clusters=K, threshold=TAU, train=True
+    ).collect()
+    losers = set()
+    for r in pairs:
+        ca, cb = r["c_score_a"], r["c_score_b"]
+        losers.add(r["vec_a"] if (ca, r["vec_a"]) > (cb, r["vec_b"]) else r["vec_b"])
+    assert dropped == losers

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import __spark_entry__ as entrymod
 from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+from map_reduce_using_cloud_functions_spark.operators import semdedup as sdd
 from map_reduce_using_cloud_functions_spark.operators import similarity as sim
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
@@ -85,6 +86,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # restricted to even×odd pairs.
         "dedup_ledger_pairs": _q_dedup_ledger_pairs,
         "dedup_ledger_survivors": _q_dedup_ledger_survivors,
+        # r7: time travel over the versioned commit log — snapshot
+        # reads serve any surviving commit byte-identically; the diff
+        # is one full-outer join of two immutable snapshots.
+        "index_snapshot_v0": _q_index_snapshot_v0,
+        "index_version_diff": _q_index_version_diff,
+        # r7: SemDeDup (arXiv:2303.09540) — embedding-space near-dup
+        # pruning: seeded-centroid clustering, within-cluster cosine,
+        # keep the lowest-centroid-sim member of each duplicate pair.
+        # Seeded (train=False) is the oracle-replayed configuration.
+        "semdedup_pairs": lambda s, d: sdd.semdedup_pairs(
+            load_table(s, d, "embeddings")
+        ).select("list_id", "vec_a", "vec_b", "score"),
+        "semdedup_survivors": lambda s, d: sdd.semdedup_survivors(
+            load_table(s, d, "embeddings")
+        ),
     }
 
 
@@ -141,6 +157,47 @@ def _q_index_lookup_versioned(s: SparkSession, d: str) -> DataFrame:
     # without it the same call raises — pinned by test_index)
     ix.write_additive_delta(s, delta, path, batch_id=1, allow_replayed_ids=True)
     return ix.lookup_persisted(s, path, "The!")
+
+
+def _mk_versioned_two_commits(s: SparkSession, d: str) -> str:
+    """v=0 holds the index of doc_id < 300; v=1 the full corpus —
+    the fixture for the time-travel twins."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.sources.text_corpus import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(load_table(s, d, "documents"))
+    path = tempfile.mkdtemp(prefix="oracle_tt_") + "/idx"
+    ix.write_index(
+        ix.build_index(corpus.where(F.col("document").cast("bigint") < 300)),
+        path,
+        versioned=True,
+    )
+    ix.write_index(ix.build_index(corpus), path)
+    return path
+
+
+def _q_index_snapshot_v0(s: SparkSession, d: str) -> DataFrame:
+    """read_index_at(0) after a v=1 full rebuild must serve the doc<300
+    index byte-identically — the twin is the postings CTE restricted to
+    doc_id < 300."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    return ix.read_index_at(s, _mk_versioned_two_commits(s, d), 0)
+
+
+def _q_index_version_diff(s: SparkSession, d: str) -> DataFrame:
+    """index_diff(0, 1) on that fixture is pure inserts: every posting
+    of doc_id >= 300 with count_from=0 (doc<300 postings are identical
+    in both commits, and (word, document) keys never cross the split)."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    return ix.index_diff(s, _mk_versioned_two_commits(s, d), 0, 1)
 
 
 def _q_ann_topk_ivf_indexed(s: SparkSession, d: str) -> DataFrame:
@@ -545,5 +602,76 @@ verified AS (
         + """SELECT doc_id FROM documents
 WHERE doc_id % 2 = 1
   AND doc_id NOT IN (SELECT doc_id FROM verified WHERE est_jaccard >= 0.25)"""
+    )
+
+    # time-travel twins: the same tokenizer/postings CTE as the gate's
+    # index_build, restricted per commit of the two-commit fixture
+    _tok_lt = entrymod._TOK_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 300"
+    )
+    _tok_ge = entrymod._TOK_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id >= 300"
+    )
+    _postings_tail = (
+        ", postings AS (SELECT word, document, count(*) AS count"
+        " FROM tok GROUP BY 1, 2)"
+    )
+    sql["index_snapshot_v0"] = (
+        _tok_lt + _postings_tail + "SELECT word, document, count FROM postings"
+    )
+    sql["index_version_diff"] = (
+        _tok_ge
+        + _postings_tail
+        + """SELECT word, document,
+       0::BIGINT AS count_from, count AS count_to, count AS delta
+FROM postings"""
+    )
+
+    # SemDeDup twin: the identical seeded centroids + argmax assignment
+    # as ann_topk_ivf's oracle, then within-cluster cosine pairs and the
+    # keep-lowest-centroid-sim rule as a row-value CASE (ties on exact
+    # duplicates break to the smaller vec_id, same struct ordering as
+    # the engine).
+    _cos_ec = entrymod._COS.format(a="e.embedding", b="c.c_embedding")
+    _cos_ab = entrymod._COS.format(a="a.embedding", b="b.embedding")
+    _semdedup_core = f"""
+WITH cents AS (
+  SELECT (vec_id % 97)::INT AS centroid_id,
+         arg_min(embedding, vec_id) AS c_embedding
+  FROM embeddings WHERE (vec_id % 97) < 8 GROUP BY 1
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_cos_ec} AS c_score
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS list_id, c_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_score DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.c_score AS ca, b.c_score AS cb,
+         {_cos_ab} AS s
+  FROM assigned a
+  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+)
+"""
+    sql["semdedup_pairs"] = (
+        _semdedup_core
+        + "SELECT list_id, vec_a, vec_b, round(s, 6) AS score "
+        + "FROM pairs WHERE s >= 0.4"
+    )
+    sql["semdedup_survivors"] = (
+        _semdedup_core
+        + """SELECT v.vec_id, v.list_id, round(v.c_score, 6) AS c_score
+FROM assigned v
+WHERE v.vec_id NOT IN (
+  SELECT CASE WHEN (ca, vec_a) > (cb, vec_b) THEN vec_a ELSE vec_b END
+  FROM pairs WHERE s >= 0.4
+)"""
     )
     return sql
