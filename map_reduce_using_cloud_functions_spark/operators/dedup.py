@@ -808,12 +808,29 @@ def build_minhash_ledger(
       audits, and — the reason release leads — each release writes
       ONLY its own partition directories.
     """
+    init_minhash_ledger(
+        documents.sparkSession, path, k=k, bands=bands, shingle_n=shingle_n
+    )
+    append_minhash_ledger(documents, path, release=release)
+
+
+def init_minhash_ledger(
+    spark,
+    path: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+) -> None:
+    """Write the ledger's parameter row only — an empty ledger every
+    append/probe replays parameters from. The streaming admitter uses
+    this for its first batch (its survivors aren't known until after
+    the within-batch dedup, so init and append are separate steps
+    there)."""
     if k % bands:
         raise ValueError(
             f"k={k} must divide evenly into bands={bands} (same contract "
             "as _band_hashes: trailing positions would never reach a band)"
         )
-    spark = documents.sparkSession
     (
         spark.createDataFrame(
             [(k, bands, shingle_n)], "k int, bands int, shingle_n int"
@@ -822,7 +839,30 @@ def build_minhash_ledger(
         .write.mode("overwrite")
         .parquet(_ledger_meta_path(path))
     )
-    append_minhash_ledger(documents, path, release=release)
+
+
+def ledger_exists(spark, path: str) -> bool:
+    """True once ``build_minhash_ledger`` has written the parameter
+    row — the ledger's identity; sigs/bands may still be empty."""
+    from .index import _hadoop_exists
+
+    return _hadoop_exists(spark, _ledger_meta_path(path))
+
+
+def ledger_releases(spark, path: str) -> list[int]:
+    """Release ids recorded in the ledger (ascending) — read from the
+    ``bands/release=N`` partition directories, no data scan."""
+    from .index import _hadoop_exists, _hadoop_fs, _hadoop_path
+
+    bands = f"{path}/bands"
+    if not _hadoop_exists(spark, bands):
+        return []
+    out = []
+    for st in _hadoop_fs(spark, bands).listStatus(_hadoop_path(spark, bands)):
+        name = st.getPath().getName()
+        if name.startswith("release="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def load_ledger_meta(spark, path: str) -> dict:
@@ -877,7 +917,11 @@ def append_minhash_ledger(documents: DataFrame, path: str, release: int) -> None
 
 
 def ledger_near_dup_pairs(
-    spark, documents: DataFrame, path: str, threshold: float = 0.5
+    spark,
+    documents: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    before_release: int | None = None,
 ) -> DataFrame:
     """Probe the ledger with a NEW batch: returns
     ``(doc_id, ledger_doc, est_jaccard)`` — each batch document paired
@@ -893,7 +937,13 @@ def ledger_near_dup_pairs(
     one equi-join against ``sigs/`` verifies with the exact
     zip_with overlap. No previous release's text — or signature that
     doesn't collide — is ever read; the batch side never shuffles its
-    text at all."""
+    text at all.
+
+    ``before_release``: probe only releases strictly below it — a
+    partition-pruned predicate on both ledger reads. A replayed
+    streaming batch MUST exclude its own (already-appended) release or
+    every replayed document matches itself and is dropped as a dup of
+    itself; ``streaming/near_dedup.py`` passes its batch id here."""
     meta = load_ledger_meta(spark, path)
     batch = _band_hashes(
         minhash_signatures_wide(documents, k=meta["k"], shingle_n=meta["shingle_n"]),
@@ -901,7 +951,12 @@ def ledger_near_dup_pairs(
         k=meta["k"],
         keep_sig=True,
     ).localCheckpoint()
-    ledger_bands = spark.read.parquet(f"{path}/bands").select(
+    ledger_bands_raw = spark.read.parquet(f"{path}/bands")
+    if before_release is not None:
+        ledger_bands_raw = ledger_bands_raw.where(
+            F.col("release") < F.lit(before_release)
+        )
+    ledger_bands = ledger_bands_raw.select(
         F.col("doc_id").alias("ledger_doc"), "band", "band_hash"
     )
     cands = (
@@ -910,7 +965,10 @@ def ledger_near_dup_pairs(
         .select("doc_id", "ledger_doc")
         .distinct()
     )
-    lsigs = spark.read.parquet(f"{path}/sigs").select(
+    lsigs_raw = spark.read.parquet(f"{path}/sigs")
+    if before_release is not None:
+        lsigs_raw = lsigs_raw.where(F.col("release") < F.lit(before_release))
+    lsigs = lsigs_raw.select(
         F.col("doc_id").alias("ledger_doc"), F.col("sig").alias("lsig")
     )
     bsigs = batch.select("doc_id", "sig").distinct()
@@ -930,14 +988,20 @@ def ledger_near_dup_pairs(
 
 
 def near_dedup_against_ledger(
-    spark, documents: DataFrame, path: str, threshold: float = 0.5
+    spark,
+    documents: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    before_release: int | None = None,
 ) -> DataFrame:
     """Cross-release near-dedup: the rows of ``documents`` that are NOT
     a near-duplicate of anything already in the ledger, all columns
     intact — ``dedup_against_reference``'s contract at near-dup
     strength. Ship the survivors, then ``append_minhash_ledger`` them
-    as the next release."""
-    matched = ledger_near_dup_pairs(spark, documents, path, threshold).select(
-        "doc_id"
-    )
+    as the next release. ``before_release`` restricts the probe to
+    earlier releases (see ``ledger_near_dup_pairs`` — the streaming
+    replay contract)."""
+    matched = ledger_near_dup_pairs(
+        spark, documents, path, threshold, before_release=before_release
+    ).select("doc_id")
     return documents.join(matched, "doc_id", "left_anti")

@@ -1,0 +1,165 @@
+"""Streaming near-dup ingest (X2×X7): continuous corpus admission
+through the cross-release MinHash ledger.
+
+The real shape of a training-data pipeline's front door: documents
+land continuously, and each batch must be admitted only if it is not a
+near-duplicate of anything the corpus already holds — including what
+earlier batches of this same stream admitted. The reference's closest
+analogue is its per-file upload trigger (``filladdtrigger/main.py``),
+which recounts everything; this is the incremental, bounded version:
+
+    foreachBatch:
+      batch ──1── within-batch near-dedup (MinHash pairs → CC → min-id
+                  survivor — batches are bounded, so the full operator
+                  is cheap here)
+            ──2── probe the persisted ledger (releases < batch_id
+                  only: sketch the batch, equi-join the narrow bands
+                  relation, verify colliding candidates exactly)
+            ──3── write survivors to release=batch_id (dynamic
+                  partition overwrite)
+            ──4── append the survivors' sketches to the ledger as
+                  release=batch_id (same overwrite discipline)
+
+Exactly-once without a watermark protocol: the batch id IS the release
+id, and both writes are release-partition dynamic overwrites, so a
+replayed batch REPLACES its own partitions instead of double-inserting.
+The one subtlety is step 2 on replay: the crashed attempt may already
+have appended release=batch_id, so the probe MUST exclude the batch's
+own release (``before_release=batch_id``) or every replayed document
+matches itself and the replay admits nothing — the self-match trap the
+replay test pins.
+
+Fresh-checkpoint protection mirrors ``file_index``: the ledger binds
+the checkpoint that owns it, because a fresh checkpoint restarts batch
+ids at 0 and its release-partition overwrites would silently REPLACE
+release 0's admitted documents with different ones.
+
+At 100 TB the per-batch cost is: sketch the batch (map-only), one
+equi-join of the batch's bands against the partition-pruned persisted
+bands relation, exact verification only for colliding candidates, and
+two bounded writes. No prior release's text is ever re-read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    LSH_BANDS,
+    MINHASH_K,
+    append_minhash_ledger,
+    init_minhash_ledger,
+    ledger_exists,
+    ledger_releases,
+    near_dedup,
+    near_dedup_against_ledger,
+)
+from .file_index import _bind_checkpoint, _check_checkpoint_binding
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    ledger_path: str,
+    survivors_path: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+) -> None:
+    """One admission round, callable from foreachBatch or a batch
+    driver (the stream ≡ batch equivalence tests drive this directly).
+    Idempotent per (batch_id, content): replays overwrite their own
+    release partitions and probe only earlier releases."""
+    survivors = near_dedup(batch_df, threshold=threshold, k=k)
+    if ledger_exists(spark, ledger_path):
+        if any(r < batch_id for r in ledger_releases(spark, ledger_path)):
+            survivors = near_dedup_against_ledger(
+                spark,
+                survivors,
+                ledger_path,
+                threshold=threshold,
+                before_release=batch_id,
+            )
+    else:
+        # first batch creates the ledger's parameter row; a crash
+        # between meta and the release append replays into the
+        # ledger_exists branch with no earlier releases — same result
+        init_minhash_ledger(
+            spark, ledger_path, k=k, bands=bands, shingle_n=shingle_n
+        )
+    # materialize once: the survivor relation feeds two writes, and
+    # lazily recomputing it after the ledger append would self-match
+    survivors = survivors.localCheckpoint()
+    (
+        survivors.withColumn("release", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(survivors_path)
+    )
+    append_minhash_ledger(survivors, ledger_path, release=batch_id)
+
+
+def start_near_dedup_stream(
+    spark: SparkSession,
+    documents: DataFrame,
+    ledger_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run continuous admission over a streaming ``documents`` relation
+    (``doc_id``, ``text``, + any payload columns — e.g.
+    ``streaming_corpus_from_jsonl``). Admitted documents land under
+    ``{survivors_path}/release=<batch_id>/`` with all columns intact;
+    their sketches extend the ledger at ``ledger_path`` for every later
+    batch (and every later release of the batch pipeline — the ledger
+    is the same one ``build_minhash_ledger`` serves)."""
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        binding = "bound"
+        if ledger_exists(spark, ledger_path):
+            binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
+            if binding == "adopting" and batch_id in ledger_releases(
+                spark, ledger_path
+            ):
+                # only a MATCHED binding proves an id re-use is a crash
+                # replay; an adopting stream's colliding release would
+                # silently REPLACE admitted documents — refuse loudly
+                raise ValueError(
+                    f"ledger {ledger_path} already holds release "
+                    f"{batch_id} and is not bound to this checkpoint "
+                    f"({checkpoint_dir}): overwriting it would replace "
+                    "previously admitted documents. Keep the original "
+                    "checkpoint, or start a fresh ledger path."
+                )
+        else:
+            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        admit_batch(
+            spark,
+            batch_df,
+            ledger_path,
+            survivors_path,
+            batch_id,
+            threshold=threshold,
+            k=k,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        if binding == "adopting":
+            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+
+    writer = documents.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

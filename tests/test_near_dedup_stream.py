@@ -1,0 +1,186 @@
+"""Streaming near-dup admission (streaming/near_dedup.py): continuous
+corpus intake through the cross-release MinHash ledger — within-batch
+dedup, cross-batch ledger probe, release-partitioned survivors, and
+the replay/fresh-checkpoint contracts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+    admit_batch,
+    start_near_dedup_stream,
+)
+from map_reduce_using_cloud_functions_spark.streaming.prep import (
+    streaming_corpus_from_jsonl,
+)
+
+TEXT_A = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "falls softly on the quiet village roofs tonight"
+)
+TEXT_A_NEAR = TEXT_A.replace("tonight", "today")  # ~90% shared shingles
+TEXT_B = (
+    "completely different content about distributed query engines "
+    "folding partial aggregates before the exchange boundary runs"
+)
+TEXT_C = (
+    "a third unrelated story where a sailor counts gulls above the "
+    "harbor and writes their numbers into a weathered logbook daily"
+)
+
+
+def _write_jsonl(directory, name, rows):
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _run_stream(spark, watch, ledger, survivors, ckpt):
+    q = start_near_dedup_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        ledger,
+        survivors,
+        ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def _survivor_ids(spark, survivors_path):
+    out = {}
+    for r in spark.read.parquet(survivors_path).select("release", "doc_id").collect():
+        out.setdefault(r["release"], set()).add(r["doc_id"])
+    return out
+
+
+def test_stream_admits_only_novel_documents(spark, tmp_path):
+    """Batch 0: exact within-batch duplicate collapses to the min id.
+    Batch 1: a near-copy of an admitted doc is refused by the ledger,
+    a fresh doc is admitted — and the ledger now holds both releases."""
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_A), (3, TEXT_B)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}}
+    assert dd.ledger_releases(spark, ledger) == [0]
+
+    _write_jsonl(watch, "b1.jsonl", [(10, TEXT_A_NEAR), (11, TEXT_C)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}, 1: {11}}
+    assert dd.ledger_releases(spark, ledger) == [0, 1]
+
+    # the stream's ledger serves the batch pipeline identically: a
+    # later batch release probing it refuses the same near-copy
+    probe = spark.createDataFrame(
+        [(99, TEXT_A_NEAR), (100, TEXT_C + " extended with new words")],
+        "doc_id bigint, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dd.near_dedup_against_ledger(spark, probe, ledger).collect()
+    }
+    assert kept == set()  # 100 is a near-dup of admitted 11
+
+
+def test_before_release_scopes_the_probe(spark, tmp_path):
+    """before_release prunes the ledger probe to earlier releases —
+    the replay contract's mechanism, verified directly."""
+    ledger = str(tmp_path / "ledger")
+    b0 = spark.createDataFrame([(1, TEXT_A)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame([(2, TEXT_B)], "doc_id bigint, text string")
+    dd.build_minhash_ledger(b0, ledger, release=0)
+    dd.append_minhash_ledger(b1, ledger, release=1)
+
+    probe = spark.createDataFrame(
+        [(10, TEXT_A_NEAR), (11, TEXT_B)], "doc_id bigint, text string"
+    )
+    all_pairs = {
+        (r["doc_id"], r["ledger_doc"])
+        for r in dd.ledger_near_dup_pairs(spark, probe, ledger).collect()
+    }
+    assert all_pairs == {(10, 1), (11, 2)}
+    scoped = {
+        (r["doc_id"], r["ledger_doc"])
+        for r in dd.ledger_near_dup_pairs(
+            spark, probe, ledger, before_release=1
+        ).collect()
+    }
+    assert scoped == {(10, 1)}  # release 1 is invisible
+
+
+def test_replayed_batch_does_not_self_match(spark, tmp_path, monkeypatch):
+    """Crash AFTER the ledger append but before the checkpoint commit:
+    the replayed batch finds its own release already in the ledger. The
+    probe must exclude it (before_release) or the replay would drop
+    every document as a duplicate of itself and commit an empty
+    release — the silent-loss shape this test pins."""
+    from map_reduce_using_cloud_functions_spark.streaming import near_dedup as nd
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (3, TEXT_B)])
+
+    real_append = nd.append_minhash_ledger
+    calls = []
+
+    def crashy(documents, path, release):
+        real_append(documents, path, release)
+        calls.append(release)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash AFTER ledger append")
+
+    monkeypatch.setattr(nd, "append_minhash_ledger", crashy)
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert dd.ledger_releases(spark, ledger) == [0], "append did not land"
+
+    # restart from the same checkpoint: batch 0 replays
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert calls == [0, 0], "batch 0 was not replayed"
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}}
+    assert dd.ledger_releases(spark, ledger) == [0]
+
+
+def test_fresh_checkpoint_against_owned_ledger_is_refused(spark, tmp_path):
+    """A new checkpoint restarts batch ids at 0; its release overwrites
+    would silently replace admitted documents — the binding refuses it
+    with the remedy in the message."""
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A)])
+    _run_stream(spark, watch, ledger, survivors, str(tmp_path / "ck1"))
+    assert _survivor_ids(spark, survivors) == {0: {1}}
+
+    with pytest.raises(Exception, match="bound to streaming checkpoint"):
+        _run_stream(spark, watch, ledger, survivors, str(tmp_path / "ck2"))
+    # nothing was replaced
+    assert _survivor_ids(spark, survivors) == {0: {1}}
+
+
+def test_admit_batch_is_the_batch_twin(spark, tmp_path):
+    """admit_batch drives the identical semantics from a batch caller:
+    sequential releases over static frames equal the stream's output
+    shape (stream ≡ batch, the house equivalence rule)."""
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_A), (3, TEXT_B)], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, TEXT_A_NEAR), (11, TEXT_C)], "doc_id bigint, text string"
+    )
+    admit_batch(spark, b0, ledger, survivors, batch_id=0)
+    admit_batch(spark, b1, ledger, survivors, batch_id=1)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}, 1: {11}}
