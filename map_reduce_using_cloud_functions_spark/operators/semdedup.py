@@ -16,7 +16,13 @@ Spark-first shape:
 
 - assignment = one broadcast join against the tiny centroid table +
   partial-aggregated ``max_by`` argmax (shared objective with the IVF
-  family via the same expressions — see ``similarity._assign_nearest_list``);
+  family via the same expressions — see
+  ``similarity._assign_nearest_list``), computed ONCE and checkpointed:
+  at k clusters the argmax is k cosines per vector — the most expensive
+  map in the plan — and three consumers read it (the guard's histogram
+  and both self-join sides), so recomputing per consumer would triple
+  the dominant cost; the materialization is one corpus-sized write,
+  the same trade ``build_ivf_index`` makes durable;
 - candidate pairs = a plain hash equi-join of the assignment relation
   with itself on ``list_id`` — Catalyst shuffles both sides once on the
   cluster key and AQE splits a skewed cluster's partitions; there is NO
@@ -164,7 +170,7 @@ def semdedup_pairs(
         if centroids is not None
         else _train_or_seed(embeddings, n_clusters, train, train_iters, train_init)
     )
-    assigned = assign_clusters(embeddings, cents)
+    assigned = assign_clusters(embeddings, cents).localCheckpoint()
     _guard_cluster_volume(assigned, n_clusters, "semdedup_pairs", scale_guard)
     return _pairs_from_assigned(assigned, threshold)
 
@@ -246,7 +252,7 @@ def semdedup_survivors(
         if centroids is not None
         else _train_or_seed(embeddings, n_clusters, train, train_iters, train_init)
     )
-    assigned = assign_clusters(embeddings, cents)
+    assigned = assign_clusters(embeddings, cents).localCheckpoint()
     _guard_cluster_volume(assigned, n_clusters, "semdedup_survivors", scale_guard)
     pairs = _pairs_from_assigned(assigned, threshold)
     return (

@@ -319,6 +319,98 @@ def section_ledger(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def section_semdedup(spark) -> None:
+    """SemDeDup scale contract: within-cluster pair volume is the cost,
+    and the paper's k ∝ n rule is what bounds it. Three points: the
+    1x fixture at the k=8 default; the 100x corpus at the SAME k=8
+    (the guard must refuse — measured volume ~1e4x the 1x point); the
+    100x corpus at the scaled k=97 (the seed-slot ceiling), which fits
+    the budget and runs."""
+    from map_reduce_using_cloud_functions_spark.operators import semdedup as sd
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n0 = emb.count()
+    big = _replicated_embeddings(spark, emb, 100)
+
+    t1 = wall(
+        lambda: sd.semdedup_survivors(emb, n_clusters=8)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        n=3,
+    )
+    print(f"semdedup @1x ({n0:,} vecs, k=8): {t1:.1f} s (min-of-3)")
+    try:
+        sd.semdedup_pairs(big, n_clusters=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print("semdedup @100x k=8: GUARD DID NOT FIRE (unexpected)")
+    except ValueError as e:
+        print(f"semdedup @100x ({n0 * 100:,} vecs, k=8): guard refused — {e}")
+    t100 = wall(
+        lambda: sd.semdedup_survivors(big, n_clusters=97)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        n=1,
+    )
+    print(
+        f"semdedup @100x ({n0 * 100:,} vecs, k=97 — k scaled with n per "
+        f"the method): {t100:.1f} s = {t100 / t1:.1f}x wall for 100x data"
+    )
+
+
+def section_ingest(spark) -> None:
+    """Streaming near-dup admission: per-batch cost against a growing
+    standing ledger — release 0 (cold build) vs a same-size batch
+    admitted over a 10x standing corpus. The claim under test: the
+    batch pays for itself + collisions, never for the corpus."""
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_batch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n0 = docs.count()
+    reps = F.broadcast(spark.range(10).select(F.col("id").alias("rep")))
+    standing = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10**9)).alias("doc_id"),
+            "text",
+        )
+        .localCheckpoint()
+    )
+    batch = docs.select(
+        (F.col("doc_id") + F.lit(20 * 10**9)).alias("doc_id"), "text"
+    ).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="r7ingest_")
+    try:
+        t0 = wall(
+            lambda: admit_batch(
+                spark, standing, f"{tmp}/led", f"{tmp}/out", batch_id=0
+            ),
+            n=1,
+        )
+        t1 = wall(
+            lambda: admit_batch(
+                spark, batch, f"{tmp}/led", f"{tmp}/out", batch_id=1
+            ),
+            n=1,
+        )
+        survivors = spark.read.parquet(f"{tmp}/out")
+        kept1 = survivors.where(F.col("release") == 1).count()
+        print(
+            f"streaming admission: release 0 builds {n0 * 10:,} docs in "
+            f"{t0:.1f} s (within-batch near-dedup + ledger append); a "
+            f"{n0:,}-doc batch over that standing ledger admits in "
+            f"{t1:.1f} s (kept {kept1:,} — replica-of-standing docs "
+            "refused); batch cost is probe + append, never a corpus "
+            "re-sketch"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["size", "lsh", "ivf", "stream", "append", "ledger"]
     spark = get_spark("measure_r7")
@@ -331,6 +423,8 @@ def main() -> None:
             "stream": section_stream,
             "append": section_append,
             "ledger": section_ledger,
+            "semdedup": section_semdedup,
+            "ingest": section_ingest,
         }[s](spark)
 
 
