@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "corpus_split_assignment",
     "dedup_duplicate_spans",
     "ann_topk_lsh_banded",  # r5: banded multi-probe LSH retrieval
+    "semdedup_survivors",  # r7: SemDeDup end-to-end (assign+pairs+prune)
 ]
 
 

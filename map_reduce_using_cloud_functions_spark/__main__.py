@@ -13,6 +13,7 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark gc      INDEX_PATH [--keep N]
     python -m map_reduce_using_cloud_functions_spark history INDEX_PATH
     python -m map_reduce_using_cloud_functions_spark diff    INDEX_PATH V_FROM V_TO
+    python -m map_reduce_using_cloud_functions_spark admit   WATCH_DIR LEDGER SURVIVORS CKPT [--once]
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -117,6 +118,21 @@ def _build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("gc", help="reclaim superseded versions + folded deltas")
     g.add_argument("index_path")
     g.add_argument("--keep", type=int, default=2, help="base versions to retain")
+
+    ad = sub.add_parser(
+        "admit",
+        help="stream: near-dup-gated corpus admission from landing JSONL",
+    )
+    ad.add_argument("watch_dir")
+    ad.add_argument("ledger_path")
+    ad.add_argument("survivors_path")
+    ad.add_argument("checkpoint_dir")
+    ad.add_argument("--threshold", type=float, default=0.5)
+    ad.add_argument(
+        "--once",
+        action="store_true",
+        help="drain what has landed and exit (availableNow trigger)",
+    )
 
     h = sub.add_parser("history", help="commit log of a versioned index")
     h.add_argument("index_path")
@@ -229,6 +245,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 srv.serve_forever()
             except KeyboardInterrupt:
                 srv.shutdown()
+        elif args.cmd == "admit":
+            from .streaming.near_dedup import start_near_dedup_stream
+            from .streaming.prep import streaming_corpus_from_jsonl
+
+            q = start_near_dedup_stream(
+                spark,
+                streaming_corpus_from_jsonl(spark, args.watch_dir),
+                args.ledger_path,
+                args.survivors_path,
+                args.checkpoint_dir,
+                threshold=args.threshold,
+                available_now=args.once,
+            )
+            print(
+                f"admitting {args.watch_dir} -> {args.survivors_path} "
+                f"(ledger {args.ledger_path}"
+                + (", draining once)" if args.once else "; ctrl-c to stop)")
+            )
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
         elif args.cmd == "watch":
             from .streaming.file_index import start_file_index_stream
 

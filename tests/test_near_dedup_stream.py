@@ -184,3 +184,25 @@ def test_admit_batch_is_the_batch_twin(spark, tmp_path):
     admit_batch(spark, b0, ledger, survivors, batch_id=0)
     admit_batch(spark, b1, ledger, survivors, batch_id=1)
     assert _survivor_ids(spark, survivors) == {0: {1, 3}, 1: {11}}
+
+
+def test_cli_admit_once(spark, tmp_path, capsys):
+    """The admit subcommand drains landed JSONL through the admission
+    stream: duplicates refused, survivors release-partitioned."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    watch = str(tmp_path / "in")
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_A), (3, TEXT_B)])
+    rc = main(
+        [
+            "admit",
+            watch,
+            str(tmp_path / "ledger"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            "--once",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1, 3}}
