@@ -272,6 +272,11 @@ FUZZ_EMBED_QUERIES = [
     # the engines' dot products flips band buckets and shows up here)
     "ann_topk_lsh_banded",
     "ann_topk_lsh_indexed",
+    # r7: SemDeDup — planted exact dups force centroid-cosine TIES in
+    # the keep rule (the vec_id tiebreak must agree across engines) and
+    # mixed magnitudes stress the argmax assignment's float parity
+    "semdedup_pairs",
+    "semdedup_survivors",
 ]
 
 
