@@ -340,6 +340,26 @@ def section_semdedup(spark) -> None:
         n=3,
     )
     print(f"semdedup @1x ({n0:,} vecs, k=8): {t1:.1f} s (min-of-3)")
+
+    # recall: the method only sees pairs that co-cluster — quantify the
+    # miss rate against the corpus-wide exact pair relation at the same
+    # threshold (brute force is fine at fixture scale)
+    tau = 0.4
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in sd.semdedup_pairs(emb, n_clusters=8, threshold=tau).collect()
+    }
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.pairwise_near_dup(emb, threshold=tau, exact=True).collect()
+    }
+    print(
+        f"semdedup @1x pair recall vs corpus-wide exact at tau={tau}: "
+        f"{len(got & truth)}/{len(truth)} "
+        f"({100 * len(got & truth) / max(len(truth), 1):.0f}% — misses are "
+        "pairs split across clusters; finer k lowers cost AND recall, "
+        "the method's stated trade)"
+    )
     try:
         sd.semdedup_pairs(big, n_clusters=8).write.format("noop").mode(
             "overwrite"
