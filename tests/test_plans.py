@@ -276,3 +276,18 @@ def test_corpus_report_single_stratum_shuffle(spark):
     plan = plan_of(corpus_report(docs))
     assert "Generate" not in plan, plan  # no explode anywhere
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_semdedup_pairs_plan_shape(spark):
+    """SemDeDup's self-join must read the MATERIALIZED assignment (the
+    k-cosines-per-vector argmax runs once, not per join side) and meet
+    only on the cluster-id equi-join — two list_id exchanges, no
+    broadcast-nested-loop or cartesian anywhere after materialization."""
+    from map_reduce_using_cloud_functions_spark.operators import semdedup as sd
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(sd.semdedup_pairs(emb, scale_guard="off"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") == 2  # both sides read the checkpoint
+    assert plan.count("Exchange hashpartitioning") == 2  # list_id x2 only
