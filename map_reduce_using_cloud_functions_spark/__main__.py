@@ -13,6 +13,7 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark gc      INDEX_PATH [--keep N]
     python -m map_reduce_using_cloud_functions_spark history INDEX_PATH
     python -m map_reduce_using_cloud_functions_spark diff    INDEX_PATH V_FROM V_TO
+    python -m map_reduce_using_cloud_functions_spark rollback INDEX_PATH VERSION
     python -m map_reduce_using_cloud_functions_spark admit   WATCH_DIR LEDGER SURVIVORS CKPT [--once]
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
@@ -137,6 +138,12 @@ def _build_parser() -> argparse.ArgumentParser:
     h = sub.add_parser("history", help="commit log of a versioned index")
     h.add_argument("index_path")
 
+    rb = sub.add_parser(
+        "rollback", help="restore HEAD to an earlier committed snapshot"
+    )
+    rb.add_argument("index_path")
+    rb.add_argument("version", type=int)
+
     f = sub.add_parser(
         "diff", help="posting-level changelog between two committed versions"
     )
@@ -183,7 +190,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print("no occurrences")
             for r in rows:
                 print(f"{r['document']}\t{r['count']}")
-        elif args.cmd in ("info", "compact", "gc", "history", "diff"):
+        elif args.cmd in ("info", "compact", "gc", "history", "diff", "rollback"):
             from .operators import index as ix
 
             if not ix.index_exists(spark, args.index_path):
@@ -215,6 +222,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             elif args.cmd == "gc":
                 ix.gc_index_versions(spark, args.index_path, keep=args.keep)
                 print(f"gc done (keep={args.keep})")
+            elif args.cmd == "rollback":
+                v = ix.rollback_index(spark, args.index_path, args.version)
+                print(f"rolled back to v={args.version} contents as new v={v}")
             elif args.cmd == "history":
                 hist = ix.index_history(spark, args.index_path)
                 if not hist:

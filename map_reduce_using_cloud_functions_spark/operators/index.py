@@ -732,6 +732,37 @@ def index_diff(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     )
 
 
+def rollback_index(spark, path: str, version: int) -> int:
+    """Restore the table's HEAD to an earlier committed snapshot — as a
+    NEW commit (history is append-only: the abandoned head stays
+    readable until GC reclaims it, and a rollback of a rollback is just
+    another commit). Pending additive deltas are superseded by the new
+    commit's watermark — they describe the abandoned timeline, exactly
+    like the ones a versioned full rebuild swallows.
+
+    Refuses a stream-bound table: the owning checkpoint has committed
+    batch ids whose data the rollback would discard, and letting the
+    stream continue would silently leave those batches half-missing.
+    Stop the stream and delete the ``_stream_checkpoint`` binding (and
+    its checkpoint) to make that decision explicit. Returns the new
+    version id."""
+    if _hadoop_exists(spark, f"{path}/{STREAM_BINDING}"):
+        bound = _read_small_file(spark, f"{path}/{STREAM_BINDING}").decode("utf-8")
+        raise ValueError(
+            f"index at {path} is owned by streaming checkpoint {bound!r}: "
+            "rolling back under a live stream would discard batches its "
+            "checkpoint has committed. Stop the stream, then delete the "
+            f"{STREAM_BINDING} marker (and the checkpoint) to roll back "
+            "deliberately."
+        )
+    # materialize BEFORE the new commit: write_index's GC may reclaim
+    # the very version being restored from (keep policy counts from
+    # the new head)
+    snap = read_index_at(spark, path, version).localCheckpoint()
+    write_index(snap, path)
+    return _resolve_version(spark, path)[2]
+
+
 def read_index(spark, path: str, first_letter: str | None = None) -> DataFrame:
     """Logical view of the persisted index: the folded base table plus
     any pending exactly-once additive deltas (``{path}/_additive``, see

@@ -1351,3 +1351,47 @@ def test_cli_history_and_diff(spark, tmp_path, capsys):
     ix.write_index(_mk_idx(spark, [("a.txt", "x")]), flat, versioned=False)
     assert main(["history", flat], spark=spark) == 0
     assert "no history" in capsys.readouterr().out
+
+
+def test_rollback_restores_snapshot_as_new_commit(spark, tmp_path, capsys):
+    """Rollback is append-only history: the restored content lands as a
+    NEW commit, pending deltas of the abandoned head are superseded by
+    its watermark, and a stream-bound table refuses with the remedy."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "good good")]), path, versioned=True)
+    ix.write_index(_mk_idx(spark, [("a.txt", "corrupted")]), path)
+    ix.write_additive_delta(
+        spark, _mk_idx(spark, [("b.txt", "noise")]), path, batch_id=7
+    )
+
+    v = ix.rollback_index(spark, path, 0)
+    assert v == 2
+    # head == the v0 snapshot; the abandoned head's delta is superseded
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
+        ("good", "a.txt", 2)
+    ]
+    assert ix.pending_additive_batches(spark, path) == []
+    # the keep=2 GC window holds the new head + the abandoned head
+    assert [h["v"] for h in ix.index_history(spark, path)] == [1, 2]
+
+    # CLI twin
+    capsys.readouterr()
+    assert main(["rollback", path, "1"], spark=spark) == 0
+    assert "new v=3" in capsys.readouterr().out
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
+        ("corrupted", "a.txt", 1)
+    ]
+
+    # stream-bound tables refuse
+    from map_reduce_using_cloud_functions_spark.streaming.file_index import (
+        _bind_checkpoint,
+    )
+
+    _bind_checkpoint(spark, path, str(tmp_path / "ck"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="owned by streaming checkpoint"):
+        ix.rollback_index(spark, path, 2)
