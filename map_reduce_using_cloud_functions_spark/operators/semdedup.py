@@ -54,7 +54,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, l2_norm
 from .similarity import _train_or_seed
 
 # Measured-volume ceiling for the within-cluster self-join. Matches the
@@ -65,22 +65,37 @@ SEMDEDUP_PAIR_BUDGET = 500_000_000
 
 
 def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Corpus → (vec_id, embedding, list_id, c_score): nearest centroid
-    plus the winning cosine (the paper's pruning key). Same argmax
-    objective and tie rule as ``similarity._assign_nearest_list``
+    """Corpus → (vec_id, embedding, norm, list_id, c_score): nearest
+    centroid plus the winning cosine (the paper's pruning key). Same
+    argmax objective and tie rule as ``similarity._assign_nearest_list``
     (ties toward the smaller centroid_id), kept separate only because
-    SemDeDup needs the score the IVF path drops."""
+    SemDeDup needs the score the IVF path drops.
+
+    Norms are computed ONCE per vector/centroid and divided out, never
+    re-folded per comparison: the higher-order array folds are
+    interpreted (no codegen), so each k-way argmax pays 1 norm + k dots
+    instead of k·(1 dot + 2 norms), and the pair join downstream reuses
+    the stored ``norm``. The arithmetic is operation-for-operation the
+    shared ``cosine`` builder's (``dot/(l2(a)·l2(b))``, same fold
+    order), so scores stay bit-identical to the oracle twin."""
+    cents = centroids.withColumn("c_norm", l2_norm(F.col("c_embedding")))
     scored = (
-        embeddings.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(centroids))
+        embeddings.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+        )
+        .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
+            "norm",
             "centroid_id",
-            cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
+            F.try_divide(
+                dot(F.col("embedding"), F.col("c_embedding")),
+                F.col("norm") * F.col("c_norm"),
+            ).alias("c_score"),
         )
     )
-    return scored.groupBy("vec_id", "embedding").agg(
+    return scored.groupBy("vec_id", "embedding", "norm").agg(
         F.max_by(
             "centroid_id",
             F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("nc")),
@@ -176,16 +191,20 @@ def semdedup_pairs(
 
 
 def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+    # per-pair work is ONE interpreted array fold (the dot) — both
+    # norms come precomputed from the materialized assignment
     a = assigned.select(
         "list_id",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
         F.col("c_score").alias("c_score_a"),
     )
     b = assigned.select(
         "list_id",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
         F.col("c_score").alias("c_score_b"),
     )
     return (
@@ -197,7 +216,10 @@ def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
             "vec_b",
             "c_score_a",
             "c_score_b",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("raw_score"),
+            F.try_divide(
+                dot(F.col("emb_a"), F.col("emb_b")),
+                F.col("norm_a") * F.col("norm_b"),
+            ).alias("raw_score"),
         )
         .where(F.col("raw_score") >= threshold)
         .select(
