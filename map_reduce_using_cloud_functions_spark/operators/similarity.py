@@ -152,14 +152,23 @@ def _assign_nearest_list(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     smaller centroid_id via struct ordering on (score, -id)). Shared by
     Lloyd training and IVF probing so the assignment objective cannot
     drift between them. Returns (vec_id, embedding, list_id)."""
+    cents_n = cents.withColumn("_cnrm", l2_norm(F.col("c_embedding")))
     return (
-        embeddings.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
+        embeddings.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+        )
+        .crossJoin(F.broadcast(cents_n))
         .select(
             "vec_id",
             "embedding",
             "centroid_id",
-            cosine(F.col("embedding"), F.col("c_embedding")).alias("c_score"),
+            # norm folded once per vector, not per centroid (the k-way
+            # argmax is k interpreted dots + 1 norm; same fold order as
+            # ``cosine``, bit-identical scores)
+            F.try_divide(
+                dot(F.col("embedding"), F.col("c_embedding")),
+                F.col("_nrm") * F.col("_cnrm"),
+            ).alias("c_score"),
         )
         .groupBy("vec_id", "embedding")
         .agg(
@@ -183,15 +192,26 @@ def brute_force_topk(
     ``queries``: (query_id, q_embedding). Self-matches (same id) are
     excluded. Deterministic under ties via neighbor-id tiebreak.
     Returns (query_id, neighbor_id, rank, score).
-    """
+
+    Norms are folded once per vector/query before the join (the
+    higher-order array folds are interpreted, so the per-pair verify
+    is ONE dot, not dot+2 norms — same fold order as ``cosine``, bit-
+    identical scores)."""
+    emb_n = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+    )
+    q_n = queries.select(
+        "query_id", "q_embedding", l2_norm(F.col("q_embedding")).alias("_qnrm")
+    )
     scored = (
-        embeddings.join(
-            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-        )
+        emb_n.join(F.broadcast(q_n), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
         )
     )
     return _rank_topk(scored, k)
@@ -323,8 +343,22 @@ def lsh_bucketed_topk(
     (all planes agree ⇒ high similarity). For moderate-similarity
     retrieval (cos≈0.4, where this path measured recall@5 ≤ 0.425) use
     ``lsh_banded_topk`` — the OR-of-bands construction — or IVF."""
-    corpus_b = _sign_sketch(embeddings.select("vec_id", "embedding"), "embedding", planes)
-    queries_b = _sign_sketch(queries, "q_embedding", planes)
+    corpus_b = _sign_sketch(
+        embeddings.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+        ),
+        "embedding",
+        planes,
+    )
+    queries_b = _sign_sketch(
+        queries.select(
+            "query_id",
+            "q_embedding",
+            l2_norm(F.col("q_embedding")).alias("_qnrm"),
+        ),
+        "q_embedding",
+        planes,
+    )
     if probe_bits > 0:
         # XOR-mask expansion, plan-literal: all masks with ≤ probe_bits
         # bits set, exploded query-side (small by contract), bucket^mask
@@ -333,6 +367,7 @@ def lsh_bucketed_topk(
         queries_b = queries_b.select(
             "query_id",
             "q_embedding",
+            "_qnrm",
             F.explode(
                 F.array(*[F.lit(m).cast("bigint") for m in masks])
             ).alias("_mask"),
@@ -340,6 +375,7 @@ def lsh_bucketed_topk(
         ).select(
             "query_id",
             "q_embedding",
+            "_qnrm",
             F.col("_home").bitwiseXOR(F.col("_mask")).alias("bucket"),
         )
     scored = (
@@ -348,7 +384,12 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+            # per-candidate verify = one dot; norms folded once per
+            # vector in the sketch projections (bit-identical to cosine)
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
         )
     )
     return _rank_topk(scored, k)
@@ -420,14 +461,29 @@ def lsh_banded_topk(
             explicit=explicit,
         )
     corpus_b = _sign_sketch_bands(
-        embeddings.select("vec_id", "embedding"), "embedding", planes_per_band, bands
+        embeddings.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+        ),
+        "embedding",
+        planes_per_band,
+        bands,
     )
-    queries_b = _sign_sketch_bands(queries, "q_embedding", planes_per_band, bands)
+    queries_b = _sign_sketch_bands(
+        queries.select(
+            "query_id",
+            "q_embedding",
+            l2_norm(F.col("q_embedding")).alias("_qnrm"),
+        ),
+        "q_embedding",
+        planes_per_band,
+        bands,
+    )
     if probe_bits > 0:
         masks = _probe_masks(planes_per_band, probe_bits)
         queries_b = queries_b.select(
             "query_id",
             "q_embedding",
+            "_qnrm",
             "band",
             F.explode(F.array(*[F.lit(m).cast("bigint") for m in masks])).alias(
                 "_mask"
@@ -436,6 +492,7 @@ def lsh_banded_topk(
         ).select(
             "query_id",
             "q_embedding",
+            "_qnrm",
             "band",
             F.col("_home").bitwiseXOR(F.col("_mask")).alias("band_bucket"),
         )
@@ -445,7 +502,12 @@ def lsh_banded_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+            # per-candidate verify = one dot; norms folded once per
+            # vector in the sketch projections (bit-identical to cosine)
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
         )
         # fold multi-band/multi-probe hits before ranking
         .groupBy("query_id", "neighbor_id")
@@ -725,11 +787,19 @@ def _probe_query_lists(queries: DataFrame, cents: DataFrame, n_probe: int) -> Da
     in-plan and persisted-index paths so the probe objective (cosine,
     ties toward the smaller centroid_id) cannot drift between them.
     Returns (query_id, q_embedding, list_id)."""
-    q_scored = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "q_embedding",
-        "centroid_id",
-        cosine(F.col("q_embedding"), F.col("c_embedding")).alias("c_score"),
+    cents_n = cents.withColumn("_cnrm", l2_norm(F.col("c_embedding")))
+    q_scored = (
+        queries.withColumn("_qnrm", l2_norm(F.col("q_embedding")))
+        .crossJoin(F.broadcast(cents_n))
+        .select(
+            "query_id",
+            "q_embedding",
+            "centroid_id",
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("c_embedding")),
+                F.col("_qnrm") * F.col("_cnrm"),
+            ).alias("c_score"),
+        )
     )
     wn = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("centroid_id"))
     return (
@@ -741,14 +811,22 @@ def _probe_query_lists(queries: DataFrame, cents: DataFrame, n_probe: int) -> Da
 
 def _score_probed(corpus_lists: DataFrame, query_lists: DataFrame, k: int) -> DataFrame:
     """Candidate equi-join on ``list_id`` + exact cosine + shared top-k
-    rank — the corpus never cross-joins the query set."""
+    rank — the corpus never cross-joins the query set. Norms fold once
+    per corpus/query row BEFORE the join (one interpreted dot per
+    candidate instead of dot+2 norms; same fold order as ``cosine``,
+    bit-identical scores)."""
+    cl = corpus_lists.withColumn("_nrm", l2_norm(F.col("embedding")))
+    ql = query_lists.withColumn("_qnrm", l2_norm(F.col("q_embedding")))
     scored = (
-        corpus_lists.join(query_lists, "list_id")
+        cl.join(ql, "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
         )
     )
     return _rank_topk(scored, k)
@@ -1291,12 +1369,26 @@ def lsh_banded_topk_indexed(
         )
         return _rank_topk(scored, k)
     scored = (
-        cands.join(F.broadcast(queries.select("query_id", "q_embedding")), "query_id")
-        .join(vectors, "vec_id")
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    "query_id",
+                    "q_embedding",
+                    l2_norm(F.col("q_embedding")).alias("_qnrm"),
+                )
+            ),
+            "query_id",
+        )
+        .join(vectors.withColumn("_nrm", l2_norm(F.col("embedding"))), "vec_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_embedding"), F.col("embedding")).alias("score"),
+            # one interpreted dot per deduped candidate; norms folded
+            # once per row (bit-identical to cosine)
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
         )
     )
     return _rank_topk(scored, k)
