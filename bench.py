@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dedup_duplicate_spans",
     "ann_topk_lsh_banded",  # r5: banded multi-probe LSH retrieval
     "semdedup_survivors",  # r7: SemDeDup end-to-end (assign+pairs+prune)
+    "ann_topk_pq",  # r7: product-quantized exhaustive ADC scan
 ]
 
 

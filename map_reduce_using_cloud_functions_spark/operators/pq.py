@@ -1,0 +1,515 @@
+"""Product quantization (PQ) for embedding search (X3 scale path).
+
+Jégou et al., *Product Quantization for Nearest Neighbor Search*
+(TPAMI 2011) — the memory-bound answer the IVF family still lacks:
+split each d-dim vector into ``m`` disjoint subvectors, learn a tiny
+``k``-codeword codebook per subspace, and store each vector as ``m``
+small codes (m bytes at k ≤ 256) instead of d floats. Query scoring is
+ADC (asymmetric distance computation): the query precomputes one
+m×k lookup table of subspace dots, then every corpus vector scores as
+``m`` table lookups — no float vector is ever read at query time. At
+100 TB this is what makes exhaustive candidate scans feasible: a
+64-dim float corpus shrinks 32× (8 codes + a stored norm vs 256
+bytes), and the scan is lookup-bound rather than multiply-bound.
+
+Spark-first shape — every stage is Column expressions:
+
+- codebooks: the hash-slot seed vectors (shared determinism with the
+  IVF family; the oracle-replayable configuration) sliced per
+  subspace; ``train=True`` runs per-subspace Lloyd (L2) iterations;
+- encode: one subspace explode + broadcast-argmin (the L2 argmin is
+  ranked by ``<x,c> − |c|²/2`` so the per-pair work is one dot — the
+  |x|² term is constant within a vector's argmin), folded back to ONE
+  row per vector: (vec_id, codes array<int>, recon_norm);
+- ADC top-k: queries build their lookup tables against the broadcast
+  codebooks; the corpus side is a map-only scan of the codes relation
+  (broadcast LUTs, zero shuffle before the top-k window). Scores are
+  the cosine of the query with the RECONSTRUCTION: subspaces are
+  disjoint coordinates, so the reconstruction's norm is exactly
+  ``sqrt(Σ_m |c_chosen|²)`` — precomputed at encode time, no cross
+  terms.
+
+Approximation contract: scores are reconstruction cosines, not true
+cosines — error is bounded by the per-subspace quantization error
+(pytest pins parity with a NumPy model and recall vs brute force).
+``ivf_pq_topk`` composes coarse IVF routing with ADC scoring (the
+FAISS IVFPQ shape): candidates come from the probed inverted lists
+only, then score as lookups.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.vectors import dot, l2_norm
+from .similarity import (
+    _assign_nearest_list,
+    _probe_query_lists,
+    _rank_topk,
+    _seed_centroids,
+    _vec_dim,
+)
+
+
+def _subspace_slices(df: DataFrame, vec_col: str, m: int, sub: int) -> DataFrame:
+    """Explode (…, vec) → (…, subspace, subvec): m rows per vector,
+    each carrying one disjoint coordinate slice (plan-literal slice
+    bounds — no per-row arithmetic on offsets)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select("*", F.explode(parts).alias("_p")).select(
+        *[c for c in df.columns if c != vec_col],
+        F.col("_p.subspace").alias("subspace"),
+        F.col("_p.subvec").alias("subvec"),
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    train: bool = False,
+    train_iters: int = 2,
+) -> DataFrame:
+    """Per-subspace codebooks: (subspace, centroid_id, c_subvec).
+
+    Seeds are the IVF family's hash-slot seed vectors sliced per
+    subspace — deterministic, oracle-replayable. ``train=True`` runs
+    ``train_iters`` Lloyd (L2) rounds per subspace over the exploded
+    subvector relation: assignment is a broadcast argmin, recompute is
+    a per-(subspace, centroid, dim) mean — one shuffle of
+    |corpus|·m·sub partial sums per round, no all-pairs anything."""
+    dim = _vec_dim(embeddings, "embedding")
+    if dim % m:
+        raise ValueError(
+            f"embedding dim {dim} must split evenly into m={m} subspaces "
+            f"(got remainder {dim % m})"
+        )
+    sub = dim // m
+    seeds = _seed_centroids(embeddings, k)  # (centroid_id, c_embedding)
+    books = _subspace_slices(
+        seeds.select("centroid_id", F.col("c_embedding").alias("embedding")),
+        "embedding",
+        m,
+        sub,
+    ).select("subspace", "centroid_id", F.col("subvec").alias("c_subvec"))
+    if not train:
+        return books
+    subs = _subspace_slices(
+        embeddings.select("vec_id", "embedding"), "embedding", m, sub
+    )
+    for _ in range(train_iters):
+        assigned = _encode_assign(subs, books).select(
+            "vec_id", "subspace", F.col("code").alias("centroid_id")
+        )
+        recomputed = (
+            subs.join(assigned, ["vec_id", "subspace"])
+            .select("subspace", "centroid_id", F.posexplode("subvec").alias("d", "x"))
+            .groupBy("subspace", "centroid_id", "d")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("subspace", "centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mu"))).alias("dm"))
+            .select(
+                "subspace",
+                "centroid_id",
+                F.transform("dm", lambda s: s["mu"]).alias("c_subvec"),
+            )
+        )
+        # an emptied codeword keeps its previous position (standard
+        # Lloyd practice — same rule as train_ivf_centroids)
+        books = (
+            books.select(
+                "subspace", "centroid_id", F.col("c_subvec").alias("_prev")
+            )
+            .join(recomputed, ["subspace", "centroid_id"], "left")
+            .select(
+                "subspace",
+                "centroid_id",
+                F.coalesce("c_subvec", "_prev").alias("c_subvec"),
+            )
+            .localCheckpoint()
+        )
+    return books
+
+
+def _books_scored(books: DataFrame) -> DataFrame:
+    # |c|² folded once per codeword (tiny relation, broadcast)
+    return books.withColumn(
+        "c_nrm2",
+        F.aggregate(
+            F.col("c_subvec"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        ),
+    )
+
+
+def _encode_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, subspace, subvec) × codebooks → (vec_id, subspace,
+    code, c_nrm2): per-subspace L2 argmin via the monotone objective
+    ``<x,c> − |c|²/2`` (|x|² is constant within the argmin — one dot
+    per codeword instead of a squared-difference fold). Ties toward the
+    smaller centroid_id, the engine-wide rule."""
+    scored = subs.join(F.broadcast(_books_scored(books)), "subspace").select(
+        "vec_id",
+        "subspace",
+        "centroid_id",
+        "c_nrm2",
+        (
+            dot(F.col("subvec"), F.col("c_subvec")) - F.col("c_nrm2") / F.lit(2.0)
+        ).alias("obj"),
+    )
+    return scored.groupBy("vec_id", "subspace").agg(
+        F.max_by(
+            F.struct(F.col("centroid_id").alias("code"), F.col("c_nrm2")),
+            F.struct(F.col("obj"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("best")
+    ).select(
+        "vec_id",
+        "subspace",
+        F.col("best.code").alias("code"),
+        F.col("best.c_nrm2").alias("c_nrm2"),
+    )
+
+
+def pq_encode(embeddings: DataFrame, books: DataFrame) -> DataFrame:
+    """Corpus → (vec_id, codes array<int>, recon_norm): the compressed
+    representation — m small codes plus the reconstruction's exact norm
+    (disjoint subspaces ⇒ ``|x̂|² = Σ_m |c_chosen|²``, folded in
+    subspace order so the double is reproducible)."""
+    m = books.agg(F.max("subspace")).first()[0] + 1
+    dim = _vec_dim(embeddings, "embedding")
+    subs = _subspace_slices(
+        embeddings.select("vec_id", "embedding"), "embedding", m, dim // m
+    )
+    assigned = _encode_assign(subs, books)
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "code", "c_nrm2"))
+            ).alias("sc")
+        )
+        .select(
+            "vec_id",
+            F.transform("sc", lambda s: s["code"]).alias("codes"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform("sc", lambda s: s["c_nrm2"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("recon_norm"),
+        )
+    )
+
+
+def _query_luts(queries: DataFrame, books: DataFrame, m: int) -> DataFrame:
+    """Queries → (query_id, lut array<array<double>>, q_norm): LUT[s][j]
+    is ``<q_s, c_{s,j}>`` — the whole ADC table per query, built
+    against the broadcast codebooks and sorted (subspace, centroid) so
+    corpus-side lookups are positional."""
+    dim = _vec_dim(queries, "q_embedding")
+    qsubs = _subspace_slices(
+        queries.select(
+            "query_id",
+            "q_embedding",
+            l2_norm(F.col("q_embedding")).alias("q_norm"),
+        ),
+        "q_embedding",
+        m,
+        dim // m,
+    )
+    cell = qsubs.join(F.broadcast(books), "subspace").select(
+        "query_id",
+        "q_norm",
+        "subspace",
+        "centroid_id",
+        dot(F.col("subvec"), F.col("c_subvec")).alias("d"),
+    )
+    return (
+        cell.groupBy("query_id", "q_norm", "subspace")
+        .agg(F.array_sort(F.collect_list(F.struct("centroid_id", "d"))).alias("cd"))
+        .select(
+            "query_id",
+            "q_norm",
+            "subspace",
+            F.transform("cd", lambda s: s["d"]).alias("row"),
+        )
+        .groupBy("query_id", "q_norm")
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "row"))).alias("sr"))
+        .select(
+            "query_id",
+            "q_norm",
+            F.transform("sr", lambda s: s["row"]).alias("lut"),
+        )
+    )
+
+
+def _adc_score(codes_col, lut_col) -> F.Column:
+    """Σ_s LUT[s][codes[s]] — the ADC dot of the query with the
+    reconstruction, folded in subspace order (reproducible doubles).
+    ``zip_with`` pairs each code with its subspace's LUT row."""
+    return F.aggregate(
+        F.zip_with(codes_col, lut_col, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exhaustive ADC top-k over the compressed corpus: every corpus
+    row costs m table lookups + one add chain — a map-only scan of the
+    codes relation against broadcast LUTs, no shuffle before the
+    ranking window. Scores are reconstruction cosines
+    (``ADC_dot / (|q|·|x̂|)``), rounded per the oracle contract.
+    Returns (query_id, neighbor_id, rank, score)."""
+    m = books.agg(F.max("subspace")).first()[0] + 1
+    luts = _query_luts(queries, books, m)
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.try_divide(
+                _adc_score(F.col("codes"), F.col("lut")),
+                F.col("q_norm") * F.col("recon_norm"),
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The production PQ shape (Jégou et al. §V: ADC + re-ranking):
+    the compressed scan nominates a ``shortlist`` per query, then ONLY
+    those rows fetch their float vectors for an exact cosine re-rank.
+    Cost: the full scan stays lookup-bound; the exact work is
+    |Q|·shortlist vector fetches — independent of corpus size. Recall
+    is the probability the true neighbor makes the shortlist, which
+    converges to 1 quickly in ``shortlist/k`` (pytest pins the lift
+    vs the raw ADC ranking). Returns (query_id, neighbor_id, rank,
+    score) with EXACT scores — rank 1..k per query."""
+    nominated = pq_topk(codes, books, queries, k=shortlist).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    emb_n = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+    )
+    q_n = queries.select(
+        "query_id", "q_embedding", l2_norm(F.col("q_embedding")).alias("_qnrm")
+    )
+    scored = (
+        nominated.join(emb_n, "vec_id")
+        .join(F.broadcast(q_n), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    books: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The FAISS-IVFPQ composition: coarse IVF routing (probe the
+    query's ``n_probe`` nearest lists) + ADC scoring of ONLY the probed
+    candidates. The corpus is touched twice at build (assignment +
+    encode) and never at query time — candidates are code lookups.
+    Seeded centroids/codebooks by default (the deterministic,
+    oracle-replayable configuration)."""
+    cents = centroids if centroids is not None else _seed_centroids(
+        embeddings, n_centroids
+    )
+    bks = books if books is not None else train_pq_codebooks(embeddings, m=m, k=pq_k)
+    corpus_lists = _assign_nearest_list(embeddings, cents).select(
+        "vec_id", "list_id"
+    )
+    codes = pq_encode(embeddings, bks).join(corpus_lists, "vec_id")
+    query_lists = _probe_query_lists(queries, cents, n_probe).select(
+        "query_id", "list_id"
+    )
+    luts = _query_luts(queries, bks, m)
+    scored = (
+        codes.join(query_lists, "list_id")
+        .join(F.broadcast(luts), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.try_divide(
+                _adc_score(F.col("codes"), F.col("lut")),
+                F.col("q_norm") * F.col("recon_norm"),
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+# --- persisted PQ index (the build/load/query/append treatment the
+# --- LSH/IVF families got in r6/r7) ------------------------------------
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    train: bool = False,
+    train_iters: int = 2,
+    keep_vectors: bool = False,
+) -> None:
+    """Persist the compressed corpus so encoding amortizes across query
+    batches. Layout under ``path``:
+
+    - ``meta/`` — one row (m, k, dim, n): the codebook geometry every
+      probe/append must replay;
+    - ``books/`` — the m×k codewords (tiny, one file, broadcast by
+      readers);
+    - ``codes/`` — (vec_id, codes, recon_norm): the 32×-compressed
+      corpus — the ONLY per-vector state a query touches;
+    - ``vectors/`` — the float corpus, written only with
+      ``keep_vectors=True``: the exact re-rank's refinement source.
+      Off by default because not storing floats IS the compression
+      contract; rerank can also take any external float relation.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", "embedding")
+    dim = _vec_dim(base, "embedding")
+    n = base.count()
+    books = train_pq_codebooks(base, m=m, k=k, train=train, train_iters=train_iters)
+    (
+        spark.createDataFrame([(m, k, dim, n)], "m int, k int, dim int, n bigint")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    pq_encode(base, books).write.mode("overwrite").parquet(f"{path}/codes")
+    if keep_vectors:
+        base.write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def load_pq_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema("m int, k int, dim int, n bigint")
+        .parquet(f"{path}/meta")
+        .first()
+    )
+    return row.asDict()
+
+
+def load_pq_books(spark, path: str) -> DataFrame:
+    return spark.read.schema(
+        "subspace int, centroid_id int, c_subvec array<double>"
+    ).parquet(f"{path}/books")
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Serve ADC top-k from a persisted index: the corpus contributes
+    only its ``codes/`` scan — no float vector is read unless
+    ``shortlist`` asks for the exact re-rank, which fetches the
+    nominated rows from the index's ``vectors/`` (if kept at build) or
+    a caller-supplied ``embeddings`` relation."""
+    books = load_pq_books(spark, path)
+    meta = load_pq_meta(spark, path)
+    codes = spark.read.schema(
+        "vec_id bigint, codes array<int>, recon_norm double"
+    ).parquet(f"{path}/codes")
+    if shortlist is None:
+        return pq_topk(codes, books, queries, k=k)
+    if embeddings is None:
+        from .index import _hadoop_exists
+
+        if not _hadoop_exists(spark, f"{path}/vectors"):
+            raise ValueError(
+                f"PQ index at {path} was built without keep_vectors and "
+                "no `embeddings` relation was passed — the exact re-rank "
+                "needs a float source. Rebuild with keep_vectors=True or "
+                "pass the original embeddings."
+            )
+        embeddings = spark.read.schema(
+            f"vec_id bigint, embedding array<float>"
+        ).parquet(f"{path}/vectors")
+    _ = meta  # geometry is implicit in books/codes; meta guards appends
+    return pq_topk_rerank(embeddings, codes, books, queries, k=k, shortlist=shortlist)
+
+
+def append_pq_index(embeddings: DataFrame, path: str) -> None:
+    """Grow a persisted PQ index by O(new batch): encode ONLY the batch
+    against the STORED codebooks and append its codes. Exact by
+    construction, same argument as LSH appends: codewords are stored
+    parameters, so codes(build ∪ batch) ≡ codes(build) ∪ codes(batch)
+    — there is no drift caveat (unlike IVF appends, whose frozen
+    coarse centroids stop tracking the distribution). The ``meta/``
+    count is rewritten FIRST so a crash between meta and data leaves
+    an overestimate — the conservative failure direction. ``vec_id``
+    uniqueness and replay discipline are the caller's contract, as
+    with the other appends."""
+    spark = embeddings.sparkSession
+    meta = load_pq_meta(spark, path)
+    base = embeddings.select("vec_id", "embedding")
+    dim = _vec_dim(base, "embedding")
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"append_pq_index: batch dimension {dim} != index dimension "
+            f"{meta['dim']} at {path} — codebooks are dimension-specific; "
+            "rebuild the index or fix the batch."
+        )
+    n_new = base.count()
+    (
+        spark.createDataFrame(
+            [(meta["m"], meta["k"], meta["dim"], meta["n"] + n_new)],
+            "m int, k int, dim int, n bigint",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    books = load_pq_books(spark, path)
+    pq_encode(base, books).write.mode("append").parquet(f"{path}/codes")
+    from .index import _hadoop_exists
+
+    if _hadoop_exists(spark, f"{path}/vectors"):
+        base.write.mode("append").parquet(f"{path}/vectors")

@@ -1,0 +1,300 @@
+"""Product-quantization tests (operators/pq.py): a NumPy replay of the
+whole pipeline — seed codebooks, L2-argmin encode, reconstruction norm,
+ADC scoring — is the oracle; plus the reconstruction-exactness property
+on seed vectors, the rerank recall lift, IVF-PQ candidate-restriction
+equivalence, partition invariance, and the Lloyd path's error
+monotonicity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators import pq
+from map_reduce_using_cloud_functions_spark.operators.similarity import (
+    brute_force_topk,
+    queries_from_ids,
+)
+from map_reduce_using_cloud_functions_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+M, K = 8, 16
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def vecs(embeddings):
+    return {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def books(embeddings):
+    return pq.train_pq_codebooks(embeddings, m=M, k=K)
+
+
+@pytest.fixture(scope="module")
+def codes(embeddings, books):
+    return pq.pq_encode(embeddings, books)
+
+
+def np_books(vecs, m=M, k=K):
+    slots = {}
+    for vid in sorted(vecs):
+        slot = vid % 97
+        if slot < k and slot not in slots:
+            slots[slot] = vecs[vid]
+    sub = len(next(iter(vecs.values()))) // m
+    return {
+        (s, j): v[s * sub : (s + 1) * sub] for j, v in slots.items() for s in range(m)
+    }
+
+
+def np_encode(vecs, bks, m=M, k=K):
+    sub = len(next(iter(vecs.values()))) // m
+    out = {}
+    for vid, v in vecs.items():
+        cs, nrm2 = [], 0.0
+        for s in range(m):
+            x = v[s * sub : (s + 1) * sub]
+            # argmax of <x,c> - |c|^2/2, tie toward smaller code
+            best = max(
+                (float(x @ bks[(s, j)]) - float(bks[(s, j)] @ bks[(s, j)]) / 2, -j)
+                for j in range(k)
+                if (s, j) in bks
+            )
+            j = -best[1]
+            cs.append(j)
+            nrm2 += float(bks[(s, j)] @ bks[(s, j)])
+        out[vid] = (cs, math.sqrt(nrm2))
+    return out
+
+
+def test_encode_matches_numpy_model(codes, vecs):
+    model = np_encode(vecs, np_books(vecs))
+    got = {r["vec_id"]: (list(r["codes"]), r["recon_norm"]) for r in codes.collect()}
+    assert set(got) == set(model)
+    for vid, (cs, rn) in model.items():
+        assert got[vid][0] == cs, f"codes diverge for {vid}"
+        assert abs(got[vid][1] - rn) < 1e-9
+
+
+def test_adc_scores_match_numpy_model(embeddings, books, codes, vecs):
+    model_codes = np_encode(vecs, np_books(vecs))
+    bks = np_books(vecs)
+    sub = len(next(iter(vecs.values()))) // M
+    got = pq.pq_topk(codes, books, queries_from_ids(embeddings, 2), k=5).collect()
+    for r in got:
+        q = vecs[r["query_id"]]
+        cs, rn = model_codes[r["neighbor_id"]]
+        adc = sum(
+            float(q[s * sub : (s + 1) * sub] @ bks[(s, cs[s])]) for s in range(M)
+        )
+        expect = adc / (np.linalg.norm(q) * rn)
+        assert abs(r["score"] - round(expect, 6)) < 2e-6
+
+
+def test_seed_vectors_reconstruct_exactly(embeddings, books, codes, vecs):
+    """A seed vector IS its own codeword in every subspace: codes =
+    its slot, reconstruction norm = its true norm — quantization error
+    exactly zero for the codebook's sources."""
+    rows = {r["vec_id"]: r for r in codes.collect()}
+    slots = {}
+    for vid in sorted(vecs):
+        slot = vid % 97
+        if slot < K and slot not in slots:
+            slots[slot] = vid
+    for slot, vid in slots.items():
+        assert list(rows[vid]["codes"]) == [slot] * M
+        assert abs(rows[vid]["recon_norm"] - np.linalg.norm(vecs[vid])) < 1e-9
+
+
+def test_compression_shape(codes):
+    for r in codes.collect():
+        assert len(r["codes"]) == M
+        assert all(0 <= c < K for c in r["codes"])
+
+
+def test_rerank_lifts_recall(spark, embeddings, books, codes):
+    q = queries_from_ids(embeddings, 8)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.pq_topk(codes, books, q, k=5).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.pq_topk_rerank(
+            embeddings, codes, books, q, k=5, shortlist=100
+        ).collect()
+    }
+    assert len(rr & bf) > len(raw & bf)
+    assert len(rr & bf) >= 0.8 * len(bf)  # measured 38/40 on this fixture
+    # rerank scores are exact cosines: every (q, n) it shares with brute
+    # force carries the identical score
+    bf_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    for r in pq.pq_topk_rerank(
+        embeddings, codes, books, q, k=5, shortlist=100
+    ).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_scores:
+            assert abs(r["score"] - bf_scores[key]) < 2e-6
+
+
+def test_ivf_pq_is_pq_restricted_to_probed_lists(spark, embeddings, books):
+    """IVF-PQ ≡ the full ADC ranking restricted to candidates in the
+    query's probed lists — routing changes WHICH rows are scored,
+    never their scores."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        _assign_nearest_list,
+        _probe_query_lists,
+        _seed_centroids,
+    )
+    import pyspark.sql.functions as F
+
+    q = queries_from_ids(embeddings, 4)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in pq.ivf_pq_topk(embeddings, q, k=3, m=M, pq_k=K).collect()
+    }
+    cents = _seed_centroids(embeddings, 8)
+    allowed = (
+        _assign_nearest_list(embeddings, cents)
+        .select("vec_id", "list_id")
+        .join(
+            _probe_query_lists(q, cents, 2).select("query_id", "list_id"),
+            "list_id",
+        )
+        .select("query_id", "vec_id")
+    )
+    codes = pq.pq_encode(embeddings, books)
+    full = pq.pq_topk(codes, books, q, k=10**6)  # unranked-by-k full scoring
+    restricted = (
+        full.join(
+            allowed.withColumnRenamed("vec_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    expect = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in restricted.withColumn("rank", F.row_number().over(wn))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "score")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_partition_invariance(embeddings, books):
+    base = sorted(map(tuple, pq.pq_encode(embeddings, books).collect()))
+    shuffled = sorted(
+        map(tuple, pq.pq_encode(embeddings.repartition(13), books).collect())
+    )
+    assert base == shuffled
+
+
+def test_dim_must_split(embeddings):
+    with pytest.raises(ValueError, match="split evenly"):
+        pq.train_pq_codebooks(embeddings, m=7)
+
+
+def test_lloyd_training_reduces_reconstruction_error(spark, embeddings, vecs, books):
+    """Per-subspace Lloyd iterations must not worsen mean squared
+    reconstruction error on the training corpus (k-means monotonicity;
+    seeds are the iteration-0 state)."""
+    import pyspark.sql.functions as F
+
+    def mse(bks_df):
+        bks = {
+            (r["subspace"], r["centroid_id"]): np.array(r["c_subvec"], np.float64)
+            for r in bks_df.collect()
+        }
+        enc = np_encode(vecs, bks, k=1 + max(j for _, j in bks))
+        sub = len(next(iter(vecs.values()))) // M
+        tot = 0.0
+        for vid, (cs, _) in enc.items():
+            rec = np.concatenate([bks[(s, cs[s])] for s in range(M)])
+            tot += float(np.sum((vecs[vid] - rec) ** 2))
+        return tot / len(vecs)
+
+    trained = pq.train_pq_codebooks(embeddings, m=M, k=K, train=True, train_iters=2)
+    assert mse(trained) <= mse(books) + 1e-9
+
+
+def test_persisted_index_roundtrip_and_append(spark, embeddings, books, tmp_path):
+    """build → indexed query ≡ in-plan; append grows by O(batch) and is
+    exact by construction (codes(build ∪ batch) ≡ codes(build) ∪
+    codes(batch) — codewords are stored parameters)."""
+    import pyspark.sql.functions as F
+
+    q = queries_from_ids(embeddings, 4)
+    path = str(tmp_path / "pqidx")
+    pq.build_pq_index(embeddings, path, m=M, k=K)
+    in_plan = sorted(
+        map(tuple, pq.pq_topk(pq.pq_encode(embeddings, books), books, q, k=5).collect())
+    )
+    indexed = sorted(map(tuple, pq.pq_topk_indexed(spark, path, q, k=5).collect()))
+    assert indexed == in_plan
+
+    # half-build + append ≡ full build
+    half = str(tmp_path / "pqhalf")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    odds = embeddings.where(F.col("vec_id") % 2 == 1)
+    pq.build_pq_index(evens, half, m=M, k=K)
+    pq.append_pq_index(odds, half)
+    appended = sorted(map(tuple, pq.pq_topk_indexed(spark, half, q, k=5).collect()))
+    # seeds come from the even half only — rebuild the twin the same way
+    books_half = pq.train_pq_codebooks(evens, m=M, k=K)
+    twin = sorted(
+        map(
+            tuple,
+            pq.pq_topk(pq.pq_encode(embeddings, books_half), books_half, q, k=5).collect(),
+        )
+    )
+    assert appended == twin
+    assert pq.load_pq_meta(spark, half)["n"] == embeddings.count()
+
+    # dimension guard
+    import pytest as _pytest
+
+    bad = odds.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    with _pytest.raises(ValueError, match="dimension"):
+        pq.append_pq_index(bad, half)
+
+
+def test_indexed_rerank_requires_float_source(spark, embeddings, tmp_path):
+    import pytest as _pytest
+
+    q = queries_from_ids(embeddings, 2)
+    path = str(tmp_path / "pq_nofloats")
+    pq.build_pq_index(embeddings, path, m=M, k=K)  # keep_vectors=False
+    with _pytest.raises(ValueError, match="keep_vectors"):
+        pq.pq_topk_indexed(spark, path, q, k=5, shortlist=50)
+    # caller-supplied float relation works
+    got = pq.pq_topk_indexed(spark, path, q, k=5, shortlist=50, embeddings=embeddings)
+    assert got.count() == 10
+    # and a keep_vectors build serves the re-rank from its own vectors/
+    path2 = str(tmp_path / "pq_floats")
+    pq.build_pq_index(embeddings, path2, m=M, k=K, keep_vectors=True)
+    own = pq.pq_topk_indexed(spark, path2, q, k=5, shortlist=50)
+    assert sorted(map(tuple, own.collect())) == sorted(map(tuple, got.collect()))

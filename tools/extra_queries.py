@@ -101,6 +101,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": lambda s, d: sdd.semdedup_survivors(
             load_table(s, d, "embeddings")
         ),
+        # r7: product quantization (Jégou et al. 2011) — exhaustive ADC
+        # top-k over the 32x-compressed corpus; seeded codebooks are
+        # the oracle-replayed configuration.
+        "ann_topk_pq": _q_ann_topk_pq,
+        # persisted PQ index: indexed ≡ in-plan (same oracle); appends
+        # are exact by construction with build-half seeds (same rule as
+        # the LSH/IVF appended rows).
+        "ann_topk_pq_indexed": _q_ann_topk_pq_indexed,
+        "ann_topk_pq_appended": _q_ann_topk_pq_appended,
     }
 
 
@@ -198,6 +207,51 @@ def _q_index_version_diff(s: SparkSession, d: str) -> DataFrame:
     from map_reduce_using_cloud_functions_spark.operators import index as ix
 
     return ix.index_diff(s, _mk_versioned_two_commits(s, d), 0, 1)
+
+
+def _q_ann_topk_pq(s: SparkSession, d: str) -> DataFrame:
+    """Exhaustive ADC top-k over the PQ-compressed corpus (m=8
+    subspaces, k=16 seeded codewords): codes + reconstruction norms on
+    the corpus side, per-query lookup tables, reconstruction-cosine
+    ranking — the DuckDB twin replays the whole pipeline (slice →
+    argmin by <x,c>−|c|²/2 → subspace-ordered folds)."""
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    return pq.pq_topk(pq.pq_encode(emb, books), books, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_pq_indexed(s: SparkSession, d: str) -> DataFrame:
+    """ann_topk_pq served from a persisted build_pq_index — the index
+    amortizes encoding across query batches, it must not change
+    answers (same oracle SQL)."""
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_pq_") + "/pq"
+    pq.build_pq_index(emb, path, m=8, k=16)
+    return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_pq_appended(s: SparkSession, d: str) -> DataFrame:
+    """build_pq_index on even vec_ids + append_pq_index of the odds.
+    PQ appends are exact by construction (codewords are stored
+    parameters), so the twin is the full pipeline with codebooks
+    seeded from the BUILD half only."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_pqa_") + "/pq"
+    pq.build_pq_index(emb.where(F.col("vec_id") % 2 == 0), path, m=8, k=16)
+    pq.append_pq_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
 
 
 def _q_ann_topk_ivf_indexed(s: SparkSession, d: str) -> DataFrame:
@@ -625,6 +679,88 @@ WHERE doc_id % 2 = 1
         + """SELECT word, document,
        0::BIGINT AS count_from, count AS count_to, count AS delta
 FROM postings"""
+    )
+
+    # PQ twin: the whole product-quantization pipeline in SQL — seeded
+    # codebooks sliced per subspace, L2 argmin via the monotone
+    # <x,c>−|c|²/2 objective (tie toward the smaller code), recon norm
+    # and ADC dot folded in subspace order (list(... ORDER BY subspace)
+    # then list_sum — same sequential double adds as the engine's
+    # array folds).
+    sql["ann_topk_pq"] = """
+WITH seeds AS (
+  SELECT (vec_id % 97)::INT AS cid, arg_min(embedding, vec_id) AS sv
+  FROM embeddings WHERE (vec_id % 97) < 16 GROUP BY 1
+),
+sp AS (SELECT unnest(range(0, 8)) AS s),
+bn AS (
+  SELECT sp.s AS subspace, cid,
+         list_slice(sv, sp.s*8 + 1, (sp.s+1)*8) AS cw,
+         list_inner_product(list_slice(sv, sp.s*8 + 1, (sp.s+1)*8)::DOUBLE[],
+                            list_slice(sv, sp.s*8 + 1, (sp.s+1)*8)::DOUBLE[]) AS cn2
+  FROM seeds, sp
+),
+subs AS (
+  SELECT vec_id, sp.s AS subspace,
+         list_slice(embedding, sp.s*8 + 1, (sp.s+1)*8) AS xv
+  FROM embeddings, sp
+),
+assign AS (
+  SELECT vec_id, subspace, cid, cn2 FROM (
+    SELECT v.vec_id, v.subspace, b.cid, b.cn2,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY (list_inner_product(v.xv::DOUBLE[], b.cw::DOUBLE[]) - b.cn2/2) DESC,
+                      b.cid
+           ) AS rn
+    FROM subs v JOIN bn b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT vec_id, sqrt(list_sum(list(cn2 ORDER BY subspace))) AS recon_norm
+  FROM assign GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+qsubs AS (
+  SELECT query_id, sp.s AS subspace, list_slice(qe, sp.s*8 + 1, (sp.s+1)*8) AS qv
+  FROM q, sp
+),
+adc AS (
+  SELECT qs.query_id, a.vec_id,
+         list_sum(list(list_inner_product(qs.qv::DOUBLE[], b.cw::DOUBLE[])
+                       ORDER BY qs.subspace)) AS adot
+  FROM qsubs qs
+  JOIN assign a ON a.subspace = qs.subspace
+  JOIN bn b ON b.subspace = a.subspace AND b.cid = a.cid
+  GROUP BY 1, 2
+),
+qn AS (SELECT vec_id AS query_id,
+              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
+       FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT adc.query_id, adc.vec_id AS neighbor_id,
+         adc.adot / (qn.qnorm * r.recon_norm) AS score
+  FROM adc
+  JOIN qn USING (query_id)
+  JOIN recon r ON r.vec_id = adc.vec_id
+  WHERE adc.vec_id <> adc.query_id
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id)::INT AS rank,
+         score
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    sql["ann_topk_pq_indexed"] = sql["ann_topk_pq"]
+    # appended twin: codebook seeds restricted to the BUILD half (even
+    # vec_ids) — appends themselves are exact, only the seed source
+    # differs from the full-build row
+    sql["ann_topk_pq_appended"] = sql["ann_topk_pq"].replace(
+        "FROM embeddings WHERE (vec_id % 97) < 16",
+        "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 16",
     )
 
     # SemDeDup twin: the identical seeded centroids + argmax assignment
