@@ -40,7 +40,7 @@ only, then score as lookups.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.vectors import dot, l2_norm
 from .similarity import (
@@ -254,6 +254,28 @@ def _query_luts(queries: DataFrame, books: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _rank_topk_stable(scored: DataFrame, k: int) -> DataFrame:
+    """PQ's top-k postlude: same contract as ``similarity._rank_topk``
+    (desc score, neighbor-id tiebreak, NULL drop, 6-dp output) but
+    ranked on the 6-dp ROUNDED score — the output's own precision.
+    Quantization makes reconstruction cosines COLLIDE by construction
+    (near-dup vectors encode to the same codes), so raw-double rank
+    boundaries sit on fold-order noise: two engines agreeing to 1e-6
+    can still order 1.0 vs 1-2ulp differently (caught by the
+    embeddings fuzzer on planted dups). Exact-cosine paths keep the
+    raw ranking — their scores are separated by data, not by a
+    discretized codebook."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("r_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("r_score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= k) & F.col("score").isNotNull())
+        .select("query_id", "neighbor_id", "rank", F.col("r_score").alias("score"))
+    )
+
+
 def _adc_score(codes_col, lut_col) -> F.Column:
     """Σ_s LUT[s][codes[s]] — the ADC dot of the query with the
     reconstruction, folded in subspace order (reproducible doubles).
@@ -291,7 +313,7 @@ def pq_topk(
             ).alias("score"),
         )
     )
-    return _rank_topk(scored, k)
+    return _rank_topk_stable(scored, k)
 
 
 def pq_topk_rerank(
@@ -377,7 +399,7 @@ def ivf_pq_topk(
             ).alias("score"),
         )
     )
-    return _rank_topk(scored, k)
+    return _rank_topk_stable(scored, k)
 
 
 # --- persisted PQ index (the build/load/query/append treatment the

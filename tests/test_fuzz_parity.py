@@ -277,6 +277,9 @@ FUZZ_EMBED_QUERIES = [
     # mixed magnitudes stress the argmax assignment's float parity
     "semdedup_pairs",
     "semdedup_survivors",
+    # r7: PQ — per-subspace argmin ties on planted exact dups and the
+    # subspace-ordered double folds (recon norm, ADC) across engines
+    "ann_topk_pq",
 ]
 
 

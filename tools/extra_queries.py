@@ -688,22 +688,23 @@ FROM postings"""
     # then list_sum — same sequential double adds as the engine's
     # array folds).
     sql["ann_topk_pq"] = """
-WITH seeds AS (
+WITH dims AS (SELECT (max(len(embedding)) // 8)::INT AS sub FROM embeddings),
+seeds AS (
   SELECT (vec_id % 97)::INT AS cid, arg_min(embedding, vec_id) AS sv
   FROM embeddings WHERE (vec_id % 97) < 16 GROUP BY 1
 ),
 sp AS (SELECT unnest(range(0, 8)) AS s),
 bn AS (
   SELECT sp.s AS subspace, cid,
-         list_slice(sv, sp.s*8 + 1, (sp.s+1)*8) AS cw,
-         list_inner_product(list_slice(sv, sp.s*8 + 1, (sp.s+1)*8)::DOUBLE[],
-                            list_slice(sv, sp.s*8 + 1, (sp.s+1)*8)::DOUBLE[]) AS cn2
-  FROM seeds, sp
+         list_slice(sv, sp.s*d.sub + 1, (sp.s+1)*d.sub) AS cw,
+         list_inner_product(list_slice(sv, sp.s*d.sub + 1, (sp.s+1)*d.sub)::DOUBLE[],
+                            list_slice(sv, sp.s*d.sub + 1, (sp.s+1)*d.sub)::DOUBLE[]) AS cn2
+  FROM seeds, sp, dims d
 ),
 subs AS (
   SELECT vec_id, sp.s AS subspace,
-         list_slice(embedding, sp.s*8 + 1, (sp.s+1)*8) AS xv
-  FROM embeddings, sp
+         list_slice(embedding, sp.s*d.sub + 1, (sp.s+1)*d.sub) AS xv
+  FROM embeddings, sp, dims d
 ),
 assign AS (
   SELECT vec_id, subspace, cid, cn2 FROM (
@@ -722,8 +723,8 @@ recon AS (
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 qsubs AS (
-  SELECT query_id, sp.s AS subspace, list_slice(qe, sp.s*8 + 1, (sp.s+1)*8) AS qv
-  FROM q, sp
+  SELECT query_id, sp.s AS subspace, list_slice(qe, sp.s*d.sub + 1, (sp.s+1)*d.sub) AS qv
+  FROM q, sp, dims d
 ),
 adc AS (
   SELECT qs.query_id, a.vec_id,
@@ -748,7 +749,7 @@ scored AS (
 SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, neighbor_id)::INT AS rank,
+                            ORDER BY round(score, 6) DESC, neighbor_id)::INT AS rank,
          score
   FROM scored
 ) WHERE rank <= 5
