@@ -206,3 +206,114 @@ def test_cli_admit_once(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1, 3}}
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_admission_random_walk_matches_model(spark, tmp_path, seed):
+    """Seeded random walk over the admission lifecycle — fresh batches,
+    replays of old releases (crash recovery), re-ships of already
+    admitted content under new ids — checked after every step against
+    a dict model. Texts are built with DISJOINT vocabularies per
+    identity so the MinHash estimate is exactly 1.0 (exact re-ship) or
+    0.0 (fresh) and the model is deterministic."""
+    import random
+
+    rng = random.Random(seed)
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+
+    def text_of(identity):
+        return " ".join(f"tok{identity}w{i}" for i in range(10))
+
+    next_doc = [0]
+    admitted = {}  # identity -> release it landed in
+    releases = {}  # release -> set of surviving doc_ids
+    batches = {}  # release -> rows (for replays)
+
+    def make_batch(n_fresh, n_dup_ledger, n_dup_within):
+        rows = []
+        fresh_ids = []
+        for _ in range(n_fresh):
+            ident = f"f{next_doc[0]}"
+            rows.append((next_doc[0], ident))
+            fresh_ids.append((next_doc[0], ident))
+            next_doc[0] += 1
+        for _ in range(n_dup_ledger):
+            if admitted:
+                ident = rng.choice(sorted(admitted))
+                rows.append((next_doc[0], ident))
+                next_doc[0] += 1
+        for _ in range(n_dup_within):
+            if fresh_ids:
+                _, ident = rng.choice(fresh_ids)
+                rows.append((next_doc[0], ident))
+                next_doc[0] += 1
+        rng.shuffle(rows)
+        return rows
+
+    def run(release, rows):
+        df = spark.createDataFrame(
+            [(i, text_of(ident)) for i, ident in rows],
+            "doc_id bigint, text string",
+        )
+        admit_batch(spark, df, ledger, survivors, batch_id=release)
+
+    def model(release, rows):
+        # within-batch: min doc_id per identity; ledger: identity new?
+        by_ident = {}
+        for i, ident in rows:
+            by_ident.setdefault(ident, []).append(i)
+        kept = set()
+        for ident, ids in by_ident.items():
+            if ident in admitted and admitted[ident] < release:
+                continue
+            kept.add(min(ids))
+            if ident not in admitted:
+                admitted[ident] = release
+        releases[release] = kept
+
+    def check(step):
+        got = {}
+        for r in (
+            spark.read.parquet(survivors).select("release", "doc_id").collect()
+        ):
+            got.setdefault(r["release"], set()).add(r["doc_id"])
+        # an all-duplicates batch admits nothing: dynamic overwrite
+        # writes no partition for an empty survivor set, so empty
+        # releases simply don't exist on disk (in survivors OR ledger)
+        want = {r: s for r, s in releases.items() if s}
+        assert got == want, f"step {step}: {got} != {want}"
+        assert dd.ledger_releases(spark, ledger) == sorted(want)
+
+    release = 0
+    rows = make_batch(2, 0, 1)
+    run(release, rows)
+    model(release, rows)
+    check("init")
+
+    for step in range(6):
+        op = rng.choice(["fresh", "mixed", "replay", "reship"])
+        if op in ("fresh", "mixed"):
+            release += 1
+            rows = make_batch(
+                rng.randrange(1, 3),
+                rng.randrange(0, 2) if op == "mixed" else 0,
+                rng.randrange(0, 2),
+            )
+            batches[release] = rows
+            run(release, rows)
+            model(release, rows)
+        elif op == "replay" and batches:
+            # crash recovery: same content, same id — must converge to
+            # the same state (probe excludes the replayed release)
+            r = max(batches)
+            run(r, batches[r])
+        else:  # reship: admitted content under a NEW release — all dropped
+            release += 1
+            rows = make_batch(0, 2, 0)
+            if not rows:
+                continue
+            batches[release] = rows
+            run(release, rows)
+            model(release, rows)
+        check(f"step{step}:{op}")
