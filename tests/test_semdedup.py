@@ -176,3 +176,15 @@ def test_trained_centroids_path(embeddings, vecs):
         ca, cb = r["c_score_a"], r["c_score_b"]
         losers.add(r["vec_a"] if (ca, r["vec_a"]) > (cb, r["vec_b"]) else r["vec_b"])
     assert dropped == losers
+
+
+def test_kmeans_init_lifts_the_seed_slot_ceiling(spark, embeddings):
+    """The hash-slot seeds cap at 97 clusters (vec_id % 97); the
+    method's k ∝ n contract needs more at scale — the k-means|| init
+    path must actually deliver k > 97 distinct, dense-id clusters."""
+    surv = sd.semdedup_survivors(
+        embeddings, n_clusters=120, threshold=0.4, train=True, train_init="kmeans||"
+    ).collect()
+    lists = {r["list_id"] for r in surv}
+    assert len(lists) == 120
+    assert max(lists) == 119 and min(lists) == 0  # dense 0..k-1
