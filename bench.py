@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh_banded",  # r5: banded multi-probe LSH retrieval
     "semdedup_survivors",  # r7: SemDeDup end-to-end (assign+pairs+prune)
     "ann_topk_pq",  # r7: product-quantized exhaustive ADC scan
+    "corpus_boilerplate_strip",  # r7: cross-corpus line removal
 ]
 
 

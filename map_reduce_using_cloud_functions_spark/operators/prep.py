@@ -710,3 +710,92 @@ def assign_splits(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return documents.withColumn("split", expr)
+
+
+def strip_boilerplate_lines(
+    documents: DataFrame,
+    min_df: int | None = None,
+    max_df_frac: float = 0.02,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style CROSS-CORPUS boilerplate removal: drop
+    every line (``sep``-delimited segment) whose trimmed form appears
+    in at least ``min_df`` distinct documents — the cookie banner /
+    nav bar / license line pasted across a crawl, which per-document
+    signals (``text_features.dup_line_frac``) and gram-span striking
+    (``strike_duplicate_spans``) are the wrong altitude for: the first
+    sees only within-doc repeats, the second strikes substrings rather
+    than whole structural units.
+
+    Rules, stated exactly: segments are ``split(text, sep)`` with
+    positions; a segment is COUNTABLE if its trimmed form has at least
+    ``min_chars`` characters (whitespace-only separators never count
+    and are never removed — document structure survives); document
+    frequency is over DISTINCT documents; a countable segment is
+    removed where ``df >= min_df`` (default: ``ceil(max_df_frac ·
+    n_docs)``, floored at 2 — one count-star resolves it, metadata-only
+    on a parquet scan). Survivors rejoin with ``sep`` in original
+    order, so a document with nothing removed round-trips
+    byte-identically. Returns (doc_id, text, n_removed) plus any other
+    input columns.
+
+    Scale shape: one explode, ONE narrow shuffle for the df count (the
+    (segment-hash, doc) relation — 16-byte rows after the distinct),
+    one equi-join of the segment stream against the common-segment
+    relation on the portable 60-bit hash (broadcast when small, plain
+    hash join otherwise — never the segment text), and one per-doc
+    reassembly shuffle. The corpus text shuffles exactly once (the
+    reassembly); everything else moves hashes."""
+    if min_df is None:
+        import math
+
+        n_docs = documents.count()
+        min_df = max(2, math.ceil(max_df_frac * n_docs))
+    other_cols = [c for c in documents.columns if c not in ("doc_id", "text")]
+    import re as _re
+
+    segs = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), _re.escape(sep))).alias("pos", "seg"),
+    ).withColumn("t", F.trim(F.col("seg")))
+    keyed = segs.withColumn("k", hex64(F.col("t")))
+    common = (
+        keyed.where(F.length("t") >= min_chars)
+        .select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+        .select("k")
+    )
+    marked = keyed.join(
+        common.withColumn("_rm", F.lit(True)), "k", "left"
+    ).withColumn(
+        "rm",
+        (F.length("t") >= min_chars) & F.coalesce(F.col("_rm"), F.lit(False)),
+    )
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("rm"), F.struct("pos", "seg")).otherwise(
+                                F.lit(None)
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(F.col("rm").cast("bigint")).alias("n_removed"),
+        )
+    )
+    if other_cols:
+        rebuilt = rebuilt.join(
+            documents.select("doc_id", *other_cols), "doc_id"
+        )
+    return rebuilt.select("doc_id", "text", "n_removed", *other_cols)

@@ -1123,3 +1123,60 @@ def test_fingerprints_empty_docs_dont_alias(spark):
     assert got[1]["n_grams"] == 0
     assert got[2]["min_fp"] is None  # punctuation-only normalizes empty
     assert got[3]["min_fp"] is not None
+
+
+def test_strip_boilerplate_lines(spark):
+    """Cross-corpus line removal: a line shared by >= min_df docs is
+    struck everywhere, whitespace-only lines are never counted or
+    removed, untouched docs round-trip byte-identically, and the
+    df count is per DISTINCT doc (a doc repeating the banner twice
+    counts once toward df but loses both copies)."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "real one\nCOOKIE BANNER\nmore"),
+        (2, "other\nCOOKIE BANNER\n\nfooter"),
+        (3, "COOKIE BANNER\nCOOKIE BANNER\nunique"),  # repeats: df +1, removes 2
+        (4, "untouched doc\n\nwith structure\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in strip_boilerplate_lines(df, min_df=3).collect()
+    }
+    assert got[1] == ("real one\nmore", 1)
+    assert got[2] == ("other\n\nfooter", 1)
+    assert got[3] == ("unique", 2)
+    assert got[4] == ("untouched doc\n\nwith structure\n", 0)  # byte round-trip
+
+    # df below threshold: nothing removed anywhere
+    got4 = {
+        r["doc_id"]: r["n_removed"]
+        for r in strip_boilerplate_lines(df, min_df=4).collect()
+    }
+    assert set(got4.values()) == {0}
+
+    # frac threshold resolves against the corpus count (4 docs * 0.75 -> 3)
+    gotf = {
+        r["doc_id"]: r["n_removed"]
+        for r in strip_boilerplate_lines(df, max_df_frac=0.75).collect()
+    }
+    assert gotf == {1: 1, 2: 1, 3: 2, 4: 0}
+
+    # payload columns ride through
+    df2 = df.withColumn("lang", F.lit("en"))
+    out2 = strip_boilerplate_lines(df2, min_df=3).collect()
+    assert all(r["lang"] == "en" for r in out2)
+
+
+def test_strip_boilerplate_all_removed_doc_yields_empty_text(spark):
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [(i, "SAME LINE") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = strip_boilerplate_lines(df, min_df=3).collect()
+    assert all(r["text"] == "" and r["n_removed"] == 1 for r in got)
