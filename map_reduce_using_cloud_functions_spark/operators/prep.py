@@ -738,7 +738,9 @@ def strip_boilerplate_lines(
     on a parquet scan). Survivors rejoin with ``sep`` in original
     order, so a document with nothing removed round-trips
     byte-identically. Returns (doc_id, text, n_removed) plus any other
-    input columns.
+    input columns. NULL-text documents drop out of the result (the
+    explode yields no segments — same contract in the DuckDB twin,
+    fuzz-pinned); filter or coalesce upstream if they must survive.
 
     Scale shape: one explode, ONE narrow shuffle for the df count (the
     (segment-hash, doc) relation — 16-byte rows after the distinct),

@@ -76,6 +76,9 @@ FUZZ_DOC_QUERIES = [
     "text_chunks",
     "text_pii_redaction",
     "sample_corpus_mix",
+    # r7: cross-corpus boilerplate strip — split/trim/df/rejoin parity
+    # on texts carrying unicode whitespace, NULLs, and planted dups
+    "corpus_boilerplate_strip",
 ]
 FUZZ_EVENT_QUERIES = [
     "events_tumbling_hourly",
