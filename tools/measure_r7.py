@@ -503,6 +503,46 @@ def section_pq(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def section_strip(spark) -> None:
+    """Boilerplate strip at 100x: the df count is a narrow hash shuffle
+    and the text shuffles exactly once — wall should track corpus
+    bytes, not segment-pair anything."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        strip_boilerplate_lines,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n0 = docs.count()
+    reps = F.broadcast(spark.range(100).select(F.col("id").alias("rep")))
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10**9)).alias("doc_id"), "text"
+        )
+        .localCheckpoint()
+    )
+    t1 = wall(
+        lambda: strip_boilerplate_lines(docs, min_df=2500, sep=" ")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        n=3,
+    )
+    t100 = wall(
+        lambda: strip_boilerplate_lines(big, min_df=250000, sep=" ")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        n=1,
+    )
+    print(
+        f"boilerplate strip @1x ({n0:,} docs, word granularity): {t1:.1f} s "
+        f"(min-of-3); @100x ({n0 * 100:,} docs): {t100:.1f} s = "
+        f"{t100 / t1:.1f}x wall for 100x data (df threshold scaled with "
+        "the corpus so the removed set is identical)"
+    )
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["size", "lsh", "ivf", "stream", "append", "ledger"]
     spark = get_spark("measure_r7")
@@ -518,6 +558,7 @@ def main() -> None:
             "semdedup": section_semdedup,
             "ingest": section_ingest,
             "pq": section_pq,
+            "strip": section_strip,
         }[s](spark)
 
 
