@@ -1,5 +1,6 @@
 from .file_index import start_file_index_stream
 from .joins import click_attribution, interval_join
+from .near_dedup import admit_batch, start_near_dedup_stream
 from .windows import streaming_tumbling_counts, streaming_session_values
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "click_attribution",
     "streaming_tumbling_counts",
     "streaming_session_values",
+    "admit_batch",
+    "start_near_dedup_stream",
 ]
