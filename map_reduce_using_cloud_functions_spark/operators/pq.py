@@ -180,35 +180,62 @@ def _encode_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(embeddings: DataFrame, books: DataFrame) -> DataFrame:
-    """Corpus → (vec_id, codes array<int>, recon_norm): the compressed
+def pq_encode(
+    embeddings: DataFrame, books: DataFrame, packed: bool = False
+) -> DataFrame:
+    """Corpus → (vec_id, codes, recon_norm): the compressed
     representation — m small codes plus the reconstruction's exact norm
     (disjoint subspaces ⇒ ``|x̂|² = Σ_m |c_chosen|²``, folded in
-    subspace order so the double is reproducible)."""
-    m = books.agg(F.max("subspace")).first()[0] + 1
+    subspace order so the double is reproducible).
+
+    ``packed=True`` stores the codes as ONE BIGINT (code s in byte s)
+    instead of ``array<int>`` — the whole compressed row is then
+    (8B id, 8B codes, 8B norm): no parquet list overhead, and the ADC
+    unpack is a shift-and-mask, not an array traversal. Requires
+    m ≤ 8 and k ≤ 256 (one byte per code); larger geometries keep the
+    array layout."""
+    row = books.agg(
+        F.max("subspace").alias("ms"), F.max("centroid_id").alias("mc")
+    ).first()
+    m = row["ms"] + 1
+    if packed and (m > 8 or row["mc"] > 255):
+        raise ValueError(
+            f"packed codes hold one byte per subspace in a single BIGINT "
+            f"— m={m} subspaces / max code {row['mc']} needs the "
+            "array<int> layout (packed=False)"
+        )
     dim = _vec_dim(embeddings, "embedding")
     subs = _subspace_slices(
         embeddings.select("vec_id", "embedding"), "embedding", m, dim // m
     )
     assigned = _encode_assign(subs, books)
-    return (
-        assigned.groupBy("vec_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("subspace", "code", "c_nrm2"))
-            ).alias("sc")
+    grouped = assigned.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("subspace", "code", "c_nrm2"))
+        ).alias("sc")
+    )
+    # packed: Horner fold over the subspace-DESC list — acc·256 + code
+    # puts code s in byte s (shiftleft needs a literal bit count, so
+    # the positional shift is expressed as the fold instead)
+    codes_col = (
+        F.aggregate(
+            F.reverse(F.transform("sc", lambda s: s["code"].cast("bigint"))),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc * F.lit(256).cast("bigint") + v,
         )
-        .select(
-            "vec_id",
-            F.transform("sc", lambda s: s["code"]).alias("codes"),
-            F.sqrt(
-                F.aggregate(
-                    F.transform("sc", lambda s: s["c_nrm2"]),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ).alias("recon_norm"),
-        )
+        if packed
+        else F.transform("sc", lambda s: s["code"])
+    )
+    return grouped.select(
+        "vec_id",
+        codes_col.alias("codes"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("sc", lambda s: s["c_nrm2"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("recon_norm"),
     )
 
 
@@ -287,6 +314,23 @@ def _adc_score(codes_col, lut_col) -> F.Column:
     )
 
 
+def _adc_score_packed(codes_col, lut_col, m: int) -> F.Column:
+    """The packed-BIGINT twin of ``_adc_score``: code s is byte s, so
+    each lookup is a shift-and-mask — the whole sum unrolls into m
+    plan-literal adds (same left-to-right order as the array fold, so
+    the double is identical to the unpacked layout's)."""
+    expr = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(lut_col, s + 1),
+            (F.shiftright(codes_col, 8 * s).bitwiseAND(F.lit(255)) + 1).cast(
+                "int"
+            ),
+        )
+        expr = term if expr is None else expr + term
+    return expr
+
+
 def pq_topk(
     codes: DataFrame,
     books: DataFrame,
@@ -298,9 +342,18 @@ def pq_topk(
     codes relation against broadcast LUTs, no shuffle before the
     ranking window. Scores are reconstruction cosines
     (``ADC_dot / (|q|·|x̂|)``), rounded per the oracle contract.
-    Returns (query_id, neighbor_id, rank, score)."""
+    Returns (query_id, neighbor_id, rank, score). Accepts either codes
+    layout — ``array<int>`` or the packed BIGINT (``pq_encode(packed=
+    True)``); scores are bit-identical across layouts (same add
+    order)."""
     m = books.agg(F.max("subspace")).first()[0] + 1
     luts = _query_luts(queries, books, m)
+    packed = dict(codes.dtypes)["codes"] == "bigint"
+    adc = (
+        _adc_score_packed(F.col("codes"), F.col("lut"), m)
+        if packed
+        else _adc_score(F.col("codes"), F.col("lut"))
+    )
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -308,8 +361,7 @@ def pq_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.try_divide(
-                _adc_score(F.col("codes"), F.col("lut")),
-                F.col("q_norm") * F.col("recon_norm"),
+                adc, F.col("q_norm") * F.col("recon_norm")
             ).alias("score"),
         )
     )
@@ -414,6 +466,7 @@ def build_pq_index(
     train: bool = False,
     train_iters: int = 2,
     keep_vectors: bool = False,
+    packed: bool = False,
 ) -> None:
     """Persist the compressed corpus so encoding amortizes across query
     batches. Layout under ``path``:
@@ -428,6 +481,11 @@ def build_pq_index(
       ``keep_vectors=True``: the exact re-rank's refinement source.
       Off by default because not storing floats IS the compression
       contract; rerank can also take any external float relation.
+
+    ``packed=True`` (m ≤ 8, k ≤ 256) stores codes as one BIGINT per
+    vector — a 24-byte logical row with zero parquet list overhead;
+    answers are bit-identical to the array layout (same add order in
+    the ADC fold), pinned by pytest and the shared oracle row.
     """
     spark = embeddings.sparkSession
     base = embeddings.select("vec_id", "embedding")
@@ -435,24 +493,31 @@ def build_pq_index(
     n = base.count()
     books = train_pq_codebooks(base, m=m, k=k, train=train, train_iters=train_iters)
     (
-        spark.createDataFrame([(m, k, dim, n)], "m int, k int, dim int, n bigint")
+        spark.createDataFrame(
+            [(m, k, dim, n, packed)],
+            "m int, k int, dim int, n bigint, packed boolean",
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/meta")
     )
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    pq_encode(base, books).write.mode("overwrite").parquet(f"{path}/codes")
+    pq_encode(base, books, packed=packed).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
     if keep_vectors:
         base.write.mode("overwrite").parquet(f"{path}/vectors")
 
 
 def load_pq_meta(spark, path: str) -> dict:
     row = (
-        spark.read.schema("m int, k int, dim int, n bigint")
+        spark.read.schema("m int, k int, dim int, n bigint, packed boolean")
         .parquet(f"{path}/meta")
         .first()
     )
-    return row.asDict()
+    out = row.asDict()
+    out["packed"] = bool(out["packed"])  # pre-packed-era meta reads NULL
+    return out
 
 
 def load_pq_books(spark, path: str) -> DataFrame:
@@ -476,8 +541,9 @@ def pq_topk_indexed(
     a caller-supplied ``embeddings`` relation."""
     books = load_pq_books(spark, path)
     meta = load_pq_meta(spark, path)
+    codes_type = "bigint" if meta["packed"] else "array<int>"
     codes = spark.read.schema(
-        "vec_id bigint, codes array<int>, recon_norm double"
+        f"vec_id bigint, codes {codes_type}, recon_norm double"
     ).parquet(f"{path}/codes")
     if shortlist is None:
         return pq_topk(codes, books, queries, k=k)
@@ -522,15 +588,17 @@ def append_pq_index(embeddings: DataFrame, path: str) -> None:
     n_new = base.count()
     (
         spark.createDataFrame(
-            [(meta["m"], meta["k"], meta["dim"], meta["n"] + n_new)],
-            "m int, k int, dim int, n bigint",
+            [(meta["m"], meta["k"], meta["dim"], meta["n"] + n_new, meta["packed"])],
+            "m int, k int, dim int, n bigint, packed boolean",
         )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/meta")
     )
     books = load_pq_books(spark, path)
-    pq_encode(base, books).write.mode("append").parquet(f"{path}/codes")
+    pq_encode(base, books, packed=meta["packed"]).write.mode("append").parquet(
+        f"{path}/codes"
+    )
     from .index import _hadoop_exists
 
     if _hadoop_exists(spark, f"{path}/vectors"):

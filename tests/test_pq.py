@@ -298,3 +298,50 @@ def test_indexed_rerank_requires_float_source(spark, embeddings, tmp_path):
     pq.build_pq_index(embeddings, path2, m=M, k=K, keep_vectors=True)
     own = pq.pq_topk_indexed(spark, path2, q, k=5, shortlist=50)
     assert sorted(map(tuple, own.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_packed_codes_are_bit_identical(spark, embeddings, books, codes, tmp_path):
+    """The packed-BIGINT layout must return byte-identical answers to
+    the array layout — same codes (unpack check), same recon norms,
+    same ADC ranking (same add order) — through both the in-plan and
+    persisted paths, and appends keep the layout."""
+    import pyspark.sql.functions as F
+
+    q = queries_from_ids(embeddings, 4)
+    packed = pq.pq_encode(embeddings, books, packed=True)
+    prow = {r["vec_id"]: (r["codes"], r["recon_norm"]) for r in packed.collect()}
+    for r in codes.collect():
+        pc, pn = prow[r["vec_id"]]
+        unpacked = [(pc >> (8 * s)) & 255 for s in range(M)]
+        assert unpacked == list(r["codes"])
+        assert pn == r["recon_norm"]  # exact: same fold
+
+    a = sorted(map(tuple, pq.pq_topk(codes, books, q, k=5).collect()))
+    b = sorted(map(tuple, pq.pq_topk(packed, books, q, k=5).collect()))
+    assert a == b
+
+    path = str(tmp_path / "pq_packed")
+    pq.build_pq_index(embeddings, path, m=M, k=K, packed=True)
+    assert pq.load_pq_meta(spark, path)["packed"] is True
+    c = sorted(map(tuple, pq.pq_topk_indexed(spark, path, q, k=5).collect()))
+    assert c == a
+
+    # appends re-encode with the stored layout
+    half = str(tmp_path / "pq_packed_half")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    odds = embeddings.where(F.col("vec_id") % 2 == 1)
+    pq.build_pq_index(evens, half, m=M, k=K, packed=True)
+    pq.append_pq_index(odds, half)
+    got = spark.read.parquet(f"{half}/codes")
+    assert dict(got.dtypes)["codes"] == "bigint"
+    assert got.count() == embeddings.count()
+
+    # geometry guard: 9 subspaces don't fit one bigint... (dim 64 % 9
+    # != 0 trips first, so check the k bound instead via a fake book)
+    big_books = books.withColumn(
+        "centroid_id", F.col("centroid_id") + F.lit(300)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="packed codes"):
+        pq.pq_encode(embeddings, big_books, packed=True)

@@ -110,6 +110,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the LSH/IVF appended rows).
         "ann_topk_pq_indexed": _q_ann_topk_pq_indexed,
         "ann_topk_pq_appended": _q_ann_topk_pq_appended,
+        # packed-BIGINT codes layout: one 24-byte logical row per
+        # vector; answers bit-identical to the array layout (same
+        # oracle).
+        "ann_topk_pq_packed": _q_ann_topk_pq_packed,
         # r7: CCNet-style cross-corpus boilerplate removal — drop
         # segments whose trimmed form appears in >= min_df distinct
         # docs, rejoin survivors in order. Fixture texts are one line,
@@ -262,6 +266,20 @@ def _q_ann_topk_pq_appended(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_pqa_") + "/pq"
     pq.build_pq_index(emb.where(F.col("vec_id") % 2 == 0), path, m=8, k=16)
     pq.append_pq_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_pq_packed(s: SparkSession, d: str) -> DataFrame:
+    """ann_topk_pq on the packed-BIGINT codes layout (build_pq_index
+    packed=True): layout must not change answers — Horner-packed codes
+    unpack by shift-and-mask and the ADC adds run in the same order."""
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_pqp_") + "/pq"
+    pq.build_pq_index(emb, path, m=8, k=16, packed=True)
     return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
 
 
@@ -796,6 +814,7 @@ FROM marked GROUP BY doc_id
 """
 
     sql["ann_topk_pq_indexed"] = sql["ann_topk_pq"]
+    sql["ann_topk_pq_packed"] = sql["ann_topk_pq"]
     # appended twin: codebook seeds restricted to the BUILD half (even
     # vec_ids) — appends themselves are exact, only the seed source
     # differs from the full-build row

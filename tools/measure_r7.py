@@ -465,9 +465,12 @@ def section_pq(spark) -> None:
     try:
         path = f"{tmp}/pq"
         t_build = wall(lambda: pq.build_pq_index(big, path, m=8, k=16), n=1)
+        packed = f"{tmp}/pqp"
+        pq.build_pq_index(big, packed, m=8, k=16, packed=True)
         floats = f"{tmp}/floats"
         big.write.mode("overwrite").parquet(floats)
         code_mb = _dir_bytes(f"{path}/codes") / 1e6
+        packed_mb = _dir_bytes(f"{packed}/codes") / 1e6
         float_mb = _dir_bytes(floats) / 1e6
         t_adc = wall(
             lambda: pq.pq_topk_indexed(spark, path, q)
@@ -492,12 +495,22 @@ def section_pq(spark) -> None:
             .save(),
             n=3,
         )
+        t_adc_packed = wall(
+            lambda: pq.pq_topk_indexed(spark, packed, q)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n=3,
+        )
         print(
             f"PQ @{n0 * 100:,} vecs (m=8, k=16): build {t_build:.1f} s once; "
-            f"codes {code_mb:.1f} MB vs float corpus {float_mb:.1f} MB = "
-            f"{float_mb / code_mb:.1f}x smaller; per 8-query batch: ADC "
-            f"scan {t_adc:.1f} s, ADC+exact-rerank(100) {t_rerank:.1f} s, "
-            f"Arrow+NumPy float brute force {t_bf:.1f} s (min-of-3 each)"
+            f"codes {code_mb:.1f} MB (array) / {packed_mb:.1f} MB (packed "
+            f"BIGINT) vs float corpus {float_mb:.1f} MB = "
+            f"{float_mb / code_mb:.1f}x / {float_mb / packed_mb:.1f}x "
+            f"smaller; per 8-query batch: ADC scan {t_adc:.1f} s (array) / "
+            f"{t_adc_packed:.1f} s (packed), ADC+exact-rerank(100) "
+            f"{t_rerank:.1f} s, Arrow+NumPy float brute force {t_bf:.1f} s "
+            "(min-of-3 each)"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
