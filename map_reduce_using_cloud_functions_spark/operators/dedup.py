@@ -213,7 +213,11 @@ def minhash_lsh_candidates(
 
 
 def minhash_dedup_pairs(
-    documents: DataFrame, threshold: float = 0.5, k: int = MINHASH_K
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates verified by estimated Jaccard =
     fraction of agreeing signature positions, compared as arrays
@@ -234,8 +238,8 @@ def minhash_dedup_pairs(
     by the final groupBy (est_jaccard is band-invariant, so max == the
     value); filtering *before* that groupBy keeps the fold's shuffle to
     surviving pairs only."""
-    sigs = minhash_signatures_wide(documents, k)
-    banded = _band_hashes(sigs, k=k, keep_sig=True).localCheckpoint()
+    sigs = minhash_signatures_wide(documents, k, shingle_n)
+    banded = _band_hashes(sigs, bands=bands, k=k, keep_sig=True).localCheckpoint()
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
     )
@@ -619,14 +623,22 @@ def cluster_survivors(
 
 
 def near_dedup(
-    documents: DataFrame, threshold: float = 0.5, k: int = MINHASH_K
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """X2 end-to-end near-dedup: MinHash+LSH pairs → connected
     components → keep one survivor (min doc_id) per cluster
     (``cluster_survivors``). Returns the deduplicated documents
     relation: every doc that is not a non-representative member of a
-    near-dup cluster."""
-    pairs = minhash_dedup_pairs(documents, threshold=threshold, k=k)
+    near-dup cluster. ``bands``/``shingle_n`` reach the sketch, so a
+    caller coordinating with a ledger (the streaming admitter) gets the
+    SAME sketch within-batch and cross-release."""
+    pairs = minhash_dedup_pairs(
+        documents, threshold=threshold, k=k, bands=bands, shingle_n=shingle_n
+    )
     return cluster_survivors(documents, pairs)
 
 
@@ -922,6 +934,7 @@ def ledger_near_dup_pairs(
     path: str,
     threshold: float = 0.5,
     before_release: int | None = None,
+    exclude_release: int | None = None,
 ) -> DataFrame:
     """Probe the ledger with a NEW batch: returns
     ``(doc_id, ledger_doc, est_jaccard)`` — each batch document paired
@@ -940,10 +953,17 @@ def ledger_near_dup_pairs(
     text at all.
 
     ``before_release``: probe only releases strictly below it — a
-    partition-pruned predicate on both ledger reads. A replayed
-    streaming batch MUST exclude its own (already-appended) release or
-    every replayed document matches itself and is dropped as a dup of
-    itself; ``streaming/near_dedup.py`` passes its batch id here."""
+    partition-pruned predicate on both ledger reads, for batch callers
+    auditing a prefix of the release history. ``exclude_release``:
+    probe every release EXCEPT that one — the streaming replay
+    contract: a replayed batch must skip its own (already-appended)
+    release or every replayed document matches itself and is dropped
+    as a dup of itself, but it must still see releases with HIGHER ids
+    (an adopting stream's fresh batch ids can start below the ledger's
+    existing release ids — ``release < batch_id`` would silently skip
+    those releases and admit duplicates of admitted content).
+    ``streaming/near_dedup.py`` passes its batch id as
+    ``exclude_release``."""
     meta = load_ledger_meta(spark, path)
     batch = _band_hashes(
         minhash_signatures_wide(documents, k=meta["k"], shingle_n=meta["shingle_n"]),
@@ -955,6 +975,10 @@ def ledger_near_dup_pairs(
     if before_release is not None:
         ledger_bands_raw = ledger_bands_raw.where(
             F.col("release") < F.lit(before_release)
+        )
+    if exclude_release is not None:
+        ledger_bands_raw = ledger_bands_raw.where(
+            F.col("release") != F.lit(exclude_release)
         )
     ledger_bands = ledger_bands_raw.select(
         F.col("doc_id").alias("ledger_doc"), "band", "band_hash"
@@ -968,6 +992,8 @@ def ledger_near_dup_pairs(
     lsigs_raw = spark.read.parquet(f"{path}/sigs")
     if before_release is not None:
         lsigs_raw = lsigs_raw.where(F.col("release") < F.lit(before_release))
+    if exclude_release is not None:
+        lsigs_raw = lsigs_raw.where(F.col("release") != F.lit(exclude_release))
     lsigs = lsigs_raw.select(
         F.col("doc_id").alias("ledger_doc"), F.col("sig").alias("lsig")
     )
@@ -993,15 +1019,21 @@ def near_dedup_against_ledger(
     path: str,
     threshold: float = 0.5,
     before_release: int | None = None,
+    exclude_release: int | None = None,
 ) -> DataFrame:
     """Cross-release near-dedup: the rows of ``documents`` that are NOT
     a near-duplicate of anything already in the ledger, all columns
     intact — ``dedup_against_reference``'s contract at near-dup
     strength. Ship the survivors, then ``append_minhash_ledger`` them
     as the next release. ``before_release`` restricts the probe to
-    earlier releases (see ``ledger_near_dup_pairs`` — the streaming
-    replay contract)."""
+    earlier releases; ``exclude_release`` skips exactly one release
+    (the streaming replay contract — see ``ledger_near_dup_pairs``)."""
     matched = ledger_near_dup_pairs(
-        spark, documents, path, threshold, before_release=before_release
+        spark,
+        documents,
+        path,
+        threshold,
+        before_release=before_release,
+        exclude_release=exclude_release,
     ).select("doc_id")
     return documents.join(matched, "doc_id", "left_anti")

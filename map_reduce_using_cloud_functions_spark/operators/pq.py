@@ -195,7 +195,9 @@ def pq_encode(
     m ≤ 8 and k ≤ 256 (one byte per code); larger geometries keep the
     array layout."""
     row = books.agg(
-        F.max("subspace").alias("ms"), F.max("centroid_id").alias("mc")
+        F.max("subspace").alias("ms"),
+        F.max("centroid_id").alias("mc"),
+        F.max(F.size("c_subvec")).alias("sublen"),
     ).first()
     m = row["ms"] + 1
     if packed and (m > 8 or row["mc"] > 255):
@@ -205,6 +207,16 @@ def pq_encode(
             "array<int> layout (packed=False)"
         )
     dim = _vec_dim(embeddings, "embedding")
+    # Same geometry guard as train_pq_codebooks, re-checked here because
+    # caller-supplied books (or a different-dim corpus) would otherwise
+    # mis-slice silently: F.slice past the end null-pads the dot and the
+    # codes come out NULL/garbage with no error.
+    if dim % m or dim // m != row["sublen"]:
+        raise ValueError(
+            f"embedding dim {dim} does not match the codebook geometry "
+            f"(m={m} subspaces × {row['sublen']}-dim codewords requires "
+            f"dim {m * row['sublen']})"
+        )
     subs = _subspace_slices(
         embeddings.select("vec_id", "embedding"), "embedding", m, dim // m
     )
@@ -214,18 +226,22 @@ def pq_encode(
             F.collect_list(F.struct("subspace", "code", "c_nrm2"))
         ).alias("sc")
     )
-    # packed: Horner fold over the subspace-DESC list — acc·256 + code
-    # puts code s in byte s (shiftleft needs a literal bit count, so
-    # the positional shift is expressed as the fold instead)
-    codes_col = (
-        F.aggregate(
-            F.reverse(F.transform("sc", lambda s: s["code"].cast("bigint"))),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc * F.lit(256).cast("bigint") + v,
-        )
-        if packed
-        else F.transform("sc", lambda s: s["code"])
-    )
+    # packed: unrolled literal shifts OR-ed together — code s lands in
+    # byte s. Shifts/OR are pure bit ops (never ANSI-overflow-checked),
+    # unlike the previous Horner fold (acc·256 + code), whose final
+    # multiply tripped ARITHMETIC_OVERFLOW whenever subspace 7's code
+    # was ≥ 128 at m=8 — inside the documented m≤8/k≤256 envelope. The
+    # resulting BIGINT may be negative when byte 7 ≥ 128 (two's
+    # complement); _adc_score_packed masks every extracted byte with
+    # 255, so sign extension never reaches a lookup.
+    if packed:
+        arr = F.transform("sc", lambda s: s["code"].cast("bigint"))
+        codes_col = None
+        for s in range(m):
+            term = F.shiftleft(F.element_at(arr, s + 1), 8 * s)
+            codes_col = term if codes_col is None else codes_col.bitwiseOR(term)
+    else:
+        codes_col = F.transform("sc", lambda s: s["code"])
     return grouped.select(
         "vec_id",
         codes_col.alias("codes"),

@@ -734,26 +734,31 @@ def strip_boilerplate_lines(
     and are never removed — document structure survives); document
     frequency is over DISTINCT documents; a countable segment is
     removed where ``df >= min_df`` (default: ``ceil(max_df_frac ·
-    n_docs)``, floored at 2 — one count-star resolves it, metadata-only
-    on a parquet scan). Survivors rejoin with ``sep`` in original
+    n_docs)``, floored at 2 — resolved INSIDE the plan as a one-row
+    count aggregate cross-joined into the threshold predicate, so
+    constructing this operator runs no job and the count runs with,
+    not before, the strip). Survivors rejoin with ``sep`` in original
     order, so a document with nothing removed round-trips
     byte-identically. Returns (doc_id, text, n_removed) plus any other
     input columns. NULL-text documents drop out of the result (the
     explode yields no segments — same contract in the DuckDB twin,
     fuzz-pinned); filter or coalesce upstream if they must survive.
 
+    Removal is NEVER on hash equality alone: the 60-bit hash nominates
+    candidates, then the nominated (hash, trimmed-text) rows — a tiny
+    relation — re-count document frequency on the EXACT text, so a
+    rare line colliding with a boilerplate line's hash is kept (the
+    same collide-then-verify discipline as the LSH dedup family).
+
     Scale shape: one explode, ONE narrow shuffle for the df count (the
     (segment-hash, doc) relation — 16-byte rows after the distinct),
-    one equi-join of the segment stream against the common-segment
-    relation on the portable 60-bit hash (broadcast when small, plain
-    hash join otherwise — never the segment text), and one per-doc
-    reassembly shuffle. The corpus text shuffles exactly once (the
-    reassembly); everything else moves hashes."""
-    if min_df is None:
-        import math
-
-        n_docs = documents.count()
-        min_df = max(2, math.ceil(max_df_frac * n_docs))
+    an exact re-count over only the hash-nominated candidate segments,
+    one equi-join of the segment stream against the verified
+    common-segment relation on the portable 60-bit hash (broadcast
+    when small, plain hash join otherwise — the corpus-side segment
+    text never enters a join key), and one per-doc reassembly shuffle.
+    The corpus text shuffles exactly once (the reassembly); everything
+    else moves hashes or the tiny candidate set."""
     other_cols = [c for c in documents.columns if c not in ("doc_id", "text")]
     import re as _re
 
@@ -762,20 +767,48 @@ def strip_boilerplate_lines(
         F.posexplode(F.split(F.col("text"), _re.escape(sep))).alias("pos", "seg"),
     ).withColumn("t", F.trim(F.col("seg")))
     keyed = segs.withColumn("k", hex64(F.col("t")))
-    common = (
-        keyed.where(F.length("t") >= min_chars)
-        .select("k", "doc_id")
+    # threshold as a 1-row relation: explicit min_df stays a literal;
+    # the default is ceil(max_df_frac · count(*)) computed in-plan
+    if min_df is not None:
+        thr = documents.sparkSession.range(1).select(
+            F.lit(int(min_df)).cast("bigint").alias("_min_df")
+        )
+    else:
+        thr = documents.agg(
+            F.greatest(
+                F.lit(2).cast("bigint"),
+                F.ceil(F.lit(max_df_frac) * F.count("*")).cast("bigint"),
+            ).alias("_min_df")
+        )
+    countable = keyed.where(F.length("t") >= min_chars)
+    nominated = (
+        countable.select("k", "doc_id")
         .distinct()
         .groupBy("k")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= F.lit(min_df))
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("df") >= F.col("_min_df"))
         .select("k")
     )
-    marked = keyed.join(
-        common.withColumn("_rm", F.lit(True)), "k", "left"
-    ).withColumn(
+    # exact verify: re-count df per (hash, exact trimmed text) over the
+    # nominated rows only, then fold the surviving texts per hash so the
+    # corpus-side join stays keyed on the hash alone (no row blow-up —
+    # one row per hash even when a collision pair both clear min_df)
+    verified = (
+        countable.join(nominated, "k", "left_semi")
+        .select("k", "t", "doc_id")
+        .distinct()
+        .groupBy("k", "t")
+        .agg(F.count("*").alias("df_exact"))
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("df_exact") >= F.col("_min_df"))
+        .groupBy("k")
+        .agg(F.collect_set("t").alias("_vts"))
+    )
+    marked = keyed.join(verified, "k", "left").withColumn(
         "rm",
-        (F.length("t") >= min_chars) & F.coalesce(F.col("_rm"), F.lit(False)),
+        (F.length("t") >= min_chars)
+        & F.coalesce(F.array_contains(F.col("_vts"), F.col("t")), F.lit(False)),
     )
     rebuilt = (
         marked.groupBy("doc_id")

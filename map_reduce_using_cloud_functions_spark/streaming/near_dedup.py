@@ -12,9 +12,10 @@ which recounts everything; this is the incremental, bounded version:
       batch ──1── within-batch near-dedup (MinHash pairs → CC → min-id
                   survivor — batches are bounded, so the full operator
                   is cheap here)
-            ──2── probe the persisted ledger (releases < batch_id
-                  only: sketch the batch, equi-join the narrow bands
-                  relation, verify colliding candidates exactly)
+            ──2── probe the persisted ledger (every release EXCEPT
+                  release=batch_id: sketch the batch, equi-join the
+                  narrow bands relation, verify colliding candidates
+                  exactly)
             ──3── write survivors to release=batch_id (dynamic
                   partition overwrite)
             ──4── append the survivors' sketches to the ledger as
@@ -25,9 +26,12 @@ id, and both writes are release-partition dynamic overwrites, so a
 replayed batch REPLACES its own partitions instead of double-inserting.
 The one subtlety is step 2 on replay: the crashed attempt may already
 have appended release=batch_id, so the probe MUST exclude the batch's
-own release (``before_release=batch_id``) or every replayed document
+own release (``exclude_release=batch_id``) or every replayed document
 matches itself and the replay admits nothing — the self-match trap the
-replay test pins.
+replay test pins. Exclusion is by inequality, not ``<``: an adopting
+stream (ledger pre-built with caller-chosen release ids) can have
+fresh batch ids BELOW existing releases, and those releases must still
+gate admission.
 
 Fresh-checkpoint protection mirrors ``file_index``: the ledger binds
 the checkpoint that owns it, because a fresh checkpoint restarts batch
@@ -53,6 +57,7 @@ from ..operators.dedup import (
     init_minhash_ledger,
     ledger_exists,
     ledger_releases,
+    load_ledger_meta,
     near_dedup,
     near_dedup_against_ledger,
 )
@@ -73,18 +78,44 @@ def admit_batch(
     """One admission round, callable from foreachBatch or a batch
     driver (the stream ≡ batch equivalence tests drive this directly).
     Idempotent per (batch_id, content): replays overwrite their own
-    release partitions and probe only earlier releases."""
-    survivors = near_dedup(batch_df, threshold=threshold, k=k)
+    release partitions and probe every OTHER release — excluding only
+    ``release=batch_id`` (a crashed attempt's own append; probing it
+    would self-match every replayed document), never releases with
+    higher ids (an adopting stream's fresh batch ids can start below
+    the ledger's existing releases, and those must still gate
+    admission).
+
+    Sketch parameters are ONE set per ledger: when the ledger exists,
+    its stored meta is authoritative — passed k/bands/shingle_n must
+    match it (raise on mismatch, never silently compare incomparable
+    sketches), and the within-batch dedup runs on the SAME parameters
+    so stream ≡ batch holds for non-default geometries too."""
     if ledger_exists(spark, ledger_path):
-        if any(r < batch_id for r in ledger_releases(spark, ledger_path)):
+        meta = load_ledger_meta(spark, ledger_path)
+        if (k, bands, shingle_n) != (meta["k"], meta["bands"], meta["shingle_n"]):
+            raise ValueError(
+                f"ledger {ledger_path} was built with k={meta['k']} "
+                f"bands={meta['bands']} shingle_n={meta['shingle_n']} but "
+                f"this admission passed k={k} bands={bands} "
+                f"shingle_n={shingle_n} — sketch parameters are the "
+                "ledger's identity; drop the overrides or start a new "
+                "ledger path."
+            )
+        survivors = near_dedup(
+            batch_df, threshold=threshold, k=k, bands=bands, shingle_n=shingle_n
+        )
+        if any(r != batch_id for r in ledger_releases(spark, ledger_path)):
             survivors = near_dedup_against_ledger(
                 spark,
                 survivors,
                 ledger_path,
                 threshold=threshold,
-                before_release=batch_id,
+                exclude_release=batch_id,
             )
     else:
+        survivors = near_dedup(
+            batch_df, threshold=threshold, k=k, bands=bands, shingle_n=shingle_n
+        )
         # first batch creates the ledger's parameter row; a crash
         # between meta and the release append replays into the
         # ledger_exists branch with no earlier releases — same result

@@ -317,3 +317,43 @@ def test_admission_random_walk_matches_model(spark, tmp_path, seed):
             run(release, rows)
             model(release, rows)
         check(f"step{step}:{op}")
+
+
+def test_adopted_ledger_higher_releases_still_gate(spark, tmp_path):
+    """An adopting stream whose fresh batch ids start BELOW the
+    ledger's existing release ids must still probe those releases:
+    the probe excludes only release == batch_id, not release >=
+    batch_id (the old `<` filter silently skipped every existing
+    release and admitted duplicates of admitted content)."""
+    ledger = str(tmp_path / "ledger")
+    surv = str(tmp_path / "surv")
+    base = spark.createDataFrame([(100, TEXT_A)], "doc_id bigint, text string")
+    dd.build_minhash_ledger(base, ledger, release=5)  # caller-chosen high id
+    batch = spark.createDataFrame(
+        [(200, TEXT_A_NEAR), (201, TEXT_B)], "doc_id bigint, text string"
+    )
+    admit_batch(spark, batch, ledger, surv, batch_id=0)
+    got = _survivor_ids(spark, surv)
+    assert got == {0: {201}}  # 200 gated by release 5; old filter admitted it
+
+
+def test_admit_batch_rejects_mismatched_sketch_params(spark, tmp_path):
+    """Sketch parameters are the ledger's identity: an admission that
+    passes k/bands/shingle_n different from the stored meta must raise
+    instead of silently comparing incomparable sketches."""
+    ledger = str(tmp_path / "ledger")
+    surv = str(tmp_path / "surv")
+    base = spark.createDataFrame([(1, TEXT_A)], "doc_id bigint, text string")
+    dd.build_minhash_ledger(base, ledger, release=0, bands=8, shingle_n=2)
+    batch = spark.createDataFrame([(2, TEXT_B)], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="sketch parameters"):
+        admit_batch(spark, batch, ledger, surv, batch_id=1)  # default bands=4
+    # matching params pass, and the within-batch dedup runs on the SAME
+    # non-default sketch (stream ≡ batch for non-default geometries)
+    batch2 = spark.createDataFrame(
+        [(3, TEXT_B), (4, TEXT_B + " extra"), (5, TEXT_A_NEAR)],
+        "doc_id bigint, text string",
+    )
+    admit_batch(spark, batch2, ledger, surv, batch_id=1, bands=8, shingle_n=2)
+    got = _survivor_ids(spark, surv)
+    assert 1 in got and 3 in got[1] and 5 not in got[1]  # 5 gated by release 0

@@ -345,3 +345,59 @@ def test_packed_codes_are_bit_identical(spark, embeddings, books, codes, tmp_pat
 
     with _pytest.raises(ValueError, match="packed codes"):
         pq.pq_encode(embeddings, big_books, packed=True)
+
+
+def test_packed_high_code_in_top_byte(spark):
+    """m=8 with subspace-7's chosen code ≥ 128 — inside the documented
+    m≤8/k≤256 envelope — must pack without ANSI overflow (the old
+    Horner fold acc·256+code tripped ARITHMETIC_OVERFLOW on the final
+    multiply) and score identically to the array layout. The packed
+    BIGINT is negative (byte 7 ≥ 128 sets the sign bit); the masked
+    unpack must still recover every byte."""
+    import pyspark.sql.functions as F
+
+    # dim=8, m=8 → one coordinate per subspace; per subspace two
+    # codewords: id 0 at 0.0 and id 200 at 1.0. A vector of ones
+    # chooses code 200 in EVERY subspace, including byte 7.
+    books = spark.createDataFrame(
+        [(s, c, [float(c == 200)]) for s in range(8) for c in (0, 200)],
+        "subspace int, centroid_id int, c_subvec array<double>",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.0] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    packed = pq.pq_encode(emb, books, packed=True)
+    rows = {r["vec_id"]: r["codes"] for r in packed.collect()}
+    assert [(rows[1] >> (8 * s)) & 255 for s in range(8)] == [200] * 8
+    assert rows[1] < 0  # sign bit set — the case the fold could not pack
+    assert rows[2] == 0
+
+    q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "query_id bigint, q_embedding array<float>"
+    )
+    arr = pq.pq_encode(emb, books)
+    a = sorted(map(tuple, pq.pq_topk(arr, books, q, k=2).collect()))
+    b = sorted(map(tuple, pq.pq_topk(packed, books, q, k=2).collect()))
+    assert a == b
+    _ = F
+
+
+def test_encode_rejects_geometry_mismatch(spark, books):
+    """Caller-supplied books whose geometry doesn't match the corpus
+    dim must raise at plan build, not null-pad the slices into garbage
+    codes (dim % m trips for non-divisible dims; the subvector-length
+    check catches divisible-but-wrong dims)."""
+    bad_dim = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # 16 % 8 == 0 but 16 // 8 = 2 != the books' 8-dim codewords
+    with pytest.raises(ValueError, match="codebook geometry"):
+        pq.pq_encode(bad_dim, books)
+    odd = spark.createDataFrame(
+        [(i, [float(i)] * 9) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="codebook geometry"):
+        pq.pq_encode(odd, books)

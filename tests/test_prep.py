@@ -1180,3 +1180,52 @@ def test_strip_boilerplate_all_removed_doc_yields_empty_text(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = strip_boilerplate_lines(df, min_df=3).collect()
     assert all(r["text"] == "" and r["n_removed"] == 1 for r in got)
+
+
+def test_strip_boilerplate_hash_collision_keeps_rare_line(spark, monkeypatch):
+    """Removal must never ride on hash equality alone: force a hash
+    collision between a rare line and a true boilerplate line (by
+    monkeypatching the segment hash to a constant) and check the rare
+    line survives — the exact-text re-count gates removal."""
+    from map_reduce_using_cloud_functions_spark.operators import prep as prep_mod
+
+    monkeypatch.setattr(
+        prep_mod, "hex64", lambda col: F.lit(7).cast("bigint")
+    )  # every segment collides into one bucket
+    rows = [
+        (1, "BANNER\nrare gem"),
+        (2, "BANNER\nalpha"),
+        (3, "BANNER\nbeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in prep_mod.strip_boilerplate_lines(df, min_df=3).collect()
+    }
+    # only BANNER's exact df is 3; the colliding rare lines stay
+    assert got[1] == ("rare gem", 1)
+    assert got[2] == ("alpha", 1)
+    assert got[3] == ("beta", 1)
+
+
+def test_strip_boilerplate_default_threshold_is_lazy(spark):
+    """The default min_df (ceil of max_df_frac · n_docs) resolves
+    INSIDE the plan: constructing the operator must run no Spark job
+    (the old path ran documents.count() eagerly at build)."""
+    from map_reduce_using_cloud_functions_spark.operators.prep import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [(i, f"line {i}\nshared") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy_boilerplate", "construction must schedule no job")
+    try:
+        out = strip_boilerplate_lines(df)  # default threshold path
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("lazy_boilerplate") == []
+    # and the deferred count still resolves correctly on action:
+    # ceil(0.02 * 6) = 1, floored at 2 -> "shared" (df 6) is struck
+    got = {r["doc_id"]: r["n_removed"] for r in out.collect()}
+    assert set(got.values()) == {1}
