@@ -619,3 +619,253 @@ def append_pq_index(embeddings: DataFrame, path: str) -> None:
 
     if _hadoop_exists(spark, f"{path}/vectors"):
         base.write.mode("append").parquet(f"{path}/vectors")
+
+
+# --- persisted IVF-PQ composed index (the FAISS-IVFPQ serving shape:
+# --- coarse routing partitions + PQ codes, frozen artifacts) ----------
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    k: int = 16,
+    train: bool = False,
+    train_iters: int = 2,
+    train_init: str = "hash",
+    packed: bool = False,
+    keep_vectors: bool = False,
+) -> None:
+    """Persist the composed IVF+PQ index — the configuration a real
+    100 TB retrieval system actually runs (FAISS IVFPQ): coarse
+    centroids route probes to a fraction of the corpus, PQ codes make
+    the routed scan lookup-bound. The corpus is touched twice at build
+    (assignment + encode) and NEVER at query time.
+
+    Layout under ``path`` (reference parity: the reference's closest
+    artifact is its single uploaded index blob — this is that idea as
+    a partition-pruned lake table):
+
+    - ``meta/`` — one row (n_centroids, m, k, dim, n, packed);
+    - ``centroids/`` — the coarse router (tiny, ``array<double>`` —
+      the same schema/read path as ``build_ivf_index``);
+    - ``books/`` — the m×k PQ codewords (tiny, broadcast by probes);
+    - ``codes/`` — (vec_id, codes, recon_norm) **partitioned by
+      list_id**: a probe's ``n_probe``-of-``n_centroids`` list scan is
+      parquet partition pruning over rows that are ~24 logical bytes
+      each — the two compressions (prune fraction × code width)
+      multiply;
+    - ``vectors/`` — floats for the exact re-rank, only with
+      ``keep_vectors=True`` (not storing floats IS the compression
+      contract; rerank can take any external float relation).
+
+    Both artifacts are written FIRST and read BACK before any
+    corpus-sized job, so the persisted values are by construction the
+    ones the codes were built against (the ``build_ivf_index`` rule).
+    Encoding is of RAW vectors, not residuals — the same contract as
+    the in-plan ``ivf_pq_topk``, so indexed and in-plan answers are
+    identical for identical centroids/books (the oracle row pins it).
+    """
+    from .similarity import _train_or_seed, load_ivf_centroids
+
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", "embedding")
+    dim = _vec_dim(base, "embedding")
+    n = base.count()
+    cents = _train_or_seed(base, n_centroids, train, train_iters, train_init)
+    (
+        cents.select(
+            "centroid_id",
+            F.col("c_embedding").cast("array<double>").alias("c_embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    books = train_pq_codebooks(base, m=m, k=k, train=train, train_iters=train_iters)
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    (
+        spark.createDataFrame(
+            [(n_centroids, m, k, dim, n, packed)],
+            "n_centroids int, m int, k int, dim int, n bigint, packed boolean",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    saved_cents = load_ivf_centroids(spark, path)
+    saved_books = load_pq_books(spark, path)
+    assigned = _assign_nearest_list(base, saved_cents).select("vec_id", "list_id")
+    (
+        pq_encode(base, saved_books, packed=packed)
+        .join(assigned, "vec_id")
+        # same rationale as build_ivf_index: rebalance pins each list to
+        # few tasks without the one-file-per-(task,list) explosion
+        .hint("rebalance", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/codes")
+    )
+    if keep_vectors:
+        base.write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def load_ivf_pq_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema(
+            "n_centroids int, m int, k int, dim int, n bigint, packed boolean"
+        )
+        .parquet(f"{path}/meta")
+        .first()
+    )
+    return row.asDict()
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from the persisted index: route each query to
+    its ``n_probe`` nearest lists (broadcast centroid table), plant the
+    probed list ids as a literal ``IN`` predicate on the partition
+    column (parquet partition pruning — unprobed lists' files are never
+    opened), and ADC-score ONLY the probed codes against broadcast
+    per-query lookup tables. Zero shuffle before the top-k window; the
+    float corpus is never read unless ``shortlist`` asks for the exact
+    re-rank (served from ``vectors/`` or a caller-supplied
+    ``embeddings`` relation — only the nominated rows fetch floats)."""
+    from .similarity import load_ivf_centroids
+
+    meta = load_ivf_pq_meta(spark, path)
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_books(spark, path)
+    query_lists = _probe_query_lists(queries, cents, n_probe).select(
+        "query_id", "list_id"
+    )
+    probed = sorted(
+        r["list_id"] for r in query_lists.select("list_id").distinct().collect()
+    )
+    codes_type = "bigint" if meta["packed"] else "array<int>"
+    codes = spark.read.schema(
+        f"vec_id bigint, codes {codes_type}, recon_norm double, list_id int"
+    ).parquet(f"{path}/codes").where(F.col("list_id").isin(probed))
+    luts = _query_luts(queries, books, meta["m"])
+    adc = (
+        _adc_score_packed(F.col("codes"), F.col("lut"), meta["m"])
+        if meta["packed"]
+        else _adc_score(F.col("codes"), F.col("lut"))
+    )
+    scored = (
+        codes.join(query_lists, "list_id")
+        .join(F.broadcast(luts), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.try_divide(adc, F.col("q_norm") * F.col("recon_norm")).alias("score"),
+        )
+    )
+    ranked = _rank_topk_stable(scored, shortlist if shortlist is not None else k)
+    if shortlist is None:
+        return ranked
+    if embeddings is None:
+        from .index import _hadoop_exists
+
+        if not _hadoop_exists(spark, f"{path}/vectors"):
+            raise ValueError(
+                f"IVF-PQ index at {path} was built without keep_vectors "
+                "and no `embeddings` relation was passed — the exact "
+                "re-rank needs a float source. Rebuild with "
+                "keep_vectors=True or pass the original embeddings."
+            )
+        embeddings = spark.read.schema(
+            "vec_id bigint, embedding array<float>"
+        ).parquet(f"{path}/vectors")
+    nominated = ranked.select("query_id", F.col("neighbor_id").alias("vec_id"))
+    emb_n = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+    )
+    q_n = queries.select(
+        "query_id", "q_embedding", l2_norm(F.col("q_embedding")).alias("_qnrm")
+    )
+    exact = (
+        nominated.join(emb_n, "vec_id")
+        .join(F.broadcast(q_n), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.try_divide(
+                dot(F.col("q_embedding"), F.col("embedding")),
+                F.col("_qnrm") * F.col("_nrm"),
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(exact, k)
+
+
+def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
+    """Grow a persisted IVF-PQ index by O(new batch): assign the batch
+    against the FROZEN coarse centroids, encode it against the FROZEN
+    codebooks, and append its rows to the ``codes/`` list partitions.
+    The composition inherits both parents' contracts: PQ-side appends
+    are exact by construction (codewords are stored parameters —
+    codes(build ∪ batch) ≡ codes(build) ∪ codes(batch)); IVF-side
+    appends carry the FAISS-``add`` drift caveat (frozen centroids stop
+    tracking the distribution — skewed ``codes/list_id=`` partition
+    sizes are the rebuild signal, observable from the file listing).
+    ``meta/`` count is rewritten FIRST (overestimate on crash — the
+    conservative direction); ``vec_id`` uniqueness and replay
+    discipline are the caller's contract, as with every append."""
+    from .similarity import _assign_nearest_list, load_ivf_centroids
+
+    spark = embeddings.sparkSession
+    meta = load_ivf_pq_meta(spark, path)
+    base = embeddings.select("vec_id", "embedding")
+    dim = _vec_dim(base, "embedding")
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"append_ivf_pq_index: batch dimension {dim} != index "
+            f"dimension {meta['dim']} at {path} — centroids and "
+            "codebooks are dimension-specific; rebuild the index or fix "
+            "the batch."
+        )
+    n_new = base.count()
+    (
+        spark.createDataFrame(
+            [
+                (
+                    meta["n_centroids"],
+                    meta["m"],
+                    meta["k"],
+                    meta["dim"],
+                    meta["n"] + n_new,
+                    meta["packed"],
+                )
+            ],
+            "n_centroids int, m int, k int, dim int, n bigint, packed boolean",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_books(spark, path)
+    assigned = _assign_nearest_list(base, cents).select("vec_id", "list_id")
+    (
+        pq_encode(base, books, packed=meta["packed"])
+        .join(assigned, "vec_id")
+        .hint("rebalance", "list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{path}/codes")
+    )
+    from .index import _hadoop_exists
+
+    if _hadoop_exists(spark, f"{path}/vectors"):
+        base.write.mode("append").parquet(f"{path}/vectors")

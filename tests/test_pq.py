@@ -401,3 +401,111 @@ def test_encode_rejects_geometry_mismatch(spark, books):
     )
     with pytest.raises(ValueError, match="codebook geometry"):
         pq.pq_encode(odd, books)
+
+
+def test_ivf_pq_indexed_matches_in_plan(spark, embeddings, tmp_path):
+    """The persisted IVF-PQ index must serve the SAME answers as the
+    in-plan ivf_pq_topk at identical parameters (seeded centroids and
+    codebooks), prune to the probed list partitions, and keep answers
+    stable across an append (frozen-artifact contract: the appended
+    index equals a full build whose seeds come from the build half)."""
+    import pyspark.sql.functions as F
+
+    q = queries_from_ids(embeddings, 8)
+    want = sorted(
+        map(tuple, pq.ivf_pq_topk(embeddings, q, k=5, m=M, pq_k=K).collect())
+    )
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(embeddings, path, n_centroids=8, m=M, k=K)
+    got = sorted(
+        map(tuple, pq.ivf_pq_topk_indexed(spark, path, q, k=5).collect())
+    )
+    assert got == want
+
+    # the scan must plant the probed list ids as a partition predicate
+    plan = pq.ivf_pq_topk_indexed(spark, path, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan
+
+    # meta roundtrip
+    meta = pq.load_ivf_pq_meta(spark, path)
+    assert (meta["n_centroids"], meta["m"], meta["k"]) == (8, M, K)
+    assert meta["n"] == embeddings.count() and meta["packed"] is False
+
+    # append: build on evens, append odds, compare to a full build with
+    # build-half (even) seeds — the composed frozen-artifact contract
+    half = str(tmp_path / "ivfpq_half")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    odds = embeddings.where(F.col("vec_id") % 2 == 1)
+    pq.build_ivf_pq_index(evens, half, n_centroids=8, m=M, k=K)
+    pq.append_ivf_pq_index(odds, half)
+    assert pq.load_ivf_pq_meta(spark, half)["n"] == embeddings.count()
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        _seed_centroids,
+    )
+
+    even_cents = _seed_centroids(evens, 8)
+    even_books = pq.train_pq_codebooks(evens, m=M, k=K)
+    want_half = sorted(
+        map(
+            tuple,
+            pq.ivf_pq_topk(
+                embeddings, q, k=5, books=even_books, centroids=even_cents
+            ).collect(),
+        )
+    )
+    got_half = sorted(
+        map(tuple, pq.ivf_pq_topk_indexed(spark, half, q, k=5).collect())
+    )
+    assert got_half == want_half
+
+    # dim guard on append
+    bad = spark.createDataFrame(
+        [(10**6, [1.0] * 16)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        pq.append_ivf_pq_index(bad, half)
+
+
+def test_ivf_pq_indexed_packed_and_rerank(spark, embeddings, tmp_path):
+    """packed=True codes serve bit-identical rankings through the
+    indexed probe; shortlist= runs the exact re-rank from the index's
+    own vectors/ (keep_vectors) or a caller relation, and refuses when
+    neither exists."""
+    q = queries_from_ids(embeddings, 4)
+    plain = str(tmp_path / "ivfpq_plain")
+    packed = str(tmp_path / "ivfpq_packed")
+    pq.build_ivf_pq_index(embeddings, plain, n_centroids=8, m=M, k=K)
+    pq.build_ivf_pq_index(
+        embeddings, packed, n_centroids=8, m=M, k=K, packed=True
+    )
+    assert pq.load_ivf_pq_meta(spark, packed)["packed"] is True
+    a = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, plain, q, k=5).collect()))
+    b = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, packed, q, k=5).collect()))
+    assert a == b
+
+    # rerank path: exact scores, rank 1..k, nominated from the probed
+    # ADC shortlist — external floats and keep_vectors floats agree
+    ext = sorted(
+        map(
+            tuple,
+            pq.ivf_pq_topk_indexed(
+                spark, plain, q, k=3, shortlist=20, embeddings=embeddings
+            ).collect(),
+        )
+    )
+    kept = str(tmp_path / "ivfpq_kept")
+    pq.build_ivf_pq_index(
+        embeddings, kept, n_centroids=8, m=M, k=K, keep_vectors=True
+    )
+    own = sorted(
+        map(
+            tuple,
+            pq.ivf_pq_topk_indexed(spark, kept, q, k=3, shortlist=20).collect(),
+        )
+    )
+    assert ext == own
+    for row in ext:
+        assert 1 <= row[2] <= 3
+
+    with pytest.raises(ValueError, match="keep_vectors"):
+        pq.ivf_pq_topk_indexed(spark, plain, q, k=3, shortlist=20)

@@ -114,6 +114,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector; answers bit-identical to the array layout (same
         # oracle).
         "ann_topk_pq_packed": _q_ann_topk_pq_packed,
+        # r8: the composed IVF-PQ family (FAISS-IVFPQ shape) — coarse
+        # routing restricts WHICH rows score, ADC decides the scores;
+        # the twin is the PQ pipeline with the candidate set gated by
+        # the IVF routing CTEs. Indexed ≡ in-plan (same oracle);
+        # appended seeds centroids AND codebooks from the build half.
+        "ann_topk_ivfpq": _q_ann_topk_ivfpq,
+        "ann_topk_ivfpq_indexed": _q_ann_topk_ivfpq_indexed,
+        "ann_topk_ivfpq_appended": _q_ann_topk_ivfpq_appended,
         # r7: CCNet-style cross-corpus boilerplate removal — drop
         # segments whose trimmed form appears in >= min_df distinct
         # docs, rejoin survivors in order. Fixture texts are one line,
@@ -281,6 +289,49 @@ def _q_ann_topk_pq_packed(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_pqp_") + "/pq"
     pq.build_pq_index(emb, path, m=8, k=16, packed=True)
     return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_ivfpq(s: SparkSession, d: str) -> DataFrame:
+    """In-plan FAISS-IVFPQ composition: coarse routing (8 seeded
+    centroids, 2 probes) + ADC scoring of only the probed candidates
+    (m=8, k=16 seeded codewords). The twin composes the ann_topk_pq
+    pipeline with ann_topk_ivf's routing CTEs."""
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    return pq.ivf_pq_topk(emb, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_ivfpq_indexed(s: SparkSession, d: str) -> DataFrame:
+    """ann_topk_ivfpq served through a persisted build_ivf_pq_index:
+    partition-pruned list scan + broadcast-LUT ADC — the serving shape
+    must not change answers (same oracle SQL)."""
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_ivfpq_") + "/ivfpq"
+    pq.build_ivf_pq_index(emb, path, n_centroids=8, m=8, k=16)
+    return pq.ivf_pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_ivfpq_appended(s: SparkSession, d: str) -> DataFrame:
+    """build_ivf_pq_index on even vec_ids + append of the odds: both
+    frozen artifacts (centroids, codebooks) come from the build half,
+    so the twin restricts BOTH seed sources to even ids; the appended
+    rows themselves are exact by construction."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_ivfpqa_") + "/ivfpq"
+    pq.build_ivf_pq_index(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=8, m=8, k=16)
+    pq.append_ivf_pq_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return pq.ivf_pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
 
 
 def _q_ann_topk_ivf_indexed(s: SparkSession, d: str) -> DataFrame:
@@ -815,6 +866,70 @@ FROM marked GROUP BY doc_id
 
     sql["ann_topk_pq_indexed"] = sql["ann_topk_pq"]
     sql["ann_topk_pq_packed"] = sql["ann_topk_pq"]
+
+    # IVF-PQ twin: the PQ pipeline with its candidate set gated by the
+    # IVF routing CTEs (8 seeded centroids, corpus argmax list, 2
+    # probed lists per query) — routing changes WHICH rows score, ADC
+    # decides the scores, so the surgery swaps only the `scored` CTE.
+    _pq_scored = """scored AS (
+  SELECT adc.query_id, adc.vec_id AS neighbor_id,
+         adc.adot / (qn.qnorm * r.recon_norm) AS score
+  FROM adc
+  JOIN qn USING (query_id)
+  JOIN recon r ON r.vec_id = adc.vec_id
+  WHERE adc.vec_id <> adc.query_id
+)"""
+    assert sql["ann_topk_pq"].count(_pq_scored) == 1
+    _cos_ec = entrymod._COS.format(a="e.embedding", b="c.c_embedding")
+    _cos_qc = entrymod._COS.format(a="qq.qe", b="c.c_embedding")
+    sql["ann_topk_ivfpq"] = sql["ann_topk_pq"].replace(
+        _pq_scored,
+        f"""cents AS (
+  SELECT (vec_id % 97)::INT AS centroid_id,
+         arg_min(embedding, vec_id) AS c_embedding
+  FROM embeddings WHERE (vec_id % 97) < 8 GROUP BY 1
+),
+corpus_lists AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_ec} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crn = 1
+),
+query_lists AS (
+  SELECT query_id, centroid_id AS list_id FROM (
+    SELECT qq.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY {_cos_qc} DESC, c.centroid_id) AS crn
+    FROM q qq CROSS JOIN cents c
+  ) WHERE crn <= 2
+),
+scored AS (
+  SELECT adc.query_id, adc.vec_id AS neighbor_id,
+         adc.adot / (qn.qnorm * r.recon_norm) AS score
+  FROM adc
+  JOIN qn USING (query_id)
+  JOIN recon r ON r.vec_id = adc.vec_id
+  JOIN corpus_lists cl ON cl.vec_id = adc.vec_id
+  JOIN query_lists ql ON ql.query_id = adc.query_id AND ql.list_id = cl.list_id
+  WHERE adc.vec_id <> adc.query_id
+)""",
+    )
+    sql["ann_topk_ivfpq_indexed"] = sql["ann_topk_ivfpq"]
+    # appended twin: BOTH frozen artifacts seed from the build (even)
+    # half — codebook seeds and coarse centroids
+    assert (
+        sql["ann_topk_ivfpq"].count("FROM embeddings WHERE (vec_id % 97) < 16") == 1
+        and sql["ann_topk_ivfpq"].count("FROM embeddings WHERE (vec_id % 97) < 8") == 1
+    )
+    sql["ann_topk_ivfpq_appended"] = sql["ann_topk_ivfpq"].replace(
+        "FROM embeddings WHERE (vec_id % 97) < 16",
+        "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 16",
+    ).replace(
+        "FROM embeddings WHERE (vec_id % 97) < 8",
+        "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 8",
+    )
     # appended twin: codebook seeds restricted to the BUILD half (even
     # vec_ids) — appends themselves are exact, only the seed source
     # differs from the full-build row
