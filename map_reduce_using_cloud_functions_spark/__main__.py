@@ -115,6 +115,13 @@ def _build_parser() -> argparse.ArgumentParser:
         metavar="R",
         help="only fold when tail_bytes >= R * base_bytes (the amortizing policy)",
     )
+    c.add_argument(
+        "--scoped",
+        action="store_true",
+        help="letter-scoped fold on a versioned table: rewrite only the "
+        "touched first-letter partitions (O(touched), layered commit; "
+        "refuses later replace-mode upserts until flattened)",
+    )
 
     g = sub.add_parser("gc", help="reclaim superseded versions + folded deltas")
     g.add_argument("index_path")
@@ -217,7 +224,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     )
                 else:
                     pending = ix.pending_additive_batches(spark, args.index_path)
-                    ix.compact_index(spark, args.index_path)
+                    ix.compact_index(
+                        spark,
+                        args.index_path,
+                        scoped="auto" if args.scoped else False,
+                    )
                     print(f"compacted {len(pending)} pending batches into {args.index_path}")
             elif args.cmd == "gc":
                 ix.gc_index_versions(spark, args.index_path, keep=args.keep)

@@ -344,6 +344,19 @@ def upsert_index(
     # full rewrites; per-partition dynamic overwrite keeps its own
     # documented mid-swap window either way).
     base_dir, _folded, _ver = _resolve_version(spark, path)
+    if _ver is not None and _commit_letter_map(spark, path, _ver) is not None:
+        # A letter-scoped fold left the head LAYERED: letters live in
+        # several immutable version dirs, and an in-place dynamic
+        # overwrite of the head dir would both miss layered letters and
+        # mutate an immutable snapshot. (The additive streaming path —
+        # the only producer of scoped folds — never calls upsert, so
+        # this only trips a mixed batch workflow.)
+        raise ValueError(
+            f"index at {path} is at a letter-scoped (layered) commit: "
+            "partition-granular upserts need a self-contained base. "
+            "Flatten first with compact_index(spark, path, scoped=False) "
+            "or a full write_index rebuild."
+        )
     if not additive and pending_additive_batches(spark, path):
         # Replace semantics must see the document's FULL current postings
         # to scrub stale rows; pending deltas live outside the base scan,
@@ -549,14 +562,23 @@ def _read_commit(spark, path: str, v: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
-def _write_commit(spark, path: str, v: int, folded_through: int) -> None:
+def _write_commit(
+    spark,
+    path: str,
+    v: int,
+    folded_through: int,
+    letter_map: dict[str, int] | None = None,
+) -> None:
     import json
     import uuid
 
     vp = _versions_path(path)
     fs = _hadoop_fs(spark, vp)
     fs.mkdirs(_hadoop_path(spark, vp))
-    payload = json.dumps({"v": v, "folded_through": folded_through}).encode()
+    doc = {"v": v, "folded_through": folded_through}
+    if letter_map is not None:
+        doc["letter_map"] = letter_map
+    payload = json.dumps(doc).encode()
     tmp = _hadoop_path(spark, f"{vp}/.{uuid.uuid4().hex}.tmp")
     out = fs.create(tmp, True)
     out.write(bytearray(payload))
@@ -632,6 +654,94 @@ def index_version(spark, path: str) -> int | None:
     return _resolve_version(spark, path)[2]
 
 
+# --- letter-scoped (layered) commits --------------------------------------
+#
+# A full compaction fold rewrites the WHOLE base per fold — O(base) no
+# matter how small the delta tail, which is exactly backwards at 100 TB
+# where a micro-batch touches a handful of first-letter partitions. A
+# letter-scoped fold rewrites ONLY the touched letters into the fresh
+# ``v=N+1`` directory and records, in the commit itself, which version
+# directory OWNS each letter (``letter_map``): untouched letters keep
+# pointing at the directory that already holds them. The commit file
+# stays the single atomicity point — the new letter directories are
+# invisible until the commit renames in, so a crash at ANY point leaves
+# the previous commit (and its letter resolution) serving exact counts,
+# and a replayed fold overwrites the orphaned dir (same self-heal as
+# full rewrites). This is the manifest idea from transactional table
+# formats (Iceberg/Delta) reduced to the one axis this table needs:
+# letters are the partition unit, the commit is the manifest.
+#
+# Contract notes, stated exactly:
+# - Self-contained commits (full ``write_index`` rebuilds) carry no
+#   ``letter_map`` — their directory holds every letter.
+# - GC must keep every version directory a KEPT commit's letter_map
+#   references (reference-counted reclamation, below).
+# - Partition-granular ``upsert_index`` operates in place on ONE version
+#   directory and cannot see layered letters — it refuses a layered
+#   head (flatten first with ``compact_index(..., scoped=False)``).
+#   The additive streaming path never calls it, so scoped folds are the
+#   stream default at zero risk.
+# - Layered commits carry no ``_docmap`` sidecar (only upserts read it;
+#   the flatten that re-enables upserts rebuilds it).
+
+
+def _list_letters(spark, dir_path: str) -> list[str]:
+    """``first=*`` partition names under a base directory — one
+    filesystem listing, no data read."""
+    if not _hadoop_exists(spark, dir_path):
+        return []
+    fs = _hadoop_fs(spark, dir_path)
+    out = []
+    for st in fs.listStatus(_hadoop_path(spark, dir_path)):
+        name = st.getPath().getName()
+        if name.startswith("first="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def _commit_letter_map(spark, path: str, v: int) -> dict[str, int] | None:
+    """The commit's letter→owning-version map, or None for a
+    self-contained commit (its own directory holds every letter)."""
+    meta = _read_commit(spark, path, v)
+    lm = meta.get("letter_map")
+    if lm is None:
+        return None
+    return {letter: int(ver) for letter, ver in lm.items()}
+
+
+def _versioned_base(spark, path: str, v: int, letters=None) -> DataFrame:
+    """(word, document, count) scan of commit ``v``'s base table.
+    Self-contained commit: one partition-pruned read of its own
+    directory. Layered commit: resolve each letter to its owning
+    version directory and union one pruned scan per owner — the number
+    of owners is bounded by the fold policy's layer cap, and a point
+    lookup still reads exactly one letter directory. ``letters``
+    restricts the scan (partition pruning on every branch)."""
+    lm = _commit_letter_map(spark, path, v)
+    if lm is None:
+        base = spark.read.parquet(_version_dir(path, v))
+        if letters is not None:
+            base = base.where(F.col("first").isin(sorted(letters)))
+        return base.select("word", "document", "count")
+    if letters is not None:
+        lm = {l: ver for l, ver in lm.items() if l in set(letters)}
+    if not lm:
+        return spark.createDataFrame([], _ADDITIVE_SCHEMA)
+    by_ver: dict[int, list[str]] = {}
+    for letter, ver in lm.items():
+        by_ver.setdefault(ver, []).append(letter)
+    parts = []
+    for ver in sorted(by_ver):
+        scan = spark.read.parquet(_version_dir(path, ver)).where(
+            F.col("first").isin(sorted(by_ver[ver]))
+        )
+        parts.append(scan.select("word", "document", "count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _list_additive_batches(spark, path: str) -> list[int]:
     """Raw (abatch=) partition listing — includes batches a versioned
     commit has already superseded; use ``pending_additive_batches`` for
@@ -654,14 +764,31 @@ def gc_index_versions(spark, path: str, keep: int = 2) -> None:
     the current ``folded_through`` watermark. Pure space reclamation —
     readers resolve through the commit files and never reference what
     this deletes, so it is safe at any time (and a crash mid-GC just
-    leaves garbage for the next GC)."""
+    leaves garbage for the next GC).
+
+    Reference counting for layered commits: a KEPT commit's
+    ``letter_map`` may point letters at an older version's directory —
+    those directories are retained even when their own commit file
+    expires (the time-travel horizon is the kept commits; the data
+    files live as long as anything kept references them, the
+    manifest-GC rule)."""
     commits = _list_commits(spark, path)
     if not commits:
         return
     _, folded, _ = _resolve_version(spark, path)
-    for old in commits[:-keep] if keep > 0 else commits[:-1]:
-        _hadoop_delete(spark, _version_dir(path, old))
+    kept = commits[-keep:] if keep > 0 else commits[-1:]
+    referenced: set[int] = set()
+    for v in kept:
+        referenced.add(v)
+        lm = _commit_letter_map(spark, path, v)
+        if lm:
+            referenced.update(lm.values())
+    for old in commits:
+        if old in kept:
+            continue
         _hadoop_delete(spark, f"{_versions_path(path)}/{old}.commit")
+        if old not in referenced:
+            _hadoop_delete(spark, _version_dir(path, old))
     for b in _list_additive_batches(spark, path):
         if b <= folded:
             _hadoop_delete(spark, f"{_additive_path(path)}/abatch={b}")
@@ -697,10 +824,9 @@ def read_index_at(
             "Old versions are reclaimed by gc_index_versions(keep=N); "
             "raise `keep` to retain a longer time-travel horizon."
         )
-    base = spark.read.parquet(_version_dir(path, version))
-    if first_letter is not None:
-        base = base.where(F.col("first") == F.lit(first_letter))
-    return base.select("word", "document", "count")
+    return _versioned_base(
+        spark, path, version, letters=None if first_letter is None else {first_letter}
+    )
 
 
 def index_diff(spark, path: str, v_from: int, v_to: int) -> DataFrame:
@@ -784,10 +910,15 @@ def read_index(spark, path: str, first_letter: str | None = None) -> DataFrame:
     below the commit's ``folded_through`` watermark are excluded (they
     are already inside the base — GC merely hasn't reclaimed them)."""
     base_dir, folded, _v = _resolve_version(spark, path)
-    base = spark.read.parquet(base_dir)
-    if first_letter is not None:
-        base = base.where(F.col("first") == F.lit(first_letter))
-    base = base.select("word", "document", "count")
+    if _v is not None:
+        base = _versioned_base(
+            spark, path, _v, letters=None if first_letter is None else {first_letter}
+        )
+    else:
+        base = spark.read.parquet(base_dir)
+        if first_letter is not None:
+            base = base.where(F.col("first") == F.lit(first_letter))
+        base = base.select("word", "document", "count")
     add = _additive_path(path)
     if _hadoop_exists(spark, add) and any(
         b > folded for b in _list_additive_batches(spark, path)
@@ -995,8 +1126,20 @@ def index_size_info(spark, path: str) -> dict:
     tail = sum(
         _dir_bytes(spark, f"{_additive_path(path)}/abatch={b}") for b in pending
     )
+    lm = _commit_letter_map(spark, path, v) if v is not None else None
+    if lm is not None:
+        # layered head: the logical base spans letter dirs across
+        # several versions — sum exactly the referenced letter dirs
+        # (a head-dir-only number would undercount and over-trigger
+        # the ratio policy)
+        base_bytes = sum(
+            _dir_bytes(spark, f"{_version_dir(path, ver)}/first={letter}")
+            for letter, ver in lm.items()
+        )
+    else:
+        base_bytes = _dir_bytes(spark, base_dir)
     return {
-        "base_bytes": _dir_bytes(spark, base_dir),
+        "base_bytes": base_bytes,
         "tail_bytes": tail,
         "pending_batches": pending,
         "version": v,
@@ -1032,10 +1175,46 @@ def should_compact(
     return False
 
 
-def compact_index(spark, path: str) -> None:
+def _delta_letters(spark, path: str, batches: list[int]) -> list[str]:
+    """Distinct ``first=`` letters across the given additive batch
+    partitions — pure directory listing (the delta layout is
+    ``_additive/abatch=N/first=x``), no data read."""
+    out: set[str] = set()
+    for b in batches:
+        out.update(_list_letters(spark, f"{_additive_path(path)}/abatch={b}"))
+    return sorted(out)
+
+
+def compact_index(
+    spark, path: str, scoped: bool | str = False, max_layers: int = 8
+) -> None:
     """Fold pending additive deltas into the base table and drop them —
     the maintenance companion of ``write_additive_delta``, bounding the
     delta tail that reads fold.
+
+    ``scoped`` (versioned tables only): a letter-scoped fold rewrites
+    ONLY the ``first=`` letter partitions the delta tail touches into
+    the fresh ``v=N+1`` directory and records letter ownership in the
+    commit (``letter_map`` — see the layered-commits section). Fold
+    cost becomes O(touched letters' data + tail), not O(base): a
+    micro-batch tail touching 3 of 30 letters folds at ~1/10 the IO,
+    which is the difference between "compaction is the pipeline" and
+    "compaction is background noise" at a 100 TB base. Crash-atomic at
+    every kill point for free — the commit file is still the only
+    visibility switch. ``"auto"``: scoped when the table is versioned
+    AND the resulting commit would reference at most ``max_layers``
+    version directories; beyond that it FLATTENS with a full fold
+    (bounding read fan-out and GC-retained stale copies — the same
+    reason LSM trees have major compactions). The STREAMING
+    auto-compaction passes ``"auto"`` (per-batch folds over a growing
+    base are exactly the O(base)-per-fold trap, and the additive
+    stream never upserts). ``scoped=False`` (default for direct/batch
+    callers — a layered head refuses replace-mode upserts, so batch
+    workflows that mix compaction with upserts keep self-contained
+    commits): always the full fold, and — on a layered head —
+    flattens even with an empty tail (the re-enable path for
+    replace-mode upserts). ``scoped=True``: force a scoped fold
+    regardless of the layer cap.
 
     Run with the stream paused (or from inside its own ``foreachBatch``
     via ``compact_every`` — single writer either way). Crash semantics
@@ -1062,11 +1241,60 @@ def compact_index(spark, path: str) -> None:
       creates its tables versioned BY DEFAULT since r7.
 
     The merged relation is materialized via ``localCheckpoint`` before
-    any files it read are replaced."""
+    any files it read are replaced (full folds; scoped folds write only
+    to a fresh invisible directory, so there is no read-your-writes
+    hazard to break)."""
     pending = pending_additive_batches(spark, path)
+    _, prev_folded, cur_v = _resolve_version(spark, path)
+    layered = cur_v is not None and _commit_letter_map(spark, path, cur_v) is not None
     if not pending:
+        if layered and scoped is False:
+            # explicit flatten request: fold the layered letters back
+            # into one self-contained commit (re-enables upserts)
+            merged = read_index(spark, path).localCheckpoint()
+            write_index(merged, path)
         return
-    _, prev_folded, _ = _resolve_version(spark, path)
+    if cur_v is not None and scoped in ("auto", True):
+        cur_map = _commit_letter_map(spark, path, cur_v) or {
+            letter: cur_v for letter in _list_letters(spark, _version_dir(path, cur_v))
+        }
+        touched = _delta_letters(spark, path, pending)
+        new_v = cur_v + 1
+        new_map = {**cur_map, **{letter: new_v for letter in touched}}
+        n_owners = len(set(new_map.values()))
+        if scoped is True or n_owners <= max_layers:
+            base = _versioned_base(spark, path, cur_v, letters=set(touched))
+            deltas = (
+                spark.read.schema(_ADDITIVE_SCHEMA)
+                .parquet(_additive_path(path))
+                .where(
+                    F.col("abatch").isin(pending) & F.col("first").isin(touched)
+                )
+                .select("word", "document", "count")
+            )
+            merged = (
+                base.unionByName(deltas)
+                .groupBy("word", "document")
+                .agg(F.sum("count").alias("count"))
+                .withColumn("first", F.substring("word", 1, 1))
+            )
+            (
+                merged.hint("rebalance", "first")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("first")
+                .parquet(_version_dir(path, new_v))
+            )
+            raw = _list_additive_batches(spark, path)
+            _write_commit(
+                spark,
+                path,
+                new_v,
+                folded_through=max([prev_folded] + raw),
+                letter_map=new_map,
+            )
+            gc_index_versions(spark, path)
+            return
     # The in-place fold's static overwrite wipes every top-level file,
     # including the stream-checkpoint binding a streaming writer left —
     # preserve it across the rewrite (versioned folds never touch it).

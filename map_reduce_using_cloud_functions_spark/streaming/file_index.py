@@ -272,7 +272,12 @@ def start_file_index_stream(
                     max_pending=compact_every,
                     max_tail_ratio=ratio,
                 ):
-                    compact_index(spark, index_path)
+                    # letter-scoped fold: per-batch auto-compaction over
+                    # a growing base must not pay O(base) per fold; the
+                    # additive stream never upserts, so layered commits
+                    # cost it nothing ("auto" still flattens past the
+                    # layer cap)
+                    compact_index(spark, index_path, scoped="auto")
             return
         # the batch's documents are the explicit replace-set so a file
         # re-dropped with token-free content scrubs its old postings

@@ -1395,3 +1395,169 @@ def test_rollback_restores_snapshot_as_new_commit(spark, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="owned by streaming checkpoint"):
         ix.rollback_index(spark, path, 2)
+
+
+# --- letter-scoped (layered) compaction (r8) -------------------------------
+
+
+def test_scoped_compaction_folds_only_touched_letters(spark, tmp_path):
+    """A scoped fold rewrites ONLY the letters the delta tail touches
+    into the new version dir; untouched letters stay owned by (and
+    physically in) the old dir via the commit's letter_map. Answers
+    identical to a full fold; point lookups on untouched letters read
+    the OLD dir; deltas are logically folded (watermark)."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(
+        _mk_idx(spark, [("a.txt", "hello world zebra"), ("b.txt", "apple")]),
+        path,
+        versioned=True,
+    )
+    # tail touches only 'h' and 'a'
+    ix.write_additive_delta(spark, _mk_idx(spark, [("c.txt", "hello apple")]), path, 1)
+    expected = sorted(
+        map(tuple, ix.read_index(spark, path).collect())
+    )
+    ix.compact_index(spark, path, scoped="auto")
+    assert ix.index_version(spark, path) == 1
+    assert ix.pending_additive_batches(spark, path) == []
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == expected
+
+    # v=1 holds ONLY the touched letters; w/z live solely in v=0
+    v1 = os.path.join(path, "v=1")
+    assert sorted(os.listdir(v1)) != []
+    assert {d for d in os.listdir(v1) if d.startswith("first=")} == {
+        "first=a",
+        "first=h",
+    }
+    lm = ix._commit_letter_map(spark, path, 1)
+    assert lm == {"a": 1, "h": 1, "w": 0, "z": 0}
+
+    # point lookups resolve through the map on both sides
+    assert [tuple(r) for r in ix.lookup_persisted(spark, path, "hello").collect()] == [
+        ("a.txt", 1),
+        ("c.txt", 1),
+    ]
+    assert [tuple(r) for r in ix.lookup_persisted(spark, path, "zebra").collect()] == [
+        ("a.txt", 1)
+    ]
+
+    # snapshot + diff resolve layered commits too
+    assert sorted(
+        map(tuple, ix.read_index_at(spark, path, 0).collect())
+    ) != expected
+    diff = {
+        (r["word"], r["document"]): r["delta"]
+        for r in ix.index_diff(spark, path, 0, 1).collect()
+    }
+    assert diff == {("hello", "c.txt"): 1, ("apple", "c.txt"): 1}
+
+
+def test_scoped_compaction_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """Failure injection: a scoped fold that wrote its v=1 letter dirs
+    but died before the commit file landed leaves the old commit
+    serving exact counts (deltas still pending); the replayed fold
+    overwrites the orphan and converges."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "hello world")]), path, versioned=True)
+    ix.write_additive_delta(spark, _mk_idx(spark, [("b.txt", "hello")]), path, 1)
+    expected = sorted(map(tuple, ix.read_index(spark, path).collect()))
+
+    real = ix._write_commit
+
+    def boom(*a, **k):
+        raise IOError("injected crash before commit")
+
+    monkeypatch.setattr(ix, "_write_commit", boom)
+    with _pytest.raises(IOError, match="injected"):
+        ix.compact_index(spark, path, scoped=True)
+    monkeypatch.setattr(ix, "_write_commit", real)
+
+    # old commit still serves; batch still pending (fold invisible)
+    assert ix.index_version(spark, path) == 0
+    assert ix.pending_additive_batches(spark, path) == [1]
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == expected
+
+    # replay converges: same fold lands as v=1, counts exact once
+    ix.compact_index(spark, path, scoped=True)
+    assert ix.index_version(spark, path) == 1
+    assert ix.pending_additive_batches(spark, path) == []
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == expected
+
+
+def test_scoped_compaction_layer_cap_flattens(spark, tmp_path):
+    """scoped='auto' folds scoped until the commit would reference more
+    than max_layers dirs, then flattens with a full fold — the commit
+    comes back self-contained and upserts are legal again."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "alpha bravo charlie")]), path, versioned=True)
+    # each batch touches a fresh letter -> owner count grows per fold
+    words = ["delta", "echo", "foxtrot", "golf"]
+    for i, w in enumerate(words, start=1):
+        ix.write_additive_delta(spark, _mk_idx(spark, [(f"d{i}.txt", w)]), path, i)
+        ix.compact_index(spark, path, scoped="auto", max_layers=3)
+    # by the last fold the cap must have forced at least one flatten
+    lm = ix._commit_letter_map(spark, path, ix.index_version(spark, path))
+    assert lm is None or len(set(lm.values())) <= 3
+    expected_words = {"alpha", "bravo", "charlie", *words}
+    got = {r["word"] for r in ix.read_index(spark, path).collect()}
+    assert got == expected_words
+
+    # explicit flatten with empty tail re-enables upserts
+    ix.compact_index(spark, path, scoped=False)
+    assert ix._commit_letter_map(spark, path, ix.index_version(spark, path)) is None
+    ix.upsert_index(spark, _mk_idx(spark, [("a.txt", "alpha")]), path)
+    assert ("alpha", "a.txt", 1) in set(
+        map(tuple, ix.read_index(spark, path).collect())
+    )
+
+
+def test_scoped_compaction_gc_keeps_referenced_dirs(spark, tmp_path):
+    """GC must retain any version dir a kept commit's letter_map still
+    references, even past the keep horizon — and still reclaim folded
+    delta partitions and unreferenced dirs."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "alpha zulu")]), path, versioned=True)
+    for i in range(1, 4):  # three scoped folds all touching 'b'
+        ix.write_additive_delta(spark, _mk_idx(spark, [(f"d{i}.txt", "bravo")]), path, i)
+        ix.compact_index(spark, path, scoped=True)
+    assert ix.index_version(spark, path) == 3
+    ix.gc_index_versions(spark, path, keep=1)
+    # v=0 still owns 'a' and 'z' for the kept head -> dir retained,
+    # commit file expired; v=1/v=2 are unreferenced -> reclaimed
+    assert os.path.exists(os.path.join(path, "v=0", "first=a"))
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    assert not os.path.exists(os.path.join(path, "v=2"))
+    assert ix._list_commits(spark, path) == [3]
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == [
+        ("alpha", "a.txt", 1),
+        ("bravo", "d1.txt", 1),
+        ("bravo", "d2.txt", 1),
+        ("bravo", "d3.txt", 1),
+        ("zulu", "a.txt", 1),
+    ]
+
+
+def test_layered_head_refuses_replace_upsert(spark, tmp_path):
+    """A layered commit cannot serve in-place partition upserts —
+    refuse loudly and name the flatten path."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "hello world")]), path, versioned=True)
+    ix.write_additive_delta(spark, _mk_idx(spark, [("b.txt", "hello")]), path, 1)
+    ix.compact_index(spark, path, scoped=True)
+    with _pytest.raises(ValueError, match="layered"):
+        ix.upsert_index(spark, _mk_idx(spark, [("b.txt", "bye")]), path)
