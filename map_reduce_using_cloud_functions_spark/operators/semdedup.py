@@ -281,3 +281,115 @@ def semdedup_survivors(
         assigned.join(_dropped(pairs), "vec_id", "left_anti")
         .select("vec_id", "list_id", F.round("c_score", 6).alias("c_score"))
     )
+
+
+# --- persisted assignment index (the build_ivf_index treatment) -----------
+
+
+def build_semdedup_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    train: bool = False,
+    train_iters: int = 2,
+    train_init: str = "hash",
+    scale_guard: str = "raise",
+) -> None:
+    """Persist the clustering assignment so SemDeDup's expensive pass
+    amortizes: the broadcast argmax (k cosines per corpus vector — the
+    dominant map) runs ONCE at build, and every threshold re-run or
+    survivor join afterwards is a scan + within-cluster equi-join over
+    the stored relation. Thresholding is a post-assignment filter in
+    this method (arXiv:2303.09540 sweeps ε over fixed clusters the same
+    way), so one build serves the whole threshold sweep a data-curation
+    pipeline actually runs.
+
+    Layout under ``path``:
+
+    - ``meta/`` — one row (n_clusters, dim, n);
+    - ``centroids/`` — the (tiny) centroid table, ``array<double>``
+      (the ``build_ivf_index`` schema/read path);
+    - ``assign/`` — (vec_id, embedding, norm, c_score) **partitioned by
+      list_id**: the within-cluster self-join becomes partition-local
+      reads of one directory per cluster, and a threshold re-run never
+      touches the argmax. The embedding rides along (≈ one corpus copy)
+      so the pair join is self-contained — without it every re-run
+      would shuffle the original corpus back in by vec_id, which is the
+      cost the index exists to kill.
+
+    The volume guard runs at build (same refusal contract as the
+    in-plan path — a persisted under-clustered assignment would bake
+    the quadratic join in); the assignment is written from the
+    READ-BACK centroids so the persisted values are by construction the
+    ones the assignment used."""
+    from .similarity import load_ivf_centroids
+
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", "embedding")
+    dim_row = base.select(F.size("embedding").alias("d")).first()
+    n = base.count()
+    cents = _train_or_seed(base, n_clusters, train, train_iters, train_init)
+    (
+        cents.select(
+            "centroid_id",
+            F.col("c_embedding").cast("array<double>").alias("c_embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    (
+        spark.createDataFrame(
+            [(n_clusters, dim_row["d"], n)], "n_clusters int, dim int, n bigint"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    saved = load_ivf_centroids(spark, path)
+    assigned = assign_clusters(base, saved).localCheckpoint()
+    _guard_cluster_volume(assigned, n_clusters, "build_semdedup_index", scale_guard)
+    (
+        assigned.select("vec_id", "embedding", "norm", "c_score", "list_id")
+        .hint("rebalance", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/assign")
+    )
+
+
+def load_semdedup_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema("n_clusters int, dim int, n bigint")
+        .parquet(f"{path}/meta")
+        .first()
+    )
+    return row.asDict()
+
+
+def _load_assignment(spark, path: str) -> DataFrame:
+    return spark.read.schema(
+        "vec_id bigint, embedding array<float>, norm double, "
+        "c_score double, list_id int"
+    ).parquet(f"{path}/assign")
+
+
+def semdedup_pairs_indexed(spark, path: str, threshold: float = 0.4) -> DataFrame:
+    """``semdedup_pairs`` served from a persisted assignment: the
+    argmax pass is gone; cost is the within-cluster equi-join alone
+    (partition-co-located reads of ``assign/``). Identical answers to
+    the in-plan path for identical centroids (oracle row pins it)."""
+    return _pairs_from_assigned(_load_assignment(spark, path), threshold)
+
+
+def semdedup_survivors_indexed(
+    spark, path: str, threshold: float = 0.4
+) -> DataFrame:
+    """``semdedup_survivors`` from the persisted assignment — the
+    threshold-sweep serving path: each ε re-run pays one join over the
+    stored relation, never the corpus argmax."""
+    assigned = _load_assignment(spark, path)
+    pairs = _pairs_from_assigned(assigned, threshold)
+    return assigned.join(_dropped(pairs), "vec_id", "left_anti").select(
+        "vec_id", "list_id", F.round("c_score", 6).alias("c_score")
+    )

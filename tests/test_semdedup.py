@@ -188,3 +188,49 @@ def test_kmeans_init_lifts_the_seed_slot_ceiling(spark, embeddings):
     lists = {r["list_id"] for r in surv}
     assert len(lists) == 120
     assert max(lists) == 119 and min(lists) == 0  # dense 0..k-1
+
+
+def test_indexed_assignment_matches_in_plan(spark, embeddings, tmp_path):
+    """build_semdedup_index + indexed pairs/survivors must equal the
+    in-plan seeded path, and a second threshold served from the same
+    build must equal an in-plan run at that threshold (the sweep
+    contract: one argmax, many epsilons)."""
+    path = str(tmp_path / "sdd")
+    sd.build_semdedup_index(embeddings, path, n_clusters=8)
+    meta = sd.load_semdedup_meta(spark, path)
+    assert meta["n_clusters"] == 8 and meta["n"] == embeddings.count()
+
+    def norm_pairs(df):
+        return sorted(
+            (r["list_id"], r["vec_a"], r["vec_b"], r["score"])
+            for r in df.collect()
+        )
+
+    want = norm_pairs(sd.semdedup_pairs(embeddings, n_clusters=8))
+    got = norm_pairs(sd.semdedup_pairs_indexed(spark, path))
+    assert got == want
+
+    want_s = sorted(map(tuple, sd.semdedup_survivors(embeddings, n_clusters=8).collect()))
+    got_s = sorted(map(tuple, sd.semdedup_survivors_indexed(spark, path).collect()))
+    assert got_s == want_s
+
+    # threshold re-run from the SAME build
+    want_hi = sorted(
+        map(tuple, sd.semdedup_survivors(embeddings, n_clusters=8, threshold=0.8).collect())
+    )
+    got_hi = sorted(
+        map(tuple, sd.semdedup_survivors_indexed(spark, path, threshold=0.8).collect())
+    )
+    assert got_hi == want_hi
+
+
+def test_indexed_build_enforces_volume_guard(spark, embeddings, monkeypatch):
+    """The guard must refuse to PERSIST an under-clustered assignment —
+    a baked-in quadratic join is worse than an in-plan one."""
+    monkeypatch.setattr(sd, "SEMDEDUP_PAIR_BUDGET", 10)
+    import tempfile
+
+    with pytest.raises(ValueError, match="pair volume"):
+        sd.build_semdedup_index(
+            embeddings, tempfile.mkdtemp(prefix="sdd_guard_") + "/sdd", n_clusters=2
+        )

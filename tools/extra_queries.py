@@ -101,6 +101,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": lambda s, d: sdd.semdedup_survivors(
             load_table(s, d, "embeddings")
         ),
+        # r8: persisted assignment (build_semdedup_index) — the argmax
+        # amortizes across threshold re-runs; stored seeded centroids
+        # replay identically, so the in-plan oracle applies untouched.
+        "semdedup_survivors_indexed": _q_semdedup_survivors_indexed,
         # r7: product quantization (Jégou et al. 2011) — exhaustive ADC
         # top-k over the 32x-compressed corpus; seeded codebooks are
         # the oracle-replayed configuration.
@@ -289,6 +293,19 @@ def _q_ann_topk_pq_packed(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_pqp_") + "/pq"
     pq.build_pq_index(emb, path, m=8, k=16, packed=True)
     return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_semdedup_survivors_indexed(s: SparkSession, d: str) -> DataFrame:
+    """semdedup_survivors served from a persisted build_semdedup_index
+    (seeded centroids — the oracle-replayable configuration): the
+    stored assignment must serve the same survivors as the in-plan
+    argmax (same oracle SQL)."""
+    import tempfile
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_sdd_") + "/sdd"
+    sdd.build_semdedup_index(emb, path, n_clusters=8)
+    return sdd.semdedup_survivors_indexed(s, path)
 
 
 def _q_ann_topk_ivfpq(s: SparkSession, d: str) -> DataFrame:
@@ -985,4 +1002,5 @@ WHERE v.vec_id NOT IN (
   FROM pairs WHERE s >= 0.4
 )"""
     )
+    sql["semdedup_survivors_indexed"] = sql["semdedup_survivors"]
     return sql
