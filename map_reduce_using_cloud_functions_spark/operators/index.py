@@ -183,9 +183,10 @@ def write_index(
         migrating = not commits and _hadoop_exists(spark, f"{path}/_SUCCESS")
         _, prev_folded, _ = _resolve_version(spark, path)
         v = (commits[-1] + 1) if commits else 0
-        target = _version_dir(path, v)
-        _write_base(index, target)
-        _write_docmap_full(index, target)
+        staging = _staging_dir(path)
+        _write_base(index, staging)
+        _write_docmap_full(index, staging)
+        _claim_version_dir(spark, path, staging, v)
         raw = _list_additive_batches(spark, path)
         _write_commit(
             spark, path, v, folded_through=max([prev_folded] + raw + floor)
@@ -562,6 +563,65 @@ def _read_commit(spark, path: str, v: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on one versioned table. The protocol is
+    single-writer by contract (streams bind their checkpoint; batch
+    jobs coordinate externally) — this error makes a violation LOUD
+    instead of letting the loser's fold silently vanish under a
+    last-commit-wins overwrite. The table is left at the winner's
+    commit; re-read and re-run the losing operation."""
+
+
+def _staging_dir(path: str) -> str:
+    import uuid
+
+    return f"{path}/.staging-{uuid.uuid4().hex}"
+
+
+def _claim_version_dir(spark, path: str, staging: str, v: int) -> None:
+    """Claim version slot ``v`` by atomically renaming the fully
+    written staging directory to ``v=N``. Rename-to-existing fails, so
+    at most one writer owns a slot: a second writer targeting the same
+    v is refused here — BEFORE any commit — with its staged data
+    deleted, never clobbering the winner's directory (the pre-r8 flow
+    wrote straight into ``v=N`` and a stale loser could overwrite a
+    committed winner's data files in place).
+
+    Self-heal: a slot holding an UNCOMMITTED directory (v above the
+    committed head — a claim that crashed before its commit) is
+    deleted and the claim retried once. The residual race — deleting a
+    live concurrent writer's claim inside its claim-to-commit gap —
+    spans milliseconds (two small renames), versus the whole fold
+    duration before; the commit CAS below still guarantees at most one
+    COMMIT lands either way."""
+    fs = _hadoop_fs(spark, path)
+    src = _hadoop_path(spark, staging)
+    vdir = _version_dir(path, v)
+    dst = _hadoop_path(spark, vdir)
+    name = staging.rsplit("/", 1)[1]
+    for attempt in (0, 1):
+        if not fs.exists(dst) and fs.rename(src, dst):
+            # POSIX/local-FS rename(src, existingDir) NESTS src inside
+            # dst instead of failing — detect a lost race and undo
+            nested = _hadoop_path(spark, f"{vdir}/{name}")
+            if not fs.exists(nested):
+                return
+            fs.rename(nested, src)
+        commits = _list_commits(spark, path)
+        head = commits[-1] if commits else -1
+        if attempt == 0 and fs.exists(dst) and v > head:
+            # crashed claim (written dir, no commit): reclaim the slot
+            fs.delete(dst, True)
+            continue
+        break
+    fs.delete(src, True)
+    raise ConcurrentWriteError(
+        f"version slot v={v} at {path} is already claimed — another "
+        "writer advanced the table since this operation started. Its "
+        "staged data was discarded; re-run against the new head."
+    )
+
+
 def _write_commit(
     spark,
     path: str,
@@ -569,12 +629,30 @@ def _write_commit(
     folded_through: int,
     letter_map: dict[str, int] | None = None,
 ) -> None:
+    """Publish version ``v`` — with a compare-and-swap: the commit
+    lands only if the committed head is still ``v - 1`` (the parent
+    every writer computes its slot from). A stale writer that did its
+    fold against an old head is refused HERE, loudly, instead of
+    overwriting the winner's commit (last-commit-wins silently
+    discarded the loser's fold before r8). The rename itself refuses
+    an existing target, closing the both-pass-the-check race: at most
+    one commit per slot, ever."""
     import json
     import uuid
 
     vp = _versions_path(path)
     fs = _hadoop_fs(spark, vp)
     fs.mkdirs(_hadoop_path(spark, vp))
+    commits = _list_commits(spark, path)
+    head = commits[-1] if commits else None
+    expected = v - 1 if v > 0 else None
+    if head != expected:
+        raise ConcurrentWriteError(
+            f"commit CAS failed for v={v} at {path}: expected head "
+            f"{expected}, found {head} — another writer committed since "
+            "this operation observed the table. Its work is preserved; "
+            "re-run this operation against the new head."
+        )
     doc = {"v": v, "folded_through": folded_through}
     if letter_map is not None:
         doc["letter_map"] = letter_map
@@ -585,6 +663,12 @@ def _write_commit(
     out.close()
     if not fs.rename(tmp, _hadoop_path(spark, f"{vp}/{v}.commit")):
         fs.delete(tmp, False)
+        if _hadoop_exists(spark, f"{vp}/{v}.commit"):
+            raise ConcurrentWriteError(
+                f"commit file for v={v} at {path} appeared during the "
+                "CAS window — another writer won the slot; re-run "
+                "against the new head."
+            )
         raise IOError(f"version commit rename failed for v={v} at {path}")
 
 
@@ -792,6 +876,12 @@ def gc_index_versions(spark, path: str, keep: int = 2) -> None:
     for b in _list_additive_batches(spark, path):
         if b <= folded:
             _hadoop_delete(spark, f"{_additive_path(path)}/abatch={b}")
+    # crashed-before-claim staging leftovers (run GC with writers
+    # quiesced — the single-writer discipline GC already assumes)
+    fs = _hadoop_fs(spark, path)
+    for st in fs.listStatus(_hadoop_path(spark, path)):
+        if st.getPath().getName().startswith(".staging-"):
+            _hadoop_delete(spark, str(st.getPath()))
 
 
 def index_history(spark, path: str) -> list[dict]:
@@ -1278,13 +1368,15 @@ def compact_index(
                 .agg(F.sum("count").alias("count"))
                 .withColumn("first", F.substring("word", 1, 1))
             )
+            staging = _staging_dir(path)
             (
                 merged.hint("rebalance", "first")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")
                 .partitionBy("first")
-                .parquet(_version_dir(path, new_v))
+                .parquet(staging)
             )
+            _claim_version_dir(spark, path, staging, new_v)
             raw = _list_additive_batches(spark, path)
             _write_commit(
                 spark,

@@ -1561,3 +1561,61 @@ def test_layered_head_refuses_replace_upsert(spark, tmp_path):
     ix.compact_index(spark, path, scoped=True)
     with _pytest.raises(ValueError, match="layered"):
         ix.upsert_index(spark, _mk_idx(spark, [("b.txt", "bye")]), path)
+
+
+# --- concurrent-writer fence (r8) -----------------------------------------
+
+
+def test_stale_commit_cas_is_refused(spark, tmp_path):
+    """A writer that observed an old head and tries to commit after
+    another writer advanced the table is refused at the commit CAS —
+    loudly, with the winner's work preserved."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "one")]), path, versioned=True)
+    ix.write_index(_mk_idx(spark, [("a.txt", "two")]), path)  # head -> 1
+    # stale writer still believes head is 0 and targets v=1
+    with _pytest.raises(ix.ConcurrentWriteError, match="CAS failed"):
+        ix._write_commit(spark, path, 1, folded_through=-1)
+    assert ix.index_version(spark, path) == 1
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
+        ("two", "a.txt", 1)
+    ]
+
+
+def test_interleaved_full_rebuilds_one_loudly_refused(spark, tmp_path, monkeypatch):
+    """Two interleaved write_index rebuilds on one table: writer B
+    starts its fold at head 0; writer A completes a full rebuild while
+    B's data job runs; B's claim of the now-taken slot must raise
+    ConcurrentWriteError WITHOUT touching A's committed data (the
+    pre-fence flow wrote straight into v=1 and clobbered A)."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "base")]), path, versioned=True)
+
+    real_write_base = ix._write_base
+    state = {"fired": False}
+
+    def interleave(index_df, target):
+        real_write_base(index_df, target)
+        if not state["fired"]:
+            state["fired"] = True
+            # writer A completes its whole rebuild while B is staged
+            ix.write_index(_mk_idx(spark, [("a.txt", "winner")]), path)
+
+    monkeypatch.setattr(ix, "_write_base", interleave)
+    with _pytest.raises(ix.ConcurrentWriteError, match="claimed"):
+        ix.write_index(_mk_idx(spark, [("a.txt", "loser")]), path)
+    monkeypatch.undo()
+
+    assert ix.index_version(spark, path) == 1
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
+        ("winner", "a.txt", 1)
+    ]
+    # loser's staging was discarded; gc cleans any leftovers
+    ix.gc_index_versions(spark, path)
+    import os
+
+    assert not [d for d in os.listdir(path) if d.startswith(".staging-")]
