@@ -74,9 +74,11 @@ def admit_batch(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
-) -> None:
+) -> DataFrame:
     """One admission round, callable from foreachBatch or a batch
     driver (the stream ≡ batch equivalence tests drive this directly).
+    Returns the admitted survivors (materialized — safe to feed a
+    second sink, e.g. the composed front door's index upsert).
     Idempotent per (batch_id, content): replays overwrite their own
     release partitions and probe every OTHER release — excluding only
     ``release=batch_id`` (a crashed attempt's own append; probing it
@@ -133,6 +135,7 @@ def admit_batch(
         .parquet(survivors_path)
     )
     append_minhash_ledger(survivors, ledger_path, release=batch_id)
+    return survivors
 
 
 def start_near_dedup_stream(
@@ -179,6 +182,152 @@ def start_near_dedup_stream(
             batch_df,
             ledger_path,
             survivors_path,
+            batch_id,
+            threshold=threshold,
+            k=k,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        if binding == "adopting":
+            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+
+    writer = documents.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- composed front door: admit AND index in one exactly-once batch -------
+
+
+def admit_and_index_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    ledger_path: str,
+    survivors_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+) -> None:
+    """One composed round: near-dup-gate the batch against the ledger
+    (``admit_batch`` — release-partition overwrites) AND fold the
+    ADMITTED documents' postings into the versioned word index
+    (``write_additive_delta`` — batch-keyed delta partitions). The two
+    idempotence disciplines line up on the SAME batch id — release id
+    and abatch id — so a replay converges on BOTH sinks:
+
+    - admission recomputes the identical survivor set (content pinned
+      by the checkpoint; the probe excludes its own release) and
+      overwrites its own release partitions;
+    - the index side re-overwrites its own (abatch, first) partitions,
+      or no-ops at the folded_through watermark if compaction (or the
+      first full build) already absorbed the batch.
+
+    A crash BETWEEN the sinks is the interesting window: the replay
+    redoes admission (convergent overwrite) and then lands the index
+    delta exactly once — pinned by the crash-injection test. The index
+    table is versioned (crash-atomic folds) and binds the same
+    checkpoint as the ledger; its auto-compaction uses letter-scoped
+    folds (this stream never upserts)."""
+    from ..operators.index import (
+        build_index,
+        compact_index,
+        index_exists,
+        should_compact,
+        write_additive_delta,
+        write_index,
+    )
+
+    survivors = admit_batch(
+        spark,
+        batch_df,
+        ledger_path,
+        survivors_path,
+        batch_id,
+        threshold=threshold,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    corpus = survivors.select(
+        F.col("doc_id").cast("string").alias("document"), "text"
+    )
+    if not index_exists(spark, index_path):
+        # binding-before-build (versioned layout): a crash mid-build
+        # leaves binding + uncommitted carcass; the replay rebuilds
+        _bind_checkpoint(spark, index_path, checkpoint_dir)
+        write_index(
+            build_index(corpus),
+            index_path,
+            versioned=True,
+            folded_through=batch_id,
+        )
+        return
+    binding = _check_checkpoint_binding(spark, index_path, checkpoint_dir)
+    write_additive_delta(
+        spark,
+        build_index(corpus),
+        index_path,
+        batch_id,
+        allow_replayed_ids=(binding == "bound"),
+    )
+    if binding != "bound":
+        _bind_checkpoint(spark, index_path, checkpoint_dir)
+    if should_compact(spark, index_path, max_tail_ratio=1.0):
+        compact_index(spark, index_path, scoped="auto")
+
+
+def start_front_door_stream(
+    spark: SparkSession,
+    documents: DataFrame,
+    ledger_path: str,
+    survivors_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The full training-data front door as ONE stream: documents land,
+    near-duplicates of anything already admitted (this stream or prior
+    releases) are dropped, survivors are shipped release-partitioned
+    AND their postings become queryable through the versioned word
+    index — ``lookup_persisted(index_path, word)`` serves admitted
+    content only. Both sinks are exactly-once under replay (see
+    ``admit_and_index_batch``); fresh-checkpoint collisions refuse on
+    whichever sink detects them."""
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger_exists(spark, ledger_path):
+            binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
+            if binding == "adopting" and batch_id in ledger_releases(
+                spark, ledger_path
+            ):
+                raise ValueError(
+                    f"ledger {ledger_path} already holds release "
+                    f"{batch_id} and is not bound to this checkpoint "
+                    f"({checkpoint_dir}): overwriting it would replace "
+                    "previously admitted documents. Keep the original "
+                    "checkpoint, or start a fresh ledger path."
+                )
+        else:
+            binding = "bound"
+            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        admit_and_index_batch(
+            spark,
+            batch_df,
+            ledger_path,
+            survivors_path,
+            index_path,
+            checkpoint_dir,
             batch_id,
             threshold=threshold,
             k=k,

@@ -357,3 +357,124 @@ def test_admit_batch_rejects_mismatched_sketch_params(spark, tmp_path):
     admit_batch(spark, batch2, ledger, surv, batch_id=1, bands=8, shingle_n=2)
     got = _survivor_ids(spark, surv)
     assert 1 in got and 3 in got[1] and 5 not in got[1]  # 5 gated by release 0
+
+
+# --- composed front door (r8): admit + index in one batch -----------------
+
+
+def _run_front_door(spark, watch, ledger, survivors, index, ckpt):
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_front_door_stream,
+    )
+
+    q = start_front_door_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        ledger,
+        survivors,
+        index,
+        ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def test_front_door_stream_admits_and_indexes(spark, tmp_path):
+    """One stream, two sinks: admitted survivors land release-
+    partitioned AND their postings are servable from the versioned
+    word index; rejected near-dups reach neither sink. The index must
+    equal a batch build over exactly the admitted corpus."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    index = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_A), (3, TEXT_B)])
+    _run_front_door(spark, watch, ledger, survivors, index, ckpt)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}}
+    assert ix.index_version(spark, index) is not None  # versioned layout
+
+    _write_jsonl(watch, "b1.jsonl", [(10, TEXT_A_NEAR), (11, TEXT_C)])
+    _run_front_door(spark, watch, ledger, survivors, index, ckpt)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}, 1: {11}}
+
+    # index == batch build over the admitted corpus (stream ≡ batch)
+    import pyspark.sql.functions as F
+
+    admitted = spark.read.parquet(survivors).select(
+        F.col("doc_id").cast("string").alias("document"), "text"
+    )
+    want = sorted(map(tuple, ix.build_index(admitted).collect()))
+    got = sorted(map(tuple, ix.read_index(spark, index).collect()))
+    assert got == want
+
+    # point lookups serve admitted content; the rejected near-copy's
+    # marker word ("today", only in TEXT_A_NEAR) is absent
+    docs = {r["document"] for r in ix.lookup_persisted(spark, index, "quick").collect()}
+    assert docs == {"1"}
+    assert ix.lookup_persisted(spark, index, "today").count() == 0
+
+
+def test_front_door_replay_converges_both_sinks(spark, tmp_path, monkeypatch):
+    """Crash injection at the nastiest point — AFTER the admission
+    sink committed, BEFORE the index sink ran — then replay: both
+    sinks converge to exactly-once (no double counts, single survivor
+    copy). A second full replay of a completed batch is a no-op."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_and_index_batch,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    surv = str(tmp_path / "out")
+    index = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+
+    b0 = spark.createDataFrame(
+        [(1, TEXT_A), (3, TEXT_B)], "doc_id bigint, text string"
+    )
+    # crash before the first full index build
+    real_write_index = ix.write_index
+
+    def boom(*a, **k):
+        raise IOError("injected crash before index build")
+
+    monkeypatch.setattr(ix, "write_index", boom)
+    with pytest.raises(IOError, match="injected"):
+        admit_and_index_batch(spark, b0, ledger, surv, index, ckpt, 0)
+    monkeypatch.setattr(ix, "write_index", real_write_index)
+    assert _survivor_ids(spark, surv) == {0: {1, 3}}  # admission landed
+    assert not ix.index_exists(spark, index)
+
+    # replay converges: admission overwrites its release, index builds
+    admit_and_index_batch(spark, b0, ledger, surv, index, ckpt, 0)
+    assert _survivor_ids(spark, surv) == {0: {1, 3}}
+    base = sorted(map(tuple, ix.read_index(spark, index).collect()))
+
+    # batch 1: crash between admission and the delta write
+    b1 = spark.createDataFrame(
+        [(10, TEXT_A_NEAR), (11, TEXT_C)], "doc_id bigint, text string"
+    )
+    real_delta = ix.write_additive_delta
+    monkeypatch.setattr(ix, "write_additive_delta", boom)
+    with pytest.raises(IOError, match="injected"):
+        admit_and_index_batch(spark, b1, ledger, surv, index, ckpt, 1)
+    monkeypatch.setattr(ix, "write_additive_delta", real_delta)
+    assert _survivor_ids(spark, surv) == {0: {1, 3}, 1: {11}}
+    assert sorted(map(tuple, ix.read_index(spark, index).collect())) == base
+
+    # replay lands the delta exactly once; a FULL second replay of the
+    # completed batch changes nothing on either sink
+    admit_and_index_batch(spark, b1, ledger, surv, index, ckpt, 1)
+    after = sorted(map(tuple, ix.read_index(spark, index).collect()))
+    admitted = spark.read.parquet(surv).select(
+        F.col("doc_id").cast("string").alias("document"), "text"
+    )
+    assert after == sorted(map(tuple, ix.build_index(admitted).collect()))
+    admit_and_index_batch(spark, b1, ledger, surv, index, ckpt, 1)
+    assert _survivor_ids(spark, surv) == {0: {1, 3}, 1: {11}}
+    assert sorted(map(tuple, ix.read_index(spark, index).collect())) == after
