@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "semdedup_survivors",  # r7: SemDeDup end-to-end (assign+pairs+prune)
     "ann_topk_pq",  # r7: product-quantized exhaustive ADC scan
     "corpus_boilerplate_strip",  # r7: cross-corpus line removal
+    "ann_topk_ivfpq",  # r8: composed IVF routing + ADC scoring
 ]
 
 
@@ -137,6 +138,73 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 6) -> dict:
             "total_sec": round(total, 3),
             "sec_per_file": round(total / n_files, 3),
             "batch_secs": batch_secs,
+            "postings": n_postings,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def bench_front_door(spark, sf_dir: str, n_files: int = 4, n_docs: int = 2000) -> dict:
+    """Composed front-door stream (r8): per-batch cost of the two-sink
+    foreachBatch — near-dup admission against the ledger AND additive
+    index fold — over JSONL micro-batches. Separate JSON key; the
+    legacy ``streaming`` section stays anchor-comparable."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_front_door_stream,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_corpus_from_jsonl,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_fd_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+    try:
+        docs = [
+            (r["doc_id"], r["text"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(n_docs)
+            .collect()
+        ]
+        for i in range(n_files):
+            with open(os.path.join(watch, f"b{i}.jsonl"), "w") as f:
+                for did, text in docs[i::n_files]:
+                    f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        t0 = time.perf_counter()
+        q = start_front_door_stream(
+            spark,
+            # one file per trigger: per-batch admission is the measured
+            # unit (one availableNow mega-batch would hide it)
+            streaming_corpus_from_jsonl(spark, watch, max_files_per_trigger=1),
+            os.path.join(base, "led"),
+            os.path.join(base, "out"),
+            os.path.join(base, "idx"),
+            os.path.join(base, "ck"),
+        )
+        q.awaitTermination()
+        total = time.perf_counter() - t0
+        batch_secs = sorted(
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        )
+        from map_reduce_using_cloud_functions_spark.operators.index import read_index
+
+        n_postings = read_index(spark, os.path.join(base, "idx")).count()
+        n_admitted = spark.read.parquet(os.path.join(base, "out")).count()
+        return {
+            "files": n_files,
+            "docs": len(docs),
+            "total_sec": round(total, 3),
+            "sec_per_batch": round(total / n_files, 3),
+            "batch_secs": batch_secs,
+            "admitted": n_admitted,
             "postings": n_postings,
         }
     finally:
@@ -345,6 +413,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — record and continue
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"bench: streaming FAILED: {streaming['error']}", file=sys.stderr)
+    try:
+        front_door = bench_front_door(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        front_door = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"bench: front_door FAILED: {front_door['error']}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -356,6 +429,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "streaming": streaming,
+                "streaming_front_door": front_door,
                 **({"errors": errors} if errors else {}),
                 **({"flaky": flaky} if flaky else {}),
             }

@@ -94,7 +94,21 @@ def train_pq_codebooks(
             f"(got remainder {dim % m})"
         )
     sub = dim // m
-    seeds = _seed_centroids(embeddings, k)  # (centroid_id, c_embedding)
+    # Seeds: the engine-wide hash-slot rule (min vec_id per vec_id%97
+    # slot — the oracle-replayable configuration) caps at 97 distinct
+    # slots; the production codebook size k=256 seeds from vec_id%k
+    # slots instead (still deterministic, min vec_id per slot — just
+    # not the %97 twin the small-k oracle rows replay; large-k
+    # configurations are train=True territory anyway, pinned by the
+    # recall pytest rather than a SQL twin).
+    if k <= 97:
+        seeds = _seed_centroids(embeddings, k)  # (centroid_id, c_embedding)
+    else:
+        seeds = (
+            embeddings.groupBy(
+                (F.col("vec_id") % k).cast("int").alias("centroid_id")
+            ).agg(F.min_by("embedding", "vec_id").alias("c_embedding"))
+        )
     books = _subspace_slices(
         seeds.select("centroid_id", F.col("c_embedding").alias("embedding")),
         "embedding",
