@@ -572,10 +572,23 @@ def brute_force_topk_vectorized(
                 top = min(k_l, len(vals))
                 if not top:
                     continue
+                # Local top-k under the GLOBAL order (score desc,
+                # neighbor_id asc) — argpartition alone keeps an
+                # ARBITRARY subset of score-tied candidates, silently
+                # dropping smaller-id ties the global window contract
+                # would rank first (caught by the replicated-corpus
+                # soak: 50 exact duplicates per vector, every score a
+                # 50-way tie). argpartition still prunes: anything
+                # strictly below the kth score can't reach the global
+                # top-k; the lexsort runs only over the survivors.
                 part = np.argpartition(-vals, top - 1)[:top]
+                thr = vals[part].min()
+                cand = np.flatnonzero(vals >= thr)
+                order = np.lexsort((ids[cand], -vals[cand]))[:top]
+                pick = cand[order]
                 out_q.extend([qid] * top)
-                out_n.extend(ids[part])
-                out_s.extend(vals[part])
+                out_n.extend(ids[pick])
+                out_s.extend(vals[pick])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
             )

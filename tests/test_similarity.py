@@ -11,6 +11,7 @@ import pytest
 
 from map_reduce_using_cloud_functions_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_vectorized,
     lsh_bucketed_topk,
     pairwise_near_dup,
     queries_from_ids,
@@ -1053,3 +1054,31 @@ def test_ivf_index_append_quantized_and_unbuilt(spark, embeddings, tmp_path):
 
     with _pytest.raises(Exception, match="build_ivf_index"):
         append_ivf_index(embeddings, str(tmp_path / "nowhere"))
+
+
+def test_vectorized_tie_break_under_duplicate_flood(spark):
+    """Replicated-corpus regression: with far more exact duplicates
+    than k, every score is a massive tie and the vectorized path must
+    still return the GLOBAL (score desc, neighbor_id asc) top-k — the
+    old per-batch argpartition kept an arbitrary subset of tied
+    candidates, dropping the smaller ids the contract ranks first."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    reps = spark.range(60).select(F.col("id").alias("rep"))
+    big = base.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(1000)).alias("vec_id"),
+        "embedding",
+    ).repartition(16)  # ties spread across many Arrow batches
+    q = base.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = brute_force_topk_vectorized(big, q, k=5).orderBy("rank").collect()
+    # 60 replicas of the query vector (score 1.0); smallest ids win
+    assert [r["neighbor_id"] for r in got] == [1000, 2000, 3000, 4000, 5000]
+    want = brute_force_topk(big, q, k=5).orderBy("rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -144,11 +144,12 @@ def section_ivfpq(spark) -> None:
     fl = f"{tmp}/floats"
     try:
         big.write.mode("overwrite").parquet(fl)
+        n_cent = 64  # 2-of-64 probes: the prune fraction is the point
         t0 = time.time()
-        pq.build_ivf_pq_index(big, path, n_centroids=8, m=8, k=16)
+        pq.build_ivf_pq_index(big, path, n_centroids=n_cent, m=8, k=16)
         t_build = time.time() - t0
         t_inplan = wall(
-            lambda: pq.ivf_pq_topk(big, q)
+            lambda: pq.ivf_pq_topk(big, q, n_centroids=n_cent)
             .write.format("noop")
             .mode("overwrite")
             .save(),
@@ -163,7 +164,7 @@ def section_ivfpq(spark) -> None:
         )
         same = sorted(
             map(tuple, pq.ivf_pq_topk_indexed(spark, path, q).collect())
-        ) == sorted(map(tuple, pq.ivf_pq_topk(big, q).collect()))
+        ) == sorted(map(tuple, pq.ivf_pq_topk(big, q, n_centroids=n_cent).collect()))
         codes_bytes = _dir_bytes(f"{path}/codes")
         float_bytes = _dir_bytes(fl)
         probed = {
@@ -184,7 +185,9 @@ def section_ivfpq(spark) -> None:
             f"{t_indexed:.2f} s = {t_inplan/max(t_indexed,1e-9):.1f}x; answers "
             f"identical: {same}; codes {codes_bytes/1e6:.1f} MB vs floats "
             f"{float_bytes/1e6:.1f} MB ({float_bytes/max(codes_bytes,1):.1f}x "
-            f"smaller); probe reads {probed_bytes/1e6:.1f} MB "
+            f"smaller; parquet dictionary-codes the replicated rows, so "
+            "the on-disk ratio UNDERSTATES the 32x logical shrink); probe "
+            f"reads {probed_bytes/1e6:.1f} MB "
             f"({probed_bytes/max(codes_bytes,1)*100:.0f}% of codes, "
             f"{probed_bytes/max(float_bytes,1)*100:.1f}% of the float corpus)"
         )
@@ -217,13 +220,17 @@ def section_pq256(spark) -> None:
             .save(),
             n=3,
         )
+        # recall on the DISTINCT base corpus: on the replicated soak the
+        # true top-5 is five exact replicas of the query — a trivial
+        # target that measures nothing about codebook quality
+        base_codes = pq.pq_encode(emb, books, packed=True)
         truth = {
             (r["query_id"], r["neighbor_id"])
-            for r in sim.brute_force_topk_vectorized(big, q, k=5).collect()
+            for r in sim.brute_force_topk_vectorized(emb, q, k=5).collect()
         }
         got = {
             (r["query_id"], r["neighbor_id"])
-            for r in pq.pq_topk(codes, books, q, k=5).collect()
+            for r in pq.pq_topk(base_codes, books, q, k=5).collect()
         }
         recall = len(got & truth) / max(len(truth), 1)
         print(
@@ -231,8 +238,10 @@ def section_pq256(spark) -> None:
             f"packed codes): train {t_train:.1f} s + encode {t_encode:.1f} s "
             f"once; exhaustive ADC scan {t_scan:.1f} s per 8-query batch; "
             f"codes {_dir_bytes(tmp + '/codes')/1e6:.1f} MB vs floats "
-            f"{_dir_bytes(fl)/1e6:.1f} MB; recall@5 vs brute force "
-            f"{recall:.2f} (40 truth pairs)"
+            f"{_dir_bytes(fl)/1e6:.1f} MB (dictionary-coded replicas — the "
+            "logical row is 17 B vs 264 B); recall@5 vs brute force on the "
+            f"distinct {n0:,}-vector base {recall:.2f} ({len(truth)} truth "
+            "pairs)"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
