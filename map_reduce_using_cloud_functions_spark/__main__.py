@@ -14,7 +14,7 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark history INDEX_PATH
     python -m map_reduce_using_cloud_functions_spark diff    INDEX_PATH V_FROM V_TO
     python -m map_reduce_using_cloud_functions_spark rollback INDEX_PATH VERSION
-    python -m map_reduce_using_cloud_functions_spark admit   WATCH_DIR LEDGER SURVIVORS CKPT [--once]
+    python -m map_reduce_using_cloud_functions_spark admit   WATCH_DIR LEDGER SURVIVORS CKPT [--index-path IDX] [--once]
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -136,6 +136,13 @@ def _build_parser() -> argparse.ArgumentParser:
     ad.add_argument("survivors_path")
     ad.add_argument("checkpoint_dir")
     ad.add_argument("--threshold", type=float, default=0.5)
+    ad.add_argument(
+        "--index-path",
+        default=None,
+        help="also fold admitted documents' postings into this versioned "
+        "word index (the composed front door: both sinks exactly-once "
+        "on the same batch id)",
+    )
     ad.add_argument(
         "--once",
         action="store_true",
@@ -267,21 +274,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             except KeyboardInterrupt:
                 srv.shutdown()
         elif args.cmd == "admit":
-            from .streaming.near_dedup import start_near_dedup_stream
+            from .streaming.near_dedup import (
+                start_front_door_stream,
+                start_near_dedup_stream,
+            )
             from .streaming.prep import streaming_corpus_from_jsonl
 
-            q = start_near_dedup_stream(
-                spark,
-                streaming_corpus_from_jsonl(spark, args.watch_dir),
-                args.ledger_path,
-                args.survivors_path,
-                args.checkpoint_dir,
-                threshold=args.threshold,
-                available_now=args.once,
-            )
+            if args.index_path:
+                q = start_front_door_stream(
+                    spark,
+                    streaming_corpus_from_jsonl(spark, args.watch_dir),
+                    args.ledger_path,
+                    args.survivors_path,
+                    args.index_path,
+                    args.checkpoint_dir,
+                    threshold=args.threshold,
+                    available_now=args.once,
+                )
+            else:
+                q = start_near_dedup_stream(
+                    spark,
+                    streaming_corpus_from_jsonl(spark, args.watch_dir),
+                    args.ledger_path,
+                    args.survivors_path,
+                    args.checkpoint_dir,
+                    threshold=args.threshold,
+                    available_now=args.once,
+                )
             print(
                 f"admitting {args.watch_dir} -> {args.survivors_path} "
                 f"(ledger {args.ledger_path}"
+                + (f", indexing into {args.index_path}" if args.index_path else "")
                 + (", draining once)" if args.once else "; ctrl-c to stop)")
             )
             try:

@@ -478,3 +478,32 @@ def test_front_door_replay_converges_both_sinks(spark, tmp_path, monkeypatch):
     admit_and_index_batch(spark, b1, ledger, surv, index, ckpt, 1)
     assert _survivor_ids(spark, surv) == {0: {1, 3}, 1: {11}}
     assert sorted(map(tuple, ix.read_index(spark, index).collect())) == after
+
+
+def test_cli_admit_with_index_path_runs_front_door(spark, tmp_path):
+    """admit --index-path drives the composed front door: survivors
+    land AND their postings are queryable from the versioned index."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    watch = str(tmp_path / "in")
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_A), (3, TEXT_B)])
+    idx = str(tmp_path / "idx")
+    rc = main(
+        [
+            "admit",
+            watch,
+            str(tmp_path / "ledger"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            "--index-path",
+            idx,
+            "--once",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1, 3}}
+    assert ix.index_version(spark, idx) is not None
+    docs = {r["document"] for r in ix.lookup_persisted(spark, idx, "quick").collect()}
+    assert docs == {"1"}
