@@ -68,6 +68,10 @@ def _replicated_embeddings(spark, emb, rep: int):
             (F.col("vec_id") + F.col("rep") * F.lit(10**9)).alias("vec_id"),
             "embedding",
         )
+        # the fixture is one parquet file, so the crossJoin inherits ONE
+        # partition — every downstream map stage would run single-
+        # threaded and the soak would measure nothing but that accident
+        .repartition(64)
         .localCheckpoint()
     )
 
