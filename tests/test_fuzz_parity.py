@@ -283,6 +283,12 @@ FUZZ_EMBED_QUERIES = [
     # r7: PQ — per-subspace argmin ties on planted exact dups and the
     # subspace-ordered double folds (recon norm, ADC) across engines
     "ann_topk_pq",
+    # r8: the composed IVF-PQ — routing argmax + ADC fold parity in one
+    # twin (a divergence in EITHER flips the candidate set or a rank)
+    "ann_topk_ivfpq",
+    # r8: the persisted SemDeDup assignment must replay the in-plan
+    # argmax exactly on hostile vectors (ties + mixed magnitudes)
+    "semdedup_survivors_indexed",
 ]
 
 
