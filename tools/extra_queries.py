@@ -104,6 +104,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: persisted assignment (build_semdedup_index) — the argmax
         # amortizes across threshold re-runs; stored seeded centroids
         # replay identically, so the in-plan oracle applies untouched.
+        "semdedup_pairs_indexed": _q_semdedup_pairs_indexed,
         "semdedup_survivors_indexed": _q_semdedup_survivors_indexed,
         # r7: product quantization (Jégou et al. 2011) — exhaustive ADC
         # top-k over the 32x-compressed corpus; seeded codebooks are
@@ -293,6 +294,20 @@ def _q_ann_topk_pq_packed(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_pqp_") + "/pq"
     pq.build_pq_index(emb, path, m=8, k=16, packed=True)
     return pq.pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_semdedup_pairs_indexed(s: SparkSession, d: str) -> DataFrame:
+    """semdedup_pairs served from the persisted assignment (same
+    oracle as the in-plan row — stored seeded centroids replay
+    identically)."""
+    import tempfile
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_sddp_") + "/sdd"
+    sdd.build_semdedup_index(emb, path, n_clusters=8)
+    return sdd.semdedup_pairs_indexed(s, path).select(
+        "list_id", "vec_a", "vec_b", "score"
+    )
 
 
 def _q_semdedup_survivors_indexed(s: SparkSession, d: str) -> DataFrame:
@@ -1002,5 +1017,6 @@ WHERE v.vec_id NOT IN (
   FROM pairs WHERE s >= 0.4
 )"""
     )
+    sql["semdedup_pairs_indexed"] = sql["semdedup_pairs"]
     sql["semdedup_survivors_indexed"] = sql["semdedup_survivors"]
     return sql
