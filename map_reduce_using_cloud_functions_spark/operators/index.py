@@ -186,10 +186,14 @@ def write_index(
         staging = _staging_dir(path)
         _write_base(index, staging)
         _write_docmap_full(index, staging)
-        _claim_version_dir(spark, path, staging, v)
+        token = _claim_version_dir(spark, path, staging, v)
         raw = _list_additive_batches(spark, path)
         _write_commit(
-            spark, path, v, folded_through=max([prev_folded] + raw + floor)
+            spark,
+            path,
+            v,
+            folded_through=max([prev_folded] + raw + floor),
+            claim_token=token,
         )
         gc_index_versions(spark, path)
         if migrating:
@@ -578,7 +582,10 @@ def _staging_dir(path: str) -> str:
     return f"{path}/.staging-{uuid.uuid4().hex}"
 
 
-def _claim_version_dir(spark, path: str, staging: str, v: int) -> None:
+CLAIM_TOKEN_FILE = "_claim"
+
+
+def _claim_version_dir(spark, path: str, staging: str, v: int) -> str:
     """Claim version slot ``v`` by atomically renaming the fully
     written staging directory to ``v=N``. Rename-to-existing fails, so
     at most one writer owns a slot: a second writer targeting the same
@@ -589,11 +596,19 @@ def _claim_version_dir(spark, path: str, staging: str, v: int) -> None:
 
     Self-heal: a slot holding an UNCOMMITTED directory (v above the
     committed head — a claim that crashed before its commit) is
-    deleted and the claim retried once. The residual race — deleting a
-    live concurrent writer's claim inside its claim-to-commit gap —
-    spans milliseconds (two small renames), versus the whole fold
-    duration before; the commit CAS below still guarantees at most one
-    COMMIT lands either way."""
+    deleted and the claim retried once. That self-heal can, in a
+    millisecond window, delete a LIVE concurrent writer's claim — so
+    every claim carries a unique token file (written into the staging
+    dir BEFORE the rename, so it rides the atomic rename; the leading
+    underscore keeps parquet readers ignoring it). Returns the token:
+    ``_write_commit`` re-verifies that the directory in the slot still
+    holds THIS writer's token before publishing, turning the residual
+    claim-stomp race into a loud ``ConcurrentWriteError`` instead of a
+    silent commit/data mismatch."""
+    import uuid
+
+    token = uuid.uuid4().hex
+    _write_small_file(spark, f"{staging}/{CLAIM_TOKEN_FILE}", token.encode("ascii"))
     fs = _hadoop_fs(spark, path)
     src = _hadoop_path(spark, staging)
     vdir = _version_dir(path, v)
@@ -605,7 +620,7 @@ def _claim_version_dir(spark, path: str, staging: str, v: int) -> None:
             # dst instead of failing — detect a lost race and undo
             nested = _hadoop_path(spark, f"{vdir}/{name}")
             if not fs.exists(nested):
-                return
+                return token
             fs.rename(nested, src)
         commits = _list_commits(spark, path)
         head = commits[-1] if commits else -1
@@ -628,6 +643,7 @@ def _write_commit(
     v: int,
     folded_through: int,
     letter_map: dict[str, int] | None = None,
+    claim_token: str | None = None,
 ) -> None:
     """Publish version ``v`` — with a compare-and-swap: the commit
     lands only if the committed head is still ``v - 1`` (the parent
@@ -636,13 +652,35 @@ def _write_commit(
     overwriting the winner's commit (last-commit-wins silently
     discarded the loser's fold before r8). The rename itself refuses
     an existing target, closing the both-pass-the-check race: at most
-    one commit per slot, ever."""
+    one commit per slot, ever.
+
+    ``claim_token``: the token ``_claim_version_dir`` returned. The
+    slot's directory is re-checked to hold THIS token before the
+    commit publishes — a concurrent writer whose self-heal stomped the
+    claim and re-claimed the slot left a DIFFERENT token, and without
+    this check the loser could still commit metadata computed for data
+    files that were replaced (silent commit/data mismatch)."""
     import json
     import uuid
 
     vp = _versions_path(path)
     fs = _hadoop_fs(spark, vp)
     fs.mkdirs(_hadoop_path(spark, vp))
+    if claim_token is not None:
+        tok_path = f"{_version_dir(path, v)}/{CLAIM_TOKEN_FILE}"
+        found = (
+            _read_small_file(spark, tok_path).decode("ascii")
+            if _hadoop_exists(spark, tok_path)
+            else None
+        )
+        if found != claim_token:
+            raise ConcurrentWriteError(
+                f"claim token mismatch for v={v} at {path}: this writer's "
+                f"claimed directory was replaced by a concurrent writer "
+                "(its self-heal treated the in-flight claim as crashed). "
+                "The slot now holds the other writer's data; re-run this "
+                "operation against the new head."
+            )
     commits = _list_commits(spark, path)
     head = commits[-1] if commits else None
     expected = v - 1 if v > 0 else None
@@ -855,7 +893,15 @@ def gc_index_versions(spark, path: str, keep: int = 2) -> None:
     those directories are retained even when their own commit file
     expires (the time-travel horizon is the kept commits; the data
     files live as long as anything kept references them, the
-    manifest-GC rule)."""
+    manifest-GC rule). The data sweep lists ``v=*`` directories ON
+    DISK rather than walking surviving commit files: a dir retained
+    only for a layered reference outlives its own commit, and once the
+    referencing commit later expires a commit-file walk would never
+    revisit it — the directory would leak forever (every streaming
+    auto-compaction batch is a scoped fold, so the leak compounds
+    between flattens). Dirs ABOVE the committed head are left alone —
+    that slot is an in-flight or crashed claim, which
+    ``_claim_version_dir`` owns."""
     commits = _list_commits(spark, path)
     if not commits:
         return
@@ -871,14 +917,23 @@ def gc_index_versions(spark, path: str, keep: int = 2) -> None:
         if old in kept:
             continue
         _hadoop_delete(spark, f"{_versions_path(path)}/{old}.commit")
-        if old not in referenced:
-            _hadoop_delete(spark, _version_dir(path, old))
+    head = commits[-1]
+    fs = _hadoop_fs(spark, path)
+    for st in fs.listStatus(_hadoop_path(spark, path)):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v <= head and v not in referenced:
+            _hadoop_delete(spark, _version_dir(path, v))
     for b in _list_additive_batches(spark, path):
         if b <= folded:
             _hadoop_delete(spark, f"{_additive_path(path)}/abatch={b}")
     # crashed-before-claim staging leftovers (run GC with writers
     # quiesced — the single-writer discipline GC already assumes)
-    fs = _hadoop_fs(spark, path)
     for st in fs.listStatus(_hadoop_path(spark, path)):
         if st.getPath().getName().startswith(".staging-"):
             _hadoop_delete(spark, str(st.getPath()))
@@ -1336,6 +1391,17 @@ def compact_index(
     hazard to break)."""
     pending = pending_additive_batches(spark, path)
     _, prev_folded, cur_v = _resolve_version(spark, path)
+    if scoped is True and cur_v is None:
+        # the docstring's contract is "versioned tables only" — a caller
+        # FORCING a scoped fold on an in-place table would silently get
+        # a different operation (a full O(base) rewrite that wipes
+        # top-level files); only scoped='auto' may fall through.
+        raise ValueError(
+            f"compact_index(scoped=True) requires a versioned table, but "
+            f"{path} uses the in-place layout (no version commits). Use "
+            "scoped='auto' to fall back to a full fold, or rebuild with "
+            "write_index(versioned=True)."
+        )
     layered = cur_v is not None and _commit_letter_map(spark, path, cur_v) is not None
     if not pending:
         if layered and scoped is False:
@@ -1376,7 +1442,7 @@ def compact_index(
                 .partitionBy("first")
                 .parquet(staging)
             )
-            _claim_version_dir(spark, path, staging, new_v)
+            token = _claim_version_dir(spark, path, staging, new_v)
             raw = _list_additive_batches(spark, path)
             _write_commit(
                 spark,
@@ -1384,6 +1450,7 @@ def compact_index(
                 new_v,
                 folded_through=max([prev_folded] + raw),
                 letter_map=new_map,
+                claim_token=token,
             )
             gc_index_versions(spark, path)
             return

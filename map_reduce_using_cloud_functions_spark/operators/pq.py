@@ -78,6 +78,7 @@ def train_pq_codebooks(
     k: int = 16,
     train: bool = False,
     train_iters: int = 2,
+    train_sample_size: int | None = None,
 ) -> DataFrame:
     """Per-subspace codebooks: (subspace, centroid_id, c_subvec).
 
@@ -86,7 +87,16 @@ def train_pq_codebooks(
     ``train_iters`` Lloyd (L2) rounds per subspace over the exploded
     subvector relation: assignment is a broadcast argmin, recompute is
     a per-(subspace, centroid, dim) mean — one shuffle of
-    |corpus|·m·sub partial sums per round, no all-pairs anything."""
+    |corpus|·m·sub partial sums per round, no all-pairs anything.
+
+    ``train_sample_size`` (train=True only): fit seeds AND Lloyd rounds
+    on a bounded deterministic hash-sample instead of the full corpus —
+    the FAISS training discipline (``_train_sample``). The r8
+    measurement showed codebook fitting at 49 s of a 68 s k=256 build;
+    with the sample, training cost is flat in corpus size at fixed
+    (m, k) while the one unavoidable O(corpus) pass stays where it
+    belongs: the encode. ``train=False`` paths are untouched (the
+    oracle-replayable configuration seeds from the full corpus)."""
     dim = _vec_dim(embeddings, "embedding")
     if dim % m:
         raise ValueError(
@@ -94,6 +104,12 @@ def train_pq_codebooks(
             f"(got remainder {dim % m})"
         )
     sub = dim // m
+    if train and train_sample_size is not None:
+        from .similarity import _train_sample
+
+        embeddings = _train_sample(
+            embeddings.select("vec_id", "embedding"), train_sample_size
+        )
     # Seeds: the engine-wide hash-slot rule (min vec_id per vec_id%97
     # slot — the oracle-replayable configuration) caps at 97 distinct
     # slots; the production codebook size k=256 seeds from vec_id%k
@@ -495,6 +511,7 @@ def build_pq_index(
     k: int = 16,
     train: bool = False,
     train_iters: int = 2,
+    train_sample_size: int | None = None,
     keep_vectors: bool = False,
     packed: bool = False,
 ) -> None:
@@ -521,7 +538,10 @@ def build_pq_index(
     base = embeddings.select("vec_id", "embedding")
     dim = _vec_dim(base, "embedding")
     n = base.count()
-    books = train_pq_codebooks(base, m=m, k=k, train=train, train_iters=train_iters)
+    books = train_pq_codebooks(
+        base, m=m, k=k, train=train, train_iters=train_iters,
+        train_sample_size=train_sample_size,
+    )
     (
         spark.createDataFrame(
             [(m, k, dim, n, packed)],
@@ -648,6 +668,7 @@ def build_ivf_pq_index(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    train_sample_size: int | None = None,
     packed: bool = False,
     keep_vectors: bool = False,
 ) -> None:
@@ -687,7 +708,10 @@ def build_ivf_pq_index(
     base = embeddings.select("vec_id", "embedding")
     dim = _vec_dim(base, "embedding")
     n = base.count()
-    cents = _train_or_seed(base, n_centroids, train, train_iters, train_init)
+    cents = _train_or_seed(
+        base, n_centroids, train, train_iters, train_init,
+        train_sample_size=train_sample_size,
+    )
     (
         cents.select(
             "centroid_id",
@@ -697,7 +721,10 @@ def build_ivf_pq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
-    books = train_pq_codebooks(base, m=m, k=k, train=train, train_iters=train_iters)
+    books = train_pq_codebooks(
+        base, m=m, k=k, train=train, train_iters=train_iters,
+        train_sample_size=train_sample_size,
+    )
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     (
         spark.createDataFrame(
@@ -718,6 +745,12 @@ def build_ivf_pq_index(
         # few tasks without the one-file-per-(task,list) explosion
         .hint("rebalance", "list_id")
         .write.mode("overwrite")
+        # full-rebuild = STATIC overwrite (the write_index rule): the
+        # session's dynamic default would keep a previous build's
+        # unmatched list_id partitions alive, and a rebuild with fewer
+        # centroids or a shrunk corpus would serve stale codes whenever
+        # a probe's IN-predicate touches a leftover list.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
         .parquet(f"{path}/codes")
     )

@@ -169,6 +169,7 @@ def semdedup_pairs(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    train_sample_size: int | None = None,
     centroids: DataFrame | None = None,
     scale_guard: str = "raise",
 ) -> DataFrame:
@@ -183,7 +184,14 @@ def semdedup_pairs(
     cents = (
         centroids
         if centroids is not None
-        else _train_or_seed(embeddings, n_clusters, train, train_iters, train_init)
+        else _train_or_seed(
+            embeddings,
+            n_clusters,
+            train,
+            train_iters,
+            train_init,
+            train_sample_size=train_sample_size,
+        )
     )
     assigned = assign_clusters(embeddings, cents).localCheckpoint()
     _guard_cluster_volume(assigned, n_clusters, "semdedup_pairs", scale_guard)
@@ -254,6 +262,7 @@ def semdedup_survivors(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    train_sample_size: int | None = None,
     centroids: DataFrame | None = None,
     scale_guard: str = "raise",
 ) -> DataFrame:
@@ -272,7 +281,14 @@ def semdedup_survivors(
     cents = (
         centroids
         if centroids is not None
-        else _train_or_seed(embeddings, n_clusters, train, train_iters, train_init)
+        else _train_or_seed(
+            embeddings,
+            n_clusters,
+            train,
+            train_iters,
+            train_init,
+            train_sample_size=train_sample_size,
+        )
     )
     assigned = assign_clusters(embeddings, cents).localCheckpoint()
     _guard_cluster_volume(assigned, n_clusters, "semdedup_survivors", scale_guard)
@@ -293,6 +309,7 @@ def build_semdedup_index(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    train_sample_size: int | None = None,
     scale_guard: str = "raise",
 ) -> None:
     """Persist the clustering assignment so SemDeDup's expensive pass
@@ -328,7 +345,10 @@ def build_semdedup_index(
     base = embeddings.select("vec_id", "embedding")
     dim_row = base.select(F.size("embedding").alias("d")).first()
     n = base.count()
-    cents = _train_or_seed(base, n_clusters, train, train_iters, train_init)
+    cents = _train_or_seed(
+        base, n_clusters, train, train_iters, train_init,
+        train_sample_size=train_sample_size,
+    )
     (
         cents.select(
             "centroid_id",
@@ -353,6 +373,12 @@ def build_semdedup_index(
         assigned.select("vec_id", "embedding", "norm", "c_score", "list_id")
         .hint("rebalance", "list_id")
         .write.mode("overwrite")
+        # full-rebuild writes are STATIC overwrites (the write_index
+        # rule): under the session's dynamic default, a rebuild with
+        # fewer clusters or a shrunk corpus would leave the old run's
+        # unmatched list_id partitions in place, and the unpruned
+        # assignment scan would serve phantom/duplicate vec_ids.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
         .parquet(f"{path}/assign")
     )

@@ -854,6 +854,7 @@ def ivf_topk(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    train_sample_size: int | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
@@ -883,7 +884,10 @@ def ivf_topk(
     if centroids is not None:
         cents = centroids
     else:
-        cents = _train_or_seed(embeddings, n_centroids, train, train_iters, train_init)
+        cents = _train_or_seed(
+            embeddings, n_centroids, train, train_iters, train_init,
+            train_sample_size=train_sample_size,
+        )
 
     # Corpus → 1 nearest list: argmax via max_by over the broadcast-join
     # scores — partial-aggregable, ties broken toward the smaller
@@ -900,6 +904,7 @@ def build_ivf_index(
     train: bool = False,
     train_iters: int = 2,
     train_init: str = "hash",
+    train_sample_size: int | None = None,
     quantize: bool = False,
 ) -> None:
     """Persist an IVF index so the corpus-side work amortizes across
@@ -934,7 +939,14 @@ def build_ivf_index(
     quantization error); zero vectors are dropped (no direction — the
     float layout keeps them but they score NULL and never rank, so
     answers agree)."""
-    cents = _train_or_seed(embeddings, n_centroids, train, train_iters, train_init)
+    cents = _train_or_seed(
+        embeddings,
+        n_centroids,
+        train,
+        train_iters,
+        train_init,
+        train_sample_size=train_sample_size,
+    )
     (
         cents.select(
             "centroid_id",
@@ -961,9 +973,42 @@ def build_ivf_index(
         # coalesces small lists and splits skewed ones.
         .hint("rebalance", "list_id")
         .write.mode("overwrite")
+        # full-rebuild = STATIC overwrite (the write_index rule): under
+        # the session's dynamic default a rebuild with fewer centroids
+        # or a shrunk corpus would leave the previous build's unmatched
+        # list_id partitions serving stale vectors to probes.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
+
+
+TRAIN_SAMPLE_SALT = "|ts"
+_TS_RESOLUTION = 1_000_000
+
+
+def _train_sample(embeddings: DataFrame, sample_size: int) -> DataFrame:
+    """Deterministic hash-sample for centroid/codebook training: keep
+    each row iff ``hex64(vec_id ∥ salt)`` lands under the Bernoulli
+    threshold ``sample_size / n`` — no RNG state, so retries,
+    stragglers, and re-runs agree (the engine-wide determinism rule).
+    The sample is ``localCheckpoint``ed: Lloyd re-reads its training
+    set every round, and without materialization each round would
+    re-SCAN the full corpus just to re-apply the filter — the exact
+    O(corpus)-per-iteration cost sampling exists to kill. One bounded
+    count decides the fraction; a corpus at or under ``sample_size``
+    trains on everything (sampling can only lose information there)."""
+    n = embeddings.count()
+    if n <= sample_size:
+        return embeddings
+    threshold = int(_TS_RESOLUTION * (sample_size / n))
+    return embeddings.where(
+        (
+            hex64(F.concat(F.col("vec_id").cast("string"), F.lit(TRAIN_SAMPLE_SALT)))
+            % _TS_RESOLUTION
+        )
+        < threshold
+    ).localCheckpoint()
 
 
 def _train_or_seed(
@@ -972,14 +1017,31 @@ def _train_or_seed(
     train: bool,
     train_iters: int,
     train_init: str,
+    train_sample_size: int | None = None,
 ) -> DataFrame:
+    """Centroids for the IVF/SemDeDup family. ``train=False`` (the
+    oracle-replayable configuration) is untouched by sampling — seeds
+    come from the full corpus, byte-identical to every prior round.
+    ``train=True`` with ``train_sample_size`` fits Lloyd (and the
+    k-means|| init) on a bounded deterministic sample instead of the
+    full corpus — FAISS's own training discipline (it warns and
+    subsamples at ~256·k points): every Lloyd round was a full corpus
+    scan, which the r8 measurements showed DOMINATING build cost
+    (600 s of a 675 s SemDeDup run). The full corpus is still assigned
+    or encoded exactly once, by the caller, against the fitted
+    centroids — training cost becomes flat in corpus size at fixed k."""
     if train:
+        fit_on = (
+            _train_sample(embeddings, train_sample_size)
+            if train_sample_size is not None
+            else embeddings
+        )
         init = (
-            kmeans_parallel_init(embeddings, n_centroids)
+            kmeans_parallel_init(fit_on, n_centroids)
             if train_init == "kmeans||"
             else None
         )
-        return train_ivf_centroids(embeddings, n_centroids, train_iters, init=init)
+        return train_ivf_centroids(fit_on, n_centroids, train_iters, init=init)
     return _seed_centroids(embeddings, n_centroids)
 
 
@@ -1177,6 +1239,10 @@ def build_lsh_index(
         sk.repartition("band")
         .sortWithinPartitions("band_bucket")
         .write.mode("overwrite")
+        # full-rebuild = STATIC overwrite (the write_index rule): a
+        # rebuild with fewer bands must not leave the old run's extra
+        # band= partitions serving stale sketches.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("band")
         .parquet(f"{path}/buckets")
     )

@@ -63,6 +63,54 @@ from ..operators.dedup import (
 )
 from .file_index import _bind_checkpoint, _check_checkpoint_binding
 
+# Adoption-time snapshot of the ledger's pre-existing (foreign) release
+# ids. An adopting stream's fresh batch ids start at 0, which can sit
+# BELOW releases the ledger already holds (the exclude_release-by-
+# inequality probe exists for exactly that shape) — so after binding, a
+# later batch id can EQUAL a foreign release, and the release-partition
+# "replay overwrite" discipline would silently erase that release's
+# admitted documents. The binding marker alone can't tell this apart
+# from a genuine replay; this sidecar can.
+FOREIGN_RELEASES_MARKER = "_foreign_releases"
+
+
+def _record_foreign_releases(spark, ledger_path: str, releases: list[int]) -> None:
+    import json
+
+    from ..operators.index import _hadoop_delete, _write_small_file
+
+    marker = f"{ledger_path}/{FOREIGN_RELEASES_MARKER}"
+    _hadoop_delete(spark, marker)
+    _write_small_file(spark, marker, json.dumps(sorted(releases)).encode("ascii"))
+
+
+def _foreign_releases(spark, ledger_path: str) -> set[int]:
+    import json
+
+    from ..operators.index import _hadoop_exists, _read_small_file
+
+    marker = f"{ledger_path}/{FOREIGN_RELEASES_MARKER}"
+    if not _hadoop_exists(spark, marker):
+        return set()
+    return set(json.loads(_read_small_file(spark, marker).decode("ascii")))
+
+
+def _refuse_foreign_collision(
+    spark, ledger_path: str, checkpoint_dir: str, batch_id: int
+) -> None:
+    if batch_id in _foreign_releases(spark, ledger_path):
+        raise ValueError(
+            f"batch id {batch_id} collides with a release that already "
+            f"existed in ledger {ledger_path} BEFORE this stream "
+            f"(checkpoint {checkpoint_dir}) adopted it. Overwriting that "
+            "release's partitions would erase previously admitted "
+            "documents and re-admit their future near-duplicates — only "
+            "ids this stream itself issued are replayable. Start the "
+            "stream on a fresh ledger path, or remap its batch ids above "
+            "the existing releases (e.g. pre-build the ledger with "
+            "release ids below the stream's range)."
+        )
+
 
 def admit_batch(
     spark: SparkSession,
@@ -162,18 +210,26 @@ def start_near_dedup_stream(
         binding = "bound"
         if ledger_exists(spark, ledger_path):
             binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
-            if binding == "adopting" and batch_id in ledger_releases(
-                spark, ledger_path
-            ):
-                # only a MATCHED binding proves an id re-use is a crash
-                # replay; an adopting stream's colliding release would
-                # silently REPLACE admitted documents — refuse loudly
-                raise ValueError(
-                    f"ledger {ledger_path} already holds release "
-                    f"{batch_id} and is not bound to this checkpoint "
-                    f"({checkpoint_dir}): overwriting it would replace "
-                    "previously admitted documents. Keep the original "
-                    "checkpoint, or start a fresh ledger path."
+            if binding == "adopting":
+                existing = ledger_releases(spark, ledger_path)
+                if batch_id in existing:
+                    # only a MATCHED binding proves an id re-use is a
+                    # crash replay; an adopting stream's colliding
+                    # release would silently REPLACE admitted documents
+                    raise ValueError(
+                        f"ledger {ledger_path} already holds release "
+                        f"{batch_id} and is not bound to this checkpoint "
+                        f"({checkpoint_dir}): overwriting it would replace "
+                        "previously admitted documents. Keep the original "
+                        "checkpoint, or start a fresh ledger path."
+                    )
+                # snapshot the foreign releases NOW: after binding, a
+                # later batch id equal to one of them would otherwise
+                # pass as a replay and erase that release
+                _record_foreign_releases(spark, ledger_path, existing)
+            else:
+                _refuse_foreign_collision(
+                    spark, ledger_path, checkpoint_dir, batch_id
                 )
         else:
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)
@@ -308,15 +364,20 @@ def start_front_door_stream(
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if ledger_exists(spark, ledger_path):
             binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
-            if binding == "adopting" and batch_id in ledger_releases(
-                spark, ledger_path
-            ):
-                raise ValueError(
-                    f"ledger {ledger_path} already holds release "
-                    f"{batch_id} and is not bound to this checkpoint "
-                    f"({checkpoint_dir}): overwriting it would replace "
-                    "previously admitted documents. Keep the original "
-                    "checkpoint, or start a fresh ledger path."
+            if binding == "adopting":
+                existing = ledger_releases(spark, ledger_path)
+                if batch_id in existing:
+                    raise ValueError(
+                        f"ledger {ledger_path} already holds release "
+                        f"{batch_id} and is not bound to this checkpoint "
+                        f"({checkpoint_dir}): overwriting it would replace "
+                        "previously admitted documents. Keep the original "
+                        "checkpoint, or start a fresh ledger path."
+                    )
+                _record_foreign_releases(spark, ledger_path, existing)
+            else:
+                _refuse_foreign_collision(
+                    spark, ledger_path, checkpoint_dir, batch_id
                 )
         else:
             binding = "bound"

@@ -1619,3 +1619,90 @@ def test_interleaved_full_rebuilds_one_loudly_refused(spark, tmp_path, monkeypat
     import os
 
     assert not [d for d in os.listdir(path) if d.startswith(".staging-")]
+
+
+# --- r9 ADVICE regressions -------------------------------------------------
+
+
+def test_gc_reclaims_dir_after_referencing_commit_expires(spark, tmp_path):
+    """The r8 leak: a version dir retained only because a kept commit's
+    letter_map referenced it lost its .commit file in the same GC pass,
+    so once the referencing commit itself expired, a commit-file walk
+    never revisited the dir — it leaked forever. The sweep now lists
+    v=* dirs on disk: after a flatten drops the reference, the next GC
+    must reclaim the orphan."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "alpha zulu")]), path, versioned=True)
+    for i in range(1, 3):  # scoped folds keep v=0 referenced for 'a'/'z'
+        ix.write_additive_delta(spark, _mk_idx(spark, [(f"d{i}.txt", "bravo")]), path, i)
+        ix.compact_index(spark, path, scoped=True)
+    ix.gc_index_versions(spark, path, keep=1)
+    assert os.path.exists(os.path.join(path, "v=0"))  # referenced, kept
+    assert ix._list_commits(spark, path) == [2]
+    # flatten: the new head is self-contained, v=0 loses its last ref
+    ix.compact_index(spark, path, scoped=False)
+    ix.gc_index_versions(spark, path, keep=1)
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    assert not os.path.exists(os.path.join(path, "v=2"))
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == [
+        ("alpha", "a.txt", 1),
+        ("bravo", "d1.txt", 1),
+        ("bravo", "d2.txt", 1),
+        ("zulu", "a.txt", 1),
+    ]
+
+
+def test_claim_stomp_refused_at_commit_token(spark, tmp_path):
+    """The residual claim-stomp race (self-heal deleting a LIVE writer's
+    claimed dir) must surface as a loud ConcurrentWriteError at the
+    loser's commit, never a silent commit over replaced data: each
+    claim carries a token and _write_commit verifies its own."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "base")]), path, versioned=True)
+
+    staging_a = ix._staging_dir(path)
+    ix._write_base(_mk_idx(spark, [("a.txt", "loser")]), staging_a)
+    token_a = ix._claim_version_dir(spark, path, staging_a, 1)
+
+    # concurrent writer's self-heal: treats the in-flight claim as a
+    # crashed one, deletes it, and re-claims the slot with its own data
+    ix._hadoop_delete(spark, ix._version_dir(path, 1))
+    staging_b = ix._staging_dir(path)
+    ix._write_base(_mk_idx(spark, [("a.txt", "winner")]), staging_b)
+    token_b = ix._claim_version_dir(spark, path, staging_b, 1)
+
+    with pytest.raises(ix.ConcurrentWriteError, match="token"):
+        ix._write_commit(spark, path, 1, folded_through=-1, claim_token=token_a)
+    # the slot's actual owner commits fine
+    ix._write_commit(spark, path, 1, folded_through=-1, claim_token=token_b)
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
+        ("winner", "a.txt", 1)
+    ]
+
+
+def test_scoped_true_on_unversioned_table_raises(spark, tmp_path):
+    """compact_index(scoped=True) is a versioned-tables-only contract —
+    forcing it on an in-place table must refuse loudly instead of
+    silently running a full O(base) in-place fold."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "hello")]), path)  # in-place
+    ix.write_additive_delta(spark, _mk_idx(spark, [("b.txt", "world")]), path, 1)
+    with pytest.raises(ValueError, match="versioned"):
+        ix.compact_index(spark, path, scoped=True)
+    # 'auto' still falls back to the full fold on this layout
+    ix.compact_index(spark, path, scoped="auto")
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == [("hello", "a.txt", 1), ("world", "b.txt", 1)]

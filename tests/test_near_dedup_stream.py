@@ -507,3 +507,33 @@ def test_cli_admit_with_index_path_runs_front_door(spark, tmp_path):
     assert ix.index_version(spark, idx) is not None
     docs = {r["document"] for r in ix.lookup_persisted(spark, idx, "quick").collect()}
     assert docs == {"1"}
+
+
+def test_post_binding_foreign_release_collision_is_refused(spark, tmp_path):
+    """An adopting stream records the ledger's pre-existing (foreign)
+    release ids; after binding, a later batch whose id EQUALS one of
+    them must refuse instead of passing as a crash replay — the
+    dynamic release-partition overwrite would erase that release's
+    admitted documents and re-admit their future near-duplicates."""
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    # batch pipeline pre-built the ledger with a LOW caller-chosen id
+    base = spark.createDataFrame([(100, TEXT_C)], "doc_id bigint, text string")
+    dd.build_minhash_ledger(base, ledger, release=2)
+
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)  # adopts at batch 0
+    _write_jsonl(watch, "b1.jsonl", [(2, TEXT_B)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)  # batch 1 — bound now
+    assert _survivor_ids(spark, survivors) == {0: {1}, 1: {2}}
+
+    _write_jsonl(watch, "b2.jsonl", [(3, TEXT_A + " brand new tail words")])
+    with pytest.raises(Exception, match="collides with a release"):
+        _run_stream(spark, watch, ledger, survivors, ckpt)  # batch 2 = foreign
+    # release 2's admitted document still gates: nothing was replaced
+    assert 100 in {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{ledger}/sigs").where("release = 2").collect()
+    }

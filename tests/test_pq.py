@@ -559,3 +559,62 @@ def test_k256_trained_codebooks_recall_pin(spark, embeddings):
     a = sorted(map(tuple, pq.pq_topk(codes, books, q, k=5).collect()))
     b = sorted(map(tuple, pq.pq_topk(packed, books, q, k=5).collect()))
     assert a == b
+
+
+def test_ivf_pq_rebuild_leaves_no_stale_partitions(spark, embeddings, tmp_path):
+    """Rebuilding an IVF-PQ index at the same path with fewer centroids
+    and a shrunk corpus must fully replace codes/ — the dynamic
+    overwrite default would keep the first build's unmatched list_id
+    partitions, and probes whose IN-predicate touches a leftover list
+    would score stale codes."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(embeddings, path, n_centroids=8, m=8, k=16)
+    shrunk = embeddings.where("vec_id % 2 = 0")
+    pq.build_ivf_pq_index(shrunk, path, n_centroids=2, m=8, k=16)
+    codes = spark.read.schema(
+        "vec_id bigint, codes array<int>, recon_norm double, list_id int"
+    ).parquet(f"{path}/codes")
+    got = sorted(r["vec_id"] for r in codes.collect())
+    want = sorted(r["vec_id"] for r in shrunk.select("vec_id").collect())
+    assert got == want
+    assert {r["list_id"] for r in codes.select("list_id").distinct().collect()} <= {0, 1}
+
+
+def test_pq_train_sample_recall_parity(spark, embeddings):
+    """Codebooks fitted on the bounded deterministic sample must hold
+    recall within noise of full-corpus Lloyd (the r9 flat-training
+    contract); train=False paths never sample."""
+    from map_reduce_using_cloud_functions_spark.operators import pq
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk,
+        queries_from_ids,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    bf_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+
+    def recall(rows):
+        return sum(
+            1 for r in rows if (r["query_id"], r["neighbor_id"]) in bf_top
+        ) / len(bf_top)
+
+    def topk(books):
+        return pq.pq_topk(pq.pq_encode(embeddings, books), books, q, k=5).collect()
+
+    full = topk(pq.train_pq_codebooks(embeddings, m=8, k=16, train=True))
+    samp_books = pq.train_pq_codebooks(
+        embeddings, m=8, k=16, train=True, train_sample_size=200
+    )
+    samp = topk(samp_books)
+    assert recall(samp) >= recall(full) - 0.15
+    samp2 = topk(
+        pq.train_pq_codebooks(embeddings, m=8, k=16, train=True, train_sample_size=200)
+    )
+    assert sorted(map(tuple, samp)) == sorted(map(tuple, samp2))

@@ -234,3 +234,21 @@ def test_indexed_build_enforces_volume_guard(spark, embeddings, monkeypatch):
         sd.build_semdedup_index(
             embeddings, tempfile.mkdtemp(prefix="sdd_guard_") + "/sdd", n_clusters=2
         )
+
+
+def test_rebuild_leaves_no_stale_partitions(spark, embeddings, tmp_path):
+    """A rebuild at the same path with fewer clusters AND a shrunk
+    corpus must fully replace assign/ — under the session's dynamic
+    partition-overwrite default, unmatched list_id partitions from the
+    first build would otherwise survive and serve phantom/duplicate
+    vec_ids to every indexed re-run."""
+    path = str(tmp_path / "sdidx")
+    sd.build_semdedup_index(embeddings, path, n_clusters=8)
+    shrunk = embeddings.where("vec_id % 2 = 0")
+    sd.build_semdedup_index(shrunk, path, n_clusters=2)
+    got = sorted(
+        r["vec_id"] for r in sd._load_assignment(spark, path).collect()
+    )
+    want = sorted(r["vec_id"] for r in shrunk.select("vec_id").collect())
+    assert got == want  # no phantoms, no duplicates
+    assert sd.load_semdedup_meta(spark, path)["n_clusters"] == 2
