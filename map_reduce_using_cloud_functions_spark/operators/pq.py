@@ -285,6 +285,127 @@ def pq_encode(
     )
 
 
+def _residuals(
+    base: DataFrame, assigned: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """(vec_id, list_id, embedding = v − centroid(list)) — the IVF-PQ
+    residual relation (Jégou et al. §IV: quantize the displacement from
+    the coarse centroid, not the raw vector; residual magnitudes are a
+    fraction of vector magnitudes, so the same codebook budget buys
+    proportionally finer cells). Broadcast join against the tiny
+    centroid table; map-only."""
+    return (
+        base.join(assigned, "vec_id")
+        .join(
+            F.broadcast(cents.select(F.col("centroid_id").alias("list_id"), "c_embedding")),
+            "list_id",
+        )
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("c_embedding"),
+                lambda x, c: x - c,
+            ).alias("embedding"),
+        )
+    )
+
+
+def pq_encode_residual(
+    base: DataFrame,
+    assigned: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    packed: bool = False,
+) -> DataFrame:
+    """Residual encode: codes quantize (v − centroid(list)); the stored
+    ``recon_norm`` is the norm of the FULL reconstruction
+    ``centroid + recon(residual)`` — exact at encode time (the chosen
+    codewords are flattened in subspace order, added to the centroid
+    element-wise, and normed once), so query-time cosine denominators
+    need no cross-term algebra. Returns (vec_id, codes, recon_norm,
+    list_id) — the same relation shape as ``pq_encode ⋈ assigned``, so
+    the two layouts share every downstream path."""
+    row = books.agg(
+        F.max("subspace").alias("ms"), F.max("centroid_id").alias("mc")
+    ).first()
+    m = row["ms"] + 1
+    if packed and (m > 8 or row["mc"] > 255):
+        raise ValueError(
+            f"packed codes hold one byte per subspace in a single BIGINT "
+            f"— m={m} subspaces / max code {row['mc']} needs the "
+            "array<int> layout (packed=False)"
+        )
+    resid = _residuals(base, assigned, cents)
+    dim = _vec_dim(resid, "embedding")
+    subs = _subspace_slices(
+        resid.select("vec_id", "embedding"), "embedding", m, dim // m
+    )
+    # carry the winning codeword itself (not just its norm) so the full
+    # reconstruction assembles without a second books join
+    scored = subs.join(F.broadcast(_books_scored(books)), "subspace").select(
+        "vec_id",
+        "subspace",
+        "centroid_id",
+        "c_subvec",
+        (
+            dot(F.col("subvec"), F.col("c_subvec")) - F.col("c_nrm2") / F.lit(2.0)
+        ).alias("obj"),
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(
+        F.max_by(
+            F.struct(F.col("centroid_id").alias("code"), F.col("c_subvec")),
+            F.struct(F.col("obj"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("best")
+    )
+    grouped = best.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("subspace", F.col("best").alias("b")))
+        ).alias("sc")
+    )
+    if packed:
+        arr = F.transform("sc", lambda s: s["b"]["code"].cast("bigint"))
+        codes_col = None
+        for s in range(m):
+            term = F.shiftleft(F.element_at(arr, s + 1), 8 * s)
+            codes_col = term if codes_col is None else codes_col.bitwiseOR(term)
+    else:
+        codes_col = F.transform("sc", lambda s: s["b"]["code"])
+    recon_r = F.flatten(F.transform("sc", lambda s: s["b"]["c_subvec"]))
+    coded = grouped.select("vec_id", codes_col.alias("codes"), recon_r.alias("_rr"))
+    return (
+        coded.join(assigned, "vec_id")
+        .join(
+            F.broadcast(cents.select(F.col("centroid_id").alias("list_id"), "c_embedding")),
+            "list_id",
+        )
+        .select(
+            "vec_id",
+            "codes",
+            l2_norm(
+                F.zip_with(F.col("c_embedding"), F.col("_rr"), lambda c, r: c + r)
+            ).alias("recon_norm"),
+            "list_id",
+        )
+    )
+
+
+def _query_list_cosims(query_lists: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, list_id, qc = <q, centroid(list)>) for the probed
+    pairs — the first-order term of the residual ADC score
+    (<q, c + r̂> = <q, c> + Σ_s LUT[s][code_s]). |Q|·n_probe rows
+    against a broadcast centroid table."""
+    return query_lists.join(
+        F.broadcast(cents.select(F.col("centroid_id").alias("list_id"), "c_embedding")),
+        "list_id",
+    ).select(
+        "query_id",
+        "list_id",
+        dot(F.col("q_embedding"), F.col("c_embedding")).alias("qc"),
+    )
+
+
 def _query_luts(queries: DataFrame, books: DataFrame, m: int) -> DataFrame:
     """Queries → (query_id, lut array<array<double>>, q_norm): LUT[s][j]
     is ``<q_s, c_{s,j}>`` — the whole ADC table per query, built
@@ -465,37 +586,62 @@ def ivf_pq_topk(
     pq_k: int = 16,
     books: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The FAISS-IVFPQ composition: coarse IVF routing (probe the
     query's ``n_probe`` nearest lists) + ADC scoring of ONLY the probed
     candidates. The corpus is touched twice at build (assignment +
     encode) and never at query time — candidates are code lookups.
     Seeded centroids/codebooks by default (the deterministic,
-    oracle-replayable configuration)."""
+    oracle-replayable configuration).
+
+    ``residual=True`` (Jégou et al. §IV — the FAISS IVFPQ default):
+    codes quantize ``v − centroid(list)`` instead of ``v``, so the m×k
+    codebook budget spends on the within-list displacement (a fraction
+    of the vector's magnitude) rather than re-describing the coarse
+    position the routing already knows. Scores become
+    ``(<q, c_list> + ADC) / (|q|·|c_list + r̂|)`` — one extra
+    |Q|·n_probe-row term, zero extra corpus-side work. Default-off so
+    raw-ADC answers (the r8 oracle rows) replay unchanged; books, when
+    caller-supplied, must have been trained on the SAME residual
+    geometry."""
     cents = centroids if centroids is not None else _seed_centroids(
         embeddings, n_centroids
     )
-    bks = books if books is not None else train_pq_codebooks(embeddings, m=m, k=pq_k)
     corpus_lists = _assign_nearest_list(embeddings, cents).select(
         "vec_id", "list_id"
     )
-    codes = pq_encode(embeddings, bks).join(corpus_lists, "vec_id")
-    query_lists = _probe_query_lists(queries, cents, n_probe).select(
-        "query_id", "list_id"
-    )
-    luts = _query_luts(queries, bks, m)
-    scored = (
-        codes.join(query_lists, "list_id")
-        .join(F.broadcast(luts), "query_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.try_divide(
-                _adc_score(F.col("codes"), F.col("lut")),
-                F.col("q_norm") * F.col("recon_norm"),
-            ).alias("score"),
+    if residual:
+        base = embeddings.select("vec_id", "embedding")
+        resid = _residuals(base, corpus_lists, cents)
+        bks = (
+            books
+            if books is not None
+            else train_pq_codebooks(resid.select("vec_id", "embedding"), m=m, k=pq_k)
         )
+        codes = pq_encode_residual(base, corpus_lists, cents, bks)
+    else:
+        bks = books if books is not None else train_pq_codebooks(
+            embeddings, m=m, k=pq_k
+        )
+        codes = pq_encode(embeddings, bks).join(corpus_lists, "vec_id")
+    query_lists_full = _probe_query_lists(queries, cents, n_probe)
+    query_lists = query_lists_full.select("query_id", "list_id")
+    luts = _query_luts(queries, bks, m)
+    adc = _adc_score(F.col("codes"), F.col("lut"))
+    joined = codes.join(query_lists, "list_id").join(F.broadcast(luts), "query_id")
+    if residual:
+        qc = _query_list_cosims(query_lists_full, cents)
+        joined = joined.join(
+            F.broadcast(qc), ["query_id", "list_id"]
+        )
+        num = F.col("qc") + adc
+    else:
+        num = adc
+    scored = joined.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.try_divide(num, F.col("q_norm") * F.col("recon_norm")).alias("score"),
     )
     return _rank_topk_stable(scored, k)
 
@@ -671,6 +817,8 @@ def build_ivf_pq_index(
     train_sample_size: int | None = None,
     packed: bool = False,
     keep_vectors: bool = False,
+    skew_guard: str = "warn",
+    residual: bool = False,
 ) -> None:
     """Persist the composed IVF+PQ index — the configuration a real
     100 TB retrieval system actually runs (FAISS IVFPQ): coarse
@@ -698,9 +846,16 @@ def build_ivf_pq_index(
     Both artifacts are written FIRST and read BACK before any
     corpus-sized job, so the persisted values are by construction the
     ones the codes were built against (the ``build_ivf_index`` rule).
-    Encoding is of RAW vectors, not residuals — the same contract as
-    the in-plan ``ivf_pq_topk``, so indexed and in-plan answers are
-    identical for identical centroids/books (the oracle row pins it).
+    ``residual=False`` (default) encodes RAW vectors — the same
+    contract as the in-plan ``ivf_pq_topk``, so indexed and in-plan
+    answers are identical for identical centroids/books (the oracle
+    row pins it). ``residual=True`` encodes ``v − centroid(list)``
+    (Jégou et al. §IV, the FAISS IVFPQ default) — the codebooks are
+    trained on the residual relation (assignment must precede codebook
+    fitting, so the artifact write order flips: centroids first, read
+    back, assign, then books), and ``meta.residual`` tells probes to
+    add the ``<q, c_list>`` first-order term back at scoring. Recall
+    lift over raw ADC is pinned by pytest at k=16 AND k=256.
     """
     from .similarity import _train_or_seed, load_ivf_centroids
 
@@ -721,26 +876,40 @@ def build_ivf_pq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
+    saved_cents = load_ivf_centroids(spark, path)
+    assigned = _assign_nearest_list(base, saved_cents).select("vec_id", "list_id")
+    if residual:
+        # books describe the residual geometry: fit AFTER assignment,
+        # against the read-back centroids the codes will subtract
+        assigned = assigned.localCheckpoint()
+        book_input = _residuals(base, assigned, saved_cents).select(
+            "vec_id", "embedding"
+        )
+    else:
+        book_input = base
     books = train_pq_codebooks(
-        base, m=m, k=k, train=train, train_iters=train_iters,
+        book_input, m=m, k=k, train=train, train_iters=train_iters,
         train_sample_size=train_sample_size,
     )
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     (
         spark.createDataFrame(
-            [(n_centroids, m, k, dim, n, packed)],
-            "n_centroids int, m int, k int, dim int, n bigint, packed boolean",
+            [(n_centroids, m, k, dim, n, packed, residual)],
+            "n_centroids int, m int, k int, dim int, n bigint, "
+            "packed boolean, residual boolean",
         )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/meta")
     )
-    saved_cents = load_ivf_centroids(spark, path)
     saved_books = load_pq_books(spark, path)
-    assigned = _assign_nearest_list(base, saved_cents).select("vec_id", "list_id")
+    encoded = (
+        pq_encode_residual(base, assigned, saved_cents, saved_books, packed=packed)
+        if residual
+        else pq_encode(base, saved_books, packed=packed).join(assigned, "vec_id")
+    )
     (
-        pq_encode(base, saved_books, packed=packed)
-        .join(assigned, "vec_id")
+        encoded
         # same rationale as build_ivf_index: rebalance pins each list to
         # few tasks without the one-file-per-(task,list) explosion
         .hint("rebalance", "list_id")
@@ -754,6 +923,11 @@ def build_ivf_pq_index(
         .partitionBy("list_id")
         .parquet(f"{path}/codes")
     )
+    from .similarity import _guard_list_occupancy
+
+    _guard_list_occupancy(
+        spark, f"{path}/codes", n_centroids, "build_ivf_pq_index", skew_guard
+    )
     if keep_vectors:
         base.write.mode("overwrite").parquet(f"{path}/vectors")
 
@@ -761,12 +935,15 @@ def build_ivf_pq_index(
 def load_ivf_pq_meta(spark, path: str) -> dict:
     row = (
         spark.read.schema(
-            "n_centroids int, m int, k int, dim int, n bigint, packed boolean"
+            "n_centroids int, m int, k int, dim int, n bigint, "
+            "packed boolean, residual boolean"
         )
         .parquet(f"{path}/meta")
         .first()
     )
-    return row.asDict()
+    out = row.asDict()
+    out["residual"] = bool(out["residual"])  # pre-residual-era meta reads NULL
+    return out
 
 
 def ivf_pq_topk_indexed(
@@ -786,15 +963,20 @@ def ivf_pq_topk_indexed(
     per-query lookup tables. Zero shuffle before the top-k window; the
     float corpus is never read unless ``shortlist`` asks for the exact
     re-rank (served from ``vectors/`` or a caller-supplied
-    ``embeddings`` relation — only the nominated rows fetch floats)."""
+    ``embeddings`` relation — only the nominated rows fetch floats).
+
+    A ``residual=True`` index (``meta.residual``) scores as
+    ``(<q, c_list> + ADC) / (|q|·recon_norm)``: the first-order term is
+    one broadcast join of the probed (query, list) pairs against the
+    centroid table — |Q|·n_probe rows — on top of the identical
+    partition-pruned code scan."""
     from .similarity import load_ivf_centroids
 
     meta = load_ivf_pq_meta(spark, path)
     cents = load_ivf_centroids(spark, path)
     books = load_pq_books(spark, path)
-    query_lists = _probe_query_lists(queries, cents, n_probe).select(
-        "query_id", "list_id"
-    )
+    query_lists_full = _probe_query_lists(queries, cents, n_probe)
+    query_lists = query_lists_full.select("query_id", "list_id")
     probed = sorted(
         r["list_id"] for r in query_lists.select("list_id").distinct().collect()
     )
@@ -808,15 +990,17 @@ def ivf_pq_topk_indexed(
         if meta["packed"]
         else _adc_score(F.col("codes"), F.col("lut"))
     )
-    scored = (
-        codes.join(query_lists, "list_id")
-        .join(F.broadcast(luts), "query_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.try_divide(adc, F.col("q_norm") * F.col("recon_norm")).alias("score"),
-        )
+    joined = codes.join(query_lists, "list_id").join(F.broadcast(luts), "query_id")
+    if meta["residual"]:
+        qc = _query_list_cosims(query_lists_full, cents)
+        joined = joined.join(F.broadcast(qc), ["query_id", "list_id"])
+        num = F.col("qc") + adc
+    else:
+        num = adc
+    scored = joined.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.try_divide(num, F.col("q_norm") * F.col("recon_norm")).alias("score"),
     )
     ranked = _rank_topk_stable(scored, shortlist if shortlist is not None else k)
     if shortlist is None:
@@ -893,9 +1077,11 @@ def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
                     meta["dim"],
                     meta["n"] + n_new,
                     meta["packed"],
+                    meta["residual"],
                 )
             ],
-            "n_centroids int, m int, k int, dim int, n bigint, packed boolean",
+            "n_centroids int, m int, k int, dim int, n bigint, "
+            "packed boolean, residual boolean",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -904,9 +1090,15 @@ def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
     cents = load_ivf_centroids(spark, path)
     books = load_pq_books(spark, path)
     assigned = _assign_nearest_list(base, cents).select("vec_id", "list_id")
+    encoded = (
+        # residual index: the batch encodes against the SAME frozen
+        # geometry (centroid subtraction + residual codebooks)
+        pq_encode_residual(base, assigned, cents, books, packed=meta["packed"])
+        if meta["residual"]
+        else pq_encode(base, books, packed=meta["packed"]).join(assigned, "vec_id")
+    )
     (
-        pq_encode(base, books, packed=meta["packed"])
-        .join(assigned, "vec_id")
+        encoded
         .hint("rebalance", "list_id")
         .write.mode("append")
         .partitionBy("list_id")

@@ -906,6 +906,7 @@ def build_ivf_index(
     train_init: str = "hash",
     train_sample_size: int | None = None,
     quantize: bool = False,
+    skew_guard: str = "warn",
 ) -> None:
     """Persist an IVF index so the corpus-side work amortizes across
     query batches: ``ivf_topk`` refits centroids AND re-assigns the
@@ -981,6 +982,74 @@ def build_ivf_index(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
+    _guard_list_occupancy(
+        embeddings.sparkSession, f"{path}/lists", n_centroids,
+        "build_ivf_index", skew_guard,
+    )
+
+
+# A probe of the hottest list reads `share` of the corpus — past this
+# share the "inverted lists" are one monolith and every probe touching
+# it degenerates to a near-full scan (plus the hot-partition write the
+# REBALANCE hint exists to avoid). Even assignment is 1/n_centroids.
+IVF_SKEW_MAX_SHARE = 0.5
+
+
+def ivf_list_occupancy(spark, lists_path: str) -> list[tuple[int, int]]:
+    """(list_id, rows) histogram of a persisted IVF-family assignment —
+    row counts come from parquet footers of the partition dirs (the
+    scan projects zero data columns), so this is metadata-priced even
+    at a 100 TB corpus. The rebuild-signal observable the append-drift
+    docstrings point at."""
+    hist = (
+        spark.read.parquet(lists_path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return sorted((r["list_id"], r["rows"]) for r in hist)
+
+
+def _guard_list_occupancy(
+    spark, lists_path: str, n_lists: int, what: str, skew_guard: str
+) -> None:
+    """Degenerate-assignment guard for persisted IVF-family builds: a
+    pathological centroid distribution (one list owning ~all vectors)
+    silently recreates both the hot-partition write and a probe that
+    scans the corpus. Mirrors the SemDeDup volume guard's shape —
+    measure, then warn/refuse with the remedy named — but measures the
+    WRITTEN files (footer counts), so the check adds no corpus pass.
+    ``skew_guard``: "warn" (default — the index still serves, recall
+    contracts hold), "raise", or "off"."""
+    if skew_guard == "off" or n_lists < 4:
+        return
+    if skew_guard not in ("warn", "raise"):
+        raise ValueError(
+            f"skew_guard must be warn|raise|off, got {skew_guard!r}"
+        )
+    hist = ivf_list_occupancy(spark, lists_path)
+    total = sum(n for _, n in hist)
+    if not total:
+        return
+    hot_id, hot_n = max(hist, key=lambda t: t[1])
+    share = hot_n / total
+    if share <= IVF_SKEW_MAX_SHARE:
+        return
+    top = sorted(hist, key=lambda t: -t[1])[:5]
+    msg = (
+        f"{what}: degenerate list occupancy at {lists_path} — list "
+        f"{hot_id} owns {hot_n}/{total} vectors ({share:.0%}; even "
+        f"assignment would be {1 / n_lists:.0%}). Probes touching it "
+        f"read ~{share:.0%} of the corpus and its partition is the "
+        f"hot write. Top lists: {top}. Remedy: train=True (k-means|| "
+        "init balances clusters), more centroids, or check the corpus "
+        "for a constant/near-constant embedding column."
+    )
+    if skew_guard == "raise":
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=3)
 
 
 TRAIN_SAMPLE_SALT = "|ts"

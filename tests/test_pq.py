@@ -618,3 +618,194 @@ def test_pq_train_sample_recall_parity(spark, embeddings):
         pq.train_pq_codebooks(embeddings, m=8, k=16, train=True, train_sample_size=200)
     )
     assert sorted(map(tuple, samp)) == sorted(map(tuple, samp2))
+
+
+# --- r9: IVF-PQ residual encoding (Jégou et al. §IV) -----------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Deterministic clustered corpus — the data shape residual
+    encoding exists for: cos(v, centroid) is high, so |v − c| ≪ |v| and
+    the codebook budget spends on the informative displacement. (On the
+    near-random parquet fixture cos(v, c) ≈ 0 ⇒ |v − c| ≈ √2·|v| —
+    residuals are HARDER to quantize there, so the lift pin lives on
+    clustered data, like every real embedding corpus.)"""
+    rng = np.random.default_rng(7)
+    n, n_true, dim, noise = 1600, 16, 32, 0.5
+    centers = rng.normal(size=(n_true, dim))
+    pts = centers[np.arange(n) % n_true] + noise * rng.normal(size=(n, dim))
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in pts[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).localCheckpoint()
+
+
+def _recall_at5(emb, rows):
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    q = emb.where("vec_id < 8").select("vec_id", "embedding").toDF(
+        "query_id", "q_embedding"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    return sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in truth) / len(
+        truth
+    )
+
+
+def test_residual_recall_lift_k16_and_k256(spark, clustered, tmp_path):
+    """The residual pin: end-to-end built residual indexes (trained
+    coarse centroids + residual-trained codebooks — the FAISS IVFPQ
+    default configuration) must beat the raw-ADC build at BOTH k=16 and
+    k=256 on the clustered fixture."""
+    q = clustered.where("vec_id < 8").select("vec_id", "embedding").toDF(
+        "query_id", "q_embedding"
+    )
+    for pk in (16, 256):
+        raw_p = str(tmp_path / f"raw{pk}")
+        res_p = str(tmp_path / f"res{pk}")
+        kw = dict(n_centroids=16, m=8, k=pk, train=True, train_iters=2)
+        pq.build_ivf_pq_index(clustered, raw_p, **kw)
+        pq.build_ivf_pq_index(clustered, res_p, residual=True, **kw)
+        raw = _recall_at5(
+            clustered, pq.ivf_pq_topk_indexed(spark, raw_p, q).collect()
+        )
+        res = _recall_at5(
+            clustered, pq.ivf_pq_topk_indexed(spark, res_p, q).collect()
+        )
+        assert res > raw, f"k={pk}: residual {res} must beat raw {raw}"
+
+
+def test_residual_indexed_matches_in_plan(spark, embeddings, tmp_path):
+    """The persisted residual index serves the exact answers of the
+    in-plan residual composition for identical (seeded) artifacts —
+    the same twin contract the raw oracle row pins."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        queries_from_ids,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    path = str(tmp_path / "resivfpq")
+    pq.build_ivf_pq_index(embeddings, path, n_centroids=8, m=8, k=16, residual=True)
+    assert pq.load_ivf_pq_meta(spark, path)["residual"] is True
+    idx = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, path, q).collect()))
+    inplan = sorted(
+        map(tuple, pq.ivf_pq_topk(embeddings, q, residual=True).collect())
+    )
+    assert idx == inplan
+
+
+def test_residual_scores_match_numpy_model(spark, embeddings, vecs):
+    """Replay the whole residual pipeline in NumPy — seeded coarse
+    centroids, argmax assignment, residual seeds, per-subspace L2
+    argmin with the house tie rule, recon = centroid + codeword
+    concat — and require score-for-score agreement."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        queries_from_ids,
+    )
+
+    cents = {}
+    for vid in sorted(vecs):
+        s = vid % 97
+        if s < 8 and s not in cents:
+            cents[s] = vecs[vid]
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    assign = {
+        vid: max(cents, key=lambda c: (cos(v, cents[c]), -c))
+        for vid, v in vecs.items()
+    }
+    resid = {vid: vecs[vid] - cents[assign[vid]] for vid in vecs}
+    books = {}
+    for vid in sorted(resid):
+        s = vid % 97
+        if s < K and s not in books:
+            books[s] = resid[vid]
+    sub = 64 // M
+    recon = {}
+    for vid, r in resid.items():
+        rr = np.zeros(64)
+        for s in range(M):
+            xs = r[s * sub:(s + 1) * sub]
+            best = max(
+                sorted(books),
+                key=lambda cid: (
+                    xs @ books[cid][s * sub:(s + 1) * sub]
+                    - books[cid][s * sub:(s + 1) * sub]
+                    @ books[cid][s * sub:(s + 1) * sub]
+                    / 2,
+                    -cid,
+                ),
+            )
+            rr[s * sub:(s + 1) * sub] = books[best][s * sub:(s + 1) * sub]
+        recon[vid] = cents[assign[vid]] + rr
+
+    q = queries_from_ids(embeddings, 8)
+    got = pq.ivf_pq_topk(embeddings, q, k=5, residual=True).collect()
+    assert got
+    for row in got:
+        qv = vecs[row["query_id"]]
+        expected = round(cos(qv, recon[row["neighbor_id"]]), 6)
+        assert abs(expected - row["score"]) < 2e-6
+
+
+def test_residual_append_matches_frozen_artifacts(spark, embeddings, tmp_path):
+    """Appending to a residual index encodes the batch against the SAME
+    frozen geometry: build-on-evens + append-odds must equal the
+    in-plan residual composition over the full corpus with the index's
+    own saved artifacts."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        load_ivf_centroids,
+        queries_from_ids,
+    )
+
+    path = str(tmp_path / "resapp")
+    pq.build_ivf_pq_index(
+        embeddings.where(F.col("vec_id") % 2 == 0), path,
+        n_centroids=8, m=8, k=16, residual=True,
+    )
+    pq.append_ivf_pq_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
+    assert pq.load_ivf_pq_meta(spark, path)["n"] == embeddings.count()
+    q = queries_from_ids(embeddings, 8)
+    got = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, path, q).collect()))
+    want = sorted(
+        map(
+            tuple,
+            pq.ivf_pq_topk(
+                embeddings,
+                q,
+                residual=True,
+                centroids=load_ivf_centroids(spark, path),
+                books=pq.load_pq_books(spark, path),
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_residual_packed_is_bit_identical(spark, embeddings, tmp_path):
+    """packed=True on a residual index: same answers as the array
+    layout (same add order in the ADC fold + identical qc term)."""
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        queries_from_ids,
+    )
+
+    q = queries_from_ids(embeddings, 8)
+    a_path = str(tmp_path / "arr")
+    p_path = str(tmp_path / "pkd")
+    pq.build_ivf_pq_index(embeddings, a_path, n_centroids=8, m=8, k=16, residual=True)
+    pq.build_ivf_pq_index(
+        embeddings, p_path, n_centroids=8, m=8, k=16, residual=True, packed=True
+    )
+    a = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, a_path, q).collect()))
+    b = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, p_path, q).collect()))
+    assert a == b

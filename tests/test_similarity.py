@@ -1149,3 +1149,52 @@ def test_train_sample_recall_parity_with_full_training(spark):
     # and the sampled fit is itself deterministic end-to-end
     samp2 = ivf_topk(emb, q, train_sample_size=1000, **kw).collect()
     assert sorted(map(tuple, samp)) == sorted(map(tuple, samp2))
+
+
+def test_ivf_build_skew_guard_flags_degenerate_corpus(spark, tmp_path):
+    """A planted degenerate corpus (one near-constant direction → one
+    list owns ~everything) must trip the occupancy guard: warn by
+    default, raise on request, stay quiet on healthy corpora. The
+    histogram is read from the written files' footers — no extra
+    corpus pass."""
+    import warnings as _warnings
+
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_list_occupancy,
+    )
+
+    # 200 copies of (almost) one vector: every row lands in one list
+    degenerate = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 1e-6 * i]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    path = str(tmp_path / "deg")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        build_ivf_index(degenerate, path, n_centroids=8)
+    assert any("degenerate list occupancy" in str(w.message) for w in caught)
+    hist = ivf_list_occupancy(spark, f"{path}/lists")
+    assert max(n for _, n in hist) / sum(n for _, n in hist) > 0.5
+
+    with pytest.raises(ValueError, match="degenerate list occupancy"):
+        build_ivf_index(
+            degenerate, str(tmp_path / "deg2"), n_centroids=8, skew_guard="raise"
+        )
+
+
+def test_ivf_pq_build_skew_guard(spark, tmp_path):
+    """Same guard on the composed IVF-PQ build (codes/ partitions)."""
+    from map_reduce_using_cloud_functions_spark.operators.pq import (
+        build_ivf_pq_index,
+    )
+
+    degenerate = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0, 1e-6 * i, 0.0, 0.0, 0.0]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="degenerate list occupancy"):
+        build_ivf_pq_index(
+            degenerate, str(tmp_path / "pqdeg"), n_centroids=8, m=4, k=4,
+            skew_guard="raise",
+        )

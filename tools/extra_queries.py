@@ -127,6 +127,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": _q_ann_topk_ivfpq,
         "ann_topk_ivfpq_indexed": _q_ann_topk_ivfpq_indexed,
         "ann_topk_ivfpq_appended": _q_ann_topk_ivfpq_appended,
+        # r9: residual encoding (the FAISS IVFPQ default) — codes
+        # quantize v − centroid(list); the twin replays the residual
+        # relation, residual-seeded books, and the qc + ADC score.
+        "ann_topk_ivfpq_residual": _q_ann_topk_ivfpq_residual,
+        "ann_topk_ivfpq_residual_indexed": _q_ann_topk_ivfpq_residual_indexed,
         # r7: CCNet-style cross-corpus boilerplate removal — drop
         # segments whose trimmed form appears in >= min_df distinct
         # docs, rejoin survivors in order. Fixture texts are one line,
@@ -363,6 +368,32 @@ def _q_ann_topk_ivfpq_appended(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_ivfpqa_") + "/ivfpq"
     pq.build_ivf_pq_index(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=8, m=8, k=16)
     pq.append_ivf_pq_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return pq.ivf_pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_ann_topk_ivfpq_residual(s: SparkSession, d: str) -> DataFrame:
+    """In-plan IVF-PQ with RESIDUAL encoding (Jégou et al. §IV — the
+    FAISS IVFPQ default): codes quantize v − centroid(list); scores add
+    the <q, centroid> first-order term back. Seeded configuration
+    (8 coarse slots, residual-seeded m=8/k=16 books) so the DuckDB twin
+    replays the full pipeline."""
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    return pq.ivf_pq_topk(emb, sim.queries_from_ids(emb, 8), residual=True)
+
+
+def _q_ann_topk_ivfpq_residual_indexed(s: SparkSession, d: str) -> DataFrame:
+    """The persisted residual index must serve the in-plan residual
+    answers (same oracle SQL): meta.residual routes the probe to the
+    qc + ADC scoring path over the identical partition-pruned scan."""
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import pq
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_ivfpqr_") + "/ivfpqr"
+    pq.build_ivf_pq_index(emb, path, n_centroids=8, m=8, k=16, residual=True)
     return pq.ivf_pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
 
 
@@ -962,6 +993,133 @@ scored AS (
         "FROM embeddings WHERE (vec_id % 97) < 8",
         "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 8",
     )
+
+    # Residual IVF-PQ twin (Jégou §IV, the FAISS default): the full
+    # pipeline replayed fresh — coarse routing, residual relation
+    # (element-wise v − c), residual-seeded books, per-subspace argmin
+    # on residual slices, recon assembled ELEMENT-WISE (c + r̂, then
+    # normed — the same fold as Spark's l2_norm, not the norm algebra,
+    # so doubles agree at the 6-dp contract), score = (⟨q,c⟩ + ADC) /
+    # (|q|·|c + r̂|). Indexed row shares it (indexed ≡ in-plan).
+    sql["ann_topk_ivfpq_residual"] = f"""
+WITH dims AS (SELECT (max(len(embedding)) // 8)::INT AS sub FROM embeddings),
+cents AS (
+  SELECT (vec_id % 97)::INT AS centroid_id,
+         arg_min(embedding, vec_id) AS c_embedding
+  FROM embeddings WHERE (vec_id % 97) < 8 GROUP BY 1
+),
+corpus_lists AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_ec} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crn = 1
+),
+resid AS (
+  SELECT e.vec_id, cl.list_id,
+         list_transform(range(1, 8 * d.sub + 1),
+                        i -> e.embedding[i]::DOUBLE - c.c_embedding[i]::DOUBLE) AS r
+  FROM embeddings e
+  JOIN corpus_lists cl USING (vec_id)
+  JOIN cents c ON c.centroid_id = cl.list_id
+  CROSS JOIN dims d
+),
+seeds AS (
+  SELECT (vec_id % 97)::INT AS cid, arg_min(r, vec_id) AS sv
+  FROM resid WHERE (vec_id % 97) < 16 GROUP BY 1
+),
+sp AS (SELECT unnest(range(0, 8)) AS s),
+bn AS (
+  SELECT sp.s AS subspace, cid,
+         list_slice(sv, sp.s*d.sub + 1, (sp.s+1)*d.sub) AS cw,
+         list_inner_product(list_slice(sv, sp.s*d.sub + 1, (sp.s+1)*d.sub)::DOUBLE[],
+                            list_slice(sv, sp.s*d.sub + 1, (sp.s+1)*d.sub)::DOUBLE[]) AS cn2
+  FROM seeds, sp, dims d
+),
+subs AS (
+  SELECT vec_id, sp.s AS subspace,
+         list_slice(r, sp.s*d.sub + 1, (sp.s+1)*d.sub) AS xv
+  FROM resid, sp, dims d
+),
+assign AS (
+  SELECT vec_id, subspace, cid, cw FROM (
+    SELECT v.vec_id, v.subspace, b.cid, b.cw,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY (list_inner_product(v.xv::DOUBLE[], b.cw::DOUBLE[]) - b.cn2/2) DESC,
+                      b.cid
+           ) AS rn
+    FROM subs v JOIN bn b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+rrv AS (
+  SELECT vec_id, flatten(list(cw ORDER BY subspace)) AS rr FROM assign GROUP BY vec_id
+),
+recon AS (
+  SELECT rv.vec_id,
+         sqrt(list_inner_product(
+           list_transform(range(1, 8 * d.sub + 1),
+                          i -> c.c_embedding[i]::DOUBLE + rv.rr[i]::DOUBLE),
+           list_transform(range(1, 8 * d.sub + 1),
+                          i -> c.c_embedding[i]::DOUBLE + rv.rr[i]::DOUBLE)
+         )) AS recon_norm
+  FROM rrv rv
+  JOIN corpus_lists cl USING (vec_id)
+  JOIN cents c ON c.centroid_id = cl.list_id
+  CROSS JOIN dims d
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+qsubs AS (
+  SELECT query_id, sp.s AS subspace, list_slice(qe, sp.s*d.sub + 1, (sp.s+1)*d.sub) AS qv
+  FROM q, sp, dims d
+),
+adc AS (
+  SELECT qs.query_id, a.vec_id,
+         list_sum(list(list_inner_product(qs.qv::DOUBLE[], a.cw::DOUBLE[])
+                       ORDER BY qs.subspace)) AS adot
+  FROM qsubs qs
+  JOIN assign a ON a.subspace = qs.subspace
+  GROUP BY 1, 2
+),
+qn AS (SELECT vec_id AS query_id,
+              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
+       FROM embeddings WHERE vec_id < 8),
+query_lists AS (
+  SELECT query_id, centroid_id AS list_id FROM (
+    SELECT qq.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY {_cos_qc} DESC, c.centroid_id) AS crn
+    FROM q qq CROSS JOIN cents c
+  ) WHERE crn <= 2
+),
+qc AS (
+  SELECT ql.query_id, ql.list_id,
+         list_inner_product(qq.qe::DOUBLE[], c.c_embedding::DOUBLE[]) AS qcv
+  FROM query_lists ql
+  JOIN q qq USING (query_id)
+  JOIN cents c ON c.centroid_id = ql.list_id
+),
+scored AS (
+  SELECT adc.query_id, adc.vec_id AS neighbor_id,
+         (qc.qcv + adc.adot) / (qn.qnorm * r.recon_norm) AS score
+  FROM adc
+  JOIN qn USING (query_id)
+  JOIN recon r ON r.vec_id = adc.vec_id
+  JOIN corpus_lists cl ON cl.vec_id = adc.vec_id
+  JOIN query_lists ql ON ql.query_id = adc.query_id AND ql.list_id = cl.list_id
+  JOIN qc ON qc.query_id = adc.query_id AND qc.list_id = cl.list_id
+  WHERE adc.vec_id <> adc.query_id
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, neighbor_id)::INT AS rank,
+         score
+  FROM scored
+) WHERE rank <= 5
+"""
+    sql["ann_topk_ivfpq_residual_indexed"] = sql["ann_topk_ivfpq_residual"]
     # appended twin: codebook seeds restricted to the BUILD half (even
     # vec_ids) — appends themselves are exact, only the seed source
     # differs from the full-build row
