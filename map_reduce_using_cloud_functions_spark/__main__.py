@@ -144,6 +144,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "on the same batch id)",
     )
     ad.add_argument(
+        "--min-quality",
+        type=float,
+        default=None,
+        help="front door only (--index-path): drop documents whose "
+        "heuristic quality composite falls below this BEFORE admission",
+    )
+    ad.add_argument(
         "--once",
         action="store_true",
         help="drain what has landed and exit (availableNow trigger)",
@@ -290,6 +297,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     args.checkpoint_dir,
                     threshold=args.threshold,
                     available_now=args.once,
+                    min_quality=args.min_quality,
                 )
             else:
                 q = start_near_dedup_stream(

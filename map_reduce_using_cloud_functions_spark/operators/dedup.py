@@ -1037,3 +1037,109 @@ def near_dedup_against_ledger(
         exclude_release=exclude_release,
     ).select("doc_id")
     return documents.join(matched, "doc_id", "left_anti")
+
+
+def delete_from_ledger(spark, path: str, doc_ids: list[int]) -> None:
+    """Takedown on the admission side: remove the given documents'
+    sketches from the ledger so retracted content stops GATING — a
+    future near-duplicate of a deleted document is admissible again
+    (right-to-be-forgotten means the corpus must be able to re-learn
+    the content from a legitimate source; pair with the word index's
+    ``delete_documents`` to stop SERVING it).
+
+    Cost ∝ touched releases: one narrow scan of ``sigs/`` finds which
+    release partitions hold the documents (16 longs per doc — the
+    relation is ~200 bytes/doc), then only those partitions rewrite
+    (dynamic partition overwrite; a release left empty has its
+    directories deleted outright — dynamic overwrite never replaces a
+    partition it produced no rows for). Bands are recomputed from the
+    REWRITTEN signatures, so sigs and bands cannot drift.
+
+    Crash direction, stated exactly: sigs rewrite first, bands second —
+    every intermediate state gates LESS than before (a bands row whose
+    sig was deleted produces a candidate that fails the verify join; a
+    deleted bands row produces no candidate), which is the desired
+    direction for a takedown; a replay converges to the full delete."""
+    meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
+    _ = meta
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return
+    from .index import _hadoop_delete
+
+    sigs_path, bands_path = f"{path}/sigs", f"{path}/bands"
+    sigs = spark.read.parquet(sigs_path)
+    touched = sorted(
+        r["release"]
+        for r in sigs.where(F.col("doc_id").isin(ids))
+        .select("release")
+        .distinct()
+        .collect()
+    )
+    for rel in touched:
+        remaining = (
+            sigs.where((F.col("release") == rel) & ~F.col("doc_id").isin(ids))
+            .localCheckpoint()  # materialize BEFORE overwriting its source
+        )
+        if not remaining.head(1):
+            _hadoop_delete(spark, f"{sigs_path}/release={rel}")
+            _hadoop_delete(spark, f"{bands_path}/release={rel}")
+            continue
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release")
+            .parquet(sigs_path)
+        )
+        banded = (
+            _band_hashes(
+                spark.read.parquet(sigs_path).where(F.col("release") == rel),
+                bands=meta["bands"],
+                k=meta["k"],
+            )
+            .withColumn("release", F.lit(rel))
+            .select("doc_id", "band_hash", "release", "band")
+        )
+        (
+            banded.repartition("band")
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release", "band")
+            .parquet(bands_path)
+        )
+
+
+def delete_from_survivors(spark, survivors_path: str, doc_ids: list[int]) -> None:
+    """Remove retracted documents from a release-partitioned survivors
+    table (the admission pipeline's shipped corpus). Rewrites ONLY the
+    release partitions that hold the documents; a release left empty
+    has its directory deleted (the dynamic-overwrite no-rows gap,
+    handled as in ``delete_from_ledger``)."""
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return
+    from .index import _hadoop_delete
+
+    surv = spark.read.parquet(survivors_path)
+    touched = sorted(
+        r["release"]
+        for r in surv.where(F.col("doc_id").isin(ids))
+        .select("release")
+        .distinct()
+        .collect()
+    )
+    for rel in touched:
+        remaining = (
+            surv.where((F.col("release") == rel) & ~F.col("doc_id").isin(ids))
+            .localCheckpoint()
+        )
+        if not remaining.head(1):
+            _hadoop_delete(spark, f"{survivors_path}/release={rel}")
+            continue
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release")
+            .parquet(survivors_path)
+        )

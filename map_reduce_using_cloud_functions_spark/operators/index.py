@@ -1479,3 +1479,136 @@ def compact_index(
         )
         if binding is not None:
             _write_small_file(spark, binding_path, binding)
+
+
+# --- deletion / takedown (r9) ----------------------------------------------
+
+
+def _letters_for_docs(spark, path: str, cur_v: int, ids: list[str]) -> list[str]:
+    """The ``first=`` letters whose base partitions hold postings for
+    any of ``ids``. Docmap-pruned when the head is self-contained and
+    carries the sidecar (read ≤ |ids| of the 64 hash buckets — no data
+    scan); layered or docmap-less heads fall back to one filtered scan
+    of the base (document is a plain column, so parquet row-group
+    min/max stats still skim it)."""
+    vdir = _version_dir(path, cur_v)
+    dm = f"{vdir}/_docmap"
+    if _commit_letter_map(spark, path, cur_v) is None and _hadoop_exists(spark, dm):
+        import zlib
+
+        buckets = sorted(
+            {zlib.crc32(d.encode("utf-8")) % _DOCMAP_BUCKETS for d in ids}
+        )
+        rows = (
+            spark.read.parquet(dm)
+            .where(F.col("bucket").isin(buckets) & F.col("document").isin(ids))
+            .select("first")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["first"] for r in rows)
+    rows = (
+        _versioned_base(spark, path, cur_v)
+        .where(F.col("document").isin(ids))
+        .select(F.substring("word", 1, 1).alias("first"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["first"] for r in rows)
+
+
+def delete_documents(spark, path: str, doc_ids: list[str]) -> None:
+    """Takedown (right-to-be-forgotten / licensing retraction): remove
+    EVERY posting of the given documents from the persisted index.
+
+    Versioned tables: a letter-scoped fold — the same rewrite primitive
+    as ``compact_index(scoped=True)`` — over exactly the letters the
+    documents touch (docmap-pruned, see ``_letters_for_docs``) plus the
+    pending delta tail (which must fold in the same pass: a tail row
+    for a deleted document left pending would resurrect it at the next
+    compaction). Cost ∝ touched letters' data + tail, not O(base); the
+    result is ONE crash-atomic layered commit — a kill at any point
+    leaves the previous commit serving (with the documents still
+    present — deletion is not durable until the commit lands), and a
+    replay converges. Like any scoped fold, the head comes back layered
+    (replace-mode upserts refuse until a flattening ``compact_index``).
+
+    In-place tables: one full filtered rewrite (the layout has no
+    partial-rewrite primitive), with the stream binding preserved and
+    the folded-through marker advanced, mirroring ``compact_index``.
+
+    Deleting a document does NOT block its re-insertion: a later batch
+    or replayed stream id containing the document re-adds it (the index
+    is not an admission ledger — pair with ``delete_from_ledger`` on
+    the admission side to stop re-admission)."""
+    ids = sorted({str(d) for d in doc_ids})
+    if not ids:
+        return
+    pending = pending_additive_batches(spark, path)
+    _, prev_folded, cur_v = _resolve_version(spark, path)
+    if cur_v is None:
+        binding_path = f"{path}/{STREAM_BINDING}"
+        binding = (
+            _read_small_file(spark, binding_path)
+            if _hadoop_exists(spark, binding_path)
+            else None
+        )
+        merged = (
+            read_index(spark, path)
+            .where(~F.col("document").isin(ids))
+            .localCheckpoint()
+        )
+        write_index(merged, path)
+        _hadoop_delete(spark, _additive_path(path))
+        _write_small_file(
+            spark,
+            f"{path}/{FOLDED_MARKER}",
+            str(max([prev_folded] + pending)).encode("ascii"),
+        )
+        if binding is not None:
+            _write_small_file(spark, binding_path, binding)
+        return
+    doc_letters = _letters_for_docs(spark, path, cur_v, ids)
+    touched = sorted(set(doc_letters) | set(_delta_letters(spark, path, pending)))
+    if not touched:
+        return  # documents unknown and no tail — nothing to rewrite
+    cur_map = _commit_letter_map(spark, path, cur_v) or {
+        letter: cur_v for letter in _list_letters(spark, _version_dir(path, cur_v))
+    }
+    new_v = cur_v + 1
+    new_map = {**cur_map, **{letter: new_v for letter in touched}}
+    base = _versioned_base(spark, path, cur_v, letters=set(touched))
+    deltas = (
+        spark.read.schema(_ADDITIVE_SCHEMA)
+        .parquet(_additive_path(path))
+        .where(F.col("abatch").isin(pending) & F.col("first").isin(touched))
+        .select("word", "document", "count")
+        if pending
+        else spark.createDataFrame([], _ADDITIVE_SCHEMA)
+    )
+    merged = (
+        base.unionByName(deltas)
+        .where(~F.col("document").isin(ids))
+        .groupBy("word", "document")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("first", F.substring("word", 1, 1))
+    )
+    staging = _staging_dir(path)
+    (
+        merged.hint("rebalance", "first")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("first")
+        .parquet(staging)
+    )
+    token = _claim_version_dir(spark, path, staging, new_v)
+    raw = _list_additive_batches(spark, path)
+    _write_commit(
+        spark,
+        path,
+        new_v,
+        folded_through=max([prev_folded] + raw),
+        letter_map=new_map,
+        claim_token=token,
+    )
+    gc_index_versions(spark, path)

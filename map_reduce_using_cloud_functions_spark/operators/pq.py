@@ -680,7 +680,12 @@ def build_pq_index(
     answers are bit-identical to the array layout (same add order in
     the ADC fold), pinned by pytest and the shared oracle row.
     """
+    from .ann_commit import ann_commit, ann_head, gc_ann_index, new_generation, sweep_superseded_fixed
+
     spark = embeddings.sparkSession
+    head = ann_head(spark, path)
+    parent = head["v"] if head else None
+    gen, gdir = new_generation(path)
     base = embeddings.select("vec_id", "embedding")
     dim = _vec_dim(base, "embedding")
     n = base.count()
@@ -695,31 +700,48 @@ def build_pq_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
-    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    pq_encode(base, books, packed=packed).write.mode("overwrite").parquet(
-        f"{path}/codes"
+    books.coalesce(1).write.mode("overwrite").parquet(f"{gdir}/books")
+    saved_books = spark.read.schema(
+        "subspace int, centroid_id int, c_subvec array<double>"
+    ).parquet(f"{gdir}/books")
+    pq_encode(base, saved_books, packed=packed).write.mode("overwrite").parquet(
+        f"{gdir}/codes"
     )
+    dirs = {
+        "meta": f"{gen}/meta",
+        "books": f"{gen}/books",
+        "codes": [f"{gen}/codes"],
+    }
     if keep_vectors:
-        base.write.mode("overwrite").parquet(f"{path}/vectors")
+        base.write.mode("overwrite").parquet(f"{gdir}/vectors")
+        dirs["vectors"] = [f"{gen}/vectors"]
+    # one atomic visibility switch for the whole artifact set: a crash
+    # anywhere above leaves the previous commit serving consistent
+    # (meta, books, codes) — never new-books/old-codes.
+    ann_commit(spark, path, "pq", dirs, parent)
+    gc_ann_index(spark, path)
+    sweep_superseded_fixed(spark, path, "pq")
 
 
 def load_pq_meta(spark, path: str) -> dict:
-    row = (
-        spark.read.schema("m int, k int, dim int, n bigint, packed boolean")
-        .parquet(f"{path}/meta")
-        .first()
-    )
+    from .ann_commit import read_artifact
+
+    row = read_artifact(
+        spark, path, "meta", "m int, k int, dim int, n bigint, packed boolean"
+    ).first()
     out = row.asDict()
     out["packed"] = bool(out["packed"])  # pre-packed-era meta reads NULL
     return out
 
 
 def load_pq_books(spark, path: str) -> DataFrame:
-    return spark.read.schema(
-        "subspace int, centroid_id int, c_subvec array<double>"
-    ).parquet(f"{path}/books")
+    from .ann_commit import read_artifact
+
+    return read_artifact(
+        spark, path, "books", "subspace int, centroid_id int, c_subvec array<double>"
+    )
 
 
 def pq_topk_indexed(
@@ -737,25 +759,32 @@ def pq_topk_indexed(
     a caller-supplied ``embeddings`` relation."""
     books = load_pq_books(spark, path)
     meta = load_pq_meta(spark, path)
+    from .ann_commit import apply_tombstones, read_artifact, resolve_artifact
+
     codes_type = "bigint" if meta["packed"] else "array<int>"
-    codes = spark.read.schema(
-        f"vec_id bigint, codes {codes_type}, recon_norm double"
-    ).parquet(f"{path}/codes")
+    codes = apply_tombstones(
+        spark,
+        path,
+        read_artifact(
+            spark,
+            path,
+            "codes",
+            f"vec_id bigint, codes {codes_type}, recon_norm double",
+        ),
+    )
     if shortlist is None:
         return pq_topk(codes, books, queries, k=k)
     if embeddings is None:
-        from .index import _hadoop_exists
-
-        if not _hadoop_exists(spark, f"{path}/vectors"):
+        if not resolve_artifact(spark, path, "vectors"):
             raise ValueError(
                 f"PQ index at {path} was built without keep_vectors and "
                 "no `embeddings` relation was passed — the exact re-rank "
                 "needs a float source. Rebuild with keep_vectors=True or "
                 "pass the original embeddings."
             )
-        embeddings = spark.read.schema(
-            f"vec_id bigint, embedding array<float>"
-        ).parquet(f"{path}/vectors")
+        embeddings = read_artifact(
+            spark, path, "vectors", "vec_id bigint, embedding array<float>"
+        )
     _ = meta  # geometry is implicit in books/codes; meta guards appends
     return pq_topk_rerank(embeddings, codes, books, queries, k=k, shortlist=shortlist)
 
@@ -766,11 +795,13 @@ def append_pq_index(embeddings: DataFrame, path: str) -> None:
     construction, same argument as LSH appends: codewords are stored
     parameters, so codes(build ∪ batch) ≡ codes(build) ∪ codes(batch)
     — there is no drift caveat (unlike IVF appends, whose frozen
-    coarse centroids stop tracking the distribution). The ``meta/``
-    count is rewritten FIRST so a crash between meta and data leaves
-    an overestimate — the conservative failure direction. ``vec_id``
-    uniqueness and replay discipline are the caller's contract, as
-    with the other appends."""
+    coarse centroids stop tracking the distribution). The r9 commit
+    protocol makes the append atomic: the count update and the batch's
+    codes land in ONE CAS-fenced commit, and concurrent appenders are
+    refused loudly. ``vec_id`` uniqueness and replay discipline are
+    the caller's contract, as with the other appends."""
+    from .ann_commit import adopt_legacy, ann_commit, ann_head, gc_ann_index, new_generation, resolve_artifact
+
     spark = embeddings.sparkSession
     meta = load_pq_meta(spark, path)
     base = embeddings.select("vec_id", "embedding")
@@ -781,7 +812,12 @@ def append_pq_index(embeddings: DataFrame, path: str) -> None:
             f"{meta['dim']} at {path} — codebooks are dimension-specific; "
             "rebuild the index or fix the batch."
         )
+    head = ann_head(spark, path)
+    if head is None:
+        adopt_legacy(spark, path, "pq")
+        head = ann_head(spark, path)
     n_new = base.count()
+    gen, gdir = new_generation(path)
     (
         spark.createDataFrame(
             [(meta["m"], meta["k"], meta["dim"], meta["n"] + n_new, meta["packed"])],
@@ -789,16 +825,22 @@ def append_pq_index(embeddings: DataFrame, path: str) -> None:
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
     books = load_pq_books(spark, path)
-    pq_encode(base, books, packed=meta["packed"]).write.mode("append").parquet(
-        f"{path}/codes"
+    pq_encode(base, books, packed=meta["packed"]).write.mode("overwrite").parquet(
+        f"{gdir}/codes"
     )
-    from .index import _hadoop_exists
-
-    if _hadoop_exists(spark, f"{path}/vectors"):
-        base.write.mode("append").parquet(f"{path}/vectors")
+    dirs = {
+        **head["dirs"],
+        "meta": f"{gen}/meta",
+        "codes": head["dirs"]["codes"] + [f"{gen}/codes"],
+    }
+    if resolve_artifact(spark, path, "vectors"):
+        base.write.mode("overwrite").parquet(f"{gdir}/vectors")
+        dirs["vectors"] = head["dirs"]["vectors"] + [f"{gen}/vectors"]
+    ann_commit(spark, path, "pq", dirs, head["v"])
+    gc_ann_index(spark, path)
 
 
 # --- persisted IVF-PQ composed index (the FAISS-IVFPQ serving shape:
@@ -857,9 +899,13 @@ def build_ivf_pq_index(
     add the ``<q, c_list>`` first-order term back at scoring. Recall
     lift over raw ADC is pinned by pytest at k=16 AND k=256.
     """
-    from .similarity import _train_or_seed, load_ivf_centroids
+    from .ann_commit import ann_commit, ann_head, gc_ann_index, new_generation, sweep_superseded_fixed
+    from .similarity import _train_or_seed
 
     spark = embeddings.sparkSession
+    head = ann_head(spark, path)
+    parent = head["v"] if head else None
+    gen, gdir = new_generation(path)
     base = embeddings.select("vec_id", "embedding")
     dim = _vec_dim(base, "embedding")
     n = base.count()
@@ -874,9 +920,11 @@ def build_ivf_pq_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+        .parquet(f"{gdir}/centroids")
     )
-    saved_cents = load_ivf_centroids(spark, path)
+    saved_cents = spark.read.schema(
+        "centroid_id int, c_embedding array<double>"
+    ).parquet(f"{gdir}/centroids")
     assigned = _assign_nearest_list(base, saved_cents).select("vec_id", "list_id")
     if residual:
         # books describe the residual geometry: fit AFTER assignment,
@@ -891,7 +939,7 @@ def build_ivf_pq_index(
         book_input, m=m, k=k, train=train, train_iters=train_iters,
         train_sample_size=train_sample_size,
     )
-    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{gdir}/books")
     (
         spark.createDataFrame(
             [(n_centroids, m, k, dim, n, packed, residual)],
@@ -900,9 +948,11 @@ def build_ivf_pq_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
-    saved_books = load_pq_books(spark, path)
+    saved_books = spark.read.schema(
+        "subspace int, centroid_id int, c_subvec array<double>"
+    ).parquet(f"{gdir}/books")
     encoded = (
         pq_encode_residual(base, assigned, saved_cents, saved_books, packed=packed)
         if residual
@@ -914,33 +964,41 @@ def build_ivf_pq_index(
         # few tasks without the one-file-per-(task,list) explosion
         .hint("rebalance", "list_id")
         .write.mode("overwrite")
-        # full-rebuild = STATIC overwrite (the write_index rule): the
-        # session's dynamic default would keep a previous build's
-        # unmatched list_id partitions alive, and a rebuild with fewer
-        # centroids or a shrunk corpus would serve stale codes whenever
-        # a probe's IN-predicate touches a leftover list.
-        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
-        .parquet(f"{path}/codes")
+        .parquet(f"{gdir}/codes")
     )
+    dirs = {
+        "meta": f"{gen}/meta",
+        "centroids": f"{gen}/centroids",
+        "books": f"{gen}/books",
+        "codes": [f"{gen}/codes"],
+    }
+    if keep_vectors:
+        base.write.mode("overwrite").parquet(f"{gdir}/vectors")
+        dirs["vectors"] = [f"{gen}/vectors"]
+    # one atomic visibility switch for all five artifacts: a crash at
+    # ANY prior point leaves the previous commit serving a consistent
+    # set — never new-centroids/old-codes (the pre-r9 torn state).
+    ann_commit(spark, path, "ivf_pq", dirs, parent)
+    gc_ann_index(spark, path)
+    sweep_superseded_fixed(spark, path, "ivf_pq")
     from .similarity import _guard_list_occupancy
 
     _guard_list_occupancy(
-        spark, f"{path}/codes", n_centroids, "build_ivf_pq_index", skew_guard
+        spark, f"{gdir}/codes", n_centroids, "build_ivf_pq_index", skew_guard
     )
-    if keep_vectors:
-        base.write.mode("overwrite").parquet(f"{path}/vectors")
 
 
 def load_ivf_pq_meta(spark, path: str) -> dict:
-    row = (
-        spark.read.schema(
-            "n_centroids int, m int, k int, dim int, n bigint, "
-            "packed boolean, residual boolean"
-        )
-        .parquet(f"{path}/meta")
-        .first()
-    )
+    from .ann_commit import read_artifact
+
+    row = read_artifact(
+        spark,
+        path,
+        "meta",
+        "n_centroids int, m int, k int, dim int, n bigint, "
+        "packed boolean, residual boolean",
+    ).first()
     out = row.asDict()
     out["residual"] = bool(out["residual"])  # pre-residual-era meta reads NULL
     return out
@@ -980,10 +1038,19 @@ def ivf_pq_topk_indexed(
     probed = sorted(
         r["list_id"] for r in query_lists.select("list_id").distinct().collect()
     )
+    from .ann_commit import apply_tombstones, read_artifact, resolve_artifact
+
     codes_type = "bigint" if meta["packed"] else "array<int>"
-    codes = spark.read.schema(
-        f"vec_id bigint, codes {codes_type}, recon_norm double, list_id int"
-    ).parquet(f"{path}/codes").where(F.col("list_id").isin(probed))
+    codes = apply_tombstones(
+        spark,
+        path,
+        read_artifact(
+            spark,
+            path,
+            "codes",
+            f"vec_id bigint, codes {codes_type}, recon_norm double, list_id int",
+        ).where(F.col("list_id").isin(probed)),
+    )
     luts = _query_luts(queries, books, meta["m"])
     adc = (
         _adc_score_packed(F.col("codes"), F.col("lut"), meta["m"])
@@ -1006,18 +1073,16 @@ def ivf_pq_topk_indexed(
     if shortlist is None:
         return ranked
     if embeddings is None:
-        from .index import _hadoop_exists
-
-        if not _hadoop_exists(spark, f"{path}/vectors"):
+        if not resolve_artifact(spark, path, "vectors"):
             raise ValueError(
                 f"IVF-PQ index at {path} was built without keep_vectors "
                 "and no `embeddings` relation was passed — the exact "
                 "re-rank needs a float source. Rebuild with "
                 "keep_vectors=True or pass the original embeddings."
             )
-        embeddings = spark.read.schema(
-            "vec_id bigint, embedding array<float>"
-        ).parquet(f"{path}/vectors")
+        embeddings = read_artifact(
+            spark, path, "vectors", "vec_id bigint, embedding array<float>"
+        )
     nominated = ranked.select("query_id", F.col("neighbor_id").alias("vec_id"))
     emb_n = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
@@ -1050,9 +1115,11 @@ def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
     appends carry the FAISS-``add`` drift caveat (frozen centroids stop
     tracking the distribution — skewed ``codes/list_id=`` partition
     sizes are the rebuild signal, observable from the file listing).
-    ``meta/`` count is rewritten FIRST (overestimate on crash — the
-    conservative direction); ``vec_id`` uniqueness and replay
-    discipline are the caller's contract, as with every append."""
+    The r9 commit protocol makes the append atomic — count update and
+    codes in ONE CAS-fenced commit, concurrent appenders refused
+    loudly; ``vec_id`` uniqueness and replay discipline are the
+    caller's contract, as with every append."""
+    from .ann_commit import adopt_legacy, ann_commit, ann_head, gc_ann_index, new_generation, resolve_artifact
     from .similarity import _assign_nearest_list, load_ivf_centroids
 
     spark = embeddings.sparkSession
@@ -1066,7 +1133,12 @@ def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
             "codebooks are dimension-specific; rebuild the index or fix "
             "the batch."
         )
+    head = ann_head(spark, path)
+    if head is None:
+        adopt_legacy(spark, path, "ivf_pq")
+        head = ann_head(spark, path)
     n_new = base.count()
+    gen, gdir = new_generation(path)
     (
         spark.createDataFrame(
             [
@@ -1085,7 +1157,7 @@ def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
     cents = load_ivf_centroids(spark, path)
     books = load_pq_books(spark, path)
@@ -1100,11 +1172,17 @@ def append_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
     (
         encoded
         .hint("rebalance", "list_id")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(f"{path}/codes")
+        .parquet(f"{gdir}/codes")
     )
-    from .index import _hadoop_exists
-
-    if _hadoop_exists(spark, f"{path}/vectors"):
-        base.write.mode("append").parquet(f"{path}/vectors")
+    dirs = {
+        **head["dirs"],
+        "meta": f"{gen}/meta",
+        "codes": head["dirs"]["codes"] + [f"{gen}/codes"],
+    }
+    if resolve_artifact(spark, path, "vectors"):
+        base.write.mode("overwrite").parquet(f"{gdir}/vectors")
+        dirs["vectors"] = head["dirs"]["vectors"] + [f"{gen}/vectors"]
+    ann_commit(spark, path, "ivf_pq", dirs, head["v"])
+    gc_ann_index(spark, path)

@@ -940,6 +940,12 @@ def build_ivf_index(
     quantization error); zero vectors are dropped (no direction — the
     float layout keeps them but they score NULL and never rank, so
     answers agree)."""
+    from .ann_commit import ann_commit, ann_head, gc_ann_index, new_generation, sweep_superseded_fixed
+
+    spark = embeddings.sparkSession
+    head = ann_head(spark, path)
+    parent = head["v"] if head else None
+    gen, gdir = new_generation(path)
     cents = _train_or_seed(
         embeddings,
         n_centroids,
@@ -955,9 +961,11 @@ def build_ivf_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+        .parquet(f"{gdir}/centroids")
     )
-    saved = load_ivf_centroids(embeddings.sparkSession, path)
+    saved = spark.read.schema(
+        "centroid_id int, c_embedding array<double>"
+    ).parquet(f"{gdir}/centroids")
     assigned = _assign_nearest_list(embeddings, saved)
     if quantize:
         assigned = (
@@ -974,17 +982,24 @@ def build_ivf_index(
         # coalesces small lists and splits skewed ones.
         .hint("rebalance", "list_id")
         .write.mode("overwrite")
-        # full-rebuild = STATIC overwrite (the write_index rule): under
-        # the session's dynamic default a rebuild with fewer centroids
-        # or a shrunk corpus would leave the previous build's unmatched
-        # list_id partitions serving stale vectors to probes.
-        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
-        .parquet(f"{path}/lists")
+        .parquet(f"{gdir}/lists")
     )
+    # generation dirs are invisible until this commit lands — a crash
+    # at ANY prior point leaves the previous commit serving a complete
+    # artifact set (centroids + the lists built against them), never
+    # the pre-r9 torn state of new-centroids/old-lists.
+    ann_commit(
+        spark,
+        path,
+        "ivf",
+        {"centroids": f"{gen}/centroids", "lists": [f"{gen}/lists"]},
+        parent,
+    )
+    gc_ann_index(spark, path)
+    sweep_superseded_fixed(spark, path, "ivf")
     _guard_list_occupancy(
-        embeddings.sparkSession, f"{path}/lists", n_centroids,
-        "build_ivf_index", skew_guard,
+        spark, f"{gdir}/lists", n_centroids, "build_ivf_index", skew_guard,
     )
 
 
@@ -1000,12 +1015,18 @@ def ivf_list_occupancy(spark, lists_path: str) -> list[tuple[int, int]]:
     row counts come from parquet footers of the partition dirs (the
     scan projects zero data columns), so this is metadata-priced even
     at a 100 TB corpus. The rebuild-signal observable the append-drift
-    docstrings point at."""
+    docstrings point at. Accepts either a concrete partitioned dir or
+    an index ROOT (resolved through the committed manifest: ``lists``
+    for IVF, ``codes`` for IVF-PQ — appends' generations included)."""
+    from .ann_commit import ann_head, read_artifact, resolve_artifact
+
+    if ann_head(spark, lists_path) is not None:
+        artifact = "lists" if resolve_artifact(spark, lists_path, "lists") else "codes"
+        df = read_artifact(spark, lists_path, artifact)
+    else:
+        df = spark.read.parquet(lists_path)
     hist = (
-        spark.read.parquet(lists_path)
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
+        df.groupBy("list_id").agg(F.count(F.lit(1)).alias("rows")).collect()
     )
     return sorted((r["list_id"], r["rows"]) for r in hist)
 
@@ -1115,10 +1136,14 @@ def _train_or_seed(
 
 
 def load_ivf_centroids(spark, path: str) -> DataFrame:
-    """Read a ``build_ivf_index`` centroid table back (explicit schema —
-    the index contract, not footer inference)."""
-    return spark.read.schema("centroid_id int, c_embedding array<double>").parquet(
-        f"{path}/centroids"
+    """Read the centroid table back (explicit schema — the index
+    contract, not footer inference), resolved through the committed
+    manifest when the index uses the r9 crash protocol, else the fixed
+    ``{path}/centroids`` (legacy indexes and SemDeDup's layout)."""
+    from .ann_commit import read_artifact
+
+    return read_artifact(
+        spark, path, "centroids", "centroid_id int, c_embedding array<double>"
     )
 
 
@@ -1147,13 +1172,17 @@ def ivf_topk_indexed(
     arithmetic — probing ALL lists reproduces it bit-for-bit, pinned
     by pytest), stacking the int8 3.5× byte cut on the partition
     pruning."""
+    from .ann_commit import apply_tombstones, read_artifact
+
     cents = load_ivf_centroids(spark, path)
     query_lists = _probe_query_lists(queries, cents, n_probe)
     probed = sorted(
         r["list_id"] for r in query_lists.select("list_id").distinct().collect()
     )
-    corpus_lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(probed)
+    corpus_lists = apply_tombstones(
+        spark,
+        path,
+        read_artifact(spark, path, "lists").where(F.col("list_id").isin(probed)),
     )
     if "qvec" in corpus_lists.columns:
         qq = (
@@ -1204,13 +1233,18 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> None:
     always uses the raw floats (same rule as build: centroid geometry
     never inherits quantization error).
 
-    Crash safety: the append is one Spark job per table — a kill
-    before job commit leaves the index at its previous contents (the
-    committer only moves task files into place at job commit), and a
-    re-run of the same batch after a SUCCESSFUL commit double-adds
-    (parquet append is not idempotent), so drive replays off a
-    streaming checkpoint or an external ledger, exactly as the word
-    index's batch-id protocol does."""
+    Crash safety (r9 protocol): the batch's rows land in a FRESH
+    generation dir and become visible only when the CAS commit names
+    it — a kill at any point leaves the previous commit serving, and a
+    replay of the same batch after a successful commit still
+    double-adds (the manifest is not a dedup ledger), so drive replays
+    off a streaming checkpoint or an external ledger, exactly as the
+    word index's batch-id protocol does. Two concurrent appenders are
+    FENCED: both resolve the same parent, one commits, the other's CAS
+    refuses loudly (its generation is invisible garbage for GC) —
+    before r9 both appended into ``lists/`` and interleaved silently."""
+    from .ann_commit import adopt_legacy, ann_commit, ann_head, gc_ann_index, new_generation, read_artifact
+
     spark = embeddings.sparkSession
     try:
         cents = load_ivf_centroids(spark, path)
@@ -1224,7 +1258,11 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> None:
             "against the stored centroids; there is nothing to assign "
             "against)."
         )
-    stored = spark.read.parquet(f"{path}/lists")
+    head = ann_head(spark, path)
+    if head is None:
+        adopt_legacy(spark, path, "ivf")
+        head = ann_head(spark, path)
+    stored = read_artifact(spark, path, "lists")
     assigned = _assign_nearest_list(embeddings, cents)
     if "qvec" in stored.columns:
         assigned = (
@@ -1232,12 +1270,21 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> None:
             .join(quantize_embeddings(embeddings), "vec_id")
             .select("vec_id", "q_scale", "qvec", "list_id")
         )
+    gen, gdir = new_generation(path)
     (
         assigned.hint("rebalance", "list_id")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(f"{path}/lists")
+        .parquet(f"{gdir}/lists")
     )
+    ann_commit(
+        spark,
+        path,
+        "ivf",
+        {**head["dirs"], "lists": head["dirs"]["lists"] + [f"{gen}/lists"]},
+        head["v"],
+    )
+    gc_ann_index(spark, path)
 
 
 # ------------------------------------------------- persisted banded LSH
@@ -1286,7 +1333,12 @@ def build_lsh_index(
     vectors are dropped from the quantized vectors table (the float
     layout keeps them but their NULL cosine never ranks — answers
     agree)."""
+    from .ann_commit import ann_commit, ann_head, gc_ann_index, new_generation, sweep_superseded_fixed
+
     spark = embeddings.sparkSession
+    head = ann_head(spark, path)
+    parent = head["v"] if head else None
+    gen, gdir = new_generation(path)
     base = embeddings.select("vec_id", "embedding")
     n = base.count()
     dim = _vec_dim(base, "embedding")
@@ -1297,10 +1349,10 @@ def build_lsh_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
     vectors = quantize_embeddings(base) if quantize else base
-    vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+    vectors.write.mode("overwrite").parquet(f"{gdir}/vectors")
     sk = _sign_sketch_bands(base, "embedding", planes_per_band, bands).select(
         "vec_id", "band", "band_bucket"
     )
@@ -1308,21 +1360,33 @@ def build_lsh_index(
         sk.repartition("band")
         .sortWithinPartitions("band_bucket")
         .write.mode("overwrite")
-        # full-rebuild = STATIC overwrite (the write_index rule): a
-        # rebuild with fewer bands must not leave the old run's extra
-        # band= partitions serving stale sketches.
-        .option("partitionOverwriteMode", "static")
         .partitionBy("band")
-        .parquet(f"{path}/buckets")
+        .parquet(f"{gdir}/buckets")
     )
+    # one atomic visibility switch for all three artifacts: a crash
+    # anywhere above leaves the previous commit serving a consistent
+    # (meta, vectors, buckets) set — never new-meta/old-buckets.
+    ann_commit(
+        spark,
+        path,
+        "lsh",
+        {
+            "meta": f"{gen}/meta",
+            "vectors": [f"{gen}/vectors"],
+            "buckets": [f"{gen}/buckets"],
+        },
+        parent,
+    )
+    gc_ann_index(spark, path)
+    sweep_superseded_fixed(spark, path, "lsh")
 
 
 def load_lsh_meta(spark, path: str) -> dict:
-    row = (
-        spark.read.schema("planes_per_band int, bands int, dim int, n bigint")
-        .parquet(f"{path}/meta")
-        .first()
-    )
+    from .ann_commit import read_artifact
+
+    row = read_artifact(
+        spark, path, "meta", "planes_per_band int, bands int, dim int, n bigint"
+    ).first()
     return row.asDict()
 
 
@@ -1349,6 +1413,8 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> None:
     is the caller's contract, and replaying a batch after a
     successful commit double-inserts — drive replays off a
     checkpoint/ledger as with ``append_ivf_index``."""
+    from .ann_commit import adopt_legacy, ann_commit, ann_head, gc_ann_index, new_generation, read_artifact
+
     spark = embeddings.sparkSession
     meta = load_lsh_meta(spark, path)
     base = embeddings.select("vec_id", "embedding")
@@ -1360,7 +1426,12 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> None:
             "hyperplane sketch is dimension-specific; rebuild the "
             "index or fix the batch."
         )
+    head = ann_head(spark, path)
+    if head is None:
+        adopt_legacy(spark, path, "lsh")
+        head = ann_head(spark, path)
     n_new = base.count()
+    gen, gdir = new_generation(path)
     (
         spark.createDataFrame(
             [(meta["planes_per_band"], meta["bands"], meta["dim"], meta["n"] + n_new)],
@@ -1368,21 +1439,35 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> None:
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
-    stored = spark.read.parquet(f"{path}/vectors")
+    stored = read_artifact(spark, path, "vectors")
     vectors = quantize_embeddings(base) if "qvec" in stored.columns else base
-    vectors.write.mode("append").parquet(f"{path}/vectors")
+    vectors.write.mode("overwrite").parquet(f"{gdir}/vectors")
     sk = _sign_sketch_bands(
         base, "embedding", meta["planes_per_band"], meta["bands"]
     ).select("vec_id", "band", "band_bucket")
     (
         sk.repartition("band")
         .sortWithinPartitions("band_bucket")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(f"{path}/buckets")
+        .parquet(f"{gdir}/buckets")
     )
+    # the count update and the batch's rows land in ONE commit — the
+    # pre-r9 meta-first overestimate-on-crash ordering is obsolete
+    ann_commit(
+        spark,
+        path,
+        "lsh",
+        {
+            "meta": f"{gen}/meta",
+            "vectors": head["dirs"]["vectors"] + [f"{gen}/vectors"],
+            "buckets": head["dirs"]["buckets"] + [f"{gen}/buckets"],
+        },
+        head["v"],
+    )
+    gc_ann_index(spark, path)
 
 
 def lsh_banded_topk_indexed(
@@ -1459,7 +1544,9 @@ def lsh_banded_topk_indexed(
     # expression twice (the sketch's SQL-text plan build is the
     # expensive part at small |Q| — measured ~1 s per extra build).
     queries_b = queries_b.localCheckpoint()
-    buckets = spark.read.parquet(f"{path}/buckets")
+    from .ann_commit import apply_tombstones, read_artifact
+
+    buckets = read_artifact(spark, path, "buckets")
     # The IVF treatment applied to the bucket scan: collect the probed
     # (band, bucket) set (bounded by |Q|·bands·masks — queries are
     # small by contract) and plant it as literal predicates, so the
@@ -1492,7 +1579,8 @@ def lsh_banded_topk_indexed(
         .select("query_id", "vec_id")
         .distinct()
     )
-    vectors = spark.read.parquet(f"{path}/vectors")
+    cands = apply_tombstones(spark, path, cands)
+    vectors = read_artifact(spark, path, "vectors")
     if "qvec" in vectors.columns:
         # int8 vectors layout (build_lsh_index(quantize=True)): same
         # candidates (buckets were sketched from raw floats at build),

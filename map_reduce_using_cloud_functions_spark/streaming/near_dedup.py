@@ -270,6 +270,8 @@ def admit_and_index_batch(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
+    min_quality: float | None = None,
+    quality_filter=None,
 ) -> None:
     """One composed round: near-dup-gate the batch against the ledger
     (``admit_batch`` — release-partition overwrites) AND fold the
@@ -284,6 +286,20 @@ def admit_and_index_batch(
     - the index side re-overwrites its own (abatch, first) partitions,
       or no-ops at the folded_through watermark if compaction (or the
       first full build) already absorbed the batch.
+
+    Quality gate (r9): the real front door drops low-quality documents
+    BEFORE they cost a sketch or gate anyone else. ``min_quality``
+    applies the heuristic composite (``text_analysis.text_features`` —
+    one map-only pass over the batch); ``quality_filter`` takes any
+    callable ``DataFrame -> DataFrame`` returning the surviving subset
+    (e.g. a ``quality_model_pipeline`` head with FROZEN weights).
+    Either must be DETERMINISTIC in document content — the replay
+    recomputes the gate, and a nondeterministic filter would admit a
+    different survivor set than the crashed attempt (which is why a
+    per-batch retrained model does NOT belong here; train once, pass
+    the frozen scorer). Rejected documents are dropped entirely: they
+    do not enter the ledger, so a later higher-quality near-duplicate
+    of a rejected document is still admissible.
 
     A crash BETWEEN the sinks is the interesting window: the replay
     redoes admission (convergent overwrite) and then lands the index
@@ -300,6 +316,17 @@ def admit_and_index_batch(
         write_index,
     )
 
+    if quality_filter is not None:
+        batch_df = quality_filter(batch_df)
+    elif min_quality is not None:
+        from ..operators.text_analysis import text_features
+
+        keep = (
+            text_features(batch_df)
+            .where(F.col("quality") >= min_quality)
+            .select("doc_id")
+        )
+        batch_df = batch_df.join(keep, "doc_id", "left_semi")
     survivors = admit_batch(
         spark,
         batch_df,
@@ -351,6 +378,8 @@ def start_front_door_stream(
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
     available_now: bool = True,
+    min_quality: float | None = None,
+    quality_filter=None,
 ) -> StreamingQuery:
     """The full training-data front door as ONE stream: documents land,
     near-duplicates of anything already admitted (this stream or prior
@@ -394,6 +423,8 @@ def start_front_door_stream(
             k=k,
             bands=bands,
             shingle_n=shingle_n,
+            min_quality=min_quality,
+            quality_filter=quality_filter,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)

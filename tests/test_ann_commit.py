@@ -1,0 +1,346 @@
+"""Crash protocol for persisted ANN indexes (operators/ann_commit.py):
+builds/appends write invisible generations and publish via one CAS
+commit — kill points before the commit leave the previous index
+serving a CONSISTENT artifact set, concurrent appenders are fenced
+loudly, GC reclaims superseded generations, legacy (pre-protocol)
+indexes adopt in place."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators import ann_commit as ac
+from map_reduce_using_cloud_functions_spark.operators import pq
+from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+from map_reduce_using_cloud_functions_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return sim.queries_from_ids(embeddings, 8)
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_before_commit(monkeypatch):
+    """Kill the writer at the strongest point: every generation
+    artifact fully written, visibility switch about to flip. Any
+    earlier kill leaves strictly less on disk."""
+
+    def boom(*a, **k):
+        raise _Boom("injected crash before commit")
+
+    monkeypatch.setattr(ac, "ann_commit", boom)
+
+
+def _strip_protocol(path: str) -> None:
+    """Rewrite a protocol index into the pre-r9 fixed-subdir layout (the
+    shape existing user indexes are in)."""
+    head = json.load(open(sorted(glob.glob(f"{path}/_versions/*.commit"))[-1]))
+    for artifact, val in head["dirs"].items():
+        rels = val if isinstance(val, list) else [val]
+        assert len(rels) == 1, "strip only supports single-gen indexes"
+        shutil.move(f"{path}/{rels[0]}", f"{path}/{artifact}")
+    shutil.rmtree(f"{path}/_versions")
+    for g in glob.glob(f"{path}/g-*"):
+        shutil.rmtree(g)
+
+
+# --- torn-build protection, one test per family ----------------------------
+
+
+def test_ivf_rebuild_crash_leaves_old_index_serving(
+    spark, embeddings, queries, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(embeddings, path, n_centroids=8)
+    before = sorted(map(tuple, sim.ivf_topk_indexed(spark, path, queries).collect()))
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        sim.build_ivf_index(embeddings.where("vec_id % 3 = 0"), path, n_centroids=4)
+    monkeypatch.undo()
+    after = sorted(map(tuple, sim.ivf_topk_indexed(spark, path, queries).collect()))
+    assert after == before  # old centroids AND old lists — never torn
+
+
+def test_lsh_rebuild_crash_leaves_old_index_serving(
+    spark, embeddings, queries, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "lsh")
+    sim.build_lsh_index(embeddings, path)
+    before = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    n_before = sim.load_lsh_meta(spark, path)["n"]
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        sim.build_lsh_index(embeddings.where("vec_id % 3 = 0"), path, bands=4)
+    monkeypatch.undo()
+    assert sim.load_lsh_meta(spark, path)["n"] == n_before  # meta not torn
+    after = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    assert after == before
+
+
+def test_pq_append_crash_is_atomic(
+    spark, embeddings, queries, tmp_path, monkeypatch
+):
+    """The pre-r9 window this closes: meta was rewritten FIRST, so a
+    crash between meta and codes left the count overestimating. Now
+    count update and codes land in ONE commit — a crash leaves both at
+    the previous state."""
+    path = str(tmp_path / "pq")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    pq.build_pq_index(evens, path, m=8, k=16)
+    before_meta = pq.load_pq_meta(spark, path)
+    before = sorted(map(tuple, pq.pq_topk_indexed(spark, path, queries).collect()))
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        pq.append_pq_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
+    monkeypatch.undo()
+    assert pq.load_pq_meta(spark, path) == before_meta
+    after = sorted(map(tuple, pq.pq_topk_indexed(spark, path, queries).collect()))
+    assert after == before
+    # the replay (no crash) lands exactly the batch
+    pq.append_pq_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
+    assert pq.load_pq_meta(spark, path)["n"] == embeddings.count()
+
+
+def test_ivf_pq_build_crash_never_tears_artifacts(
+    spark, embeddings, queries, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(embeddings, path, n_centroids=8, m=8, k=16)
+    before = sorted(
+        map(tuple, pq.ivf_pq_topk_indexed(spark, path, queries).collect())
+    )
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        pq.build_ivf_pq_index(
+            embeddings, path, n_centroids=4, m=8, k=16, residual=True
+        )
+    monkeypatch.undo()
+    assert pq.load_ivf_pq_meta(spark, path)["residual"] is False
+    after = sorted(
+        map(tuple, pq.ivf_pq_topk_indexed(spark, path, queries).collect())
+    )
+    assert after == before
+
+
+# --- concurrent-appender fence ---------------------------------------------
+
+
+def test_concurrent_appenders_are_fenced(spark, embeddings, tmp_path, monkeypatch):
+    """Two appenders resolving the same parent: the one that commits
+    second must raise ConcurrentWriteError (never silently drop the
+    winner's generation from the manifest). Interleave for real: the
+    loser's commit call first lets a full competing append win."""
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(embeddings.where("vec_id % 3 = 0"), path, n_centroids=8)
+    b1 = embeddings.where("vec_id % 3 = 1")
+    b2 = embeddings.where("vec_id % 3 = 2")
+
+    real_commit = ac.ann_commit
+    state = {"fired": False}
+
+    def interleave(spark_, path_, family, dirs, parent):
+        if not state["fired"]:
+            state["fired"] = True
+            sim.append_ivf_index(b2, path_)  # competing append wins
+        return real_commit(spark_, path_, family, dirs, parent)
+
+    monkeypatch.setattr(ac, "ann_commit", interleave)
+    with pytest.raises(ac.ConcurrentWriteError, match="CAS failed"):
+        sim.append_ivf_index(b1, path)
+    monkeypatch.undo()
+
+    got = {
+        r["vec_id"]
+        for r in ac.read_artifact(spark, path, "lists").select("vec_id").collect()
+    }
+    want = {r["vec_id"] for r in embeddings.where("vec_id % 3 != 1").collect()}
+    assert got == want  # winner's batch present, loser's invisible
+    # loser re-runs against the new head and lands cleanly
+    sim.append_ivf_index(b1, path)
+    got2 = ac.read_artifact(spark, path, "lists").select("vec_id").distinct().count()
+    assert got2 == embeddings.count()
+
+
+# --- GC + legacy adoption ---------------------------------------------------
+
+
+def test_gc_reclaims_superseded_generations_and_orphans(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "pq")
+    pq.build_pq_index(embeddings.where("vec_id % 2 = 0"), path, m=8, k=16)
+    pq.append_pq_index(embeddings.where("vec_id % 2 = 1"), path)
+    gens = {g.split("/")[-1] for g in glob.glob(f"{path}/g-*")}
+    assert len(gens) == 2  # build + append (appends auto-gc keep=1)
+    # a rebuild supersedes everything; its auto-GC sweeps both old gens
+    pq.build_pq_index(embeddings, path, m=8, k=16)
+    left = {g.split("/")[-1] for g in glob.glob(f"{path}/g-*")}
+    assert len(left) == 1 and not (left & gens)
+    assert pq.load_pq_meta(spark, path)["n"] == embeddings.count()
+    # crashed-build garbage: invisible, survives default GC, orphans=True reclaims
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        pq.build_pq_index(embeddings, path, m=8, k=16)
+    monkeypatch.undo()
+    assert len(glob.glob(f"{path}/g-*")) == 2
+    ac.gc_ann_index(spark, path)
+    assert len(glob.glob(f"{path}/g-*")) == 2  # default GC never touches orphans
+    ac.gc_ann_index(spark, path, orphans=True)
+    assert {g.split("/")[-1] for g in glob.glob(f"{path}/g-*")} == left
+
+
+def test_legacy_index_serves_and_appends_adopt_in_place(
+    spark, embeddings, queries, tmp_path
+):
+    """A pre-protocol fixed-subdir index keeps serving unchanged; its
+    first append commits an adoption manifest over the dirs IN PLACE
+    (no data moved) and lands the batch as a new generation."""
+    path = str(tmp_path / "lsh")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    sim.build_lsh_index(evens, path)
+    built = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    _strip_protocol(path)
+    assert sorted(os.listdir(path)) == ["buckets", "meta", "vectors"]
+    legacy = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    assert legacy == built
+    sim.append_lsh_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
+    assert sim.load_lsh_meta(spark, path)["n"] == embeddings.count()
+    joint = str(tmp_path / "joint")
+    sim.build_lsh_index(embeddings, joint)
+    a = sorted(map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect()))
+    b = sorted(map(tuple, sim.lsh_banded_topk_indexed(spark, joint, queries).collect()))
+    assert a == b  # LSH appends are exact: adopted+appended ≡ joint build
+
+
+# --- unified serving door (ann.py) ------------------------------------------
+
+
+def test_ann_search_dispatch_matrix(spark, embeddings, queries, tmp_path):
+    """ann_search over all four layouts equals each family's own
+    prober; family detection works for protocol AND legacy layouts;
+    options that don't apply to the detected family refuse loudly."""
+    from map_reduce_using_cloud_functions_spark.operators.ann import (
+        ann_index_family,
+        ann_search,
+    )
+
+    paths = {
+        "ivf": str(tmp_path / "ivf"),
+        "lsh": str(tmp_path / "lsh"),
+        "pq": str(tmp_path / "pq"),
+        "ivf_pq": str(tmp_path / "ivfpq"),
+    }
+    sim.build_ivf_index(embeddings, paths["ivf"], n_centroids=8)
+    sim.build_lsh_index(embeddings, paths["lsh"])
+    pq.build_pq_index(embeddings, paths["pq"], m=8, k=16)
+    pq.build_ivf_pq_index(embeddings, paths["ivf_pq"], n_centroids=8, m=8, k=16)
+
+    direct = {
+        "ivf": sim.ivf_topk_indexed(spark, paths["ivf"], queries),
+        "lsh": sim.lsh_banded_topk_indexed(spark, paths["lsh"], queries),
+        "pq": pq.pq_topk_indexed(spark, paths["pq"], queries),
+        "ivf_pq": pq.ivf_pq_topk_indexed(spark, paths["ivf_pq"], queries),
+    }
+    for family, path in paths.items():
+        assert ann_index_family(spark, path) == family
+        got = sorted(map(tuple, ann_search(spark, path, queries).collect()))
+        want = sorted(map(tuple, direct[family].collect()))
+        assert got == want, family
+
+    # legacy sniffing: strip the protocol off two distinguishable layouts
+    _strip_protocol(paths["pq"])
+    _strip_protocol(paths["ivf_pq"])
+    assert ann_index_family(spark, paths["pq"]) == "pq"
+    assert ann_index_family(spark, paths["ivf_pq"]) == "ivf_pq"
+
+    # mismatched options refuse with the family named
+    with pytest.raises(ValueError, match="do not apply to the 'pq'"):
+        ann_search(spark, paths["pq"], queries, n_probe=2)
+    with pytest.raises(ValueError, match="unknown option"):
+        ann_search(spark, paths["ivf"], queries, nprobe=2)
+    with pytest.raises(ValueError, match="not a persisted ANN index"):
+        ann_search(spark, str(tmp_path / "nothing"), queries)
+
+
+# --- tombstones (delete_vectors) ---------------------------------------------
+
+
+def test_delete_vectors_tombstones_all_families(
+    spark, embeddings, queries, tmp_path
+):
+    """Tombstoned vectors stop serving from every family's probe —
+    O(|ids|) written, zero corpus rewritten — and a rebuild purges the
+    tombstones physically (fresh manifest carries none)."""
+    builds = {
+        "ivf": (sim.build_ivf_index, lambda p: sim.ivf_topk_indexed(spark, p, queries)),
+        "lsh": (
+            sim.build_lsh_index,
+            lambda p: sim.lsh_banded_topk_indexed(spark, p, queries),
+        ),
+        "pq": (
+            lambda e, p: pq.build_pq_index(e, p, m=8, k=16),
+            lambda p: pq.pq_topk_indexed(spark, p, queries),
+        ),
+        "ivf_pq": (
+            lambda e, p: pq.build_ivf_pq_index(e, p, n_centroids=8, m=8, k=16),
+            lambda p: pq.ivf_pq_topk_indexed(spark, p, queries),
+        ),
+    }
+    for family, (build, probe) in builds.items():
+        path = str(tmp_path / family)
+        build(embeddings, path)
+        victims = {
+            r["neighbor_id"]
+            for r in probe(path).where("rank <= 2").collect()
+        }
+        assert victims
+        ac.delete_vectors(spark, path, sorted(victims))
+        left = {r["neighbor_id"] for r in probe(path).collect()}
+        assert not (left & victims), family
+        # rebuild = physical purge: no tombstones in the fresh manifest
+        build(embeddings, path)
+        assert not ac.resolve_artifact(spark, path, "tombstones"), family
+        back = {r["neighbor_id"] for r in probe(path).collect()}
+        assert back & victims, family  # rebuild serves them again
+
+
+def test_delete_vectors_adopts_legacy_and_accumulates(
+    spark, embeddings, queries, tmp_path
+):
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(embeddings, path, n_centroids=8)
+    _strip_protocol(path)
+    first = sim.ivf_topk_indexed(spark, path, queries).where("rank = 1").collect()
+    v1 = first[0]["neighbor_id"]
+    ac.delete_vectors(spark, path, [v1])  # adopts the legacy layout in place
+    second = sim.ivf_topk_indexed(spark, path, queries).collect()
+    assert v1 not in {r["neighbor_id"] for r in second}
+    v2 = second[0]["neighbor_id"]
+    ac.delete_vectors(spark, path, [v2])  # tombstones accumulate across commits
+    third = {r["neighbor_id"] for r in sim.ivf_topk_indexed(spark, path, queries).collect()}
+    assert not ({v1, v2} & third)

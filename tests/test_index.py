@@ -1706,3 +1706,112 @@ def test_scoped_true_on_unversioned_table_raises(spark, tmp_path):
     ix.compact_index(spark, path, scoped="auto")
     got = sorted(map(tuple, ix.read_index(spark, path).collect()))
     assert got == [("hello", "a.txt", 1), ("world", "b.txt", 1)]
+
+
+# --- r9: deletion / takedown -------------------------------------------------
+
+
+def test_delete_documents_versioned_scoped(spark, tmp_path):
+    """delete_documents on a versioned table: a letter-scoped tombstone
+    fold purges the documents from the base AND the pending delta tail
+    (a tail row left pending would resurrect them at the next fold),
+    rewriting only the touched letters under one layered commit."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(
+        _mk_idx(
+            spark,
+            [("a.txt", "alpha zulu"), ("b.txt", "alpha bravo"), ("c.txt", "zulu")],
+        ),
+        path,
+        versioned=True,
+    )
+    # pending tail: doomed doc appears in the tail too
+    ix.write_additive_delta(
+        spark, _mk_idx(spark, [("b.txt", "delta"), ("d.txt", "echo")]), path, 1
+    )
+    ix.delete_documents(spark, path, ["b.txt"])
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == [
+        ("alpha", "a.txt", 1),
+        ("echo", "d.txt", 1),
+        ("zulu", "a.txt", 1),
+        ("zulu", "c.txt", 1),
+    ]
+    # the tail folded with the delete: nothing pending, watermark covers it
+    assert ix.pending_additive_batches(spark, path) == []
+    # scoped: the commit is layered; untouched letter dirs were NOT rewritten
+    v = ix.index_version(spark, path)
+    lm = ix._commit_letter_map(spark, path, v)
+    assert lm is not None and lm["z"] < v  # 'z' untouched by b.txt or tail
+    # a compaction later must not resurrect; lookups prune as usual
+    ix.compact_index(spark, path, scoped=False)
+    assert sorted(
+        (r["document"], r["count"])
+        for r in ix.lookup_persisted(spark, path, "alpha").collect()
+    ) == [("a.txt", 1)]
+
+
+def test_delete_documents_crash_leaves_old_commit(spark, tmp_path, monkeypatch):
+    """A kill between the staged tombstone fold and its commit leaves
+    the previous commit serving (documents still present — deletion is
+    durable only at the commit); the replay converges."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(
+        _mk_idx(spark, [("a.txt", "alpha"), ("b.txt", "alpha bravo")]),
+        path,
+        versioned=True,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(ix, "_write_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ix.delete_documents(spark, path, ["b.txt"])
+    monkeypatch.undo()
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert ("bravo", "b.txt", 1) in got  # old commit intact
+    ix.delete_documents(spark, path, ["b.txt"])  # replay converges
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == [("alpha", "a.txt", 1)]
+
+
+def test_delete_documents_in_place_table(spark, tmp_path):
+    """In-place layout: one full filtered rewrite, tail folded, stream
+    binding preserved, watermark advanced."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "alpha"), ("b.txt", "bravo")]), path)
+    ix.write_additive_delta(spark, _mk_idx(spark, [("b.txt", "bravo")]), path, 1)
+    ix._write_small_file(spark, f"{path}/{ix.STREAM_BINDING}", b"/ck/1")
+    ix.delete_documents(spark, path, ["b.txt"])
+    got = sorted(map(tuple, ix.read_index(spark, path).collect()))
+    assert got == [("alpha", "a.txt", 1)]
+    assert ix._read_small_file(spark, f"{path}/{ix.STREAM_BINDING}") == b"/ck/1"
+    # the folded batch must not replay (watermark covers it)
+    ix.write_additive_delta(
+        spark, _mk_idx(spark, [("b.txt", "bravo")]), path, 1, allow_replayed_ids=True
+    )
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == got
+
+
+def test_delete_unknown_document_is_noop(spark, tmp_path):
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    path = str(tmp_path / "idx")
+    ix.write_index(_mk_idx(spark, [("a.txt", "alpha")]), path, versioned=True)
+    v = ix.index_version(spark, path)
+    ix.delete_documents(spark, path, ["nope.txt"])
+    assert ix.index_version(spark, path) == v  # no rewrite, no commit
+    assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
+        ("alpha", "a.txt", 1)
+    ]

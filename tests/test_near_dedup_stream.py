@@ -537,3 +537,189 @@ def test_post_binding_foreign_release_collision_is_refused(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(f"{ledger}/sigs").where("release = 2").collect()
     }
+
+
+# --- r9: takedown on the admission side --------------------------------------
+
+
+def test_delete_from_ledger_stops_gating(spark, tmp_path):
+    """A retracted document's sketches leave the ledger: its future
+    near-duplicates become admissible again, everything else still
+    gates, and a release left empty loses its partition directories
+    (the dynamic-overwrite no-rows gap)."""
+    ledger = str(tmp_path / "ledger")
+    surv = str(tmp_path / "surv")
+    b0 = spark.createDataFrame([(1, TEXT_A), (2, TEXT_B)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame([(3, TEXT_C)], "doc_id bigint, text string")
+    admit_batch(spark, b0, ledger, surv, batch_id=0)
+    admit_batch(spark, b1, ledger, surv, batch_id=1)
+
+    probe = spark.createDataFrame(
+        [(10, TEXT_A_NEAR), (11, TEXT_C + " extra tail")], "doc_id bigint, text string"
+    )
+    gated = admit_batch(spark, probe, ledger, surv, batch_id=2)
+    assert {r["doc_id"] for r in gated.collect()} == set()  # both gate
+
+    dd.delete_from_ledger(spark, ledger, [1])  # retract TEXT_A's doc
+    probe2 = spark.createDataFrame(
+        [(20, TEXT_A_NEAR), (21, TEXT_C + " extra tail")], "doc_id bigint, text string"
+    )
+    admitted = admit_batch(spark, probe2, ledger, surv, batch_id=3)
+    got = {r["doc_id"] for r in admitted.collect()}
+    assert 20 in got      # near-dup of the retracted doc admits now
+    assert 21 not in got  # TEXT_C still gates
+
+    # empty a whole release: doc 3 was release 1's only member
+    dd.delete_from_ledger(spark, ledger, [3])
+    import os
+
+    assert not os.path.exists(f"{ledger}/sigs/release=1")
+    assert not os.path.exists(f"{ledger}/bands/release=1")
+
+
+def test_delete_from_survivors_rewrites_touched_releases(spark, tmp_path):
+    ledger = str(tmp_path / "ledger")
+    surv = str(tmp_path / "surv")
+    b0 = spark.createDataFrame([(1, TEXT_A), (2, TEXT_B)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame([(3, TEXT_C)], "doc_id bigint, text string")
+    admit_batch(spark, b0, ledger, surv, batch_id=0)
+    admit_batch(spark, b1, ledger, surv, batch_id=1)
+    dd.delete_from_survivors(spark, surv, [2, 3])
+    assert _survivor_ids(spark, surv) == {0: {1}}
+    import os
+
+    assert not os.path.exists(f"{surv}/release=1")  # emptied release swept
+
+
+# --- r9: front-door quality gating -------------------------------------------
+
+JUNK = "aaa aaa aaa aaa aaa aaa aaa 111 222 333 444 555 666 777 888 999 000"
+
+
+def test_front_door_quality_gate_stream_equals_batch(spark, tmp_path):
+    """min_quality drops low-quality documents BEFORE admission (they
+    never sketch, never gate anyone later), the stream and the batch
+    twin agree with the gate on, and rejected docs do NOT enter the
+    ledger — a later clean near-duplicate of a rejected doc admits."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.operators.text_analysis import (
+        text_features,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_and_index_batch,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_corpus_from_jsonl,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_front_door_stream,
+    )
+
+    # pick a threshold that separates the fixture texts from JUNK
+    probe = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_B), (9, JUNK)], "doc_id bigint, text string"
+    )
+    q = {r["doc_id"]: r["quality"] for r in text_features(probe).collect()}
+    assert q[9] < min(q[1], q[2]), "JUNK must score below the real texts"
+    cut = (q[9] + min(q[1], q[2])) / 2
+
+    # batch twin
+    b_ledger, b_surv, b_idx = (
+        str(tmp_path / "bl"), str(tmp_path / "bs"), str(tmp_path / "bi")
+    )
+    admit_and_index_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, TEXT_A), (9, JUNK), (3, TEXT_B)], "doc_id bigint, text string"
+        ),
+        b_ledger, b_surv, b_idx, str(tmp_path / "bck"), 0, min_quality=cut,
+    )
+    assert _survivor_ids(spark, b_surv) == {0: {1, 3}}  # 9 gated on quality
+
+    # stream form over the same content
+    watch = str(tmp_path / "in")
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (9, JUNK), (3, TEXT_B)])
+    s_ledger, s_surv, s_idx = (
+        str(tmp_path / "sl"), str(tmp_path / "ss"), str(tmp_path / "si")
+    )
+    start_front_door_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        s_ledger, s_surv, s_idx, str(tmp_path / "sck"),
+        min_quality=cut,
+    ).awaitTermination(180)
+    assert _survivor_ids(spark, s_surv) == _survivor_ids(spark, b_surv)
+    a = sorted(map(tuple, ix.read_index(spark, b_idx).collect()))
+    b = sorted(map(tuple, ix.read_index(spark, s_idx).collect()))
+    assert a == b  # stream ≡ batch with the gate on
+
+    # rejected docs never entered the ledger: a clean near-dup of JUNK
+    # (quality lifted above the cut) is admissible later
+    lifted = JUNK + " " + TEXT_C  # same junk prefix, now above the cut
+    b1 = spark.createDataFrame([(30, lifted)], "doc_id bigint, text string")
+    admit_and_index_batch(
+        spark, b1, b_ledger, b_surv, b_idx, str(tmp_path / "bck"), 1,
+        min_quality=cut,
+    )
+    assert 30 in _survivor_ids(spark, b_surv).get(1, set())
+
+
+def test_front_door_quality_gate_replay_converges(spark, tmp_path, monkeypatch):
+    """Crash between the sinks WITH the gate on: the replay recomputes
+    the identical (deterministic) gate verdicts and both sinks
+    converge exactly-once."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_and_index_batch,
+    )
+
+    ledger, surv, idx = (
+        str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "i")
+    )
+    ckpt = str(tmp_path / "ck")
+    b0 = spark.createDataFrame(
+        [(1, TEXT_A), (9, JUNK)], "doc_id bigint, text string"
+    )
+
+    def boom(*a, **k):
+        raise IOError("injected crash before index build")
+
+    monkeypatch.setattr(ix, "write_index", boom)
+    with pytest.raises(IOError, match="injected"):
+        admit_and_index_batch(
+            spark, b0, ledger, surv, idx, ckpt, 0, min_quality=0.3
+        )
+    monkeypatch.undo()
+    assert _survivor_ids(spark, surv) == {0: {1}}
+    admit_and_index_batch(spark, b0, ledger, surv, idx, ckpt, 0, min_quality=0.3)
+    assert _survivor_ids(spark, surv) == {0: {1}}
+    got = sorted(map(tuple, ix.read_index(spark, idx).collect()))
+    expect = sorted(
+        map(
+            tuple,
+            ix.build_index(
+                spark.createDataFrame([("1", TEXT_A)], "document string, text string")
+            ).collect(),
+        )
+    )
+    assert got == expect  # JUNK postings never reach the index
+
+
+def test_front_door_quality_filter_callable(spark, tmp_path):
+    """The general hook: any deterministic DataFrame -> DataFrame
+    filter (e.g. a frozen learned scorer) gates admission."""
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_and_index_batch,
+    )
+
+    ledger, surv, idx = (
+        str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "i")
+    )
+    b0 = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)], "doc_id bigint, text string"
+    )
+    admit_and_index_batch(
+        spark, b0, ledger, surv, idx, str(tmp_path / "ck"), 0,
+        quality_filter=lambda df: df.where("doc_id % 2 = 1"),
+    )
+    assert _survivor_ids(spark, surv) == {0: {1, 3}}

@@ -332,7 +332,11 @@ def test_packed_codes_are_bit_identical(spark, embeddings, books, codes, tmp_pat
     odds = embeddings.where(F.col("vec_id") % 2 == 1)
     pq.build_pq_index(evens, half, m=M, k=K, packed=True)
     pq.append_pq_index(odds, half)
-    got = spark.read.parquet(f"{half}/codes")
+    from map_reduce_using_cloud_functions_spark.operators.ann_commit import (
+        read_artifact,
+    )
+
+    got = read_artifact(spark, half, "codes")
     assert dict(got.dtypes)["codes"] == "bigint"
     assert got.count() == embeddings.count()
 
@@ -575,9 +579,14 @@ def test_ivf_pq_rebuild_leaves_no_stale_partitions(spark, embeddings, tmp_path):
     pq.build_ivf_pq_index(embeddings, path, n_centroids=8, m=8, k=16)
     shrunk = embeddings.where("vec_id % 2 = 0")
     pq.build_ivf_pq_index(shrunk, path, n_centroids=2, m=8, k=16)
-    codes = spark.read.schema(
-        "vec_id bigint, codes array<int>, recon_norm double, list_id int"
-    ).parquet(f"{path}/codes")
+    from map_reduce_using_cloud_functions_spark.operators.ann_commit import (
+        read_artifact,
+    )
+
+    codes = read_artifact(
+        spark, path, "codes",
+        "vec_id bigint, codes array<int>, recon_norm double, list_id int",
+    )
     got = sorted(r["vec_id"] for r in codes.collect())
     want = sorted(r["vec_id"] for r in shrunk.select("vec_id").collect())
     assert got == want

@@ -26,6 +26,23 @@ def embeddings(spark):
     return load_table(spark, SF, "embeddings")
 
 
+def _lists(spark, path):
+    from map_reduce_using_cloud_functions_spark.operators.ann_commit import (
+        read_artifact,
+    )
+
+    return read_artifact(spark, path, "lists")
+
+
+def _vectors(spark, path):
+    from map_reduce_using_cloud_functions_spark.operators.ann_commit import (
+        read_artifact,
+    )
+
+    return read_artifact(spark, path, "vectors")
+
+
+
 def py_cosine(a, b):
     dot = sum(x * y for x, y in zip(a, b))
     na = math.sqrt(sum(x * x for x in a))
@@ -687,11 +704,11 @@ def test_ivf_index_scan_prunes_unprobed_partitions(spark, embeddings, tmp_path):
     }
     written = {
         r["list_id"]
-        for r in spark.read.parquet(f"{path}/lists").select("list_id").distinct().collect()
+        for r in _lists(spark, path).select("list_id").distinct().collect()
     }
     assert probed < written, "fixture degenerate: probe covers every list"
 
-    pruned = spark.read.parquet(f"{path}/lists").where(
+    pruned = _lists(spark, path).where(
         F.col("list_id").isin(sorted(probed))
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
@@ -800,7 +817,7 @@ def test_ivf_quantized_lists_match_quantized_bruteforce(spark, embeddings, tmp_p
     q = queries_from_ids(embeddings, 8)
 
     # stored lists are int8 + scale, not floats
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _lists(spark, path)
     assert "qvec" in lists.columns and "embedding" not in lists.columns
     assert dict(lists.dtypes)["qvec"] == "array<tinyint>"
 
@@ -886,7 +903,7 @@ def test_lsh_index_quantized_vectors(spark, embeddings, tmp_path):
     build_lsh_index(embeddings, qpath, quantize=True)
     q = queries_from_ids(embeddings, 8)
 
-    vec = spark.read.parquet(f"{qpath}/vectors")
+    vec = _vectors(spark, qpath)
     assert "qvec" in vec.columns and "embedding" not in vec.columns
 
     f = {(r["query_id"], r["neighbor_id"]): r["score"]
@@ -985,7 +1002,7 @@ def test_lsh_index_append_preserves_quantized_layout(spark, embeddings, tmp_path
     inc, full = str(tmp_path / "incq"), str(tmp_path / "fullq")
     build_lsh_index(embeddings.where(F.col("vec_id") % 2 == 0), inc, quantize=True)
     append_lsh_index(embeddings.where(F.col("vec_id") % 2 == 1), inc)
-    vectors = spark.read.parquet(f"{inc}/vectors")
+    vectors = _vectors(spark, inc)
     assert "qvec" in vectors.columns and "embedding" not in vectors.columns
 
     build_lsh_index(embeddings, full, quantize=True)
@@ -1020,7 +1037,7 @@ def test_ivf_index_append_frozen_centroids(spark, embeddings, tmp_path):
     after = sorted(map(tuple, load_ivf_centroids(spark, path).collect()))
     assert before == after, "append moved centroids — the frozen contract broke"
 
-    lists = spark.read.parquet(f"{path}/lists").select("vec_id", "list_id")
+    lists = _lists(spark, path).select("vec_id", "list_id")
     expected = _assign_nearest_list(embeddings, load_ivf_centroids(spark, path)).select(
         "vec_id", "list_id"
     )
@@ -1048,7 +1065,7 @@ def test_ivf_index_append_quantized_and_unbuilt(spark, embeddings, tmp_path):
         embeddings.where(F.col("vec_id") % 2 == 0), path, n_centroids=8, quantize=True
     )
     append_ivf_index(embeddings.where(F.col("vec_id") % 2 == 1), path)
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _lists(spark, path)
     assert "qvec" in lists.columns and "embedding" not in lists.columns
     assert lists.select("vec_id").distinct().count() == embeddings.count()
 
@@ -1174,7 +1191,7 @@ def test_ivf_build_skew_guard_flags_degenerate_corpus(spark, tmp_path):
         _warnings.simplefilter("always")
         build_ivf_index(degenerate, path, n_centroids=8)
     assert any("degenerate list occupancy" in str(w.message) for w in caught)
-    hist = ivf_list_occupancy(spark, f"{path}/lists")
+    hist = ivf_list_occupancy(spark, path)
     assert max(n for _, n in hist) / sum(n for _, n in hist) > 0.5
 
     with pytest.raises(ValueError, match="degenerate list occupancy"):

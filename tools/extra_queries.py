@@ -69,6 +69,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-plan twins, plus the write/read/prune machinery under oracle
         "index_lookup_persisted": _q_index_lookup_persisted,
         "index_lookup_versioned": _q_index_lookup_versioned,
+        # r9: takedown — scoped tombstone fold purges base AND tail
+        "index_lookup_after_delete": _q_index_lookup_after_delete,
         "ann_topk_ivf_indexed": _q_ann_topk_ivf_indexed,
         # r7: persisted banded-LSH serving path — identical answers to
         # the in-plan ann_topk_lsh_banded at the index's parameters
@@ -240,6 +242,46 @@ def _q_index_version_diff(s: SparkSession, d: str) -> DataFrame:
     from map_reduce_using_cloud_functions_spark.operators import index as ix
 
     return ix.index_diff(s, _mk_versioned_two_commits(s, d), 0, 1)
+
+
+def _q_index_lookup_after_delete(s: SparkSession, d: str) -> DataFrame:
+    """r9 takedown row: versioned base + a PENDING additive delta, then
+    delete_documents removes every doc_id ≡ 3 (mod 10) — the
+    letter-scoped tombstone fold must purge the documents from the base
+    AND the tail (a pending delta row left behind would resurrect them
+    at the next compaction). The probe equals index_lookup's oracle
+    filtered by the same predicate."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.sources.text_corpus import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(load_table(s, d, "documents"))
+    path = tempfile.mkdtemp(prefix="oracle_idxdel_") + "/idx"
+    ix.write_index(
+        ix.build_index(corpus.where(F.col("document").cast("bigint") < 300)),
+        path,
+        versioned=True,
+    )
+    ix.write_additive_delta(
+        s,
+        ix.build_index(corpus.where(F.col("document").cast("bigint") >= 300)),
+        path,
+        batch_id=1,
+    )
+    doomed = [
+        r["document"]
+        for r in corpus.select("document")
+        .where(F.col("document").cast("bigint") % 10 == 3)
+        .distinct()
+        .collect()
+    ]
+    ix.delete_documents(s, path, doomed)
+    return ix.lookup_persisted(s, path, "The!")
 
 
 def _q_ann_topk_pq(s: SparkSession, d: str) -> DataFrame:
@@ -753,6 +795,11 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
     gate = entrymod.oracle_sql()
     sql["index_lookup_persisted"] = gate["index_lookup"]
     sql["index_lookup_versioned"] = gate["index_lookup"]
+    assert gate["index_lookup"].count("WHERE word = 'the' ") == 1
+    sql["index_lookup_after_delete"] = gate["index_lookup"].replace(
+        "WHERE word = 'the' ",
+        "WHERE word = 'the' AND (document::BIGINT % 10) <> 3 ",
+    )
     sql["ann_topk_ivf_indexed"] = gate["ann_topk_ivf"]
     sql["ann_topk_lsh_indexed"] = sql["ann_topk_lsh_banded"]
     # appended LSH ≡ full build (corpus-independent sketch): unmodified twin
