@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",  # r7: product-quantized exhaustive ADC scan
     "corpus_boilerplate_strip",  # r7: cross-corpus line removal
     "ann_topk_ivfpq",  # r8: composed IVF routing + ADC scoring
+    "ann_topk_ivfpq_residual",  # r9: residual encoding (FAISS default)
 ]
 
 

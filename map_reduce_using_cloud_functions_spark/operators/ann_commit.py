@@ -79,6 +79,10 @@ _FAMILIES = {
         "vectors": True,
         "tombstones": True,
     },
+    # SemDeDup persisted assignment (semdedup.build_semdedup_index) —
+    # same torn-artifact risk as the ANN families (meta/centroids/
+    # assign written as independent jobs before r9)
+    "semdedup": {"meta": False, "centroids": False, "assign": True},
 }
 
 
@@ -275,10 +279,16 @@ def delete_vectors(spark, path: str, vec_ids: list[int]) -> int:
     the purge), the same defer-the-rewrite economics as the word
     index's GC. Returns the committed version."""
     ids = sorted(set(int(v) for v in vec_ids))
-    if not ids:
-        head = ann_head(spark, path)
-        return head["v"] if head else -1
     head = ann_head(spark, path)
+    if head is not None and "tombstones" not in _FAMILIES[head["family"]]:
+        raise ValueError(
+            f"delete_vectors: the {head['family']!r} index at {path} has "
+            "no tombstone-serving probe (its reads are full assignment "
+            "scans, not candidate probes) — rebuild it from the filtered "
+            "corpus instead."
+        )
+    if not ids:
+        return head["v"] if head else -1
     if head is None:
         # legacy index: adopt in place first (commit v=0 over the
         # fixed dirs), then tombstone on top

@@ -339,9 +339,12 @@ def build_semdedup_index(
     the quadratic join in); the assignment is written from the
     READ-BACK centroids so the persisted values are by construction the
     ones the assignment used."""
-    from .similarity import load_ivf_centroids
+    from .ann_commit import ann_commit, ann_head, gc_ann_index, new_generation, sweep_superseded_fixed
 
     spark = embeddings.sparkSession
+    head = ann_head(spark, path)
+    parent = head["v"] if head else None
+    gen, gdir = new_generation(path)
     base = embeddings.select("vec_id", "embedding")
     dim_row = base.select(F.size("embedding").alias("d")).first()
     n = base.count()
@@ -356,7 +359,7 @@ def build_semdedup_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+        .parquet(f"{gdir}/centroids")
     )
     (
         spark.createDataFrame(
@@ -364,40 +367,59 @@ def build_semdedup_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+        .parquet(f"{gdir}/meta")
     )
-    saved = load_ivf_centroids(spark, path)
+    saved = spark.read.schema(
+        "centroid_id int, c_embedding array<double>"
+    ).parquet(f"{gdir}/centroids")
     assigned = assign_clusters(base, saved).localCheckpoint()
     _guard_cluster_volume(assigned, n_clusters, "build_semdedup_index", scale_guard)
     (
         assigned.select("vec_id", "embedding", "norm", "c_score", "list_id")
         .hint("rebalance", "list_id")
         .write.mode("overwrite")
-        # full-rebuild writes are STATIC overwrites (the write_index
-        # rule): under the session's dynamic default, a rebuild with
-        # fewer clusters or a shrunk corpus would leave the old run's
-        # unmatched list_id partitions in place, and the unpruned
-        # assignment scan would serve phantom/duplicate vec_ids.
-        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
-        .parquet(f"{path}/assign")
+        .parquet(f"{gdir}/assign")
     )
+    # one atomic visibility switch (the r9 ANN crash protocol): a crash
+    # anywhere above leaves the previous commit serving a consistent
+    # (meta, centroids, assign) set; a rebuild with fewer clusters or a
+    # shrunk corpus supersedes the whole old generation, so the stale-
+    # partition rebuild hazard is structurally gone too.
+    ann_commit(
+        spark,
+        path,
+        "semdedup",
+        {
+            "meta": f"{gen}/meta",
+            "centroids": f"{gen}/centroids",
+            "assign": [f"{gen}/assign"],
+        },
+        parent,
+    )
+    gc_ann_index(spark, path)
+    sweep_superseded_fixed(spark, path, "semdedup")
 
 
 def load_semdedup_meta(spark, path: str) -> dict:
-    row = (
-        spark.read.schema("n_clusters int, dim int, n bigint")
-        .parquet(f"{path}/meta")
-        .first()
-    )
+    from .ann_commit import read_artifact
+
+    row = read_artifact(
+        spark, path, "meta", "n_clusters int, dim int, n bigint"
+    ).first()
     return row.asDict()
 
 
 def _load_assignment(spark, path: str) -> DataFrame:
-    return spark.read.schema(
+    from .ann_commit import read_artifact
+
+    return read_artifact(
+        spark,
+        path,
+        "assign",
         "vec_id bigint, embedding array<float>, norm double, "
-        "c_score double, list_id int"
-    ).parquet(f"{path}/assign")
+        "c_score double, list_id int",
+    )
 
 
 def semdedup_pairs_indexed(spark, path: str, threshold: float = 0.4) -> DataFrame:

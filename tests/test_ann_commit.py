@@ -344,3 +344,26 @@ def test_delete_vectors_adopts_legacy_and_accumulates(
     ac.delete_vectors(spark, path, [v2])  # tombstones accumulate across commits
     third = {r["neighbor_id"] for r in sim.ivf_topk_indexed(spark, path, queries).collect()}
     assert not ({v1, v2} & third)
+
+
+def test_semdedup_build_crash_leaves_old_index_serving(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """The SemDeDup assignment index shares the protocol: a crashed
+    rebuild (different n_clusters, shrunk corpus) leaves the previous
+    commit's (meta, centroids, assign) serving consistently."""
+    from map_reduce_using_cloud_functions_spark.operators import semdedup as sd
+
+    path = str(tmp_path / "sdd")
+    sd.build_semdedup_index(embeddings, path, n_clusters=8)
+    before = sorted(map(tuple, sd.semdedup_survivors_indexed(spark, path).collect()))
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        sd.build_semdedup_index(embeddings.where("vec_id % 2 = 0"), path, n_clusters=2)
+    monkeypatch.undo()
+    assert sd.load_semdedup_meta(spark, path)["n_clusters"] == 8
+    after = sorted(map(tuple, sd.semdedup_survivors_indexed(spark, path).collect()))
+    assert after == before
+    # tombstones don't apply to a full-scan assignment — refuse loudly
+    with pytest.raises(ValueError, match="rebuild it from the filtered"):
+        ac.delete_vectors(spark, path, [1])

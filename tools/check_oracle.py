@@ -89,7 +89,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in ALL_FIXTURE_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (e.g. tools/make_sf1.py output): a
+            # DIRECTORY of part files — DuckDB needs the glob form
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = dict(entrymod.queries())
