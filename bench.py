@@ -145,11 +145,19 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 6) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def bench_front_door(spark, sf_dir: str, n_files: int = 4, n_docs: int = 2000) -> dict:
+def bench_front_door(
+    spark,
+    sf_dir: str,
+    n_files: int = 4,
+    n_docs: int = 2000,
+    min_quality: float | None = None,
+) -> dict:
     """Composed front-door stream (r8): per-batch cost of the two-sink
     foreachBatch — near-dup admission against the ledger AND additive
     index fold — over JSONL micro-batches. Separate JSON key; the
-    legacy ``streaming`` section stays anchor-comparable."""
+    legacy ``streaming`` section stays anchor-comparable.
+    ``min_quality`` (r9) benches the quality-gated configuration — the
+    gate adds one map-only text_features pass per batch."""
     import json as _json
     import shutil
     import tempfile
@@ -187,6 +195,7 @@ def bench_front_door(spark, sf_dir: str, n_files: int = 4, n_docs: int = 2000) -
             os.path.join(base, "out"),
             os.path.join(base, "idx"),
             os.path.join(base, "ck"),
+            min_quality=min_quality,
         )
         q.awaitTermination()
         total = time.perf_counter() - t0
@@ -419,6 +428,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — record and continue
         front_door = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"bench: front_door FAILED: {front_door['error']}", file=sys.stderr)
+    try:
+        front_door_gated = bench_front_door(spark, sf_dir, min_quality=0.3)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        front_door_gated = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"bench: front_door FAILED: {front_door['error']}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -431,6 +445,7 @@ def main() -> None:
                 "reps": reps,
                 "streaming": streaming,
                 "streaming_front_door": front_door,
+                "streaming_front_door_gated": front_door_gated,
                 **({"errors": errors} if errors else {}),
                 **({"flaky": flaky} if flaky else {}),
             }
