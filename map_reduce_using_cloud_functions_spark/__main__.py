@@ -15,6 +15,7 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark diff    INDEX_PATH V_FROM V_TO
     python -m map_reduce_using_cloud_functions_spark rollback INDEX_PATH VERSION
     python -m map_reduce_using_cloud_functions_spark admit   WATCH_DIR LEDGER SURVIVORS CKPT [--index-path IDX] [--once]
+    python -m map_reduce_using_cloud_functions_spark takedown DOC_ID... [--index IDX] [--ledger LED] [--survivors OUT]
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -172,6 +173,19 @@ def _build_parser() -> argparse.ArgumentParser:
     f.add_argument("v_from", type=int)
     f.add_argument("v_to", type=int)
     f.add_argument("--top", type=int, default=50, help="rows to print")
+
+    td = sub.add_parser(
+        "takedown",
+        help="remove documents everywhere they live: word-index postings "
+        "(letter-scoped tombstone fold), admission-ledger sketches (they "
+        "stop gating), shipped survivors partitions",
+    )
+    td.add_argument("doc_ids", nargs="+", help="document ids to retract")
+    td.add_argument("--index", default=None, help="versioned/in-place word index path")
+    td.add_argument("--ledger", default=None, help="minhash admission ledger path")
+    td.add_argument(
+        "--survivors", default=None, help="release-partitioned survivors path"
+    )
     return p
 
 
@@ -280,6 +294,43 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 srv.serve_forever()
             except KeyboardInterrupt:
                 srv.shutdown()
+        elif args.cmd == "takedown":
+            if not (args.index or args.ledger or args.survivors):
+                print(
+                    "takedown: pass at least one of --index/--ledger/"
+                    "--survivors (nothing to retract from)",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.index:
+                from .operators.index import delete_documents
+
+                delete_documents(spark, args.index, list(args.doc_ids))
+                print(f"purged {len(args.doc_ids)} doc(s) from index {args.index}")
+            numeric = None
+            if args.ledger or args.survivors:
+                try:
+                    numeric = [int(d) for d in args.doc_ids]
+                except ValueError:
+                    print(
+                        "takedown: --ledger/--survivors key on numeric "
+                        "doc_id; got a non-numeric id",
+                        file=sys.stderr,
+                    )
+                    return 2
+            if args.ledger:
+                from .operators.dedup import delete_from_ledger
+
+                delete_from_ledger(spark, args.ledger, numeric)
+                print(f"unlisted {len(numeric)} doc(s) from ledger {args.ledger}")
+            if args.survivors:
+                from .operators.dedup import delete_from_survivors
+
+                delete_from_survivors(spark, args.survivors, numeric)
+                print(
+                    f"removed {len(numeric)} doc(s) from survivors "
+                    f"{args.survivors}"
+                )
         elif args.cmd == "admit":
             from .streaming.near_dedup import (
                 start_front_door_stream,

@@ -723,3 +723,39 @@ def test_front_door_quality_filter_callable(spark, tmp_path):
         quality_filter=lambda df: df.where("doc_id % 2 = 1"),
     )
     assert _survivor_ids(spark, surv) == {0: {1, 3}}
+
+
+def test_cli_takedown_purges_all_surfaces(spark, tmp_path, capsys):
+    """One takedown command retracts a document from the word index
+    (postings gone), the admission ledger (near-dups admit again), and
+    the shipped survivors."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_and_index_batch,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    surv = str(tmp_path / "surv")
+    idx = str(tmp_path / "idx")
+    b0 = spark.createDataFrame([(1, TEXT_A), (2, TEXT_B)], "doc_id bigint, text string")
+    admit_and_index_batch(spark, b0, ledger, surv, idx, str(tmp_path / "ck"), 0)
+    assert _survivor_ids(spark, surv) == {0: {1, 2}}
+
+    rc = main(
+        ["takedown", "1", "--index", idx, "--ledger", ledger, "--survivors", surv],
+        spark=spark,
+    )
+    assert rc in (0, None)
+    # index: doc 1's postings purged
+    docs = {r["document"] for r in ix.read_index(spark, idx).collect()}
+    assert docs == {"2"}
+    # survivors: gone
+    assert _survivor_ids(spark, surv) == {0: {2}}
+    # ledger: TEXT_A near-dups admit again
+    b1 = spark.createDataFrame([(30, TEXT_A_NEAR)], "doc_id bigint, text string")
+    admitted = admit_batch(spark, b1, ledger, surv, batch_id=1)
+    assert {r["doc_id"] for r in admitted.collect()} == {30}
+
+    # no targets → usage error
+    assert main(["takedown", "1"], spark=spark) == 2
