@@ -289,6 +289,11 @@ FUZZ_EMBED_QUERIES = [
     # r8: the persisted SemDeDup assignment must replay the in-plan
     # argmax exactly on hostile vectors (ties + mixed magnitudes)
     "semdedup_survivors_indexed",
+    # r9: residual IVF-PQ — the residual relation (element-wise v − c),
+    # residual-seeded books, and the element-wise recon-norm fold add
+    # three more float paths that must agree across engines; planted
+    # dups force residual-argmin ties too
+    "ann_topk_ivfpq_residual",
 ]
 
 
