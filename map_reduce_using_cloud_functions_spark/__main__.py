@@ -16,6 +16,8 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark rollback INDEX_PATH VERSION
     python -m map_reduce_using_cloud_functions_spark admit   WATCH_DIR LEDGER SURVIVORS CKPT [--index-path IDX] [--once]
     python -m map_reduce_using_cloud_functions_spark takedown DOC_ID... [--index IDX] [--ledger LED] [--survivors OUT]
+    python -m map_reduce_using_cloud_functions_spark ann-info    ANN_INDEX_PATH
+    python -m map_reduce_using_cloud_functions_spark ann-compact ANN_INDEX_PATH
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -186,6 +188,20 @@ def _build_parser() -> argparse.ArgumentParser:
     td.add_argument(
         "--survivors", default=None, help="release-partitioned survivors path"
     )
+
+    ai = sub.add_parser(
+        "ann-info",
+        help="persisted ANN index snapshot: family, version, per-artifact "
+        "generation fan-out, tombstone count",
+    )
+    ai.add_argument("index_path")
+
+    ak = sub.add_parser(
+        "ann-compact",
+        help="major compaction: fold generations into one, purge "
+        "tombstones physically, refresh meta.n (run with writers quiesced)",
+    )
+    ak.add_argument("index_path")
     return p
 
 
@@ -294,6 +310,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 srv.serve_forever()
             except KeyboardInterrupt:
                 srv.shutdown()
+        elif args.cmd == "ann-info":
+            import json as _json
+
+            from .operators.ann_commit import ann_index_info
+
+            print(_json.dumps(ann_index_info(spark, args.index_path)))
+        elif args.cmd == "ann-compact":
+            from .operators.ann_commit import ann_index_info, compact_ann_index
+
+            v = compact_ann_index(spark, args.index_path)
+            info = ann_index_info(spark, args.index_path)
+            print(
+                f"compacted {args.index_path} -> v={v} "
+                f"(generations: {info['generations']})"
+            )
         elif args.cmd == "takedown":
             if not (args.index or args.ledger or args.survivors):
                 print(

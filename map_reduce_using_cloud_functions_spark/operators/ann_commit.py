@@ -321,3 +321,140 @@ def apply_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
         "vec_id",
         "left_anti",
     )
+
+
+# --- major compaction (r9) ---------------------------------------------------
+
+# Physical layout each corpus-sized artifact must keep through a
+# compaction rewrite — the property every probe's pruning relies on.
+# (family, artifact) -> partition column, or None for a plain table.
+_COMPACT_LAYOUT = {
+    ("ivf", "lists"): "list_id",
+    ("lsh", "buckets"): "band",
+    ("lsh", "vectors"): None,
+    ("pq", "codes"): None,
+    ("pq", "vectors"): None,
+    ("ivf_pq", "codes"): "list_id",
+    ("ivf_pq", "vectors"): None,
+    ("semdedup", "assign"): "list_id",
+}
+
+
+def compact_ann_index(spark, path: str) -> int:
+    """Major compaction for a persisted ANN index: fold every
+    multi-generation artifact into ONE fresh generation and apply
+    tombstones PHYSICALLY — the LSM major compaction, and the ANN twin
+    of the word index's flattening ``compact_index``.
+
+    Why it exists: every append adds a generation, and a probe unions
+    one (pruned) scan per generation; tombstones from ``delete_vectors``
+    cost every probe an anti-join. Both are the right per-operation
+    trades (O(batch) appends, O(ids) deletes) — and both accumulate.
+    One compaction pays one read+rewrite of the corpus-sized artifacts
+    to reset probe fan-out to a single scan, purge deleted rows from
+    disk (the durable takedown), refresh ``meta.n`` to the live count,
+    and let GC reclaim every superseded generation.
+
+    Frozen artifacts (centroids/books) are COPIED into the new
+    generation (they are tiny) so the old generations become fully
+    unreferenced and reclaimable. Crash-atomic like every protocol
+    write: all rewriting happens in the invisible new generation; the
+    CAS commit is the only visibility switch, and a concurrent
+    append/build is fenced by it. Returns the committed version."""
+    head = ann_head(spark, path)
+    if head is None:
+        from .ann import ann_index_family
+
+        adopt_legacy(spark, path, ann_index_family(spark, path))
+        head = ann_head(spark, path)
+    family = head["family"]
+    tombs = (
+        read_artifact(spark, path, "tombstones", "vec_id bigint")
+        if resolve_artifact(spark, path, "tombstones")
+        else None
+    )
+    gen, gdir = new_generation(path)
+    dirs: dict = {}
+    live_n: int | None = None
+    for artifact, is_list in _FAMILIES[family].items():
+        if artifact == "tombstones":
+            continue  # applied below, then dropped from the manifest
+        if not resolve_artifact(spark, path, artifact):
+            continue
+        df = read_artifact(spark, path, artifact)
+        if is_list:
+            if tombs is not None and "vec_id" in df.columns:
+                df = df.join(tombs, "vec_id", "left_anti")
+            part = _COMPACT_LAYOUT.get((family, artifact))
+            writer = df
+            if part == "band":
+                # the bucket relation's row-group pruning needs the
+                # within-file bucket sort build_lsh_index guarantees
+                writer = df.repartition("band").sortWithinPartitions("band_bucket")
+            elif part is not None:
+                writer = df.hint("rebalance", part)
+            w = writer.write.mode("overwrite")
+            if part is not None:
+                w = w.partitionBy(part)
+            w.parquet(f"{gdir}/{artifact}")
+            dirs[artifact] = [f"{gen}/{artifact}"]
+            if live_n is None and "vec_id" in df.columns:
+                live_n = (
+                    spark.read.parquet(f"{gdir}/{artifact}")
+                    .select("vec_id")
+                    .distinct()
+                    .count()
+                )
+        else:
+            # tiny frozen artifacts (meta/centroids/books): copy into
+            # the new generation so old generations fully retire
+            df.coalesce(1).write.mode("overwrite").parquet(f"{gdir}/{artifact}")
+            dirs[artifact] = f"{gen}/{artifact}"
+    if tombs is not None and "meta" in dirs and live_n is not None:
+        # meta carries the corpus count (the LSH candidate guard reads
+        # it); after a physical purge the stored n must drop to the
+        # live count — rewrite the one-row table with n replaced
+        meta_df = spark.read.parquet(f"{gdir}/meta")
+        if "n" in meta_df.columns:
+            from pyspark.sql import functions as F
+
+            meta_df.withColumn("n", F.lit(live_n).cast("bigint")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{gdir}/meta.tmp")
+            _hadoop_delete(spark, f"{gdir}/meta")
+            fs = _hadoop_fs(spark, gdir)
+            fs.rename(
+                _hadoop_path(spark, f"{gdir}/meta.tmp"),
+                _hadoop_path(spark, f"{gdir}/meta"),
+            )
+    v = ann_commit(spark, path, family, dirs, head["v"])
+    gc_ann_index(spark, path)
+    sweep_superseded_fixed(spark, path, family)
+    return v
+
+
+def ann_index_info(spark, path: str) -> dict:
+    """Operational snapshot of a persisted ANN index: committed version,
+    family, per-artifact generation counts (the probe's union fan-out —
+    the compaction signal), and the live tombstone count. Directory
+    listings + one tiny scan; no corpus read."""
+    head = ann_head(spark, path)
+    if head is None:
+        from .ann import ann_index_family
+
+        family = ann_index_family(spark, path)
+        return {"family": family, "v": None, "layout": "legacy", "generations": {}}
+    gens = {
+        artifact: len(val) if isinstance(val, list) else 1
+        for artifact, val in head["dirs"].items()
+    }
+    n_tombs = 0
+    if resolve_artifact(spark, path, "tombstones"):
+        n_tombs = read_artifact(spark, path, "tombstones", "vec_id bigint").count()
+    return {
+        "family": head["family"],
+        "v": head["v"],
+        "layout": "versioned",
+        "generations": gens,
+        "tombstones": n_tombs,
+    }

@@ -367,3 +367,109 @@ def test_semdedup_build_crash_leaves_old_index_serving(
     # tombstones don't apply to a full-scan assignment — refuse loudly
     with pytest.raises(ValueError, match="rebuild it from the filtered"):
         ac.delete_vectors(spark, path, [1])
+
+
+# --- major compaction ---------------------------------------------------------
+
+
+def test_compact_ann_index_folds_generations_and_purges_tombstones(
+    spark, embeddings, queries, tmp_path
+):
+    """After appends + deletes: compaction folds the codes generations
+    into one, purges tombstoned rows from DISK (the durable takedown),
+    refreshes meta.n to the live count, answers are unchanged, and GC
+    reclaims every superseded generation."""
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(
+        embeddings.where("vec_id % 3 = 0"), path, n_centroids=8, m=8, k=16
+    )
+    pq.append_ivf_pq_index(embeddings.where("vec_id % 3 = 1"), path)
+    pq.append_ivf_pq_index(embeddings.where("vec_id % 3 = 2"), path)
+    victims = sorted(
+        r["neighbor_id"]
+        for r in pq.ivf_pq_topk_indexed(spark, path, queries).where("rank = 1").collect()
+    )
+    ac.delete_vectors(spark, path, victims)
+    before = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, path, queries).collect()))
+    assert len(ac.resolve_artifact(spark, path, "codes")) == 3
+
+    ac.compact_ann_index(spark, path)
+    assert len(ac.resolve_artifact(spark, path, "codes")) == 1
+    assert not ac.resolve_artifact(spark, path, "tombstones")
+    after = sorted(map(tuple, pq.ivf_pq_topk_indexed(spark, path, queries).collect()))
+    assert after == before  # served answers identical, anti-join gone
+    # physical purge: the victims' rows are gone from the files
+    on_disk = {
+        r["vec_id"]
+        for r in ac.read_artifact(spark, path, "codes").select("vec_id").collect()
+    }
+    assert not (on_disk & set(victims))
+    assert pq.load_ivf_pq_meta(spark, path)["n"] == len(on_disk)
+    # one generation on disk (frozen artifacts copied, old gens GC'd)
+    gens = {d.split("/")[-1] for d in glob.glob(f"{path}/g-*")}
+    assert len(gens) == 1
+    # appends keep working against the compacted head
+    batch = embeddings.where("vec_id = 0").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    pq.append_ivf_pq_index(batch, path)
+    assert len(ac.resolve_artifact(spark, path, "codes")) == 2
+
+
+def test_compact_ann_index_crash_leaves_old_head(
+    spark, embeddings, queries, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "lsh")
+    sim.build_lsh_index(embeddings.where("vec_id % 2 = 0"), path)
+    sim.append_lsh_index(embeddings.where("vec_id % 2 = 1"), path)
+    before = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    _crash_before_commit(monkeypatch)
+    with pytest.raises(_Boom):
+        ac.compact_ann_index(spark, path)
+    monkeypatch.undo()
+    after = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    assert after == before
+    # replay converges; the bucket relation keeps its layout contract
+    ac.compact_ann_index(spark, path)
+    assert len(ac.resolve_artifact(spark, path, "buckets")) == 1
+    final = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, path, queries).collect())
+    )
+    assert final == before
+    joint = str(tmp_path / "joint")
+    sim.build_lsh_index(embeddings, joint)
+    want = sorted(
+        map(tuple, sim.lsh_banded_topk_indexed(spark, joint, queries).collect())
+    )
+    assert final == want  # compacted ≡ joint build (LSH appends exact)
+
+
+def test_cli_ann_info_and_compact(spark, embeddings, tmp_path, capsys):
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(embeddings.where("vec_id % 2 = 0"), path, n_centroids=8)
+    sim.append_ivf_index(embeddings.where("vec_id % 2 = 1"), path)
+    ac.delete_vectors(spark, path, [0, 2])
+    rc = main(["ann-info", path], spark=spark)
+    assert rc in (0, None)
+    import json as _json
+
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["family"] == "ivf"
+    assert info["generations"]["lists"] == 2
+    assert info["tombstones"] == 2
+    rc = main(["ann-compact", path], spark=spark)
+    assert rc in (0, None)
+    info2 = ac.ann_index_info(spark, path)
+    assert info2["generations"]["lists"] == 1
+    assert info2["tombstones"] == 0
+    got = {
+        r["vec_id"]
+        for r in ac.read_artifact(spark, path, "lists").select("vec_id").collect()
+    }
+    assert got == {r["vec_id"] for r in embeddings.collect()} - {0, 2}
