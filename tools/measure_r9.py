@@ -237,10 +237,55 @@ def tombstone():
     )
 
 
+def compaction():
+    """Probe cost vs generation fan-out, and the compaction reset: 8
+    appends → 8 unioned (pruned) scans per probe + a tombstone
+    anti-join; one compact_ann_index → 1 scan, 0 anti-join."""
+    from map_reduce_using_cloud_functions_spark.operators import ann_commit as ac
+    from map_reduce_using_cloud_functions_spark.operators import pq
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        queries_from_ids,
+    )
+
+    spark = get_spark("measure_r9")
+    emb = _replicated_embeddings(spark, load_table(spark, SF, "embeddings"), 10)
+    q = queries_from_ids(emb, 8)
+    path = "/tmp/m9_compact"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    pq.build_ivf_pq_index(emb.where("vec_id % 8 = 0"), path, n_centroids=16, m=8, k=16)
+    for r in range(1, 8):
+        pq.append_ivf_pq_index(emb.where(f"vec_id % 8 = {r}"), path)
+    ac.delete_vectors(spark, path, list(range(0, 2000, 11)))
+
+    def probe():
+        t0 = time.time()
+        pq.ivf_pq_topk_indexed(spark, path, q).collect()
+        return time.time() - t0
+
+    probe()  # warm the plan shape
+    info = ac.ann_index_info(spark, path)
+    t_multi = min(probe() for _ in range(3))
+    t0 = time.time()
+    ac.compact_ann_index(spark, path)
+    compact_s = time.time() - t0
+    info2 = ac.ann_index_info(spark, path)
+    probe()
+    t_one = min(probe() for _ in range(3))
+    print(
+        f"compaction: probe at {info['generations']['codes']} code "
+        f"generations + {info['tombstones']} tombstones {t_multi:.2f}s; "
+        f"compact_ann_index {compact_s:.1f}s (one corpus rewrite); probe "
+        f"at {info2['generations']['codes']} generation {t_one:.2f}s"
+    )
+
+
 if __name__ == "__main__":
     {
         "train_flat": train_flat,
         "delete_cost": delete_cost,
         "residual": residual,
         "tombstone": tombstone,
+        "compaction": compaction,
     }[sys.argv[1]]()
