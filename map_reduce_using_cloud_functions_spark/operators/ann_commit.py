@@ -30,7 +30,12 @@ the same shape as the word index's so one mental model covers both:
 - readers resolve the committed head FIRST and read only named dirs:
   a crash at any kill point leaves either the old commit serving a
   complete artifact set, or invisible garbage generations that
-  ``gc_ann_index`` reclaims. There is no torn state.
+  ``gc_ann_index`` reclaims. There is no torn state. One stated
+  window: a reader that resolved head v=N while a writer commits
+  v=N+1 and GCs (keep=1) can find a superseded generation deleted
+  mid-read — a LOUD missing-file failure, never silent wrong data;
+  retry re-resolves the new head (pass ``keep≥2`` to gc for a grace
+  horizon, the word index's default trade).
 
 Legacy indexes (pre-r9 fixed-subdir layout) resolve unchanged: no
 ``_versions/`` ⇒ the fixed ``{path}/<artifact>`` paths — old indexes

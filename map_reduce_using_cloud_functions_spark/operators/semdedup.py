@@ -441,3 +441,85 @@ def semdedup_survivors_indexed(
     return assigned.join(_dropped(pairs), "vec_id", "left_anti").select(
         "vec_id", "list_id", F.round("c_score", 6).alias("c_score")
     )
+
+
+def append_semdedup_index(embeddings: DataFrame, path: str) -> None:
+    """Grow a persisted SemDeDup assignment by O(new batch): assign the
+    batch against the FROZEN stored centroids and commit its rows as a
+    new ``assign/`` generation — the continuous-corpus shape (each
+    release's vectors join the semantic-dedup corpus without
+    re-running the argmax over anything standing). Inherits the IVF
+    append contract exactly: centroids are frozen at build time, so
+    pair comparability never drifts mid-stream and
+    appended ≡ joint-build for identical centroids (the oracle row pins
+    it); distribution drift shows up as skewed ``assign`` partition
+    sizes (``ivf_list_occupancy``) and the remedy is a rebuild. The
+    r9 commit protocol makes the append atomic (meta count + batch rows
+    in ONE CAS-fenced commit) and fences concurrent writers. ``vec_id``
+    uniqueness across build + appends is the caller's contract. The
+    volume guard re-measures the COMBINED occupancy before committing —
+    appends grow clusters, and a persisted under-clustered assignment
+    would bake the quadratic join in for every later re-run."""
+    from .ann_commit import (
+        adopt_legacy,
+        ann_commit,
+        ann_head,
+        gc_ann_index,
+        new_generation,
+        read_artifact,
+    )
+    from .similarity import load_ivf_centroids
+
+    spark = embeddings.sparkSession
+    meta = load_semdedup_meta(spark, path)
+    base = embeddings.select("vec_id", "embedding")
+    dim = base.select(F.size("embedding").alias("d")).first()["d"]
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"append_semdedup_index: batch dimension {dim} != index "
+            f"dimension {meta['dim']} at {path} — centroids are "
+            "dimension-specific; rebuild the index or fix the batch."
+        )
+    head = ann_head(spark, path)
+    if head is None:
+        adopt_legacy(spark, path, "semdedup")
+        head = ann_head(spark, path)
+    n_new = base.count()
+    cents = load_ivf_centroids(spark, path)
+    assigned = assign_clusters(base, cents).localCheckpoint()
+    standing = _load_assignment(spark, path).select("vec_id", "list_id")
+    _guard_cluster_volume(
+        standing.unionByName(assigned.select("vec_id", "list_id")),
+        meta["n_clusters"],
+        "append_semdedup_index",
+        "raise",
+    )
+    gen, gdir = new_generation(path)
+    (
+        spark.createDataFrame(
+            [(meta["n_clusters"], meta["dim"], meta["n"] + n_new)],
+            "n_clusters int, dim int, n bigint",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{gdir}/meta")
+    )
+    (
+        assigned.select("vec_id", "embedding", "norm", "c_score", "list_id")
+        .hint("rebalance", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{gdir}/assign")
+    )
+    ann_commit(
+        spark,
+        path,
+        "semdedup",
+        {
+            **head["dirs"],
+            "meta": f"{gen}/meta",
+            "assign": head["dirs"]["assign"] + [f"{gen}/assign"],
+        },
+        head["v"],
+    )
+    gc_ann_index(spark, path)

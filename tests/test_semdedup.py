@@ -252,3 +252,55 @@ def test_rebuild_leaves_no_stale_partitions(spark, embeddings, tmp_path):
     want = sorted(r["vec_id"] for r in shrunk.select("vec_id").collect())
     assert got == want  # no phantoms, no duplicates
     assert sd.load_semdedup_meta(spark, path)["n_clusters"] == 2
+
+
+def test_append_semdedup_index_matches_joint_and_is_atomic(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """Appends assign against the FROZEN centroids: build-on-evens +
+    append-odds serves the same pairs/survivors as the joint in-plan
+    run with build-half centroids; a crash before the commit leaves the
+    old head (old meta.n, old assignment); a dimension-mismatched batch
+    refuses."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import ann_commit as ac
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        load_ivf_centroids,
+    )
+
+    path = str(tmp_path / "sdd")
+    evens = embeddings.where(F.col("vec_id") % 2 == 0)
+    odds = embeddings.where(F.col("vec_id") % 2 == 1)
+    sd.build_semdedup_index(evens, path, n_clusters=8)
+    n_evens = evens.count()
+
+    # crash injection: append dies before its commit → old head serves
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(ac, "ann_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sd.append_semdedup_index(odds, path)
+    monkeypatch.undo()
+    assert sd.load_semdedup_meta(spark, path)["n"] == n_evens
+
+    sd.append_semdedup_index(odds, path)
+    assert sd.load_semdedup_meta(spark, path)["n"] == embeddings.count()
+    got = sorted(
+        map(tuple, sd.semdedup_survivors_indexed(spark, path).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            sd.semdedup_survivors(
+                embeddings, centroids=load_ivf_centroids(spark, path)
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    bad = odds.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="dimension"):
+        sd.append_semdedup_index(bad, path)

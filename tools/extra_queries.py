@@ -108,6 +108,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay identically, so the in-plan oracle applies untouched.
         "semdedup_pairs_indexed": _q_semdedup_pairs_indexed,
         "semdedup_survivors_indexed": _q_semdedup_survivors_indexed,
+        # r9: incremental assignment appends (frozen build-half
+        # centroids — the IVF append rule applied to SemDeDup)
+        "semdedup_survivors_appended": _q_semdedup_survivors_appended,
         # r7: product quantization (Jégou et al. 2011) — exhaustive ADC
         # top-k over the 32x-compressed corpus; seeded codebooks are
         # the oracle-replayed configuration.
@@ -411,6 +414,22 @@ def _q_ann_topk_ivfpq_appended(s: SparkSession, d: str) -> DataFrame:
     pq.build_ivf_pq_index(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=8, m=8, k=16)
     pq.append_ivf_pq_index(emb.where(F.col("vec_id") % 2 == 1), path)
     return pq.ivf_pq_topk_indexed(s, path, sim.queries_from_ids(emb, 8))
+
+
+def _q_semdedup_survivors_appended(s: SparkSession, d: str) -> DataFrame:
+    """SemDeDup assignment built on even vec_ids + the odds appended
+    against the FROZEN centroids: survivors must equal the joint
+    in-plan run with centroids seeded from the build half (the IVF
+    appended-row twin rule)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_sdda_") + "/sdd"
+    sdd.build_semdedup_index(emb.where(F.col("vec_id") % 2 == 0), path, n_clusters=8)
+    sdd.append_semdedup_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    return sdd.semdedup_survivors_indexed(s, path)
 
 
 def _q_ann_topk_ivfpq_residual(s: SparkSession, d: str) -> DataFrame:
@@ -1224,4 +1243,14 @@ WHERE v.vec_id NOT IN (
     )
     sql["semdedup_pairs_indexed"] = sql["semdedup_pairs"]
     sql["semdedup_survivors_indexed"] = sql["semdedup_survivors"]
+    # r9 appended twin: centroids frozen at build time seed from the
+    # BUILD (even) half only — the same rule as the IVF appended rows
+    assert (
+        sql["semdedup_survivors"].count("FROM embeddings WHERE (vec_id % 97) < 8")
+        == 1
+    )
+    sql["semdedup_survivors_appended"] = sql["semdedup_survivors"].replace(
+        "FROM embeddings WHERE (vec_id % 97) < 8",
+        "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 8",
+    )
     return sql
