@@ -1,4 +1,7 @@
-"""r7 BASELINE measurements.
+"""
+
+HISTORICAL (r7 measurement record): sections that account bytes via fixed subdir paths ({path}/lists, {path}/codes) predate the r9 ANN commit protocol (generation dirs + manifests) — for current indexes resolve through ann_commit.read_artifact/resolve_artifact, or use tools/measure_r9.py.
+r7 BASELINE measurements.
 
 1. size-policy at the 100x base: should_compact's decision is
    filesystem metadata only — measure its cost against a 100x-scale

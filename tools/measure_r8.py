@@ -1,4 +1,7 @@
-"""r8 BASELINE measurements.
+"""
+
+HISTORICAL (r8 measurement record): sections that account bytes via fixed subdir paths ({path}/lists, {path}/codes) predate the r9 ANN commit protocol (generation dirs + manifests) — for current indexes resolve through ann_commit.read_artifact/resolve_artifact, or use tools/measure_r9.py.
+r8 BASELINE measurements.
 
 1. scoped  — letter-scoped vs full compaction at a ~100x base: fold
    cost must track the TOUCHED letters' data, not the base (and the
