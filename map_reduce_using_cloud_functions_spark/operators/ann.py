@@ -47,7 +47,7 @@ def ann_index_family(spark, path: str) -> str:
         return head["family"]
     present = {
         name
-        for name in ("lists", "buckets", "codes", "centroids", "books", "meta")
+        for name in ("lists", "buckets", "codes", "assign", "centroids", "books", "meta")
         if resolve_artifact(spark, path, name)
     }
     if "lists" in present:
@@ -56,6 +56,8 @@ def ann_index_family(spark, path: str) -> str:
         return "lsh"
     if "codes" in present:
         return "ivf_pq" if "centroids" in present else "pq"
+    if "assign" in present:
+        return "semdedup"
     raise ValueError(
         f"{path} is not a persisted ANN index: no commit manifest and "
         f"no recognizable artifacts (found {sorted(present) or 'nothing'}). "
@@ -78,6 +80,12 @@ def ann_search(
     from .similarity import ivf_topk_indexed, lsh_banded_topk_indexed
 
     family = ann_index_family(spark, path)
+    if family == "semdedup":
+        raise ValueError(
+            f"ann_search: {path} is a persisted SemDeDup assignment, not a "
+            "top-k index — probe it with semdedup_pairs_indexed / "
+            "semdedup_survivors_indexed instead."
+        )
     bad = [o for o in options if o not in _OPTIONS]
     if bad:
         raise ValueError(

@@ -86,8 +86,10 @@ _FAMILIES = {
     },
     # SemDeDup persisted assignment (semdedup.build_semdedup_index) —
     # same torn-artifact risk as the ANN families (meta/centroids/
-    # assign written as independent jobs before r9)
-    "semdedup": {"meta": False, "centroids": False, "assign": True},
+    # assign written as independent jobs before r9); tombstones let a
+    # takedown stop a vector from GATING (pair generation) as well as
+    # appearing as a survivor, without the full-corpus rebuild
+    "semdedup": {"meta": False, "centroids": False, "assign": True, "tombstones": True},
 }
 
 
@@ -288,9 +290,8 @@ def delete_vectors(spark, path: str, vec_ids: list[int]) -> int:
     if head is not None and "tombstones" not in _FAMILIES[head["family"]]:
         raise ValueError(
             f"delete_vectors: the {head['family']!r} index at {path} has "
-            "no tombstone-serving probe (its reads are full assignment "
-            "scans, not candidate probes) — rebuild it from the filtered "
-            "corpus instead."
+            "no tombstone-serving read path — rebuild it from the "
+            "filtered corpus instead."
         )
     if not ids:
         return head["v"] if head else -1

@@ -411,14 +411,23 @@ def load_semdedup_meta(spark, path: str) -> dict:
 
 
 def _load_assignment(spark, path: str) -> DataFrame:
-    from .ann_commit import read_artifact
+    """The live assignment relation: every serving read anti-joins the
+    (tiny, broadcast) tombstone relation, so a taken-down vector stops
+    GATING pair generation and stops appearing as a survivor at the
+    next committed read — ``ann_commit.delete_vectors`` is the write
+    side, ``compact_ann_index`` the physical purge."""
+    from .ann_commit import apply_tombstones, read_artifact
 
-    return read_artifact(
+    return apply_tombstones(
         spark,
         path,
-        "assign",
-        "vec_id bigint, embedding array<float>, norm double, "
-        "c_score double, list_id int",
+        read_artifact(
+            spark,
+            path,
+            "assign",
+            "vec_id bigint, embedding array<float>, norm double, "
+            "c_score double, list_id int",
+        ),
     )
 
 

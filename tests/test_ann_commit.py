@@ -364,9 +364,12 @@ def test_semdedup_build_crash_leaves_old_index_serving(
     assert sd.load_semdedup_meta(spark, path)["n_clusters"] == 8
     after = sorted(map(tuple, sd.semdedup_survivors_indexed(spark, path).collect()))
     assert after == before
-    # tombstones don't apply to a full-scan assignment — refuse loudly
-    with pytest.raises(ValueError, match="rebuild it from the filtered"):
-        ac.delete_vectors(spark, path, [1])
+    # the assignment is tombstone-serving (r9): a delete commits and the
+    # deleted id stops appearing in every serving read
+    ac.delete_vectors(spark, path, [1])
+    assert 1 not in {
+        r["vec_id"] for r in sd.semdedup_survivors_indexed(spark, path).collect()
+    }
 
 
 # --- major compaction ---------------------------------------------------------

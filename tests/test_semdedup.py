@@ -304,3 +304,69 @@ def test_append_semdedup_index_matches_joint_and_is_atomic(
     bad = odds.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
     with pytest.raises(ValueError, match="dimension"):
         sd.append_semdedup_index(bad, path)
+
+
+def test_delete_vectors_stops_gating_and_compaction_purges(
+    spark, embeddings, tmp_path
+):
+    """Takedown on the persisted assignment (r9): after delete_vectors
+    the deleted ids stop appearing as survivors AND stop gating pair
+    generation — served answers equal the in-plan run over the live
+    corpus with the SAME frozen centroids (non-circular: the in-plan
+    path re-runs the argmax + join itself). compact_ann_index then
+    purges the tombstoned rows physically, refreshes meta.n to the live
+    count, and leaves answers unchanged."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import ann_commit as ac
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        load_ivf_centroids,
+    )
+
+    path = str(tmp_path / "sdd")
+    sd.build_semdedup_index(embeddings, path, n_clusters=8)
+    n_all = embeddings.count()
+
+    # delete every vector that GATES another (a pair loser's partner),
+    # for at least one pair where the loser survives only because of it
+    pairs = sd.semdedup_pairs_indexed(spark, path).collect()
+    assert pairs, "fixture must produce at least one duplicate pair"
+    r = pairs[0]
+    loser = (
+        r["vec_a"]
+        if (r["c_score_a"], r["vec_a"]) > (r["c_score_b"], r["vec_b"])
+        else r["vec_b"]
+    )
+    winners = {
+        (p["vec_a"] if p["vec_b"] == loser else p["vec_b"])
+        for p in pairs
+        if loser in (p["vec_a"], p["vec_b"])
+    }
+    victims = sorted(winners)
+    ac.delete_vectors(spark, path, victims)
+
+    live = embeddings.where(~F.col("vec_id").isin(victims))
+    frozen = load_ivf_centroids(spark, path)
+    got = sorted(map(tuple, sd.semdedup_survivors_indexed(spark, path).collect()))
+    want = sorted(
+        map(tuple, sd.semdedup_survivors(live, centroids=frozen).collect())
+    )
+    assert got == want
+    surv_ids = {v for v, _, _ in got}
+    assert not surv_ids & set(victims)
+    assert loser in surv_ids  # its only droppers were taken down
+    for p in sd.semdedup_pairs_indexed(spark, path).collect():
+        assert p["vec_a"] not in victims and p["vec_b"] not in victims
+
+    # physical purge: compaction drops the rows from assign/, clears the
+    # tombstone artifact, refreshes meta.n — and answers don't move
+    ac.compact_ann_index(spark, path)
+    assert not ac.resolve_artifact(spark, path, "tombstones")
+    raw_ids = {
+        r["vec_id"]
+        for r in ac.read_artifact(spark, path, "assign").select("vec_id").collect()
+    }
+    assert not raw_ids & set(victims)
+    assert sd.load_semdedup_meta(spark, path)["n"] == n_all - len(victims)
+    after = sorted(map(tuple, sd.semdedup_survivors_indexed(spark, path).collect()))
+    assert after == got
