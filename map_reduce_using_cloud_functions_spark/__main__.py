@@ -202,6 +202,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "tombstones physically, refresh meta.n (run with writers quiesced)",
     )
     ak.add_argument("index_path")
+
+    li = sub.add_parser(
+        "ledger-info",
+        help="minhash admission ledger snapshot: sketch params, release "
+        "ids (-1 = folded history), doc count, band-directory fan-out",
+    )
+    li.add_argument("ledger_path")
+
+    lk = sub.add_parser(
+        "ledger-compact",
+        help="fold old ledger releases into the reserved release=-1 "
+        "partition — resets probe fan-in after many admitted batches "
+        "(run with the admitting stream quiesced)",
+    )
+    lk.add_argument("ledger_path")
+    lk.add_argument(
+        "--keep-last",
+        type=int,
+        default=1,
+        help="highest releases to keep un-folded (default 1: the "
+        "streaming replay contract needs the latest batch's release "
+        "to stay its own partition)",
+    )
     return p
 
 
@@ -324,6 +347,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(
                 f"compacted {args.index_path} -> v={v} "
                 f"(generations: {info['generations']})"
+            )
+        elif args.cmd == "ledger-info":
+            import json as _json
+
+            from .operators.dedup import ledger_info
+
+            print(_json.dumps(ledger_info(spark, args.ledger_path)))
+        elif args.cmd == "ledger-compact":
+            from .operators.dedup import compact_minhash_ledger, ledger_info
+
+            folded = compact_minhash_ledger(
+                spark, args.ledger_path, keep_last=args.keep_last
+            )
+            info = ledger_info(spark, args.ledger_path)
+            print(
+                f"folded releases {folded or 'nothing'} -> "
+                f"releases now {info['releases']} "
+                f"({info['band_dirs']} band dirs)"
             )
         elif args.cmd == "takedown":
             if not (args.index or args.ledger or args.survivors):

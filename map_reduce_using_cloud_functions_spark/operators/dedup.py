@@ -1143,3 +1143,160 @@ def delete_from_survivors(spark, survivors_path: str, doc_ids: list[int]) -> Non
             .partitionBy("release")
             .parquet(survivors_path)
         )
+
+
+# The release id the ledger's major compaction folds history into.
+# Negative BY CONTRACT: streaming batch ids (and the batch pipeline's
+# release ids) are >= 0, so a folded partition can never collide with a
+# replayable release — ``exclude_release=batch_id`` keeps hiding exactly
+# the batch's own rows, and the foreign-id refusal never fires on it.
+FOLDED_RELEASE = -1
+
+# Adoption-time snapshot of a ledger's pre-existing (foreign) release
+# ids — written by ``streaming/near_dedup.py`` at checkpoint adoption,
+# refreshed here when compaction folds a foreign release away (the
+# collision it guards against is with that release's PARTITION, which
+# no longer exists after the fold).
+FOREIGN_RELEASES_MARKER = "_foreign_releases"
+
+
+def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
+    """Major compaction for the MinHash ledger: fold old releases into
+    the single reserved ``release=-1`` partition — the LSM compaction
+    the admission pipeline's write side needs, exactly as
+    ``compact_ann_index`` is the ANN side's and ``compact_index`` the
+    word index's.
+
+    Why it exists: every admitted batch appends one ``sigs/`` release
+    partition and ``bands`` band-partition directories under it, and a
+    probe unions a scan per directory. The per-batch trade is right
+    (O(batch) appends, replay-idempotent by partition overwrite) — and
+    it accumulates: a year of hourly batches is ~9k releases and ~9k ×
+    bands directories, a file-count tax every probe pays. One
+    compaction pays one read+rewrite of the (narrow, ~200 bytes/doc)
+    sketch relations to reset probe fan-in to ``keep_last + 1``
+    directories per band.
+
+    ``keep_last`` (default 1) keeps the highest non-negative releases
+    as their own partitions. The default protects the streaming replay
+    contract: only the LATEST batch can be uncommitted in a stream's
+    checkpoint, and its replay relies on ``exclude_release=batch_id``
+    hiding that release's own rows — folding it would make replayed
+    documents match themselves and be refused as duplicates of
+    themselves. ``keep_last=0`` folds everything and is safe only for
+    a quiesced producer whose last append is known committed. Run with
+    writers quiesced (the ``ann-compact`` discipline).
+
+    Crash direction, stated exactly: folded sigs land in ``release=-1``
+    FIRST (materialized before the write — the fold may include the
+    previous ``-1``), bands second, old release directories are deleted
+    last — every intermediate state gates AT LEAST as much as before
+    (a doc present in both ``-1`` and its old release yields a
+    duplicate candidate row that verifies to the same pair; downstream
+    admission anti-joins on doc_id and is unaffected), and a re-run
+    converges (the fold set is recomputed from surviving directories
+    and the sig relation is deduplicated before the rewrite).
+
+    What a fold gives up: per-release audit granularity below the fold
+    line. ``before_release`` prunes only un-folded releases afterwards
+    (``-1`` sorts below every real release, so folded history is always
+    in scope — the conservative direction for a dedup gate); takedowns
+    keep working (``delete_from_ledger`` rewrites ``release=-1`` like
+    any other touched partition).
+
+    Returns the folded (non-negative) release ids, ``[]`` on no-op."""
+    import json
+
+    from .index import (
+        _hadoop_delete,
+        _hadoop_exists,
+        _read_small_file,
+        _write_small_file,
+    )
+
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
+    releases = ledger_releases(spark, path)
+    real = [r for r in releases if r >= 0]
+    kept = set(real[len(real) - keep_last :]) if keep_last else set()
+    fold = [r for r in releases if r not in kept]
+    folded_real = sorted(r for r in fold if r >= 0)
+    if not folded_real:
+        return []
+    sigs_path, bands_path = f"{path}/sigs", f"{path}/bands"
+    folded = (
+        spark.read.parquet(sigs_path)
+        .where(F.col("release").isin(fold))
+        .select("doc_id", "sig")
+        .distinct()  # a crashed fold leaves identical rows in -1 and the source release
+        .withColumn("release", F.lit(FOLDED_RELEASE))
+        .localCheckpoint()  # materialize BEFORE overwriting a source partition
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(sigs_path)
+    )
+    banded = (
+        _band_hashes(
+            spark.read.parquet(sigs_path).where(
+                F.col("release") == FOLDED_RELEASE
+            ),
+            bands=meta["bands"],
+            k=meta["k"],
+        )
+        .withColumn("release", F.lit(FOLDED_RELEASE))
+        .select("doc_id", "band_hash", "release", "band")
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("band_hash")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release", "band")
+        .parquet(bands_path)
+    )
+    for rel in folded_real:
+        _hadoop_delete(spark, f"{sigs_path}/release={rel}")
+        _hadoop_delete(spark, f"{bands_path}/release={rel}")
+    marker = f"{path}/{FOREIGN_RELEASES_MARKER}"
+    if _hadoop_exists(spark, marker):
+        foreign = set(json.loads(_read_small_file(spark, marker).decode("ascii")))
+        still_foreign = sorted(foreign - set(folded_real))
+        _hadoop_delete(spark, marker)
+        _write_small_file(
+            spark, marker, json.dumps(still_foreign).encode("ascii")
+        )
+    return folded_real
+
+
+def ledger_info(spark, path: str) -> dict:
+    """Operational snapshot of a MinHash ledger: sketch parameters,
+    release ids (``-1`` = the folded-history partition), doc count, and
+    the band-directory fan-out a probe pays — the number compaction
+    resets."""
+    meta = load_ledger_meta(spark, path)
+    releases = ledger_releases(spark, path)
+    n_docs = 0
+    band_dirs = 0
+    if releases:
+        n_docs = spark.read.parquet(f"{path}/sigs").count()
+        from .index import _hadoop_fs, _hadoop_path
+
+        bands = f"{path}/bands"
+        fs = _hadoop_fs(spark, bands)
+        for st in fs.listStatus(_hadoop_path(spark, bands)):
+            if st.getPath().getName().startswith("release="):
+                band_dirs += sum(
+                    1
+                    for b in fs.listStatus(st.getPath())
+                    if b.getPath().getName().startswith("band=")
+                )
+    return {
+        **meta,
+        "releases": releases,
+        "n_docs": n_docs,
+        "band_dirs": band_dirs,
+    }

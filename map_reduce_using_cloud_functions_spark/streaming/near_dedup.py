@@ -70,8 +70,10 @@ from .file_index import _bind_checkpoint, _check_checkpoint_binding
 # later batch id can EQUAL a foreign release, and the release-partition
 # "replay overwrite" discipline would silently erase that release's
 # admitted documents. The binding marker alone can't tell this apart
-# from a genuine replay; this sidecar can.
-FOREIGN_RELEASES_MARKER = "_foreign_releases"
+# from a genuine replay; this sidecar can. The name lives in
+# operators/dedup.py because ledger compaction refreshes the sidecar
+# when it folds a foreign release away.
+from ..operators.dedup import FOREIGN_RELEASES_MARKER
 
 
 def _record_foreign_releases(spark, ledger_path: str, releases: list[int]) -> None:

@@ -593,3 +593,169 @@ def test_minhash_ledger_param_validation(spark, tmp_path):
     docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="divide evenly"):
         build_minhash_ledger(docs, str(tmp_path / "led"), k=16, bands=5)
+
+
+# ------------------------------------------- ledger major compaction
+
+
+def _mk_release(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id bigint, text string")
+
+
+def _probe_pairs(spark, path, probe, **kw):
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        ledger_near_dup_pairs,
+    )
+
+    return {
+        (r["doc_id"], r["ledger_doc"], round(r["est_jaccard"], 9))
+        for r in ledger_near_dup_pairs(spark, probe, path, threshold=0.3, **kw).collect()
+    }
+
+
+def test_ledger_compaction_folds_releases_probe_unchanged(spark, tmp_path):
+    """compact_minhash_ledger folds everything but the newest release
+    into release=-1: the probe answers are IDENTICAL (folded docs keep
+    gating), the directory fan-out drops to keep_last+1 releases, the
+    kept release still honors exclude_release (the streaming replay
+    contract), a re-run no-ops, and keep_last=0 folds the rest."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        append_minhash_ledger,
+        build_minhash_ledger,
+        compact_minhash_ledger,
+        ledger_info,
+        ledger_releases,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    path = str(tmp_path / "led")
+    build_minhash_ledger(
+        _mk_release(spark, [(1, base), (2, "unrelated content words here truly")]),
+        path,
+        release=0,
+    )
+    for rel in (1, 2, 3):
+        append_minhash_ledger(
+            _mk_release(spark, [(10 * rel, f"{base} extra{rel}")]), path, release=rel
+        )
+    probe = _mk_release(spark, [(100, base + " omega")])
+    before = _probe_pairs(spark, path, probe)
+    assert {d for _, d, _ in before} == {1, 10, 20, 30}
+
+    folded = compact_minhash_ledger(spark, path, keep_last=1)
+    assert folded == [0, 1, 2]
+    assert ledger_releases(spark, path) == [-1, 3]
+    assert _probe_pairs(spark, path, probe) == before
+
+    # the kept release still hides ITS OWN rows under exclude_release
+    # (replay shape) while folded history keeps gating
+    replay = _probe_pairs(spark, path, probe, exclude_release=3)
+    assert {d for _, d, _ in replay} == {1, 10, 20}
+
+    # idempotent no-op: nothing un-folded below the kept release
+    assert compact_minhash_ledger(spark, path, keep_last=1) == []
+    # fold-all for a quiesced producer
+    assert compact_minhash_ledger(spark, path, keep_last=0) == [3]
+    assert ledger_releases(spark, path) == [-1]
+    assert _probe_pairs(spark, path, probe) == before
+    info = ledger_info(spark, path)
+    assert info["releases"] == [-1] and info["n_docs"] == 5
+
+
+def test_ledger_compaction_crash_points_overgate_then_converge(spark, tmp_path):
+    """Kill the fold at both crash points: after the sigs/-1 rewrite
+    (bands not yet rewritten) and after both rewrites (old release dirs
+    not yet deleted). Every intermediate state must gate AT LEAST the
+    original pairs — never less — and a replayed compaction converges
+    to the clean layout with identical probe answers."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    path = str(tmp_path / "led")
+    dd.build_minhash_ledger(
+        _mk_release(spark, [(1, base), (2, "unrelated content words here truly")]),
+        path,
+        release=0,
+    )
+    for rel in (1, 2):
+        dd.append_minhash_ledger(
+            _mk_release(spark, [(10 * rel, f"{base} extra{rel}")]), path, release=rel
+        )
+    probe = _mk_release(spark, [(100, base + " omega")])
+    before = _probe_pairs(spark, path, probe)
+
+    # crash 1: sigs folded, bands not — old dirs intact, so old bands
+    # still produce every candidate; duplicate sig rows only over-gate
+    real_bands = dd._band_hashes
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the bands rewrite")
+
+    try:
+        dd._band_hashes = boom
+        with pytest.raises(RuntimeError, match="injected"):
+            dd.compact_minhash_ledger(spark, path, keep_last=1)
+    finally:
+        dd._band_hashes = real_bands
+    assert _probe_pairs(spark, path, probe) >= before
+
+    # crash 2: both rewrites done, first old-dir delete dies
+    real_delete = ix._hadoop_delete
+    state = {"n": 0}
+
+    def delete_once(spark_, p):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("injected crash before the old-dir sweep")
+        return real_delete(spark_, p)
+
+    try:
+        ix._hadoop_delete = delete_once
+        with pytest.raises(RuntimeError, match="injected"):
+            dd.compact_minhash_ledger(spark, path, keep_last=1)
+    finally:
+        ix._hadoop_delete = real_delete
+    assert _probe_pairs(spark, path, probe) >= before
+
+    # replay converges: clean layout, exact answers
+    dd.compact_minhash_ledger(spark, path, keep_last=1)
+    assert dd.ledger_releases(spark, path) == [-1, 2]
+    assert _probe_pairs(spark, path, probe) == before
+
+
+def test_ledger_compaction_refreshes_foreign_marker_and_takedown(spark, tmp_path):
+    """A folded foreign release's partition no longer exists, so its id
+    must leave the adoption sidecar (a future batch with that id writes
+    a FRESH partition and the folded docs keep gating from -1); a
+    foreign release ABOVE the fold line stays refused. Takedown keeps
+    working on the folded partition."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        append_minhash_ledger,
+        build_minhash_ledger,
+        compact_minhash_ledger,
+        delete_from_ledger,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        _foreign_releases,
+        _record_foreign_releases,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    path = str(tmp_path / "led")
+    build_minhash_ledger(_mk_release(spark, [(1, base)]), path, release=0)
+    for rel in (5, 7):
+        append_minhash_ledger(
+            _mk_release(spark, [(10 * rel, f"{base} extra{rel}")]), path, release=rel
+        )
+    _record_foreign_releases(spark, path, [0, 5, 7])
+
+    assert compact_minhash_ledger(spark, path, keep_last=1) == [0, 5]
+    assert _foreign_releases(spark, path) == {7}
+
+    # takedown rewrites release=-1 like any touched partition
+    probe = _mk_release(spark, [(100, base + " omega")])
+    delete_from_ledger(spark, path, [1])
+    assert {d for _, d, _ in _probe_pairs(spark, path, probe)} == {50, 70}

@@ -759,3 +759,40 @@ def test_cli_takedown_purges_all_surfaces(spark, tmp_path, capsys):
 
     # no targets → usage error
     assert main(["takedown", "1"], spark=spark) == 2
+
+
+def test_stream_continues_after_ledger_compaction(spark, tmp_path):
+    """Ledger major compaction between micro-batches (the quiesced-
+    producer discipline): folded releases keep gating from release=-1,
+    the restarted stream's next batch id never collides with the
+    folded partition (it is negative by contract), and survivors
+    partitions — a separate table — are untouched."""
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        compact_minhash_ledger,
+    )
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_B)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    _write_jsonl(watch, "b1.jsonl", [(10, TEXT_C)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert dd.ledger_releases(spark, ledger) == [0, 1]
+
+    assert compact_minhash_ledger(spark, ledger, keep_last=1) == [0]
+    assert dd.ledger_releases(spark, ledger) == [-1, 1]
+    assert _survivor_ids(spark, survivors) == {0: {1, 2}, 1: {10}}
+
+    # batch 2: a near-copy of folded-release content must still be
+    # refused (it gates from -1); fresh content admits as release 2
+    fresh = (
+        "an entirely new report where meteor showers streak across "
+        "mountain observatories and astronomers chart every arc by hand"
+    )
+    _write_jsonl(watch, "b2.jsonl", [(20, TEXT_A_NEAR), (21, fresh)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert _survivor_ids(spark, survivors)[2] == {21}
+    assert dd.ledger_releases(spark, ledger) == [-1, 1, 2]

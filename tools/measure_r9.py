@@ -281,6 +281,54 @@ def compaction():
     )
 
 
+def ledger_compaction():
+    """Probe cost vs release fan-out on the MinHash ledger, and the
+    compact_minhash_ledger reset: 40 admitted batches = 40 sigs
+    partitions + 40×bands band directories unioned per probe; one fold
+    → 2 releases (folded history + the kept tail)."""
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+
+    spark = get_spark("measure_r9")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    prior = docs.where("doc_id % 25 != 0").localCheckpoint()
+    batch = docs.where("doc_id % 25 = 0").localCheckpoint()
+    path = "/tmp/m9_ledcompact"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    n_rel = 40
+    dd.init_minhash_ledger(spark, path)
+    t0 = time.time()
+    for r in range(n_rel):
+        dd.append_minhash_ledger(
+            prior.where(F.col("doc_id") % (n_rel + 1) == r), path, release=r
+        )
+    append_s = time.time() - t0
+
+    def probe():
+        t0 = time.time()
+        dd.ledger_near_dup_pairs(spark, batch, path, threshold=0.5).collect()
+        return time.time() - t0
+
+    probe()  # warm the plan shape
+    info = dd.ledger_info(spark, path)
+    t_multi = min(probe() for _ in range(3))
+    t0 = time.time()
+    dd.compact_minhash_ledger(spark, path, keep_last=1)
+    compact_s = time.time() - t0
+    info2 = dd.ledger_info(spark, path)
+    probe()
+    t_one = min(probe() for _ in range(3))
+    print(
+        f"ledger_compaction: {info['n_docs']} docs across "
+        f"{len(info['releases'])} releases ({info['band_dirs']} band "
+        f"dirs; {append_s:.0f}s to append), probe {t_multi:.2f}s; "
+        f"compact_minhash_ledger {compact_s:.1f}s (one sketch-relation "
+        f"rewrite); probe at {len(info2['releases'])} releases "
+        f"({info2['band_dirs']} band dirs) {t_one:.2f}s"
+    )
+
+
 if __name__ == "__main__":
     {
         "train_flat": train_flat,
@@ -288,4 +336,5 @@ if __name__ == "__main__":
         "residual": residual,
         "tombstone": tombstone,
         "compaction": compaction,
+        "ledger_compaction": ledger_compaction,
     }[sys.argv[1]]()
