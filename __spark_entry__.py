@@ -26,6 +26,7 @@ from map_reduce_using_cloud_functions_spark.operators import similarity as sim
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
 from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
+from map_reduce_using_cloud_functions_spark.operators import sketches as sk
 from map_reduce_using_cloud_functions_spark.plans import relational as rel
 from map_reduce_using_cloud_functions_spark.plans import events as ev
 
@@ -265,6 +266,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
         "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
         "embedding_array_features": lambda s, d: rel.embedding_array_features(_tables(s, d)),
+        # ---- sketch statistics (X4+: corpus profiling at scale) ----
+        "corpus_vocab_sketch": lambda s, d: sk.vocab_sketch(
+            load_table(s, d, "documents"), k=64, by=["lang"]
+        ),
+        "distinct_custkeys_sketch": lambda s, d: sk.distinct_sketch(
+            load_table(s, d, "orders"), "o_custkey", k=256, alias="est_custkeys"
+        ),
     }
 
 
@@ -491,6 +499,24 @@ SELECT vec_id,
        round(list_sum(list_reverse_sort(embedding::DOUBLE[])[1:3]), 6) AS top3_sum
 FROM embeddings
 """
+
+    # ---- sketch statistics (operators/sketches.py) — the twin is
+    # generated by the same module so the hash, the exact integer sum,
+    # and the one trailing double division stay alignment-proof
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        distinct_sketch_sql,
+    )
+
+    sql["corpus_vocab_sketch"] = distinct_sketch_sql(
+        f"(SELECT lang, unnest({_TOKS_LIST.format(col='text')}) AS word FROM documents)",
+        "word",
+        k=64,
+        by=["lang"],
+        alias="est_vocab",
+    )
+    sql["distinct_custkeys_sketch"] = distinct_sketch_sql(
+        "orders", "cast(o_custkey AS VARCHAR)", k=256, alias="est_custkeys"
+    )
 
     # ---- events ----
     sql["events_pivot"] = """

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "corpus_boilerplate_strip",  # r7: cross-corpus line removal
     "ann_topk_ivfpq",  # r8: composed IVF routing + ADC scoring
     "ann_topk_ivfpq_residual",  # r9: residual encoding (FAISS default)
+    "corpus_vocab_sketch",  # r9: bounded-state distinct estimation
 ]
 
 
