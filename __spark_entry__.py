@@ -273,6 +273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_custkeys_sketch": lambda s, d: sk.distinct_sketch(
             load_table(s, d, "orders"), "o_custkey", k=256, alias="est_custkeys"
         ),
+        "sampled_price_percentiles": lambda s, d: sk.sampled_percentiles(
+            load_table(s, d, "orders"),
+            "o_totalprice",
+            key="o_orderkey",
+            frac=0.25,
+            by=["o_orderstatus"],
+        ),
     }
 
 
@@ -516,6 +523,17 @@ FROM embeddings
     )
     sql["distinct_custkeys_sketch"] = distinct_sketch_sql(
         "orders", "cast(o_custkey AS VARCHAR)", k=256, alias="est_custkeys"
+    )
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        sampled_percentiles_sql,
+    )
+
+    sql["sampled_price_percentiles"] = sampled_percentiles_sql(
+        "orders",
+        "o_totalprice",
+        "cast(o_orderkey AS VARCHAR)",
+        frac=0.25,
+        by=["o_orderstatus"],
     )
 
     # ---- events ----

@@ -104,7 +104,6 @@ def distinct_sketch_sql(
     sum, same final double division; the oracle gate runs it against
     the Spark plan. ``col_sql`` must already be a VARCHAR expression."""
     by = list(by or [])
-    sel = ", ".join(by + ["_bucket", "mn"])
     bycols = ", ".join(by)
     by_prefix = f"{bycols}, " if by else ""
     h = HEX64_SQL.format(col=col_sql)
@@ -140,3 +139,73 @@ def vocab_sketch(
         *by, F.explode(tokens_array(F.col("text"))).alias("word")
     )
     return distinct_sketch(toks, "word", k=k, by=by, alias="est_vocab")
+
+
+def hash_sample(df: DataFrame, key: str, frac: float) -> DataFrame:
+    """Deterministic row sample: keep rows whose portable 60-bit key
+    hash falls under ``frac`` of the hash space. Reproducible across
+    engines, runs, and partitionings (no RNG, no seed plumbing), and
+    composable — the same (key, frac) always selects the same rows, so
+    two tables sampled on a shared key stay JOINABLE (the correlated-
+    sampling property ``df.sample()`` cannot give). Map-only: the
+    filter rides the scan."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    threshold = int(frac * TWO_60)
+    return df.where(hex64(F.col(key).cast("string")) < F.lit(threshold))
+
+
+def sampled_percentiles(
+    df: DataFrame,
+    col: str,
+    key: str,
+    frac: float = 0.1,
+    by: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Percentiles estimated from a deterministic hash sample — the
+    100 TB answer to exact quantiles, whose full-column sort is the
+    cost this avoids. The sample is exact-percentiled (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the engine-alignment the
+    exact row already pins), so the only error is sampling error: by
+    DKW, the RANK error of an m-row sample is ≤ sqrt(ln(2/δ)/(2m)) with
+    probability 1−δ — the caller buys accuracy with ``frac``.
+
+    ``key`` must identify rows (not values): sampling on the measured
+    column itself would weight values by their distinct-ness, not their
+    frequency, and bias every quantile."""
+    by = list(by or [])
+    sample = hash_sample(df, key, frac)
+    aggs = [
+        F.round(F.expr(f"percentile({col}, {p})"), 4).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return sample.groupBy(*by).agg(*aggs)
+
+
+def sampled_percentiles_sql(
+    table: str,
+    col_sql: str,
+    key_sql: str,
+    frac: float = 0.1,
+    by: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+) -> str:
+    """DuckDB twin of ``sampled_percentiles`` — same hash threshold
+    (ONE int conversion shared with ``hash_sample``), same exact
+    quantile over the identical sampled rows."""
+    by = list(by or [])
+    threshold = int(frac * TWO_60)
+    h = HEX64_SQL.format(col=key_sql)
+    cols = ", ".join(
+        f"round(quantile_cont({col_sql}, {p}), 4) AS p{int(p * 100)}"
+        for p in percentiles
+    )
+    bycols = ", ".join(by)
+    by_prefix = f"{bycols}, " if by else ""
+    return (
+        f"SELECT {by_prefix}{cols} FROM {table} WHERE {h} < {threshold}"
+        + (f" GROUP BY {bycols}" if by else "")
+    )

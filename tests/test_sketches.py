@@ -119,3 +119,63 @@ def test_vocab_sketch_tracks_tokenizer_universe(spark):
     ]
     got = vocab_sketch(docs, k=64).first()["est_vocab"]
     assert got == pytest.approx(py_sketch(toks, 64), abs=1e-9)
+
+
+def test_hash_sample_deterministic_and_correlated(spark):
+    """Same (key, frac) selects the same rows across runs and across
+    TABLES — two relations sampled on a shared key stay joinable — and
+    the sample size concentrates around frac·n."""
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        hash_sample,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    s1 = {r["o_orderkey"] for r in hash_sample(orders, "o_orderkey", 0.2).select("o_orderkey").collect()}
+    s2 = {r["o_orderkey"] for r in hash_sample(orders, "o_orderkey", 0.2).select("o_orderkey").collect()}
+    assert s1 == s2 and s1
+    n = orders.count()
+    assert abs(len(s1) - 0.2 * n) < 4 * math.sqrt(0.2 * n)
+    # correlated across tables: lineitem sampled on the SAME key yields
+    # exactly the line items of the sampled orders
+    li = load_table(spark, SF, "lineitem")
+    li_keys = {
+        r["l_orderkey"]
+        for r in hash_sample(li, "l_orderkey", 0.2).select("l_orderkey").distinct().collect()
+    }
+    assert li_keys == {k for k in s1 if k in {r["l_orderkey"] for r in li.select("l_orderkey").distinct().collect()}}
+    with pytest.raises(ValueError, match="frac"):
+        hash_sample(orders, "o_orderkey", 0.0)
+
+
+def test_sampled_percentiles_close_to_exact(spark):
+    """The sampled quantiles sit within the DKW band of the exact ones
+    (rank tolerance translated through the fixture's spread)."""
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        sampled_percentiles,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    got = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in sampled_percentiles(
+            orders, "o_totalprice", key="o_orderkey", frac=0.25, by=["o_orderstatus"]
+        ).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    vals = sorted(
+        r["o_totalprice"] for r in orders.select("o_totalprice").collect()
+    )
+    spread = vals[-1] - vals[0]
+    for status, (p50, p90) in got.items():
+        e50, e90 = exact[status]
+        # loose but meaningful: within 10% of the full value spread
+        assert abs(p50 - e50) < 0.1 * spread
+        assert abs(p90 - e90) < 0.1 * spread
