@@ -1,0 +1,201 @@
+"""Multi-dimensional clustered layout (Z-order) for scan pruning.
+
+Why: parquet readers skip a file or row group when the predicate
+excludes its column [min, max] range — but min/max are only tight for
+the column the data happens to be sorted by. Sorting by one column
+makes every OTHER column's ranges span the whole domain, so a 100 TB
+table laid out by date serves `WHERE user_id = ?` with a full scan.
+Interleaving the bits of several columns' bucket numbers (the Z-order /
+Morton curve — Morton 1966; the layout discipline behind Delta Lake's
+OPTIMIZE ZORDER BY and many warehouse clustering features) keeps every
+participating column's min/max tight in every file: points close on the
+curve are close in ALL dimensions, so a range predicate on ANY z column
+excludes most files. This module is pure layout — it never changes
+answers, only which bytes a filtered scan has to read.
+
+How it scales: the default key is min/max linear scaling (one tiny
+bounds aggregate) + a static chain of JVM-side bit operations — all
+whole-stage codegen, so the write costs what any clustered write costs
+(one range repartition + within-partition sort). For heavily skewed
+dimensions, ``scaling="quantile"`` derives balanced bucket boundaries
+from one bounded driver-side ``approxQuantile`` (Greenwald–Khanna,
+≤ 2^bits doubles per column) at a documented per-row comparison cost
+— see ``zorder_key``.
+
+`zorder_scan_stats` reads parquet footers (no data pages) and reports,
+for a predicate, how many row groups its min/max stats already exclude
+— the deterministic way to verify the layout works, independent of
+scheduler timing noise.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+ZKEY = "_zkey"
+
+
+def _bucketize(col: Column, breaks: list[float]) -> Column:
+    """Bucket number in [0, len(breaks)] — the count of breakpoints at
+    or below the value. NULLs land in bucket 0 (the curve's origin:
+    they carry no range information to preserve). The breakpoints are
+    ONE array literal (not per-row CreateArray), so the scan pays a
+    comparison loop, not an allocation."""
+    arr = F.lit([float(b) for b in breaks])
+    return F.coalesce(
+        F.size(F.filter(arr, lambda b: col.cast("double") >= b)), F.lit(0)
+    )
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton code: bit i of column j lands at position i*d + j. Static
+    expression chain — d·bits shift/OR terms, all codegen'd."""
+    d = len(buckets)
+    terms = []
+    for j, b in enumerate(buckets):
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * d + j,
+                )
+            )
+    return reduce(lambda a, t: a.bitwiseOR(t), terms)
+
+
+def _bucketize_linear(col: Column, lo: float, hi: float, n: int) -> Column:
+    """Bucket by min/max scaling: pure codegen arithmetic (~ns/row).
+    Degenerate domains (lo == hi, or all-NULL bounds) and NULLs land
+    in bucket 0."""
+    if lo is None or hi is None or hi <= lo:
+        return F.lit(0)
+    scaled = F.floor(
+        (col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(n)
+    )
+    return F.coalesce(
+        F.least(F.greatest(scaled, F.lit(0)), F.lit(n - 1)), F.lit(0)
+    ).cast("int")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    scaling: str = "linear",
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """``df`` plus a ``_zkey`` column — the Morton code of the bucket
+    numbers of ``cols`` (``2^bits`` buckets each).
+
+    ``scaling`` picks how values map to buckets — a layout-quality
+    knob, never a correctness one:
+
+    - ``"linear"`` (default): min/max scaling from one tiny bounds agg;
+      the key is pure whole-stage-codegen arithmetic, so the write
+      costs what any clustered write costs. Right for roughly uniform
+      key domains (ids, timestamps).
+    - ``"quantile"``: bucket boundaries from one bounded driver-side
+      ``approxQuantile`` (Greenwald–Khanna, ≤ 2^bits doubles per
+      column). Keeps the curve balanced under heavy skew, where linear
+      scaling would collapse most rows into a few codes — at the
+      documented price of an interpreted 2^bits-way comparison per row
+      (a higher-order array filter; ~20 µs/row measured), which is why
+      it is the opt-in and not the default."""
+    if not (1 <= bits <= 16):
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    if len(cols) < 2:
+        raise ValueError(
+            "z-ordering needs >= 2 columns — for one column use a plain "
+            "sortWithinPartitions, it gives strictly tighter ranges"
+        )
+    if scaling not in ("linear", "quantile"):
+        raise ValueError(f"scaling must be 'linear' or 'quantile', got {scaling!r}")
+    n_buckets = 1 << bits
+    numeric = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    if scaling == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        all_breaks = numeric.stat.approxQuantile(cols, probs, rel_err)
+        buckets = [
+            _bucketize(F.col(c), breaks)
+            for c, breaks in zip(cols, all_breaks)
+        ]
+    else:
+        bounds = numeric.agg(
+            *[F.min(c).alias(f"_lo{j}") for j, c in enumerate(cols)],
+            *[F.max(c).alias(f"_hi{j}") for j, c in enumerate(cols)],
+        ).first()
+        buckets = [
+            _bucketize_linear(
+                F.col(c), bounds[f"_lo{j}"], bounds[f"_hi{j}"], n_buckets
+            )
+            for j, c in enumerate(cols)
+        ]
+    return df.withColumn(ZKEY, _interleave(buckets, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    scaling: str = "linear",
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cols``: range-
+    repartition on the z-key (contiguous curve segments per file), sort
+    within partitions (tight row-group stats inside each file), drop
+    the key, write parquet. Readers need nothing special — the standard
+    min/max pruning does the skipping."""
+    keyed = zorder_key(df, cols, bits=bits, scaling=scaling)
+    part = (
+        keyed.repartitionByRange(num_files, ZKEY)
+        if num_files
+        else keyed.repartitionByRange(ZKEY)
+    )
+    (
+        part.sortWithinPartitions(ZKEY)
+        .drop(ZKEY)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_scan_stats(
+    spark, path: str, col: str, lo: float, hi: float
+) -> dict:
+    """Footer-only pruning report for ``col BETWEEN lo AND hi``: how
+    many row groups the parquet min/max statistics exclude before any
+    data page is read — the deterministic measure of a clustered
+    layout's worth (a scheduler-noise-free twin of timing the scan)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    total = skipped = rows_total = rows_skipped = 0
+    for f in sorted(_glob.glob(os.path.join(local, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(idx).statistics
+            total += 1
+            rows_total += rg.num_rows
+            if st is not None and st.has_min_max and (
+                float(st.min) > hi or float(st.max) < lo
+            ):
+                skipped += 1
+                rows_skipped += rg.num_rows
+    return {
+        "row_groups": total,
+        "skipped": skipped,
+        "skip_frac": round(skipped / total, 4) if total else 0.0,
+        "rows_total": rows_total,
+        "rows_skipped": rows_skipped,
+    }

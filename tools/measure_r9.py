@@ -329,6 +329,70 @@ def ledger_compaction():
     )
 
 
+def zorder():
+    """Scan pruning vs layout at sf0.1 (600k lineitem rows, 32 files):
+    footer-excluded row groups + wall for a 1/16-domain range predicate
+    on each of the two z columns, z-order vs single-column sort."""
+    from map_reduce_using_cloud_functions_spark.operators.layout import (
+        write_zordered,
+        zorder_scan_stats,
+    )
+
+    spark = get_spark("measure_r9")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    hi_ok = li.agg(F.max("l_orderkey")).first()[0]
+    hi_pk = li.agg(F.max("l_partkey")).first()[0]
+    import shutil
+
+    for p in ("/tmp/m9_z", "/tmp/m9_zq", "/tmp/m9_one"):
+        shutil.rmtree(p, ignore_errors=True)
+    t0 = time.time()
+    write_zordered(li, "/tmp/m9_z", ["l_orderkey", "l_partkey"], num_files=32)
+    z_write = time.time() - t0
+    t0 = time.time()
+    write_zordered(
+        li,
+        "/tmp/m9_zq",
+        ["l_orderkey", "l_partkey"],
+        num_files=32,
+        scaling="quantile",
+    )
+    zq_write = time.time() - t0
+    t0 = time.time()
+    (
+        li.repartitionByRange(32, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet("/tmp/m9_one")
+    )
+    one_write = time.time() - t0
+
+    def scan(path, col, hi):
+        df = spark.read.parquet(path).where(
+            (F.col(col) >= 0) & (F.col(col) <= hi * 0.0625)
+        )
+        t0 = time.time()
+        df.agg(F.sum("l_extendedprice")).collect()
+        return time.time() - t0
+
+    for path, name, wt in (
+        ("/tmp/m9_z", "zorder(linear)", z_write),
+        ("/tmp/m9_zq", "zorder(quantile)", zq_write),
+        ("/tmp/m9_one", "sort(l_orderkey)", one_write),
+    ):
+        scan(path, "l_orderkey", hi_ok)  # warm
+        t_ok = min(scan(path, "l_orderkey", hi_ok) for _ in range(3))
+        t_pk = min(scan(path, "l_partkey", hi_pk) for _ in range(3))
+        s_ok = zorder_scan_stats(spark, path, "l_orderkey", 0, hi_ok * 0.0625)
+        s_pk = zorder_scan_stats(spark, path, "l_partkey", 0, hi_pk * 0.0625)
+        print(
+            f"{name}: write {wt:.1f}s; orderkey-range scan {t_ok:.2f}s "
+            f"(row groups skipped {s_ok['skipped']}/{s_ok['row_groups']}), "
+            f"partkey-range scan {t_pk:.2f}s "
+            f"(skipped {s_pk['skipped']}/{s_pk['row_groups']})"
+        )
+
+
 if __name__ == "__main__":
     {
         "train_flat": train_flat,
@@ -337,4 +401,5 @@ if __name__ == "__main__":
         "tombstone": tombstone,
         "compaction": compaction,
         "ledger_compaction": ledger_compaction,
+        "zorder": zorder,
     }[sys.argv[1]]()
