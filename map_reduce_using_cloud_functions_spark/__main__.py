@@ -154,6 +154,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "heuristic quality composite falls below this BEFORE admission",
     )
     ad.add_argument(
+        "--semantic-ledger",
+        default=None,
+        help="also gate semantically: refuse documents whose embedding "
+        "is a cosine near-dup of admitted content (paraphrases that "
+        "share no shingles); embeddings via the deterministic "
+        "hashing-trick featurizer",
+    )
+    ad.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.85,
+        help="cosine threshold for the semantic gate (default 0.85)",
+    )
+    ad.add_argument(
         "--once",
         action="store_true",
         help="drain what has landed and exit (availableNow trigger)",
@@ -421,6 +435,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     threshold=args.threshold,
                     available_now=args.once,
                     min_quality=args.min_quality,
+                    semantic_ledger_path=args.semantic_ledger,
+                    semantic_threshold=args.semantic_threshold,
                 )
             else:
                 q = start_near_dedup_stream(
@@ -431,6 +447,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     args.checkpoint_dir,
                     threshold=args.threshold,
                     available_now=args.once,
+                    semantic_ledger_path=args.semantic_ledger,
+                    semantic_threshold=args.semantic_threshold,
                 )
             print(
                 f"admitting {args.watch_dir} -> {args.survivors_path} "

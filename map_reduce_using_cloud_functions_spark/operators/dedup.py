@@ -1205,6 +1205,30 @@ def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
     any other touched partition).
 
     Returns the folded (non-negative) release ids, ``[]`` on no-op."""
+    meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
+
+    def reband(folded_sigs: DataFrame) -> DataFrame:
+        return (
+            _band_hashes(folded_sigs, bands=meta["bands"], k=meta["k"])
+            .withColumn("release", F.lit(FOLDED_RELEASE))
+            .select("doc_id", "band_hash", "release", "band")
+        )
+
+    return _compact_banded_ledger(
+        spark, path, keep_last, data_dir="sigs", reband=reband
+    )
+
+
+def _compact_banded_ledger(
+    spark, path: str, keep_last: int, data_dir: str, reband
+) -> list[int]:
+    """Shared fold machinery for the banded ledgers (MinHash ``sigs/``,
+    embedding ``vecs/``): fold the non-kept releases' data partitions
+    into ``release=-1``, recompute that partition's bands via
+    ``reband`` (a folded-data → band-rows function), sweep the old
+    release directories, refresh the foreign-id sidecar. The crash
+    ordering (data → bands → sweep → marker) is the over-gate-then-
+    converge contract both public compactors document."""
     import json
 
     from .index import (
@@ -1216,7 +1240,6 @@ def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
 
     if keep_last < 0:
         raise ValueError(f"keep_last must be >= 0, got {keep_last}")
-    meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
     releases = ledger_releases(spark, path)
     real = [r for r in releases if r >= 0]
     kept = set(real[len(real) - keep_last :]) if keep_last else set()
@@ -1224,11 +1247,11 @@ def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
     folded_real = sorted(r for r in fold if r >= 0)
     if not folded_real:
         return []
-    sigs_path, bands_path = f"{path}/sigs", f"{path}/bands"
+    data_path, bands_path = f"{path}/{data_dir}", f"{path}/bands"
+    data = spark.read.parquet(data_path)
     folded = (
-        spark.read.parquet(sigs_path)
-        .where(F.col("release").isin(fold))
-        .select("doc_id", "sig")
+        data.where(F.col("release").isin(fold))
+        .select(*[c for c in data.columns if c != "release"])
         .distinct()  # a crashed fold leaves identical rows in -1 and the source release
         .withColumn("release", F.lit(FOLDED_RELEASE))
         .localCheckpoint()  # materialize BEFORE overwriting a source partition
@@ -1237,29 +1260,24 @@ def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
         folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("release")
-        .parquet(sigs_path)
+        .parquet(data_path)
     )
-    banded = (
-        _band_hashes(
-            spark.read.parquet(sigs_path).where(
-                F.col("release") == FOLDED_RELEASE
-            ),
-            bands=meta["bands"],
-            k=meta["k"],
+    banded = reband(
+        spark.read.parquet(data_path).where(
+            F.col("release") == FOLDED_RELEASE
         )
-        .withColumn("release", F.lit(FOLDED_RELEASE))
-        .select("doc_id", "band_hash", "release", "band")
     )
+    sort_col = "band_hash" if "band_hash" in banded.columns else "band_bucket"
     (
         banded.repartition("band")
-        .sortWithinPartitions("band_hash")
+        .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("release", "band")
         .parquet(bands_path)
     )
     for rel in folded_real:
-        _hadoop_delete(spark, f"{sigs_path}/release={rel}")
+        _hadoop_delete(spark, f"{data_path}/release={rel}")
         _hadoop_delete(spark, f"{bands_path}/release={rel}")
     marker = f"{path}/{FOREIGN_RELEASES_MARKER}"
     if _hadoop_exists(spark, marker):
@@ -1300,3 +1318,349 @@ def ledger_info(spark, path: str) -> dict:
         "n_docs": n_docs,
         "band_dirs": band_dirs,
     }
+
+
+# --------------------------------------- cross-release EMBEDDING ledger
+#
+# The third admission strength: ``dedup_against_reference`` gates on
+# exact content hashes, the MinHash ledger on lexical near-duplicates —
+# this one gates on SEMANTIC near-duplicates (embedding cosine), so a
+# paraphrase of admitted content is refused even when it shares no
+# shingles. Same persisted discipline as the MinHash ledger, at
+# embedding strength:
+#
+# - ``meta/`` — (planes_per_band, bands, dim): the sign-sketch geometry
+#   every append and probe replays (the ledger's identity);
+# - ``vecs/`` — (vec_id, embedding, norm) partitioned by ``release``;
+# - ``bands/`` — (vec_id, band, band_bucket) partitioned by
+#   (``release``, ``band``).
+#
+# The hyperplanes are pure hash functions of (plane, dimension)
+# (similarity._plane_matrix) — corpus-INDEPENDENT, like the MinHash
+# hash family — so a ledger probe is bit-identical in sketch space to a
+# from-scratch joint sketch: sketch ONLY the batch, equi-join the
+# persisted narrow band relation, exact-cosine-verify the candidates.
+# Release-partition dynamic overwrite keeps appends replay-idempotent;
+# ``compact_embedding_ledger`` folds history into ``release=-1``.
+
+
+def init_embedding_ledger(
+    spark,
+    path: str,
+    dim: int,
+    planes_per_band: int = 8,
+    bands: int = 8,
+) -> None:
+    """Write the embedding ledger's parameter row. The r=8, b=8 default
+    is the production-threshold banding (recall 1-(1-p^r)^b at τ ≥ 0.8;
+    the fixture-scale r=4 default of ``pairwise_near_dup`` is NOT a
+    ledger default — a persisted under-banded geometry would bake the
+    candidate explosion in for every later batch)."""
+    if planes_per_band < 1 or bands < 1:
+        raise ValueError(
+            f"planes_per_band={planes_per_band} and bands={bands} must be >= 1"
+        )
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    (
+        spark.createDataFrame(
+            [(planes_per_band, bands, dim)],
+            "planes_per_band int, bands int, dim int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_ledger_meta_path(path))
+    )
+
+
+def load_embedding_ledger_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema("planes_per_band int, bands int, dim int")
+        .parquet(_ledger_meta_path(path))
+        .first()
+    )
+    return row.asDict()
+
+
+def _emb_check_dim(embeddings: DataFrame, dim: int, where: str) -> None:
+    got = embeddings.select(F.size("embedding").alias("d")).first()
+    if got is not None and got["d"] != dim:
+        raise ValueError(
+            f"{where}: batch embeddings have dim {got['d']} but the "
+            f"ledger was built for dim {dim} — sketches over different "
+            "dimensionalities are incomparable."
+        )
+
+
+def build_embedding_ledger(
+    embeddings: DataFrame,
+    path: str,
+    planes_per_band: int = 8,
+    bands: int = 8,
+    release: int = 0,
+) -> None:
+    """Create the embedding ledger at ``path`` from the first release
+    (``(vec_id, embedding)`` rows)."""
+    spark = embeddings.sparkSession
+    dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    if dim_row is None:
+        raise ValueError(
+            "build_embedding_ledger: empty first release — use "
+            "init_embedding_ledger(dim=...) and append later releases"
+        )
+    init_embedding_ledger(
+        spark, path, dim_row["d"], planes_per_band=planes_per_band, bands=bands
+    )
+    append_embedding_ledger(embeddings, path, release=release)
+
+
+def append_embedding_ledger(
+    embeddings: DataFrame, path: str, release: int
+) -> None:
+    """Record a release: sketch with the stored geometry, write its
+    ``vecs/`` and ``bands/`` partitions (dynamic partition overwrite —
+    replay-idempotent, the release id in the path IS the watermark)."""
+    from ..functions.vectors import l2_norm
+    from .similarity import _sign_sketch_bands
+
+    spark = embeddings.sparkSession
+    meta = load_embedding_ledger_meta(spark, path)
+    _emb_check_dim(embeddings, meta["dim"], "append_embedding_ledger")
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        l2_norm(F.col("embedding")).alias("norm"),
+    )
+    (
+        base.withColumn("release", F.lit(release))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(f"{path}/vecs")
+    )
+    banded = _sign_sketch_bands(
+        spark.read.parquet(f"{path}/vecs")
+        .where(F.col("release") == release)
+        .select("vec_id", "embedding"),
+        "embedding",
+        planes_per_band=meta["planes_per_band"],
+        bands=meta["bands"],
+    ).select(
+        "vec_id",
+        "band",
+        "band_bucket",
+        F.lit(release).alias("release"),
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("band_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release", "band")
+        .parquet(f"{path}/bands")
+    )
+
+
+def ledger_embedding_pairs(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    before_release: int | None = None,
+    exclude_release: int | None = None,
+    scale_guard: str = "raise",
+) -> DataFrame:
+    """Probe the ledger with a NEW batch: ``(vec_id, ledger_vec,
+    score)`` for every batch vector whose cosine against a prior-
+    release vector clears ``threshold``. Sketch ONLY the batch;
+    candidates meet on the persisted narrow (band, band_bucket)
+    relation; each candidate pair fetches/verifies exactly once.
+    ``before_release``/``exclude_release``: the MinHash ledger's
+    audit/replay contracts, verbatim.
+
+    ``scale_guard``: the banding is frozen in the ledger, so the
+    random-collision estimate bands·|batch|·|ledger|/2^r either fits
+    the budget or the remedy is a rebuild at higher r — ``"raise"``
+    (default) refuses with that remedy, ``"off"`` proceeds."""
+    from ..functions.vectors import dot, l2_norm
+    from .similarity import LSH_CANDIDATE_BUDGET, _sign_sketch_bands
+
+    meta = load_embedding_ledger_meta(spark, path)
+    _emb_check_dim(embeddings, meta["dim"], "ledger_embedding_pairs")
+    r, b = meta["planes_per_band"], meta["bands"]
+
+    def _rel_filter(df):
+        if before_release is not None:
+            df = df.where(F.col("release") < F.lit(before_release))
+        if exclude_release is not None:
+            df = df.where(F.col("release") != F.lit(exclude_release))
+        return df
+
+    ledger_vecs = _rel_filter(spark.read.parquet(f"{path}/vecs"))
+    if scale_guard not in ("raise", "off"):
+        raise ValueError(f"scale_guard must be 'raise' or 'off', got {scale_guard!r}")
+    if scale_guard == "raise":
+        n_batch = embeddings.count()
+        n_ledger = ledger_vecs.count()
+        est = b * n_batch * n_ledger / (2 ** r)
+        if est > LSH_CANDIDATE_BUDGET:
+            raise ValueError(
+                f"ledger_embedding_pairs: estimated candidate volume "
+                f"{est:.1e} (bands={b}, r={r}, batch={n_batch}, "
+                f"ledger={n_ledger}) exceeds the {LSH_CANDIDATE_BUDGET:.0e} "
+                "budget — rebuild the ledger with more planes_per_band "
+                "(each +1 halves random collisions), or pass "
+                "scale_guard='off' if this volume is intended."
+            )
+    batch = _sign_sketch_bands(
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        ),
+        "embedding",
+        planes_per_band=r,
+        bands=b,
+    ).localCheckpoint()
+    ledger_bands = _rel_filter(spark.read.parquet(f"{path}/bands")).select(
+        F.col("vec_id").alias("ledger_vec"), "band", "band_bucket"
+    )
+    cands = (
+        batch.select("vec_id", "band", "band_bucket")
+        .join(ledger_bands, ["band", "band_bucket"])
+        .select("vec_id", "ledger_vec")
+        .distinct()
+    )
+    bvecs = (
+        batch.select("vec_id", "embedding")
+        .distinct()
+        .withColumn("b_norm", l2_norm(F.col("embedding")))
+        .select("vec_id", F.col("embedding").alias("b_emb"), "b_norm")
+    )
+    lvecs = ledger_vecs.select(
+        F.col("vec_id").alias("ledger_vec"),
+        F.col("embedding").alias("l_emb"),
+        F.col("norm").alias("l_norm"),
+    )
+    score = F.try_divide(
+        dot(F.col("b_emb"), F.col("l_emb")), F.col("b_norm") * F.col("l_norm")
+    )
+    return (
+        cands.join(bvecs, "vec_id")
+        .join(lvecs, "ledger_vec")
+        .select(
+            "vec_id",
+            "ledger_vec",
+            F.round(score, 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def near_dedup_against_embedding_ledger(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    before_release: int | None = None,
+    exclude_release: int | None = None,
+    scale_guard: str = "raise",
+) -> DataFrame:
+    """Rows of ``embeddings`` that are NOT a semantic near-duplicate of
+    anything already in the ledger, all columns intact. Ship the
+    survivors, then ``append_embedding_ledger`` them as the next
+    release."""
+    matched = ledger_embedding_pairs(
+        spark,
+        embeddings,
+        path,
+        threshold,
+        before_release=before_release,
+        exclude_release=exclude_release,
+        scale_guard=scale_guard,
+    ).select("vec_id")
+    return embeddings.join(matched, "vec_id", "left_anti")
+
+
+def delete_from_embedding_ledger(spark, path: str, vec_ids: list[int]) -> None:
+    """Takedown: remove vectors from the embedding ledger so retracted
+    content stops gating semantically. Cost ∝ touched releases; vecs
+    rewrite first, bands second — every intermediate state gates LESS
+    (a bands row without its vector fails the verify join), the safe
+    direction for a takedown; replay converges."""
+    from .similarity import _sign_sketch_bands
+
+    meta = load_embedding_ledger_meta(spark, path)
+    ids = sorted(set(vec_ids))
+    if not ids:
+        return
+    from .index import _hadoop_delete
+
+    vecs_path, bands_path = f"{path}/vecs", f"{path}/bands"
+    vecs = spark.read.parquet(vecs_path)
+    touched = sorted(
+        r["release"]
+        for r in vecs.where(F.col("vec_id").isin(ids))
+        .select("release")
+        .distinct()
+        .collect()
+    )
+    for rel in touched:
+        remaining = (
+            vecs.where((F.col("release") == rel) & ~F.col("vec_id").isin(ids))
+            .localCheckpoint()
+        )
+        if not remaining.head(1):
+            _hadoop_delete(spark, f"{vecs_path}/release={rel}")
+            _hadoop_delete(spark, f"{bands_path}/release={rel}")
+            continue
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release")
+            .parquet(vecs_path)
+        )
+        banded = _sign_sketch_bands(
+            spark.read.parquet(vecs_path)
+            .where(F.col("release") == rel)
+            .select("vec_id", "embedding"),
+            "embedding",
+            planes_per_band=meta["planes_per_band"],
+            bands=meta["bands"],
+        ).select(
+            "vec_id", "band", "band_bucket", F.lit(rel).alias("release")
+        )
+        (
+            banded.repartition("band")
+            .sortWithinPartitions("band_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release", "band")
+            .parquet(bands_path)
+        )
+
+
+def compact_embedding_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
+    """Major compaction for the embedding ledger: fold old releases
+    into ``release=-1`` — ``compact_minhash_ledger``'s contract
+    verbatim (same keep_last replay protection, same over-gate-then-
+    converge crash direction, same foreign-marker refresh)."""
+    from .similarity import _sign_sketch_bands
+
+    meta = load_embedding_ledger_meta(spark, path)
+
+    def reband(folded_vecs: DataFrame) -> DataFrame:
+        return _sign_sketch_bands(
+            folded_vecs.select("vec_id", "embedding"),
+            "embedding",
+            planes_per_band=meta["planes_per_band"],
+            bands=meta["bands"],
+        ).select(
+            "vec_id",
+            "band",
+            "band_bucket",
+            F.lit(FOLDED_RELEASE).alias("release"),
+        )
+
+    return _compact_banded_ledger(
+        spark, path, keep_last, data_dir="vecs", reband=reband
+    )

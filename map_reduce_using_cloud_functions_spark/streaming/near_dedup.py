@@ -114,6 +114,118 @@ def _refuse_foreign_collision(
         )
 
 
+def _guard_ledger_binding(
+    spark, ledger_path: str, checkpoint_dir: str, batch_id: int
+) -> str:
+    """The pre-admission binding protocol, one ledger path at a time
+    (the primary MinHash ledger and the optional semantic ledger run
+    the SAME rules): fresh path binds; an unbound existing ledger
+    adopts — refusing a batch id that collides with a pre-existing
+    release and snapshotting the foreign ids; a bound-elsewhere ledger
+    refuses foreign collisions. Returns the binding state so the
+    caller can finalize an adoption AFTER the batch lands."""
+    if not ledger_exists(spark, ledger_path):
+        _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        return "bound"
+    binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
+    if binding == "adopting":
+        existing = ledger_releases(spark, ledger_path)
+        if batch_id in existing:
+            raise ValueError(
+                f"ledger {ledger_path} already holds release "
+                f"{batch_id} and is not bound to this checkpoint "
+                f"({checkpoint_dir}): overwriting it would replace "
+                "previously admitted documents. Keep the original "
+                "checkpoint, or start a fresh ledger path."
+            )
+        _record_foreign_releases(spark, ledger_path, existing)
+    else:
+        _refuse_foreign_collision(spark, ledger_path, checkpoint_dir, batch_id)
+    return binding
+
+
+def _semantic_gate(
+    spark,
+    survivors: DataFrame,
+    batch_id: int,
+    path: str,
+    threshold: float,
+    planes_per_band: int,
+    bands: int,
+    embedder,
+):
+    """The semantic admission stage: refuse survivors whose embedding
+    is a cosine near-duplicate of anything already in the embedding
+    ledger (or of an earlier batch-mate). Returns (gated survivors,
+    admitted (vec_id, embedding) rows to append — None when nothing
+    embeddable).
+
+    Embeddings come from the batch's own ``embedding`` column when
+    present, else from ``embedder`` (default: the deterministic
+    ``hashed_doc_vectors`` hashing-trick featurizer — the stand-in for
+    a model embedder, which MUST likewise be deterministic in document
+    content: the replay recomputes the gate). Documents the embedder
+    yields no vector for (e.g. empty text) carry no semantic signal
+    and pass the gate."""
+    from ..operators.dedup import (
+        init_embedding_ledger,
+        ledger_releases as _releases,
+        load_embedding_ledger_meta,
+        near_dedup_against_embedding_ledger,
+    )
+    from ..operators.similarity import embedding_near_dedup
+
+    if "embedding" in survivors.columns:
+        emb = survivors.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+    else:
+        from ..operators.text_analysis import hashed_doc_vectors
+
+        fn = embedder or hashed_doc_vectors
+        emb = fn(survivors).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+    emb = emb.where(F.col("embedding").isNotNull()).localCheckpoint()
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    if dim_row is None:
+        return survivors, None
+    if ledger_exists(spark, path):
+        meta = load_embedding_ledger_meta(spark, path)
+        if (planes_per_band, bands) != (meta["planes_per_band"], meta["bands"]):
+            raise ValueError(
+                f"semantic ledger {path} was built with "
+                f"planes_per_band={meta['planes_per_band']} "
+                f"bands={meta['bands']} but this admission passed "
+                f"planes_per_band={planes_per_band} bands={bands} — "
+                "sketch geometry is the ledger's identity; drop the "
+                "overrides or start a new ledger path."
+            )
+    else:
+        init_embedding_ledger(
+            spark,
+            path,
+            dim_row["d"],
+            planes_per_band=planes_per_band,
+            bands=bands,
+        )
+    kept = embedding_near_dedup(
+        emb, threshold, planes_per_band=planes_per_band, bands=bands
+    )
+    if any(rel != batch_id for rel in _releases(spark, path)):
+        kept = near_dedup_against_embedding_ledger(
+            spark, kept, path, threshold=threshold, exclude_release=batch_id
+        )
+    kept = kept.localCheckpoint()
+    no_signal = survivors.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    gated = survivors.join(
+        kept.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    ).unionByName(no_signal)
+    return gated, kept.select("vec_id", "embedding")
+
+
 def admit_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -124,6 +236,11 @@ def admit_batch(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
+    semantic_ledger_path: str | None = None,
+    semantic_threshold: float = 0.85,
+    semantic_planes_per_band: int = 8,
+    semantic_bands: int = 8,
+    embedder=None,
 ) -> DataFrame:
     """One admission round, callable from foreachBatch or a batch
     driver (the stream ≡ batch equivalence tests drive this directly).
@@ -174,6 +291,22 @@ def admit_batch(
         init_minhash_ledger(
             spark, ledger_path, k=k, bands=bands, shingle_n=shingle_n
         )
+    admitted_emb = None
+    if semantic_ledger_path is not None:
+        # the third gating strength (r9): semantic near-dups — a
+        # paraphrase sharing no shingles — refuse against the
+        # embedding ledger; same replay discipline (exclude own
+        # release, release-partition overwrite appends)
+        survivors, admitted_emb = _semantic_gate(
+            spark,
+            survivors,
+            batch_id,
+            semantic_ledger_path,
+            semantic_threshold,
+            semantic_planes_per_band,
+            semantic_bands,
+            embedder,
+        )
     # materialize once: the survivor relation feeds two writes, and
     # lazily recomputing it after the ledger append would self-match
     survivors = survivors.localCheckpoint()
@@ -185,6 +318,12 @@ def admit_batch(
         .parquet(survivors_path)
     )
     append_minhash_ledger(survivors, ledger_path, release=batch_id)
+    if admitted_emb is not None:
+        from ..operators.dedup import append_embedding_ledger
+
+        append_embedding_ledger(
+            admitted_emb, semantic_ledger_path, release=batch_id
+        )
     return survivors
 
 
@@ -199,6 +338,11 @@ def start_near_dedup_stream(
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
     available_now: bool = True,
+    semantic_ledger_path: str | None = None,
+    semantic_threshold: float = 0.85,
+    semantic_planes_per_band: int = 8,
+    semantic_bands: int = 8,
+    embedder=None,
 ) -> StreamingQuery:
     """Run continuous admission over a streaming ``documents`` relation
     (``doc_id``, ``text``, + any payload columns — e.g.
@@ -209,32 +353,20 @@ def start_near_dedup_stream(
     is the same one ``build_minhash_ledger`` serves)."""
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        binding = "bound"
-        if ledger_exists(spark, ledger_path):
-            binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
-            if binding == "adopting":
-                existing = ledger_releases(spark, ledger_path)
-                if batch_id in existing:
-                    # only a MATCHED binding proves an id re-use is a
-                    # crash replay; an adopting stream's colliding
-                    # release would silently REPLACE admitted documents
-                    raise ValueError(
-                        f"ledger {ledger_path} already holds release "
-                        f"{batch_id} and is not bound to this checkpoint "
-                        f"({checkpoint_dir}): overwriting it would replace "
-                        "previously admitted documents. Keep the original "
-                        "checkpoint, or start a fresh ledger path."
-                    )
-                # snapshot the foreign releases NOW: after binding, a
-                # later batch id equal to one of them would otherwise
-                # pass as a replay and erase that release
-                _record_foreign_releases(spark, ledger_path, existing)
-            else:
-                _refuse_foreign_collision(
-                    spark, ledger_path, checkpoint_dir, batch_id
-                )
-        else:
-            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        # only a MATCHED binding proves an id re-use is a crash replay;
+        # an adopting ledger's colliding release would silently REPLACE
+        # admitted documents — _guard_ledger_binding refuses that and
+        # snapshots foreign release ids at adoption, per ledger path
+        binding = _guard_ledger_binding(
+            spark, ledger_path, checkpoint_dir, batch_id
+        )
+        sem_binding = (
+            _guard_ledger_binding(
+                spark, semantic_ledger_path, checkpoint_dir, batch_id
+            )
+            if semantic_ledger_path is not None
+            else "bound"
+        )
         admit_batch(
             spark,
             batch_df,
@@ -245,9 +377,16 @@ def start_near_dedup_stream(
             k=k,
             bands=bands,
             shingle_n=shingle_n,
+            semantic_ledger_path=semantic_ledger_path,
+            semantic_threshold=semantic_threshold,
+            semantic_planes_per_band=semantic_planes_per_band,
+            semantic_bands=semantic_bands,
+            embedder=embedder,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        if sem_binding == "adopting":
+            _bind_checkpoint(spark, semantic_ledger_path, checkpoint_dir)
 
     writer = documents.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir
@@ -274,6 +413,11 @@ def admit_and_index_batch(
     shingle_n: int = 3,
     min_quality: float | None = None,
     quality_filter=None,
+    semantic_ledger_path: str | None = None,
+    semantic_threshold: float = 0.85,
+    semantic_planes_per_band: int = 8,
+    semantic_bands: int = 8,
+    embedder=None,
 ) -> None:
     """One composed round: near-dup-gate the batch against the ledger
     (``admit_batch`` — release-partition overwrites) AND fold the
@@ -339,6 +483,11 @@ def admit_and_index_batch(
         k=k,
         bands=bands,
         shingle_n=shingle_n,
+        semantic_ledger_path=semantic_ledger_path,
+        semantic_threshold=semantic_threshold,
+        semantic_planes_per_band=semantic_planes_per_band,
+        semantic_bands=semantic_bands,
+        embedder=embedder,
     )
     corpus = survivors.select(
         F.col("doc_id").cast("string").alias("document"), "text"
@@ -382,6 +531,11 @@ def start_front_door_stream(
     available_now: bool = True,
     min_quality: float | None = None,
     quality_filter=None,
+    semantic_ledger_path: str | None = None,
+    semantic_threshold: float = 0.85,
+    semantic_planes_per_band: int = 8,
+    semantic_bands: int = 8,
+    embedder=None,
 ) -> StreamingQuery:
     """The full training-data front door as ONE stream: documents land,
     near-duplicates of anything already admitted (this stream or prior
@@ -393,26 +547,16 @@ def start_front_door_stream(
     whichever sink detects them."""
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        if ledger_exists(spark, ledger_path):
-            binding = _check_checkpoint_binding(spark, ledger_path, checkpoint_dir)
-            if binding == "adopting":
-                existing = ledger_releases(spark, ledger_path)
-                if batch_id in existing:
-                    raise ValueError(
-                        f"ledger {ledger_path} already holds release "
-                        f"{batch_id} and is not bound to this checkpoint "
-                        f"({checkpoint_dir}): overwriting it would replace "
-                        "previously admitted documents. Keep the original "
-                        "checkpoint, or start a fresh ledger path."
-                    )
-                _record_foreign_releases(spark, ledger_path, existing)
-            else:
-                _refuse_foreign_collision(
-                    spark, ledger_path, checkpoint_dir, batch_id
-                )
-        else:
-            binding = "bound"
-            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        binding = _guard_ledger_binding(
+            spark, ledger_path, checkpoint_dir, batch_id
+        )
+        sem_binding = (
+            _guard_ledger_binding(
+                spark, semantic_ledger_path, checkpoint_dir, batch_id
+            )
+            if semantic_ledger_path is not None
+            else "bound"
+        )
         admit_and_index_batch(
             spark,
             batch_df,
@@ -427,9 +571,16 @@ def start_front_door_stream(
             shingle_n=shingle_n,
             min_quality=min_quality,
             quality_filter=quality_filter,
+            semantic_ledger_path=semantic_ledger_path,
+            semantic_threshold=semantic_threshold,
+            semantic_planes_per_band=semantic_planes_per_band,
+            semantic_bands=semantic_bands,
+            embedder=embedder,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        if sem_binding == "adopting":
+            _bind_checkpoint(spark, semantic_ledger_path, checkpoint_dir)
 
     writer = documents.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir

@@ -759,3 +759,155 @@ def test_ledger_compaction_refreshes_foreign_marker_and_takedown(spark, tmp_path
     probe = _mk_release(spark, [(100, base + " omega")])
     delete_from_ledger(spark, path, [1])
     assert {d for _, d, _ in _probe_pairs(spark, path, probe)} == {50, 70}
+
+
+# --------------------------------------- embedding (semantic) ledger
+
+
+def test_embedding_ledger_probe_matches_joint_sketch(spark, tmp_path):
+    """The semantic ledger's cross-release pairs must equal the joint
+    pairwise_near_dup restricted to cross-split pairs — the hyperplanes
+    are corpus-independent, so 'sketch prior releases once, probe with
+    the batch' IS the joint sketch (the MinHash ledger property at
+    embedding strength)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators.dedup import (
+        build_embedding_ledger,
+        ledger_embedding_pairs,
+    )
+    from map_reduce_using_cloud_functions_spark.operators.similarity import (
+        pairwise_near_dup,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    prior = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "eled")
+    build_embedding_ledger(prior, path, planes_per_band=4, bands=4)
+    got = sorted(
+        (r["vec_id"], r["ledger_vec"], r["score"])
+        for r in ledger_embedding_pairs(
+            spark, batch, path, threshold=0.45
+        ).collect()
+    )
+    joint = pairwise_near_dup(
+        emb, threshold=0.45, planes_per_band=4, bands=4, scale_guard="off"
+    ).collect()
+    expected = sorted(
+        (
+            (r["vec_a"], r["vec_b"])
+            if r["vec_a"] % 2 == 1
+            else (r["vec_b"], r["vec_a"])
+        )
+        + (r["score"],)
+        for r in joint
+        if (r["vec_a"] % 2) != (r["vec_b"] % 2)
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_embedding_ledger_lifecycle(spark, tmp_path):
+    """Append replay-idempotence, survivor contract (all columns
+    intact), takedown (deleted vectors stop gating), and compaction
+    (probe answers unchanged, releases fold to [-1, kept])."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    r0 = emb.where(F.col("vec_id") % 3 == 0)
+    r1 = emb.where(F.col("vec_id") % 3 == 1)
+    batch = emb.where(F.col("vec_id") % 3 == 2).withColumn(
+        "payload", F.lit("x")
+    )
+    path = str(tmp_path / "eled")
+    dd.build_embedding_ledger(r0, path, planes_per_band=4, bands=4, release=0)
+    dd.append_embedding_ledger(r1, path, release=1)
+    n_vecs = spark.read.parquet(f"{path}/vecs").count()
+    n_bands = spark.read.parquet(f"{path}/bands").count()
+    dd.append_embedding_ledger(r1, path, release=1)  # replay
+    assert spark.read.parquet(f"{path}/vecs").count() == n_vecs
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands
+    assert dd.ledger_releases(spark, path) == [0, 1]
+
+    pairs = dd.ledger_embedding_pairs(spark, batch, path, threshold=0.45)
+    matched = {r["vec_id"] for r in pairs.collect()}
+    assert matched, "fixture must produce semantic cross-release matches"
+    surv = dd.near_dedup_against_embedding_ledger(
+        spark, batch, path, threshold=0.45
+    )
+    assert set(surv.columns) == set(batch.columns)
+    surv_ids = {r["vec_id"] for r in surv.collect()}
+    assert surv_ids == {
+        r["vec_id"] for r in batch.collect()
+    } - matched
+
+    # takedown: delete every gater of one matched batch vector
+    victim = sorted(matched)[0]
+    gaters = {
+        r["ledger_vec"] for r in pairs.collect() if r["vec_id"] == victim
+    }
+    dd.delete_from_embedding_ledger(spark, path, sorted(gaters))
+    still = {
+        r["vec_id"]
+        for r in dd.ledger_embedding_pairs(
+            spark, batch, path, threshold=0.45
+        ).collect()
+    }
+    assert victim not in still
+    ledger_ids = {
+        r["vec_id"] for r in spark.read.parquet(f"{path}/vecs").collect()
+    }
+    assert not ledger_ids & gaters
+
+    # compaction: answers identical, fan-in reset
+    before = sorted(
+        map(
+            tuple,
+            dd.ledger_embedding_pairs(spark, batch, path, threshold=0.45).collect(),
+        )
+    )
+    assert dd.compact_embedding_ledger(spark, path, keep_last=1) == [0]
+    assert dd.ledger_releases(spark, path) == [-1, 1]
+    after = sorted(
+        map(
+            tuple,
+            dd.ledger_embedding_pairs(spark, batch, path, threshold=0.45).collect(),
+        )
+    )
+    assert after == before
+
+
+def test_embedding_ledger_guards(spark, tmp_path):
+    """Dimension mismatches and over-budget bandings refuse loudly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.operators import similarity as sim
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "eled")
+    dd.build_embedding_ledger(emb, path, planes_per_band=4, bands=4)
+    short = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        dd.append_embedding_ledger(short, path, release=1)
+    with pytest.raises(ValueError, match="dim"):
+        dd.ledger_embedding_pairs(spark, short, path)
+    old = sim.LSH_CANDIDATE_BUDGET
+    try:
+        sim.LSH_CANDIDATE_BUDGET = 1
+        with pytest.raises(ValueError, match="rebuild the ledger"):
+            dd.ledger_embedding_pairs(spark, emb, path, threshold=0.45)
+        # the documented escape hatch still works
+        dd.ledger_embedding_pairs(
+            spark, emb, path, threshold=0.45, scale_guard="off"
+        ).collect()
+    finally:
+        sim.LSH_CANDIDATE_BUDGET = old

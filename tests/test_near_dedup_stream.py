@@ -796,3 +796,169 @@ def test_stream_continues_after_ledger_compaction(spark, tmp_path):
     _run_stream(spark, watch, ledger, survivors, ckpt)
     assert _survivor_ids(spark, survivors)[2] == {21}
     assert dd.ledger_releases(spark, ledger) == [-1, 1, 2]
+
+
+# ------------------------------------------------ semantic admission
+
+
+TEXT_A_SCRAMBLED = " ".join(reversed(TEXT_A.split()))  # same tokens, no shingles
+
+
+def test_semantic_gate_refuses_paraphrases(spark, tmp_path):
+    """The third gating strength: a word-scrambled paraphrase shares
+    ZERO trigram shingles (the MinHash gate admits it) but an identical
+    token multiset (cosine 1.0 under the hashing-trick embedder) — only
+    the semantic ledger refuses it. Within-batch semantic dups keep the
+    min doc_id; replays converge."""
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_batch,
+    )
+
+    led = str(tmp_path / "led")
+    sled = str(tmp_path / "sled")
+    out = str(tmp_path / "out")
+
+    b0 = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_B)], "doc_id bigint, text string"
+    )
+    admit_batch(
+        spark, b0, led, out, 0, semantic_ledger_path=sled
+    )
+    assert _survivor_ids(spark, out) == {0: {1, 2}}
+
+    # sanity: WITHOUT the semantic gate the scramble is admitted
+    led2, out2 = str(tmp_path / "led2"), str(tmp_path / "out2")
+    admit_batch(spark, b0, led2, out2, 0)
+    b1 = spark.createDataFrame(
+        [(10, TEXT_A_SCRAMBLED), (11, TEXT_C)], "doc_id bigint, text string"
+    )
+    admit_batch(spark, b1, led2, out2, 1)
+    assert _survivor_ids(spark, out2)[1] == {10, 11}
+
+    # WITH the semantic gate: scramble refused, fresh doc admitted;
+    # a within-batch scramble of 11 is also dropped (min-id survivor)
+    b1s = spark.createDataFrame(
+        [
+            (10, TEXT_A_SCRAMBLED),
+            (11, TEXT_C),
+            (12, " ".join(reversed(TEXT_C.split()))),
+        ],
+        "doc_id bigint, text string",
+    )
+    survivors = admit_batch(
+        spark, b1s, led, out, 1, semantic_ledger_path=sled
+    )
+    assert {r["doc_id"] for r in survivors.collect()} == {11}
+    assert _survivor_ids(spark, out)[1] == {11}
+    assert dd.ledger_releases(spark, sled) == [0, 1]
+
+    # replay: identical survivors, both ledgers unchanged
+    n_vecs = spark.read.parquet(f"{sled}/vecs").count()
+    replay = admit_batch(
+        spark, b1s, led, out, 1, semantic_ledger_path=sled
+    )
+    assert {r["doc_id"] for r in replay.collect()} == {11}
+    assert spark.read.parquet(f"{sled}/vecs").count() == n_vecs
+
+
+def test_semantic_stream_equals_batch_and_crash_replay(spark, tmp_path):
+    """Stream ≡ batch with the semantic gate on, and a crash between
+    the MinHash append and the embedding append converges on replay."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.streaming import near_dedup as nd
+
+    watch = str(tmp_path / "in")
+    led, sled = str(tmp_path / "led"), str(tmp_path / "sled")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_B)])
+    q = nd.start_near_dedup_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        led,
+        out,
+        ckpt,
+        semantic_ledger_path=sled,
+    )
+    q.awaitTermination(180)
+    _write_jsonl(watch, "b1.jsonl", [(10, TEXT_A_SCRAMBLED), (11, TEXT_C)])
+    q = nd.start_near_dedup_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        led,
+        out,
+        ckpt,
+        semantic_ledger_path=sled,
+    )
+    q.awaitTermination(180)
+    assert _survivor_ids(spark, out) == {0: {1, 2}, 1: {11}}
+    assert dd.ledger_releases(spark, sled) == [0, 1]
+
+    # batch twin on fresh paths: identical survivor sets per release
+    led_b, sled_b, out_b = (
+        str(tmp_path / "ledb"),
+        str(tmp_path / "sledb"),
+        str(tmp_path / "outb"),
+    )
+    b0 = spark.createDataFrame([(1, TEXT_A), (2, TEXT_B)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame(
+        [(10, TEXT_A_SCRAMBLED), (11, TEXT_C)], "doc_id bigint, text string"
+    )
+    nd.admit_batch(spark, b0, led_b, out_b, 0, semantic_ledger_path=sled_b)
+    nd.admit_batch(spark, b1, led_b, out_b, 1, semantic_ledger_path=sled_b)
+    assert _survivor_ids(spark, out_b) == _survivor_ids(spark, out)
+
+    # crash between the two ledger appends, then replay converges
+    from map_reduce_using_cloud_functions_spark.operators import dedup as ddm
+
+    b2 = spark.createDataFrame(
+        [(20, TEXT_B + " with a few extra closing words appended here")],
+        "doc_id bigint, text string",
+    )
+    real = ddm.append_embedding_ledger
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the embedding append")
+
+    ddm.append_embedding_ledger = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            nd.admit_batch(spark, b2, led_b, out_b, 2, semantic_ledger_path=sled_b)
+    finally:
+        ddm.append_embedding_ledger = real
+    # minhash append landed, embedding append did not — replay heals
+    assert dd.ledger_releases(spark, led_b) == [0, 1, 2]
+    assert dd.ledger_releases(spark, sled_b) == [0, 1]
+    nd.admit_batch(spark, b2, led_b, out_b, 2, semantic_ledger_path=sled_b)
+    assert dd.ledger_releases(spark, sled_b) == [0, 1, 2]
+    assert _survivor_ids(spark, out_b)[2] == {20}
+
+
+def test_semantic_param_mismatch_refuses(spark, tmp_path):
+    """Sketch geometry is the semantic ledger's identity — a later
+    admission with different banding refuses loudly."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_batch,
+    )
+
+    led, sled, out = (
+        str(tmp_path / "led"),
+        str(tmp_path / "sled"),
+        str(tmp_path / "out"),
+    )
+    b0 = spark.createDataFrame([(1, TEXT_A)], "doc_id bigint, text string")
+    admit_batch(spark, b0, led, out, 0, semantic_ledger_path=sled)
+    b1 = spark.createDataFrame([(2, TEXT_B)], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="geometry is the ledger's identity"):
+        admit_batch(
+            spark,
+            b1,
+            led,
+            out,
+            1,
+            semantic_ledger_path=sled,
+            semantic_planes_per_band=4,
+        )

@@ -88,6 +88,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # restricted to even×odd pairs.
         "dedup_ledger_pairs": _q_dedup_ledger_pairs,
         "dedup_ledger_survivors": _q_dedup_ledger_survivors,
+        # r9: the semantic (embedding-cosine) admission ledger — the
+        # third gating strength; same even/odd split, twin = the joint
+        # pairwise sketch restricted to cross-split pairs (hyperplanes
+        # are corpus-independent, so ledger probe ≡ joint sketch).
+        "embedding_ledger_pairs": _q_embedding_ledger_pairs,
+        "embedding_ledger_survivors": _q_embedding_ledger_survivors,
         # r7: time travel over the versioned commit log — snapshot
         # reads serve any surviving commit byte-identically; the diff
         # is one full-outer join of two immutable snapshots.
@@ -553,6 +559,43 @@ def _q_dedup_ledger_survivors(s: SparkSession, d: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_embedding_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
+    """Semantic ledger probe: ledger = even vec_ids, batch = odd.
+    Fixture banding (r=4, b=4) matches the judged dedup_embedding_pairs
+    geometry so the DuckDB twin is its joint sketch cross-split."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from map_reduce_using_cloud_functions_spark.operators import dedup as ddm
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_eled_") + "/led"
+    ddm.build_embedding_ledger(
+        emb.where(F.col("vec_id") % 2 == 0), path, planes_per_band=4, bands=4
+    )
+    return ddm.ledger_embedding_pairs(
+        s, emb.where(F.col("vec_id") % 2 == 1), path, threshold=0.45
+    )
+
+
+def _q_embedding_ledger_survivors(s: SparkSession, d: str) -> DataFrame:
+    """The survivor face: odd vectors that are NOT a semantic near-dup
+    of any even (ledger) vector at the fixture threshold."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from map_reduce_using_cloud_functions_spark.operators import dedup as ddm
+
+    emb = load_table(s, d, "embeddings")
+    path = tempfile.mkdtemp(prefix="oracle_eleds_") + "/led"
+    ddm.build_embedding_ledger(
+        emb.where(F.col("vec_id") % 2 == 0), path, planes_per_band=4, bands=4
+    )
+    return ddm.near_dedup_against_embedding_ledger(
+        s, emb.where(F.col("vec_id") % 2 == 1), path, threshold=0.45
+    ).select("vec_id")
+
+
 def extra_oracle_sql() -> dict[str, str]:
     doctoks = entrymod._DOCTOKS
     sql: dict[str, str] = {}
@@ -866,6 +909,26 @@ verified AS (
 WHERE doc_id % 2 = 1
   AND doc_id NOT IN (SELECT doc_id FROM verified WHERE est_jaccard >= 0.25)"""
     )
+
+    # embedding-ledger twins: wrap the gate's joint embedding-pairs
+    # sketch and restrict to cross-split pairs, oriented batch→ledger
+    _emb_joint = entrymod.oracle_sql()["dedup_embedding_pairs"]
+    sql["embedding_ledger_pairs"] = f"""
+WITH joint AS ({_emb_joint})
+SELECT CASE WHEN vec_a % 2 = 1 THEN vec_a ELSE vec_b END AS vec_id,
+       CASE WHEN vec_a % 2 = 1 THEN vec_b ELSE vec_a END AS ledger_vec,
+       score
+FROM joint WHERE (vec_a % 2) <> (vec_b % 2)
+"""
+    sql["embedding_ledger_survivors"] = f"""
+WITH joint AS ({_emb_joint}),
+matched AS (
+  SELECT CASE WHEN vec_a % 2 = 1 THEN vec_a ELSE vec_b END AS vec_id
+  FROM joint WHERE (vec_a % 2) <> (vec_b % 2)
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM matched)
+"""
 
     # time-travel twins: the same tokenizer/postings CTE as the gate's
     # index_build, restricted per commit of the two-commit fixture

@@ -393,6 +393,42 @@ def zorder():
         )
 
 
+def semantic_gate():
+    """Marginal cost of the semantic admission stage: admit 4 batches
+    of sf0.1 documents with the MinHash gate alone vs MinHash +
+    embedding ledger (hashed_doc_vectors embedder, r=8 b=8)."""
+    import shutil
+
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_batch,
+    )
+
+    spark = get_spark("measure_r9")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batches = [
+        docs.where(F.col("doc_id") % 4 == i).localCheckpoint() for i in range(4)
+    ]
+    for tag, sem in (("minhash-only", False), ("minhash+semantic", True)):
+        root = f"/tmp/m9_semgate_{int(sem)}"
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.time()
+        for i, b in enumerate(batches):
+            admit_batch(
+                spark,
+                b,
+                f"{root}/led",
+                f"{root}/out",
+                i,
+                semantic_ledger_path=f"{root}/sled" if sem else None,
+            )
+        wall = time.time() - t0
+        n = spark.read.parquet(f"{root}/out").count()
+        print(
+            f"semantic_gate[{tag}]: 4 batches x {batches[0].count()} docs "
+            f"in {wall:.1f}s ({wall / 4:.2f}s/batch), {n} admitted"
+        )
+
+
 if __name__ == "__main__":
     {
         "train_flat": train_flat,
@@ -402,4 +438,5 @@ if __name__ == "__main__":
         "compaction": compaction,
         "ledger_compaction": ledger_compaction,
         "zorder": zorder,
+        "semantic_gate": semantic_gate,
     }[sys.argv[1]]()
