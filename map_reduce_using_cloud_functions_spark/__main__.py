@@ -202,6 +202,12 @@ def _build_parser() -> argparse.ArgumentParser:
     td.add_argument(
         "--survivors", default=None, help="release-partitioned survivors path"
     )
+    td.add_argument(
+        "--semantic-ledger",
+        default=None,
+        help="embedding admission ledger path (retracted docs stop "
+        "gating semantically)",
+    )
 
     ai = sub.add_parser(
         "ann-info",
@@ -369,9 +375,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             print(_json.dumps(ledger_info(spark, args.ledger_path)))
         elif args.cmd == "ledger-compact":
-            from .operators.dedup import compact_minhash_ledger, ledger_info
+            from .operators.dedup import (
+                compact_embedding_ledger,
+                compact_minhash_ledger,
+                ledger_info,
+                ledger_kind,
+            )
 
-            folded = compact_minhash_ledger(
+            compactor = (
+                compact_minhash_ledger
+                if ledger_kind(spark, args.ledger_path) == "minhash"
+                else compact_embedding_ledger
+            )
+            folded = compactor(
                 spark, args.ledger_path, keep_last=args.keep_last
             )
             info = ledger_info(spark, args.ledger_path)
@@ -381,10 +397,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"({info['band_dirs']} band dirs)"
             )
         elif args.cmd == "takedown":
-            if not (args.index or args.ledger or args.survivors):
+            if not (
+                args.index
+                or args.ledger
+                or args.survivors
+                or args.semantic_ledger
+            ):
                 print(
                     "takedown: pass at least one of --index/--ledger/"
-                    "--survivors (nothing to retract from)",
+                    "--survivors/--semantic-ledger (nothing to retract from)",
                     file=sys.stderr,
                 )
                 return 2
@@ -394,13 +415,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 delete_documents(spark, args.index, list(args.doc_ids))
                 print(f"purged {len(args.doc_ids)} doc(s) from index {args.index}")
             numeric = None
-            if args.ledger or args.survivors:
+            if args.ledger or args.survivors or args.semantic_ledger:
                 try:
                     numeric = [int(d) for d in args.doc_ids]
                 except ValueError:
                     print(
-                        "takedown: --ledger/--survivors key on numeric "
-                        "doc_id; got a non-numeric id",
+                        "takedown: --ledger/--survivors/--semantic-ledger "
+                        "key on numeric doc_id; got a non-numeric id",
                         file=sys.stderr,
                     )
                     return 2
@@ -409,6 +430,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 delete_from_ledger(spark, args.ledger, numeric)
                 print(f"unlisted {len(numeric)} doc(s) from ledger {args.ledger}")
+            if args.semantic_ledger:
+                from .operators.dedup import delete_from_embedding_ledger
+
+                delete_from_embedding_ledger(
+                    spark, args.semantic_ledger, numeric
+                )
+                print(
+                    f"unlisted {len(numeric)} doc(s) from semantic ledger "
+                    f"{args.semantic_ledger}"
+                )
             if args.survivors:
                 from .operators.dedup import delete_from_survivors
 

@@ -1205,6 +1205,7 @@ def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
     any other touched partition).
 
     Returns the folded (non-negative) release ids, ``[]`` on no-op."""
+    _require_ledger_kind(spark, path, "minhash", "compact_minhash_ledger")
     meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
 
     def reband(folded_sigs: DataFrame) -> DataFrame:
@@ -1290,17 +1291,60 @@ def _compact_banded_ledger(
     return folded_real
 
 
+def ledger_kind(spark, path: str) -> str:
+    """``"minhash"`` or ``"embedding"`` — sniffed from the meta row's
+    own columns (the flavors share the layout discipline but not the
+    sketch schema, and folding one with the other's parameters would
+    corrupt the band relation). Raises when ``path`` is not a ledger."""
+    meta_path = _ledger_meta_path(path)
+    from .index import _hadoop_exists
+
+    if not _hadoop_exists(spark, meta_path):
+        raise ValueError(f"{path} is not a ledger: no meta/ parameter row")
+    cols = set(spark.read.parquet(meta_path).columns)
+    if "shingle_n" in cols:
+        return "minhash"
+    if "planes_per_band" in cols:
+        return "embedding"
+    raise ValueError(
+        f"{path}/meta has columns {sorted(cols)} — neither the MinHash "
+        "(k, bands, shingle_n) nor the embedding (planes_per_band, "
+        "bands, dim) parameter row"
+    )
+
+
+def _require_ledger_kind(spark, path: str, want: str, op: str) -> None:
+    kind = ledger_kind(spark, path)
+    if kind != want:
+        other = (
+            "compact_embedding_ledger"
+            if want == "minhash"
+            else "compact_minhash_ledger"
+        )
+        raise ValueError(
+            f"{op}: {path} is an {kind} ledger — use {other} (folding "
+            "with the wrong sketch parameters would corrupt the band "
+            "relation)."
+        )
+
+
 def ledger_info(spark, path: str) -> dict:
-    """Operational snapshot of a MinHash ledger: sketch parameters,
-    release ids (``-1`` = the folded-history partition), doc count, and
-    the band-directory fan-out a probe pays — the number compaction
-    resets."""
-    meta = load_ledger_meta(spark, path)
+    """Operational snapshot of a ledger (either flavor): sketch
+    parameters, release ids (``-1`` = the folded-history partition),
+    doc count, and the band-directory fan-out a probe pays — the
+    number compaction resets."""
+    kind = ledger_kind(spark, path)
+    if kind == "minhash":
+        meta = load_ledger_meta(spark, path)
+        data_dir = "sigs"
+    else:
+        meta = load_embedding_ledger_meta(spark, path)
+        data_dir = "vecs"
     releases = ledger_releases(spark, path)
     n_docs = 0
     band_dirs = 0
     if releases:
-        n_docs = spark.read.parquet(f"{path}/sigs").count()
+        n_docs = spark.read.parquet(f"{path}/{data_dir}").count()
         from .index import _hadoop_fs, _hadoop_path
 
         bands = f"{path}/bands"
@@ -1313,6 +1357,7 @@ def ledger_info(spark, path: str) -> dict:
                     if b.getPath().getName().startswith("band=")
                 )
     return {
+        "kind": kind,
         **meta,
         "releases": releases,
         "n_docs": n_docs,
@@ -1646,6 +1691,7 @@ def compact_embedding_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
     converge crash direction, same foreign-marker refresh)."""
     from .similarity import _sign_sketch_bands
 
+    _require_ledger_kind(spark, path, "embedding", "compact_embedding_ledger")
     meta = load_embedding_ledger_meta(spark, path)
 
     def reband(folded_vecs: DataFrame) -> DataFrame:

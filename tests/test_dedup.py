@@ -911,3 +911,33 @@ def test_embedding_ledger_guards(spark, tmp_path):
         ).collect()
     finally:
         sim.LSH_CANDIDATE_BUDGET = old
+
+
+def test_ledger_kind_dispatch_and_wrong_flavor_refusal(spark, tmp_path):
+    """The two ledger flavors share a layout but not a sketch schema —
+    kind is sniffed from the meta row, info works for both, and each
+    compactor refuses the other's ledger loudly (folding with the
+    wrong parameters would corrupt the band relation)."""
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mh = str(tmp_path / "mh")
+    dd.build_minhash_ledger(_mk_release(spark, [(1, base)]), mh, release=0)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    el = str(tmp_path / "el")
+    dd.build_embedding_ledger(emb, el, planes_per_band=4, bands=4)
+
+    assert dd.ledger_kind(spark, mh) == "minhash"
+    assert dd.ledger_kind(spark, el) == "embedding"
+    assert dd.ledger_info(spark, mh)["kind"] == "minhash"
+    info = dd.ledger_info(spark, el)
+    assert info["kind"] == "embedding" and info["n_docs"] == emb.count()
+    with pytest.raises(ValueError, match="use compact_minhash_ledger"):
+        dd.compact_embedding_ledger(spark, mh)
+    with pytest.raises(ValueError, match="use compact_embedding_ledger"):
+        dd.compact_minhash_ledger(spark, el)
+    with pytest.raises(ValueError, match="not a ledger"):
+        dd.ledger_kind(spark, str(tmp_path / "nope"))

@@ -962,3 +962,71 @@ def test_semantic_param_mismatch_refuses(spark, tmp_path):
             semantic_ledger_path=sled,
             semantic_planes_per_band=4,
         )
+
+
+def test_front_door_all_gates_composed(spark, tmp_path):
+    """The full front door with EVERY stage on — quality gate, lexical
+    (MinHash) gate, semantic (embedding) gate, index sink — in one
+    exactly-once stream: each rejection reason drops its document from
+    BOTH sinks, and the admitted corpus serves from the index."""
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_front_door_stream,
+    )
+
+    watch = str(tmp_path / "in")
+    led, sled = str(tmp_path / "led"), str(tmp_path / "sled")
+    out, idx, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+    )
+    junk = "zz zz zz zz zz zz zz zz zz zz zz zz"  # quality-floor casualty
+    _write_jsonl(watch, "b0.jsonl", [(1, TEXT_A), (2, TEXT_B), (3, junk)])
+    q = start_front_door_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        led,
+        out,
+        idx,
+        ckpt,
+        min_quality=0.3,
+        semantic_ledger_path=sled,
+    )
+    q.awaitTermination(180)
+    assert _survivor_ids(spark, out) == {0: {1, 2}}
+
+    # batch 1: one doc per rejection reason + one genuinely new doc
+    _write_jsonl(
+        watch,
+        "b1.jsonl",
+        [
+            (10, TEXT_A_NEAR),  # lexical near-dup -> MinHash gate
+            (11, TEXT_A_SCRAMBLED),  # paraphrase -> semantic gate
+            (12, junk + " zz"),  # low quality -> quality gate
+            (13, TEXT_C),  # novel -> admitted
+        ],
+    )
+    q = start_front_door_stream(
+        spark,
+        streaming_corpus_from_jsonl(spark, watch),
+        led,
+        out,
+        idx,
+        ckpt,
+        min_quality=0.3,
+        semantic_ledger_path=sled,
+    )
+    q.awaitTermination(180)
+    assert _survivor_ids(spark, out) == {0: {1, 2}, 1: {13}}
+    assert dd.ledger_releases(spark, led) == [0, 1]
+    assert dd.ledger_releases(spark, sled) == [0, 1]
+
+    # the index serves exactly the admitted corpus: TEXT_C's marker
+    # word is servable, every rejected doc's marker is absent
+    assert {
+        r["document"]
+        for r in ix.lookup_persisted(spark, idx, "sailor").collect()
+    } == {"13"}
+    assert ix.lookup_persisted(spark, idx, "today").count() == 0  # lexical reject
+    assert ix.lookup_persisted(spark, idx, "zz").count() == 0  # quality reject
