@@ -60,6 +60,11 @@ MICRO_EDGES = [0, 1, 499_999, 500_000, 500_001, 999_999]
 
 FUZZ_DOC_QUERIES = [
     "index_build",          # the tokenizer twin — where \x0b was found
+    # r9: distinct-count sketch over the tokenizer's universe — the
+    # md5-hex60 hash on exotic unicode tokens, the exact decimal sum,
+    # and BOTH estimator branches (tiny corpora hit linear counting,
+    # whose ln is the one libm step the twins share)
+    "corpus_vocab_sketch",
     "text_stats",
     "text_token_counts",
     "text_fingerprints",
@@ -269,6 +274,11 @@ def test_tz_aware_nanos_fixture_loads(spark, tmp_path):
 FUZZ_EMBED_QUERIES = [
     "ann_topk_bruteforce",
     "dedup_embedding_pairs",
+    # r9: the semantic admission ledger probe vs the joint-sketch twin
+    # on sign-boundary-hostile vectors — a fold-order divergence in
+    # either the batch-side or the persisted band relation shows here
+    "embedding_ledger_pairs",
+    "embedding_ledger_survivors",
     "embedding_array_features",
     # r7: the banded multi-probe twins — in-plan and persisted-index —
     # on sign-boundary-hostile vectors (a fold-order divergence between
@@ -340,7 +350,15 @@ def test_fuzz_embeddings_parity(spark, tmp_path, seed):
     _run_twins(spark, str(tmp_path), FUZZ_EMBED_QUERIES, ["embeddings"])
 
 
-FUZZ_ORDER_QUERIES = ["price_percentiles"]
+FUZZ_ORDER_QUERIES = [
+    "price_percentiles",
+    # r9: the sketch twins on hostile orders — NULL group keys and
+    # prices through the hash sample + quantile_cont/percentile
+    # alignment, and the bucket-minima estimator over a distinct set
+    # far below k (the linear-counting branch, fuzzed)
+    "sampled_price_percentiles",
+    "distinct_custkeys_sketch",
+]
 
 
 def _write_orders(rng: random.Random, path: str, n: int) -> None:
