@@ -1061,48 +1061,64 @@ def delete_from_ledger(spark, path: str, doc_ids: list[int]) -> None:
     deleted bands row produces no candidate), which is the desired
     direction for a takedown; a replay converges to the full delete."""
     meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
-    _ = meta
-    ids = sorted(set(doc_ids))
+
+    def reband(rel_sigs: DataFrame, rel: int) -> DataFrame:
+        return (
+            _band_hashes(rel_sigs, bands=meta["bands"], k=meta["k"])
+            .withColumn("release", F.lit(rel))
+            .select("doc_id", "band_hash", "release", "band")
+        )
+
+    _delete_from_banded_ledger(spark, path, doc_ids, "sigs", "doc_id", reband)
+
+
+def _delete_from_banded_ledger(
+    spark, path: str, ids_in, data_dir: str, id_col: str, reband
+) -> None:
+    """Shared takedown machinery for the banded ledgers (MinHash
+    ``sigs/``, embedding ``vecs/``): rewrite only the release
+    partitions holding the ids (emptied releases' directories deleted
+    outright — dynamic overwrite never replaces a partition it
+    produced no rows for), then recompute those partitions' bands from
+    the REWRITTEN data via ``reband(release_rows, release)`` so data
+    and bands cannot drift. Data first, bands second — the gates-LESS
+    crash direction both public delete functions document."""
+    ids = sorted(set(ids_in))
     if not ids:
         return
     from .index import _hadoop_delete
 
-    sigs_path, bands_path = f"{path}/sigs", f"{path}/bands"
-    sigs = spark.read.parquet(sigs_path)
+    data_path, bands_path = f"{path}/{data_dir}", f"{path}/bands"
+    data = spark.read.parquet(data_path)
     touched = sorted(
         r["release"]
-        for r in sigs.where(F.col("doc_id").isin(ids))
+        for r in data.where(F.col(id_col).isin(ids))
         .select("release")
         .distinct()
         .collect()
     )
     for rel in touched:
         remaining = (
-            sigs.where((F.col("release") == rel) & ~F.col("doc_id").isin(ids))
+            data.where((F.col("release") == rel) & ~F.col(id_col).isin(ids))
             .localCheckpoint()  # materialize BEFORE overwriting its source
         )
         if not remaining.head(1):
-            _hadoop_delete(spark, f"{sigs_path}/release={rel}")
+            _hadoop_delete(spark, f"{data_path}/release={rel}")
             _hadoop_delete(spark, f"{bands_path}/release={rel}")
             continue
         (
             remaining.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("release")
-            .parquet(sigs_path)
+            .parquet(data_path)
         )
-        banded = (
-            _band_hashes(
-                spark.read.parquet(sigs_path).where(F.col("release") == rel),
-                bands=meta["bands"],
-                k=meta["k"],
-            )
-            .withColumn("release", F.lit(rel))
-            .select("doc_id", "band_hash", "release", "band")
+        banded = reband(
+            spark.read.parquet(data_path).where(F.col("release") == rel), rel
         )
+        sort_col = "band_hash" if "band_hash" in banded.columns else "band_bucket"
         (
             banded.repartition("band")
-            .sortWithinPartitions("band_hash")
+            .sortWithinPartitions(sort_col)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("release", "band")
@@ -1284,7 +1300,10 @@ def _compact_banded_ledger(
     if _hadoop_exists(spark, marker):
         foreign = set(json.loads(_read_small_file(spark, marker).decode("ascii")))
         still_foreign = sorted(foreign - set(folded_real))
-        _hadoop_delete(spark, marker)
+        # no pre-delete: _write_small_file replaces atomically (tmp →
+        # rename), and a crash before it must leave the OLD marker —
+        # a missing marker would strip collision protection from the
+        # still-unfolded foreign releases
         _write_small_file(
             spark, marker, json.dumps(still_foreign).encode("ascii")
         )
@@ -1589,15 +1608,20 @@ def ledger_embedding_pairs(
     score = F.try_divide(
         dot(F.col("b_emb"), F.col("l_emb")), F.col("b_norm") * F.col("l_norm")
     )
+    # threshold the RAW score, round only in the output — the order
+    # pairwise_near_dup and the DuckDB twin both use; rounding first
+    # would admit pairs in the [threshold - 5e-7, threshold) window
+    # and break the probe ≡ joint-sketch contract
     return (
         cands.join(bvecs, "vec_id")
         .join(lvecs, "ledger_vec")
+        .select("vec_id", "ledger_vec", score.alias("raw_score"))
+        .where(F.col("raw_score") >= threshold)
         .select(
             "vec_id",
             "ledger_vec",
-            F.round(score, 6).alias("score"),
+            F.round("raw_score", 6).alias("score"),
         )
-        .where(F.col("score") >= threshold)
     )
 
 
@@ -1631,57 +1655,23 @@ def delete_from_embedding_ledger(spark, path: str, vec_ids: list[int]) -> None:
     content stops gating semantically. Cost ∝ touched releases; vecs
     rewrite first, bands second — every intermediate state gates LESS
     (a bands row without its vector fails the verify join), the safe
-    direction for a takedown; replay converges."""
+    direction for a takedown; replay converges. Shares the rewrite
+    machinery with ``delete_from_ledger`` (``_delete_from_banded_ledger``)."""
     from .similarity import _sign_sketch_bands
 
     meta = load_embedding_ledger_meta(spark, path)
-    ids = sorted(set(vec_ids))
-    if not ids:
-        return
-    from .index import _hadoop_delete
 
-    vecs_path, bands_path = f"{path}/vecs", f"{path}/bands"
-    vecs = spark.read.parquet(vecs_path)
-    touched = sorted(
-        r["release"]
-        for r in vecs.where(F.col("vec_id").isin(ids))
-        .select("release")
-        .distinct()
-        .collect()
-    )
-    for rel in touched:
-        remaining = (
-            vecs.where((F.col("release") == rel) & ~F.col("vec_id").isin(ids))
-            .localCheckpoint()
-        )
-        if not remaining.head(1):
-            _hadoop_delete(spark, f"{vecs_path}/release={rel}")
-            _hadoop_delete(spark, f"{bands_path}/release={rel}")
-            continue
-        (
-            remaining.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("release")
-            .parquet(vecs_path)
-        )
-        banded = _sign_sketch_bands(
-            spark.read.parquet(vecs_path)
-            .where(F.col("release") == rel)
-            .select("vec_id", "embedding"),
+    def reband(rel_vecs: DataFrame, rel: int) -> DataFrame:
+        return _sign_sketch_bands(
+            rel_vecs.select("vec_id", "embedding"),
             "embedding",
             planes_per_band=meta["planes_per_band"],
             bands=meta["bands"],
         ).select(
             "vec_id", "band", "band_bucket", F.lit(rel).alias("release")
         )
-        (
-            banded.repartition("band")
-            .sortWithinPartitions("band_bucket")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("release", "band")
-            .parquet(bands_path)
-        )
+
+    _delete_from_banded_ledger(spark, path, vec_ids, "vecs", "vec_id", reband)
 
 
 def compact_embedding_ledger(spark, path: str, keep_last: int = 1) -> list[int]:

@@ -111,6 +111,17 @@ def zorder_key(
             "z-ordering needs >= 2 columns — for one column use a plain "
             "sortWithinPartitions, it gives strictly tighter ranges"
         )
+    if len(cols) * bits > 63:
+        # JVM shiftleft masks the shift amount mod 64, so positions
+        # past 62 would silently WRAP onto low bits (and bit 63 is the
+        # sign, which would split the curve at the sign boundary) —
+        # the key would lose curve locality with no error
+        raise ValueError(
+            f"z-key needs {len(cols)} x {bits} = {len(cols) * bits} bits "
+            "but only 63 fit a signed 64-bit key — lower bits (precision "
+            "beyond ~2^10 buckets per column rarely helps pruning) or "
+            "drop a column"
+        )
     if scaling not in ("linear", "quantile"):
         raise ValueError(f"scaling must be 'linear' or 'quantile', got {scaling!r}")
     n_buckets = 1 << bits

@@ -177,8 +177,10 @@ def sampled_percentiles(
     by = list(by or [])
     sample = hash_sample(df, key, frac)
     aggs = [
+        # round, not int(): 0.35 * 100 is 34.999... in floats and
+        # int() would mislabel the column p34
         F.round(F.expr(f"percentile({col}, {p})"), 4).alias(
-            f"p{int(p * 100)}"
+            f"p{round(p * 100)}"
         )
         for p in percentiles
     ]
@@ -200,7 +202,7 @@ def sampled_percentiles_sql(
     threshold = int(frac * TWO_60)
     h = HEX64_SQL.format(col=key_sql)
     cols = ", ".join(
-        f"round(quantile_cont({col_sql}, {p}), 4) AS p{int(p * 100)}"
+        f"round(quantile_cont({col_sql}, {p}), 4) AS p{round(p * 100)}"
         for p in percentiles
     )
     bycols = ", ".join(by)

@@ -79,10 +79,11 @@ from ..operators.dedup import FOREIGN_RELEASES_MARKER
 def _record_foreign_releases(spark, ledger_path: str, releases: list[int]) -> None:
     import json
 
-    from ..operators.index import _hadoop_delete, _write_small_file
+    from ..operators.index import _write_small_file
 
     marker = f"{ledger_path}/{FOREIGN_RELEASES_MARKER}"
-    _hadoop_delete(spark, marker)
+    # _write_small_file replaces an existing marker itself (tmp-then-
+    # rename); a pre-delete would only widen the no-marker crash window
     _write_small_file(spark, marker, json.dumps(sorted(releases)).encode("ascii"))
 
 

@@ -87,6 +87,14 @@ def test_guards(spark, lineitem):
         zorder_key(lineitem, ["l_orderkey", "l_partkey"], bits=0)
     with pytest.raises(ValueError, match=">= 2 columns"):
         zorder_key(lineitem, ["l_orderkey"])
+    # d*bits > 63 would WRAP shift amounts (JVM masks mod 64) and
+    # silently destroy curve locality — refuse instead
+    with pytest.raises(ValueError, match="only 63 fit"):
+        zorder_key(
+            lineitem,
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"],
+            bits=16,
+        )
 
 
 def test_quantile_scaling_survives_skew(spark, tmp_path):
