@@ -26,7 +26,6 @@ from map_reduce_using_cloud_functions_spark.operators import similarity as sim
 from map_reduce_using_cloud_functions_spark.operators import text_analysis as ta
 from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
-from map_reduce_using_cloud_functions_spark.operators import sketches as sk
 from map_reduce_using_cloud_functions_spark.plans import relational as rel
 from map_reduce_using_cloud_functions_spark.plans import events as ev
 
@@ -266,20 +265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_statistics": lambda s, d: rel.order_value_statistics(_tables(s, d)),
         "price_percentiles": lambda s, d: rel.price_percentiles(_tables(s, d)),
         "embedding_array_features": lambda s, d: rel.embedding_array_features(_tables(s, d)),
-        # ---- sketch statistics (X4+: corpus profiling at scale) ----
-        "corpus_vocab_sketch": lambda s, d: sk.vocab_sketch(
-            load_table(s, d, "documents"), k=64, by=["lang"]
-        ),
-        "distinct_custkeys_sketch": lambda s, d: sk.distinct_sketch(
-            load_table(s, d, "orders"), "o_custkey", k=256, alias="est_custkeys"
-        ),
-        "sampled_price_percentiles": lambda s, d: sk.sampled_percentiles(
-            load_table(s, d, "orders"),
-            "o_totalprice",
-            key="o_orderkey",
-            frac=0.25,
-            by=["o_orderstatus"],
-        ),
     }
 
 
@@ -507,34 +492,6 @@ SELECT vec_id,
 FROM embeddings
 """
 
-    # ---- sketch statistics (operators/sketches.py) — the twin is
-    # generated by the same module so the hash, the exact integer sum,
-    # and the one trailing double division stay alignment-proof
-    from map_reduce_using_cloud_functions_spark.operators.sketches import (
-        distinct_sketch_sql,
-    )
-
-    sql["corpus_vocab_sketch"] = distinct_sketch_sql(
-        f"(SELECT lang, unnest({_TOKS_LIST.format(col='text')}) AS word FROM documents)",
-        "word",
-        k=64,
-        by=["lang"],
-        alias="est_vocab",
-    )
-    sql["distinct_custkeys_sketch"] = distinct_sketch_sql(
-        "orders", "cast(o_custkey AS VARCHAR)", k=256, alias="est_custkeys"
-    )
-    from map_reduce_using_cloud_functions_spark.operators.sketches import (
-        sampled_percentiles_sql,
-    )
-
-    sql["sampled_price_percentiles"] = sampled_percentiles_sql(
-        "orders",
-        "o_totalprice",
-        "cast(o_orderkey AS VARCHAR)",
-        frac=0.25,
-        by=["o_orderstatus"],
-    )
 
     # ---- events ----
     sql["events_pivot"] = """

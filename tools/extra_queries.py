@@ -94,6 +94,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are corpus-independent, so ledger probe ≡ joint sketch).
         "embedding_ledger_pairs": _q_embedding_ledger_pairs,
         "embedding_ledger_survivors": _q_embedding_ledger_survivors,
+        # r9: sketch statistics (operators/sketches.py) — bounded-state
+        # distinct estimation and deterministic hash-sampled quantiles;
+        # the DuckDB twins are generated by the same module so the
+        # hash, the exact integer sum, and the one trailing double
+        # division stay alignment-proof
+        "corpus_vocab_sketch": _q_corpus_vocab_sketch,
+        "distinct_custkeys_sketch": _q_distinct_custkeys_sketch,
+        "sampled_price_percentiles": _q_sampled_price_percentiles,
         # r7: time travel over the versioned commit log — snapshot
         # reads serve any surviving commit byte-identically; the diff
         # is one full-outer join of two immutable snapshots.
@@ -596,6 +604,38 @@ def _q_embedding_ledger_survivors(s: SparkSession, d: str) -> DataFrame:
     ).select("vec_id")
 
 
+def _q_corpus_vocab_sketch(s: SparkSession, d: str) -> DataFrame:
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        vocab_sketch,
+    )
+
+    return vocab_sketch(load_table(s, d, "documents"), k=64, by=["lang"])
+
+
+def _q_distinct_custkeys_sketch(s: SparkSession, d: str) -> DataFrame:
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        distinct_sketch,
+    )
+
+    return distinct_sketch(
+        load_table(s, d, "orders"), "o_custkey", k=256, alias="est_custkeys"
+    )
+
+
+def _q_sampled_price_percentiles(s: SparkSession, d: str) -> DataFrame:
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        sampled_percentiles,
+    )
+
+    return sampled_percentiles(
+        load_table(s, d, "orders"),
+        "o_totalprice",
+        key="o_orderkey",
+        frac=0.25,
+        by=["o_orderstatus"],
+    )
+
+
 def extra_oracle_sql() -> dict[str, str]:
     doctoks = entrymod._DOCTOKS
     sql: dict[str, str] = {}
@@ -929,6 +969,31 @@ matched AS (
 SELECT vec_id FROM embeddings
 WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM matched)
 """
+
+    # sketch twins — generated by operators/sketches.py itself
+    from map_reduce_using_cloud_functions_spark.operators.sketches import (
+        distinct_sketch_sql,
+        sampled_percentiles_sql,
+    )
+
+    _toks = entrymod._TOKS_LIST
+    sql["corpus_vocab_sketch"] = distinct_sketch_sql(
+        f"(SELECT lang, unnest({_toks.format(col='text')}) AS word FROM documents)",
+        "word",
+        k=64,
+        by=["lang"],
+        alias="est_vocab",
+    )
+    sql["distinct_custkeys_sketch"] = distinct_sketch_sql(
+        "orders", "cast(o_custkey AS VARCHAR)", k=256, alias="est_custkeys"
+    )
+    sql["sampled_price_percentiles"] = sampled_percentiles_sql(
+        "orders",
+        "o_totalprice",
+        "cast(o_orderkey AS VARCHAR)",
+        frac=0.25,
+        by=["o_orderstatus"],
+    )
 
     # time-travel twins: the same tokenizer/postings CTE as the gate's
     # index_build, restricted per commit of the two-commit fixture
