@@ -223,6 +223,28 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ak.add_argument("index_path")
 
+    pr = sub.add_parser(
+        "profile",
+        help="one-pass corpus profile from the sketch toolbox: doc/lang "
+        "volumes, estimated vocabulary per lang (bounded-state distinct "
+        "sketch), sampled length percentiles",
+    )
+    pr.add_argument(
+        "corpus_path", help="documents parquet file/dir or JSONL directory"
+    )
+    pr.add_argument(
+        "--vocab-k",
+        type=int,
+        default=256,
+        help="distinct-sketch buckets (error ~1/sqrt(k); default 256)",
+    )
+    pr.add_argument(
+        "--sample-frac",
+        type=float,
+        default=0.25,
+        help="deterministic hash-sample fraction for the percentiles",
+    )
+
     li = sub.add_parser(
         "ledger-info",
         help="minhash admission ledger snapshot: sketch params, release "
@@ -367,6 +389,63 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(
                 f"compacted {args.index_path} -> v={v} "
                 f"(generations: {info['generations']})"
+            )
+        elif args.cmd == "profile":
+            import json as _json
+
+            import pyspark.sql.functions as F
+
+            from .operators.sketches import (
+                sampled_percentiles,
+                vocab_sketch,
+            )
+            from .sources.interchange import read_corpus_jsonl
+
+            path = args.corpus_path
+            if path.rstrip("/").endswith((".jsonl", ".json")) or any(
+                f.endswith((".jsonl", ".json"))
+                for f in (__import__("os").listdir(path) if __import__("os").path.isdir(path) else [])
+            ):
+                docs = read_corpus_jsonl(spark, path)
+            else:
+                docs = spark.read.parquet(path)
+            has_lang = "lang" in docs.columns
+            by = ["lang"] if has_lang else []
+            docs = docs.withColumn("n_chars_live", F.length("text"))
+            counts = {
+                r["lang"] if has_lang else "all": r["n"]
+                for r in docs.groupBy(*by)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            vocab = {
+                (r["lang"] if has_lang else "all"): r["est_vocab"]
+                for r in vocab_sketch(docs, k=args.vocab_k, by=by).collect()
+            }
+            pct = {
+                (r["lang"] if has_lang else "all"): {
+                    "p50": r["p50"],
+                    "p90": r["p90"],
+                }
+                for r in sampled_percentiles(
+                    docs,
+                    "n_chars_live",
+                    key="doc_id",
+                    frac=args.sample_frac,
+                    by=by,
+                ).collect()
+            }
+            print(
+                _json.dumps(
+                    {
+                        "docs": counts,
+                        "est_vocab": vocab,
+                        "chars_sampled_percentiles": pct,
+                        "vocab_k": args.vocab_k,
+                        "sample_frac": args.sample_frac,
+                    },
+                    sort_keys=True,
+                )
             )
         elif args.cmd == "ledger-info":
             import json as _json

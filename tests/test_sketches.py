@@ -179,3 +179,29 @@ def test_sampled_percentiles_close_to_exact(spark):
         # loose but meaningful: within 10% of the full value spread
         assert abs(p50 - e50) < 0.1 * spread
         assert abs(p90 - e90) < 0.1 * spread
+
+
+def test_cli_profile(spark, capsys):
+    """The profile subcommand prints one JSON object with per-lang doc
+    counts, vocabulary estimates, and sampled length percentiles."""
+    import json
+
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    rc = main(
+        ["profile", f"{SF}/documents.parquet", "--vocab-k", "64"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {
+        "docs",
+        "est_vocab",
+        "chars_sampled_percentiles",
+        "vocab_k",
+        "sample_frac",
+    }
+    assert sum(out["docs"].values()) == 500
+    assert set(out["docs"]) == set(out["est_vocab"])
+    for stats in out["chars_sampled_percentiles"].values():
+        assert stats["p50"] <= stats["p90"]
