@@ -152,13 +152,16 @@ def bench_front_door(
     n_files: int = 4,
     n_docs: int = 2000,
     min_quality: float | None = None,
+    semantic: bool = False,
 ) -> dict:
     """Composed front-door stream (r8): per-batch cost of the two-sink
     foreachBatch — near-dup admission against the ledger AND additive
     index fold — over JSONL micro-batches. Separate JSON key; the
     legacy ``streaming`` section stays anchor-comparable.
     ``min_quality`` (r9) benches the quality-gated configuration — the
-    gate adds one map-only text_features pass per batch."""
+    gate adds one map-only text_features pass per batch. ``semantic``
+    (late r9) adds the embedding-ledger gate (hashed-trick embedder):
+    the full three-strength admission."""
     import json as _json
     import shutil
     import tempfile
@@ -197,6 +200,9 @@ def bench_front_door(
             os.path.join(base, "idx"),
             os.path.join(base, "ck"),
             min_quality=min_quality,
+            semantic_ledger_path=(
+                os.path.join(base, "sled") if semantic else None
+            ),
         )
         q.awaitTermination()
         total = time.perf_counter() - t0
@@ -434,6 +440,15 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — record and continue
         front_door_gated = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"bench: front_door FAILED: {front_door['error']}", file=sys.stderr)
+    try:
+        front_door_semantic = bench_front_door(spark, sf_dir, semantic=True)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        front_door_semantic = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(
+            f"bench: front_door_semantic FAILED: "
+            f"{front_door_semantic['error']}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -447,6 +462,7 @@ def main() -> None:
                 "streaming": streaming,
                 "streaming_front_door": front_door,
                 "streaming_front_door_gated": front_door_gated,
+                "streaming_front_door_semantic": front_door_semantic,
                 **({"errors": errors} if errors else {}),
                 **({"flaky": flaky} if flaky else {}),
             }
