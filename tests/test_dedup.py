@@ -941,3 +941,75 @@ def test_ledger_kind_dispatch_and_wrong_flavor_refusal(spark, tmp_path):
         dd.compact_minhash_ledger(spark, el)
     with pytest.raises(ValueError, match="not a ledger"):
         dd.ledger_kind(spark, str(tmp_path / "nope"))
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_ledger_compaction_random_corpora_probe_invariant(spark, tmp_path, seed):
+    """Property fuzz over both ledger flavors: random documents (with
+    planted near-dup chains) sliced into a random number of releases,
+    probed by a random held-out batch — folding history into
+    release=-1 must leave the probe answers IDENTICAL at every
+    keep_last, and fold-all equals the original too."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    rng = random.Random(seed)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu".split()
+
+    def text(i):
+        base = [words[(i + j) % len(words)] for j in range(rng.randrange(8, 14))]
+        return " ".join(base)
+
+    rows = [(i, text(i)) for i in range(60)]
+    # planted near-dups of prior rows so the probe has real hits
+    rows += [(100 + i, rows[i][1] + " omega") for i in range(0, 20, 3)]
+    rng.shuffle(rows)
+    cut = len(rows) // 4
+    probe_rows, ledger_rows = rows[:cut], rows[cut:]
+    docs = spark.createDataFrame(ledger_rows, "doc_id bigint, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id bigint, text string")
+
+    n_rel = rng.randrange(2, 6)
+    path = str(tmp_path / "led")
+    dd.init_minhash_ledger(spark, path)
+    for rel in range(n_rel):
+        dd.append_minhash_ledger(
+            docs.where(F.col("doc_id") % n_rel == rel), path, release=rel
+        )
+    before = _probe_pairs(spark, path, probe)
+    assert before, "fuzz fixture must produce probe hits"
+    keep = rng.randrange(0, n_rel)
+    dd.compact_minhash_ledger(spark, path, keep_last=keep)
+    assert _probe_pairs(spark, path, probe) == before
+    dd.compact_minhash_ledger(spark, path, keep_last=0)
+    assert _probe_pairs(spark, path, probe) == before
+
+    # embedding flavor on the same discipline (fixture embeddings)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    eprobe = emb.where(F.col("vec_id") % 5 == 0)
+    estand = emb.where(F.col("vec_id") % 5 != 0)
+    epath = str(tmp_path / "eled")
+    dd.init_embedding_ledger(spark, epath, dim=64, planes_per_band=4, bands=4)
+    for rel in range(n_rel):
+        dd.append_embedding_ledger(
+            estand.where(F.col("vec_id") % n_rel == rel), epath, release=rel
+        )
+    ebefore = sorted(
+        map(
+            tuple,
+            dd.ledger_embedding_pairs(spark, eprobe, epath, threshold=0.4).collect(),
+        )
+    )
+    assert ebefore
+    dd.compact_embedding_ledger(spark, epath, keep_last=keep)
+    eafter = sorted(
+        map(
+            tuple,
+            dd.ledger_embedding_pairs(spark, eprobe, epath, threshold=0.4).collect(),
+        )
+    )
+    assert eafter == ebefore
