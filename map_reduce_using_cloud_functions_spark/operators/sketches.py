@@ -148,7 +148,9 @@ def hash_sample(df: DataFrame, key: str, frac: float) -> DataFrame:
     composable — the same (key, frac) always selects the same rows, so
     two tables sampled on a shared key stay JOINABLE (the correlated-
     sampling property ``df.sample()`` cannot give). Map-only: the
-    filter rides the scan."""
+    filter rides the scan. Use integral or string keys — they have one
+    canonical string form in every engine; float keys' formatting is
+    engine-dependent and would break cross-engine reproducibility."""
     if not (0.0 < frac <= 1.0):
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     threshold = int(frac * TWO_60)
@@ -173,7 +175,13 @@ def sampled_percentiles(
 
     ``key`` must identify rows (not values): sampling on the measured
     column itself would weight values by their distinct-ness, not their
-    frequency, and bias every quantile."""
+    frequency, and bias every quantile.
+
+    Scale discipline for ``frac``: the exact quantile buffers the
+    per-group sample, so choose ``frac ≈ m / n`` for a target sample of
+    m ≈ 10^5–10^6 rows per group — DKW puts the rank error at ~0.2%
+    for m = 10^5, and more sample buys nothing a tighter m wouldn't;
+    a fixed fraction of a growing corpus is the anti-pattern."""
     by = list(by or [])
     sample = hash_sample(df, key, frac)
     aggs = [
