@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",  # r8: composed IVF routing + ADC scoring
     "ann_topk_ivfpq_residual",  # r9: residual encoding (FAISS default)
     "corpus_vocab_sketch",  # r9: bounded-state distinct estimation
+    # r10: the SCALE-SAFE configs of the two fixed-resolution judged
+    # rows — benched at every SF so a regression in exactly the
+    # configuration a 100 TB run would use is visible per round
+    "semdedup_survivors_scaled",
+    "dedup_embedding_pairs_production",
+    "multimodal_phash_pairs",  # r10: perceptual image near-dup (X5)
 ]
 
 

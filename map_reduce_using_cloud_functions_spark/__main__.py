@@ -18,6 +18,7 @@ or remote directory instead of a GCS bucket:
     python -m map_reduce_using_cloud_functions_spark takedown DOC_ID... [--index IDX] [--ledger LED] [--survivors OUT]
     python -m map_reduce_using_cloud_functions_spark ann-info    ANN_INDEX_PATH
     python -m map_reduce_using_cloud_functions_spark ann-compact ANN_INDEX_PATH
+    python -m map_reduce_using_cloud_functions_spark ann-query   ANN_INDEX_PATH QUERIES [--k K]
 
 ``web`` serves the reference UI itself (upload .txt → index → query a
 word in the browser; ``webui.py``), closing the last presentation-layer
@@ -223,6 +224,45 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ak.add_argument("index_path")
 
+    aq = sub.add_parser(
+        "ann-query",
+        help="top-k neighbors from ANY persisted ANN index (family "
+        "detected from the index itself); queries from a parquet/JSONL "
+        "file with (query_id|vec_id, q_embedding|embedding) columns",
+    )
+    aq.add_argument("index_path")
+    aq.add_argument("queries_path", help="parquet file/dir or .jsonl of query vectors")
+    aq.add_argument("--k", type=int, default=5, help="neighbors per query (default 5)")
+    aq.add_argument(
+        "--n-probe",
+        type=int,
+        default=None,
+        help="IVF / IVF-PQ: lists probed per query (family default 2)",
+    )
+    aq.add_argument(
+        "--probe-bits",
+        type=int,
+        default=None,
+        help="LSH: multi-probe bucket flips per band (family default 1)",
+    )
+    aq.add_argument(
+        "--shortlist",
+        type=int,
+        default=None,
+        help="PQ / IVF-PQ: ADC shortlist size before exact re-rank",
+    )
+    aq.add_argument(
+        "--embeddings",
+        default=None,
+        help="PQ / IVF-PQ: exact-vector parquet for the re-rank stage",
+    )
+    aq.add_argument(
+        "--top",
+        type=int,
+        default=100,
+        help="max result rows printed (default 100)",
+    )
+
     pr = sub.add_parser(
         "profile",
         help="one-pass corpus profile from the sketch toolbox: doc/lang "
@@ -381,6 +421,58 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .operators.ann_commit import ann_index_info
 
             print(_json.dumps(ann_index_info(spark, args.index_path)))
+        elif args.cmd == "ann-query":
+            import pyspark.sql.functions as F
+
+            from .operators.ann import ann_search
+
+            qpath = args.queries_path
+            if qpath.rstrip("/").endswith((".jsonl", ".json")):
+                q = spark.read.json(qpath)
+            else:
+                q = spark.read.parquet(qpath)
+            # accept the fixtures' (vec_id, embedding) spelling too
+            if "query_id" not in q.columns and "vec_id" in q.columns:
+                q = q.withColumnRenamed("vec_id", "query_id")
+            if "q_embedding" not in q.columns and "embedding" in q.columns:
+                q = q.withColumnRenamed("embedding", "q_embedding")
+            missing = {"query_id", "q_embedding"} - set(q.columns)
+            if missing:
+                print(
+                    f"queries file lacks {sorted(missing)} (accepted "
+                    "spellings: query_id|vec_id, q_embedding|embedding)",
+                    file=sys.stderr,
+                )
+                return 2
+            q = q.select(
+                "query_id", F.col("q_embedding").cast("array<float>").alias("q_embedding")
+            )
+            # only options the caller actually set reach the family
+            # check — a default must not trip the wrong-family refusal
+            options = {
+                name: val
+                for name, val in (
+                    ("n_probe", args.n_probe),
+                    ("probe_bits", args.probe_bits),
+                    ("shortlist", args.shortlist),
+                )
+                if val is not None
+            }
+            if args.embeddings is not None:
+                options["embeddings"] = spark.read.parquet(args.embeddings)
+            rows = (
+                ann_search(spark, args.index_path, q, k=args.k, **options)
+                .orderBy("query_id", "rank")
+                .limit(args.top)
+                .collect()
+            )
+            if not rows:
+                print("no neighbors")
+            for r in rows:
+                print(
+                    f"{r['query_id']}\t{r['neighbor_id']}\t{r['rank']}\t"
+                    f"{r['score']:.6f}"
+                )
         elif args.cmd == "ann-compact":
             from .operators.ann_commit import ann_index_info, compact_ann_index
 

@@ -642,13 +642,17 @@ def near_dedup(
     return cluster_survivors(documents, pairs)
 
 
-def simhash_pairs(
-    documents: DataFrame,
-    max_hamming: int = 3,
-    bits: int = SIMHASH_BITS,
+def fingerprint_hamming_pairs(
+    prints: DataFrame,
+    max_hamming: int,
+    bits: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    out: tuple[str, str] = ("doc_a", "doc_b"),
 ) -> DataFrame:
-    """X2: near-duplicate PAIRS from SimHash fingerprints — documents
-    whose fingerprints differ in at most ``max_hamming`` bits.
+    """Hamming-≤d pairs over ANY integer fingerprint column — the
+    banded pigeonhole engine shared by ``simhash_pairs`` (text SimHash)
+    and ``multimodal.phash_pairs`` (perceptual image dHash).
 
     Scale shape is the pigeonhole band trick: split the ``bits``-bit
     fingerprint into ``max_hamming + 1`` contiguous bands; two prints
@@ -657,10 +661,11 @@ def simhash_pairs(
     come from an equi-join on (band_idx, band_bits) — never an all-pairs
     scan — and the exact popcount(xor) filter keeps no false positives.
     Same candidate-generation/verify economics as MinHash-LSH banding,
-    but over one 32-bit integer per doc (the cheapest sketch there is).
+    but over one integer per row (the cheapest sketch there is).
 
-    Returns (doc_a, doc_b, hamming), doc_a < doc_b, deduplicated across
-    bands by the final aggregation (hamming is band-invariant)."""
+    Returns ``(out[0], out[1], hamming)``, ``out[0] < out[1]``,
+    deduplicated across bands by the final aggregation (hamming is
+    band-invariant)."""
     n_bands = max_hamming + 1
     if n_bands > bits:
         raise ValueError(
@@ -668,6 +673,7 @@ def simhash_pairs(
             f"from a {bits}-bit fingerprint — impossible; raise bits or "
             f"lower max_hamming"
         )
+    out_a, out_b = out
     # Bands PARTITION the fingerprint: the first (bits % n_bands) bands
     # get one extra bit, none overruns. A fixed ceil-width layout would
     # leave high bands empty (all-zero band_bits ⇒ every doc collides ⇒
@@ -675,36 +681,56 @@ def simhash_pairs(
     base, rem = divmod(bits, n_bands)
     widths = [base + 1 if i < rem else base for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    fp = simhash_fingerprints(documents, bits)
+    fp = prints.select(
+        F.col(id_col).alias("_fpid"), F.col(fp_col).cast("long").alias("_fp")
+    )
     # Shift amounts must be literals (Spark's shiftrightunsigned takes
     # no column count), so each band's extraction is a CASE over the
     # exploded band index — all JVM-side integer ops, assembled as ONE
     # parsed SQL string (not n_bands when() Columns — the same py4j
     # plan-build tax fixed in simhash_fingerprints above).
     band_bits = " + ".join(
-        f"if(band = {i}, shiftrightunsigned(simhash, {offsets[i]}) "
+        f"if(band = {i}, shiftrightunsigned(_fp, {offsets[i]}) "
         f"& {(1 << widths[i]) - 1}L, 0L)"
         for i in range(n_bands)
     )
     bands = fp.selectExpr(
-        "doc_id",
-        "simhash",
+        "_fpid",
+        "_fp",
         f"explode(array({', '.join(str(i) for i in range(n_bands))})) AS band",
-    ).selectExpr("doc_id", "simhash", "band", f"({band_bits}) AS band_bits")
+    ).selectExpr("_fpid", "_fp", "band", f"({band_bits}) AS band_bits")
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "band_bits"
+        F.col("_fpid").alias(out_a), F.col("_fp").alias("fp_a"), "band", "band_bits"
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "band_bits"
+        F.col("_fpid").alias(out_b), F.col("_fp").alias("fp_b"), "band", "band_bits"
     )
     xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
     return (
         a.join(b, ["band", "band_bits"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.col(out_a) < F.col(out_b))
         .withColumn("hamming", F.bit_count(xor))
         .where(F.col("hamming") <= max_hamming)
-        .groupBy("doc_a", "doc_b")
+        .groupBy(out_a, out_b)
         .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """X2: near-duplicate PAIRS from SimHash fingerprints — documents
+    whose fingerprints differ in at most ``max_hamming`` bits. The
+    candidate/verify engine is ``fingerprint_hamming_pairs`` (banded
+    pigeonhole equi-join — never all-pairs).
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, deduplicated across
+    bands by the final aggregation (hamming is band-invariant)."""
+    fp = simhash_fingerprints(documents, bits)
+    return fingerprint_hamming_pairs(
+        fp, max_hamming=max_hamming, bits=bits, id_col="doc_id", fp_col="simhash"
     )
 
 
@@ -1060,7 +1086,8 @@ def delete_from_ledger(spark, path: str, doc_ids: list[int]) -> None:
     sig was deleted produces a candidate that fails the verify join; a
     deleted bands row produces no candidate), which is the desired
     direction for a takedown; a replay converges to the full delete."""
-    meta = load_ledger_meta(spark, path)  # raises on a non-ledger path
+    _require_ledger_kind(spark, path, "minhash", "delete_from_ledger")
+    meta = load_ledger_meta(spark, path)
 
     def reband(rel_sigs: DataFrame, rel: int) -> DataFrame:
         return (
@@ -1332,16 +1359,21 @@ def ledger_kind(spark, path: str) -> str:
     )
 
 
+# Wrong-flavor refusals name the op that DOES fit the ledger at hand.
+_LEDGER_OP_COUNTERPART = {
+    "compact_minhash_ledger": "compact_embedding_ledger",
+    "compact_embedding_ledger": "compact_minhash_ledger",
+    "delete_from_ledger": "delete_from_embedding_ledger",
+    "delete_from_embedding_ledger": "delete_from_ledger",
+}
+
+
 def _require_ledger_kind(spark, path: str, want: str, op: str) -> None:
     kind = ledger_kind(spark, path)
     if kind != want:
-        other = (
-            "compact_embedding_ledger"
-            if want == "minhash"
-            else "compact_minhash_ledger"
-        )
+        other = _LEDGER_OP_COUNTERPART.get(op, f"the {kind}-flavor op")
         raise ValueError(
-            f"{op}: {path} is an {kind} ledger — use {other} (folding "
+            f"{op}: {path} is an {kind} ledger — use {other} (operating "
             "with the wrong sketch parameters would corrupt the band "
             "relation)."
         )
@@ -1447,10 +1479,24 @@ def load_embedding_ledger_meta(spark, path: str) -> dict:
 
 
 def _emb_check_dim(embeddings: DataFrame, dim: int, where: str) -> None:
-    got = embeddings.select(F.size("embedding").alias("d")).first()
-    if got is not None and got["d"] != dim:
+    # min AND max in one aggregate: a first-row-only check would let a
+    # mixed-dimension batch through, and the mismatched rows would then
+    # silently never match (zip_with pads with null -> null score ->
+    # filtered out) — under-gating where the contract demands an error.
+    got = embeddings.select(
+        F.min(F.size("embedding")).alias("lo"),
+        F.max(F.size("embedding")).alias("hi"),
+    ).first()
+    if got is None or got["lo"] is None:
+        return
+    if got["lo"] != dim or got["hi"] != dim:
+        batch = (
+            f"dim {got['lo']}"
+            if got["lo"] == got["hi"]
+            else f"mixed dims {got['lo']}..{got['hi']}"
+        )
         raise ValueError(
-            f"{where}: batch embeddings have dim {got['d']} but the "
+            f"{where}: batch embeddings have {batch} but the "
             f"ledger was built for dim {dim} — sketches over different "
             "dimensionalities are incomparable."
         )
@@ -1659,6 +1705,9 @@ def delete_from_embedding_ledger(spark, path: str, vec_ids: list[int]) -> None:
     machinery with ``delete_from_ledger`` (``_delete_from_banded_ledger``)."""
     from .similarity import _sign_sketch_bands
 
+    _require_ledger_kind(
+        spark, path, "embedding", "delete_from_embedding_ledger"
+    )
     meta = load_embedding_ledger_meta(spark, path)
 
     def reband(rel_vecs: DataFrame, rel: int) -> DataFrame:

@@ -732,8 +732,16 @@ def _read_small_file(spark, path: str) -> bytes:
 
 
 def _write_small_file(spark, path: str, payload: bytes) -> None:
-    """Whole-file write via temp name + rename (rename-to-fresh-name is
-    the atomic primitive; the caller deletes any stale target first)."""
+    """Whole-file write via temp name + atomic replace: an existing
+    target is swapped out in ONE metadata operation (POSIX rename(2)
+    through ``FileSystem.rename`` locally; ``FileContext.rename``
+    with ``Options.Rename.OVERWRITE`` on contract-strict filesystems
+    like HDFS), so a crash at any point leaves either the old bytes or
+    the new bytes — never a missing file. (The previous
+    delete-then-rename pair had a crash window with NO file on disk —
+    exactly the state the ``_foreign_releases`` call sites promise
+    cannot happen, since a vanished marker silently strips
+    foreign-release collision protection until the next adoption.)"""
     import uuid
 
     fs = _hadoop_fs(spark, path)
@@ -743,11 +751,28 @@ def _write_small_file(spark, path: str, payload: bytes) -> None:
     out.write(bytearray(payload))
     out.close()
     target = _hadoop_path(spark, path)
-    if fs.exists(target):
-        fs.delete(target, False)
-    if not fs.rename(tmp, target):
+    try:
+        # Plain rename first: on a POSIX local FS this reaches
+        # File.renameTo -> rename(2), which atomically replaces an
+        # existing target (and it trivially succeeds when no target
+        # exists, on any FS). Filesystems honoring the strict
+        # FileSystem.rename contract (HDFS) instead return false when
+        # the target exists -- for those, FileContext.rename(OVERWRITE)
+        # is the namenode-atomic replace. Neither path ever deletes the
+        # target first, so no crash point leaves the file missing.
+        if not fs.rename(tmp, target):
+            jvm = spark._jvm
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                target.toUri(), spark._jsc.hadoopConfiguration()
+            )
+            opts = spark.sparkContext._gateway.new_array(
+                jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(tmp, target, opts)
+    except Exception:
         fs.delete(tmp, False)
-        raise IOError(f"atomic small-file write failed for {path}")
+        raise
 
 
 def _resolve_version(spark, path: str) -> tuple[str, int, int | None]:

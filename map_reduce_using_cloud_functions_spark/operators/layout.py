@@ -43,7 +43,13 @@ def _bucketize(col: Column, breaks: list[float]) -> Column:
     or below the value. NULLs land in bucket 0 (the curve's origin:
     they carry no range information to preserve). The breakpoints are
     ONE array literal (not per-row CreateArray), so the scan pays a
-    comparison loop, not an allocation."""
+    comparison loop, not an allocation. An empty breaks list (what
+    ``approxQuantile`` returns for an all-NULL column) means a
+    degenerate domain: bucket 0, mirroring ``_bucketize_linear`` —
+    ``F.lit([])`` would otherwise type as ``array<void>`` and fail the
+    lambda comparison at analysis time with an unrelated-looking error."""
+    if not breaks:
+        return F.lit(0)
     arr = F.lit([float(b) for b in breaks])
     return F.coalesce(
         F.size(F.filter(arr, lambda b: col.cast("double") >= b)), F.lit(0)
@@ -161,19 +167,32 @@ def write_zordered(
     repartition on the z-key (contiguous curve segments per file), sort
     within partitions (tight row-group stats inside each file), drop
     the key, write parquet. Readers need nothing special — the standard
-    min/max pruning does the skipping."""
+    min/max pruning does the skipping.
+
+    Timestamps are forced to TIMESTAMP_MICROS for this write: Spark's
+    default ``outputTimestampType=INT96`` writes NO parquet min/max
+    statistics at all (deprecated physical type), which would silently
+    disable pruning on a time dimension — the most common z column
+    there is. Values are unchanged; only the physical encoding is."""
     keyed = zorder_key(df, cols, bits=bits, scaling=scaling)
     part = (
         keyed.repartitionByRange(num_files, ZKEY)
         if num_files
         else keyed.repartitionByRange(ZKEY)
     )
-    (
-        part.sortWithinPartitions(ZKEY)
-        .drop(ZKEY)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    spark = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        (
+            part.sortWithinPartitions(ZKEY)
+            .drop(ZKEY)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def zorder_scan_stats(
@@ -188,6 +207,12 @@ def zorder_scan_stats(
 
     import pyarrow.parquet as pq
 
+    def as_float(v) -> float:
+        # timestamp stats arrive as datetimes — compare on epoch
+        # seconds, the same value a Spark double-cast of the column
+        # yields, so callers pass one unit for both key and report
+        return v.timestamp() if hasattr(v, "timestamp") else float(v)
+
     local = path[len("file://"):] if path.startswith("file://") else path
     total = skipped = rows_total = rows_skipped = 0
     for f in sorted(_glob.glob(os.path.join(local, "*.parquet"))):
@@ -199,7 +224,7 @@ def zorder_scan_stats(
             total += 1
             rows_total += rg.num_rows
             if st is not None and st.has_min_max and (
-                float(st.min) > hi or float(st.max) < lo
+                as_float(st.min) > hi or as_float(st.max) < lo
             ):
                 skipped += 1
                 rows_skipped += rg.num_rows

@@ -163,9 +163,10 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> "object
     return out.reshape(height, width, channels)
 
 
-def _decode_png_stdlib(payload: bytes) -> dict:
-    """Pure-stdlib PNG decode: chunk walk → IHDR dims → IDAT inflate →
-    unfilter → real pixel mean. CRCs of parsed chunks are verified."""
+def _png_pixels_stdlib(payload: bytes) -> "object":
+    """Pure-stdlib PNG decode to the raw pixel array (h, w, channels):
+    chunk walk → IHDR dims → IDAT inflate → unfilter. CRCs of parsed
+    chunks are verified."""
     import struct
     import zlib
 
@@ -203,9 +204,16 @@ def _decode_png_stdlib(payload: bytes) -> dict:
         # scanlines, and the length mismatch it would hit instead is a
         # misleading internal error
         raise ValueError("stdlib fallback does not support interlaced PNGs")
-    pixels = _png_unfilter(
+    return _png_unfilter(
         zlib.decompress(idat), width, height, _PNG_CHANNELS[color_type]
     )
+
+
+def _decode_png_stdlib(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode to stats — pixel access via
+    ``_png_pixels_stdlib``, then the real pixel mean."""
+    pixels = _png_pixels_stdlib(payload)
+    height, width, _channels = pixels.shape
     return {
         "format": "png",
         "width": int(width),
@@ -372,4 +380,178 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 97) -> DataFrame:
         F.ascii(F.substring(F.decode(F.col("payload"), "UTF-8"), F.col("sample_idx"), 1)).alias(
             "byte_val"
         ),
+    )
+
+
+# --- perceptual near-dup (X5, r9 verdict task 3) ----------------------------
+#
+# Image near-duplicate detection is the FIRST dedup a real multimodal
+# pipeline runs (recompressed / resized / lightly-edited copies share no
+# bytes, so exact hashing misses them). The operator family mirrors the
+# text side: fingerprint (dHash — Krawetz's difference hash: gradient
+# sign over a block-mean luma grid) then banded hamming pairs through
+# the SAME pigeonhole engine SimHash uses (dedup.fingerprint_hamming_
+# pairs) — never an all-pairs scan, so the pair step scales exactly as
+# the text SimHash step does.
+
+
+def decode_png_pixels(payload: bytes):
+    """Pixel array (h, w, channels) uint8 for a PNG payload — PIL when
+    installed (normalized to 8-bit L/LA/RGB/RGBA, the same rule
+    ``decode_media`` applies), else the stdlib chunk-walk decoder.
+    Raises on non-PNG/corrupt payloads; callers surface that per-row."""
+    try:
+        from PIL import Image  # optional dependency
+    except ImportError:
+        return _png_pixels_stdlib(payload)
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        if im.mode not in ("L", "LA", "RGB", "RGBA"):
+            has_alpha = "A" in im.mode or "transparency" in im.info
+            im = im.convert("RGBA" if has_alpha else "RGB")
+        arr = np.asarray(im)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+def dhash64(pixels, grid: int = 8) -> int:
+    """Difference hash of a pixel array: channel-mean luma → block-mean
+    resize to a (grid)×(grid+1) cell grid → one bit per horizontally
+    adjacent cell pair (left brighter than right). grid=8 packs the 64
+    bits into one signed bigint (two's-complement wrap for bit 63 — the
+    exact arithmetic a SQL twin can replay), which is what lets the
+    pair step ride the integer banding engine.
+
+    Block boundaries are floor(i·dim/blocks) — deterministic integer
+    arithmetic, no interpolation library — so the same image always
+    hashes identically on every executor and in the oracle."""
+    import numpy as np
+
+    if not (1 <= grid <= 8):
+        raise ValueError(f"grid must be in [1, 8] (grid² bits ≤ 64), got {grid}")
+    arr = np.asarray(pixels, dtype=np.float64)
+    luma = arr.mean(axis=2) if arr.ndim == 3 else arr
+    h, w = luma.shape
+    cols = grid + 1
+    if h < grid or w < cols:
+        raise ValueError(
+            f"image {w}x{h} smaller than the {cols}x{grid} dHash grid — "
+            "no full cell partition exists"
+        )
+    rb = [(i * h) // grid for i in range(grid + 1)]
+    cb = [(j * w) // cols for j in range(cols + 1)]
+    cells = [
+        [
+            float(luma[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].mean())
+            for j in range(cols)
+        ]
+        for i in range(grid)
+    ]
+    v = 0
+    for r in range(grid):
+        for c in range(grid):
+            if cells[r][c] > cells[r][c + 1]:
+                v |= 1 << (r * grid + c)
+    if v >= 1 << 63:  # two's-complement wrap: numpy/SQL BIGINT semantics
+        v -= 1 << 64
+    return v
+
+
+def build_png_assets(
+    documents: DataFrame, width: int = 9, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL-PNG fixture: the first ``width*height`` bytes
+    of each document's UTF-8 text as an 8-bit grayscale image, written
+    by ``encode_png``. PNG is lossless, so the decoded pixels ARE those
+    text bytes — which is what lets a SQL oracle replay the perceptual
+    hash downstream of a genuine encode → decode → unfilter round trip
+    (any codec bug shows up as a hash mismatch). Documents shorter than
+    one image are dropped (no full pixel grid exists for them)."""
+    import numpy as np
+
+    n = width * height
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:n]
+                pix = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+                out.append({"asset_id": asset_id, "payload": encode_png(pix)})
+            if out:
+                yield pd.DataFrame(out)
+
+    eligible = documents.where(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) >= n
+    )
+    return eligible.select("doc_id", "text").mapInPandas(
+        build, schema="asset_id bigint, payload binary"
+    )
+
+
+PHASH_SCHEMA = "asset_id bigint, phash bigint, ok boolean, err string"
+
+
+def phash_assets(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual fingerprints for image assets: the same
+    ``mapInPandas`` batch shape as ``decode_media_assets`` (project
+    (asset_id, payload) → Arrow batches → executor-side decode), with
+    ``decode_png_pixels`` + ``dhash64`` per payload. Undecodable rows
+    surface as ``ok=false`` + ``err`` instead of failing the stage —
+    one corrupt file among billions must not kill the fingerprint job."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    v = dhash64(decode_png_pixels(bytes(payload)), grid=grid)
+                    rows.append(
+                        {"asset_id": asset_id, "phash": v, "ok": True, "err": None}
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "phash": None,
+                            "ok": False,
+                            "err": str(e)[:200],
+                        }
+                    )
+            if rows:
+                out = pd.DataFrame(rows)
+                out["phash"] = out["phash"].astype("Int64")
+                yield out
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hash_batches, schema=PHASH_SCHEMA
+    )
+
+
+def phash_pairs(
+    hashes: DataFrame, max_hamming: int = 6, grid: int = 8
+) -> DataFrame:
+    """Near-duplicate image PAIRS from perceptual fingerprints —
+    assets whose dHashes differ in at most ``max_hamming`` of the
+    ``grid²`` bits. Candidates come from the banded pigeonhole
+    equi-join shared with text SimHash
+    (``dedup.fingerprint_hamming_pairs``) — never an all-pairs scan —
+    so this step's 100 TB economics are the already-soaked SimHash
+    ones. ``ok=false`` fingerprint rows are excluded (an undecodable
+    asset has no perceptual identity to pair on).
+
+    Returns (asset_a, asset_b, hamming), asset_a < asset_b."""
+    from .dedup import fingerprint_hamming_pairs
+
+    prints = hashes.where(F.col("ok")).select("asset_id", "phash")
+    return fingerprint_hamming_pairs(
+        prints,
+        max_hamming=max_hamming,
+        bits=grid * grid,
+        id_col="asset_id",
+        fp_col="phash",
+        out=("asset_a", "asset_b"),
     )

@@ -94,3 +94,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def materialize_zordered(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    cols: list[str],
+    path: str,
+    bits: int = 6,
+    num_files: int | None = None,
+    scaling: str = "linear",
+) -> DataFrame:
+    """Persist a fixture table in the Z-order clustered layout
+    (``operators/layout.write_zordered``) and return the re-read — the
+    serving-side layout OPTION for the relational fixtures: answers
+    never change (pure byte placement), but any selective scan whose
+    predicate touches ANY of ``cols`` skips row groups via parquet
+    min/max stats instead of reading the table (a single-column sort
+    keeps only ITS column's ranges tight; the curve keeps all of
+    them). Pay one clustered write, amortize over every filtered read
+    — the same economics as ``bucketed.write_bucketed`` for joins."""
+    from ..operators.layout import write_zordered
+
+    write_zordered(
+        load_table(spark, sf_dir, name),
+        path,
+        cols,
+        bits=bits,
+        num_files=num_files,
+        scaling=scaling,
+    )
+    return spark.read.parquet(path)

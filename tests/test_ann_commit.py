@@ -476,3 +476,92 @@ def test_cli_ann_info_and_compact(spark, embeddings, tmp_path, capsys):
         for r in ac.read_artifact(spark, path, "lists").select("vec_id").collect()
     }
     assert got == {r["vec_id"] for r in embeddings.collect()} - {0, 2}
+
+
+def test_cli_ann_query_all_families_and_refusals(
+    spark, embeddings, queries, tmp_path, capsys
+):
+    """The ann-query verb serves every persisted family through the
+    README front door (r9 verdict task: ann_search was API-reachable
+    but had no CLI), accepts parquet and JSONL query files in either
+    column spelling, and surfaces the dispatcher's refusals (wrong
+    option for the family; a SemDeDup assignment is not a top-k
+    index)."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.operators import semdedup as sd
+    from map_reduce_using_cloud_functions_spark.operators.ann import ann_search
+
+    paths = {
+        "ivf": str(tmp_path / "ivf"),
+        "lsh": str(tmp_path / "lsh"),
+        "pq": str(tmp_path / "pq"),
+        "ivf_pq": str(tmp_path / "ivfpq"),
+    }
+    sim.build_ivf_index(embeddings, paths["ivf"], n_centroids=8)
+    sim.build_lsh_index(embeddings, paths["lsh"])
+    pq.build_pq_index(embeddings, paths["pq"], m=8, k=16)
+    pq.build_ivf_pq_index(embeddings, paths["ivf_pq"], n_centroids=8, m=8, k=16)
+
+    qparquet = str(tmp_path / "queries.parquet")
+    queries.write.parquet(qparquet)
+
+    def parse(out: str) -> list[tuple]:
+        rows = []
+        for line in out.strip().splitlines():
+            qid, nid, rank, score = line.split("\t")
+            rows.append((int(qid), int(nid), int(rank), round(float(score), 5)))
+        return rows
+
+    for family, path in paths.items():
+        rc = main(["ann-query", path, qparquet, "--k", "3"], spark=spark)
+        assert rc in (0, None), family
+        got = parse(capsys.readouterr().out)
+        want = [
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 5))
+            for r in ann_search(spark, path, queries, k=3)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert got == want, family
+
+    # JSONL input + the fixtures' (vec_id, embedding) spelling
+    qjsonl = str(tmp_path / "queries_jsonl")
+    queries.selectExpr(
+        "query_id as vec_id", "q_embedding as embedding"
+    ).coalesce(1).write.json(qjsonl)
+    import glob as _glob
+    import shutil as _shutil
+
+    part = _glob.glob(f"{qjsonl}/part-*")[0]
+    jl = str(tmp_path / "queries.jsonl")
+    _shutil.copy(part, jl)
+    rc = main(["ann-query", paths["ivf"], jl, "--k", "3"], spark=spark)
+    assert rc in (0, None)
+    got = parse(capsys.readouterr().out)
+    want = [
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 5))
+        for r in ann_search(spark, paths["ivf"], queries, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+
+    # family-mismatched option refuses through the CLI too
+    with pytest.raises(ValueError, match="do not apply to the 'pq'"):
+        main(
+            ["ann-query", paths["pq"], qparquet, "--n-probe", "2"],
+            spark=spark,
+        )
+
+    # a SemDeDup assignment is served by its own probers, never ann-query
+    sdp = str(tmp_path / "semdedup")
+    sd.build_semdedup_index(embeddings, sdp, n_clusters=8)
+    with pytest.raises(ValueError, match="SemDeDup"):
+        main(["ann-query", sdp, qparquet], spark=spark)
+
+    # a queries file without recognizable columns is a usage error
+    bad = str(tmp_path / "bad.parquet")
+    embeddings.selectExpr("vec_id as id", "embedding as emb").write.parquet(bad)
+    rc = main(["ann-query", paths["ivf"], bad], spark=spark)
+    assert rc == 2
+    assert "accepted" in capsys.readouterr().err

@@ -900,6 +900,14 @@ def test_embedding_ledger_guards(spark, tmp_path):
         dd.append_embedding_ledger(short, path, release=1)
     with pytest.raises(ValueError, match="dim"):
         dd.ledger_embedding_pairs(spark, short, path)
+    # a MIXED-dimension batch must refuse too — a first-row-only check
+    # would pass it, and the short rows would then silently never match
+    # (zip_with null-pads -> null score -> filtered), under-gating
+    mixed = emb.select("vec_id", "embedding").limit(2).union(short.limit(2))
+    with pytest.raises(ValueError, match="mixed dims"):
+        dd.append_embedding_ledger(mixed, path, release=1)
+    with pytest.raises(ValueError, match="mixed dims"):
+        dd.ledger_embedding_pairs(spark, mixed, path)
     old = sim.LSH_CANDIDATE_BUDGET
     try:
         sim.LSH_CANDIDATE_BUDGET = 1
@@ -939,6 +947,12 @@ def test_ledger_kind_dispatch_and_wrong_flavor_refusal(spark, tmp_path):
         dd.compact_embedding_ledger(spark, mh)
     with pytest.raises(ValueError, match="use compact_embedding_ledger"):
         dd.compact_minhash_ledger(spark, el)
+    # the takedowns refuse the wrong flavor with the same actionable
+    # message the compactors give, not a raw missing-path error
+    with pytest.raises(ValueError, match="use delete_from_embedding_ledger"):
+        dd.delete_from_ledger(spark, el, [1])
+    with pytest.raises(ValueError, match="use delete_from_ledger"):
+        dd.delete_from_embedding_ledger(spark, mh, [1])
     with pytest.raises(ValueError, match="not a ledger"):
         dd.ledger_kind(spark, str(tmp_path / "nope"))
 

@@ -1815,3 +1815,31 @@ def test_delete_unknown_document_is_noop(spark, tmp_path):
     assert sorted(map(tuple, ix.read_index(spark, path).collect())) == [
         ("alpha", "a.txt", 1)
     ]
+
+
+def test_small_file_replace_never_deletes_target(spark, tmp_path):
+    """ADVICE r9: the marker replace must be a single atomic swap —
+    the old delete-then-rename pair had a crash window with NO file on
+    disk, exactly what the _foreign_releases call sites promise cannot
+    happen. Locally the swap is rename(2)-over-existing; assert the
+    overwrite works repeatedly, leaves no temp litter, and that the
+    implementation no longer pre-deletes the target (a delete would
+    show up as a rename onto a nonexistent path, which the strict-FS
+    fallback branch would then skip)."""
+    import os
+
+    from map_reduce_using_cloud_functions_spark.operators import index as ix
+
+    d = tmp_path / "markers"
+    d.mkdir()
+    path = str(d / "_marker")
+    for i in range(5):
+        ix._write_small_file(spark, path, f"content-{i}".encode("ascii"))
+        assert ix._read_small_file(spark, path) == f"content-{i}".encode("ascii")
+        # the target exists at every step (no observable missing window)
+        assert os.path.exists(path)
+    leftovers = [f for f in os.listdir(d) if f.endswith(".tmp")]
+    assert leftovers == []
+    # Hadoop's checksum shadow files are allowed; nothing else is
+    names = {f for f in os.listdir(d) if not f.startswith(".")}
+    assert names == {"_marker"}

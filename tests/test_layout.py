@@ -82,6 +82,23 @@ def test_nulls_route_to_origin_and_survive(spark, tmp_path):
     assert back.where(F.col("b").isNull()).count() == 1
 
 
+def test_quantile_all_null_column_degenerates_to_origin(spark, tmp_path):
+    """approxQuantile on an all-NULL column returns an empty breaks
+    list; the quantile bucketizer must treat that as a degenerate
+    domain (bucket 0, like the linear path) instead of building an
+    ``array<void>`` literal that fails analysis."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(100)], "a int, b double"
+    )
+    keyed = zorder_key(df, ["a", "b"], bits=3, scaling="quantile")
+    assert keyed.count() == 100
+    path = str(tmp_path / "zq")
+    write_zordered(df, path, ["a", "b"], bits=3, num_files=2, scaling="quantile")
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.where(F.col("b").isNull()).count() == 100
+
+
 def test_guards(spark, lineitem):
     with pytest.raises(ValueError, match="bits"):
         zorder_key(lineitem, ["l_orderkey", "l_partkey"], bits=0)
@@ -119,3 +136,67 @@ def test_quantile_scaling_survives_skew(spark, tmp_path):
     s_qua = zorder_scan_stats(spark, qua, "s", lo, hi)
     assert s_qua["skip_frac"] > s_lin["skip_frac"]
     assert s_qua["skip_frac"] >= 0.5
+
+
+def test_zordered_events_serves_judged_slice_with_both_dim_pruning(spark, tmp_path):
+    """r9 verdict task 7 — wire the layout into the judged surface:
+    the events fixture persisted z-ordered on (user_id, ts) serves a
+    judged-query slice (sessionize one user band inside one time
+    window — the operational form of the judged events_sessionize)
+    IDENTICALLY to the plain table, while the parquet footers already
+    exclude most row groups on BOTH predicate columns. The ts-sorted
+    single-sort layout — what a time-series table naively ships with —
+    prunes nothing on user_id."""
+    from map_reduce_using_cloud_functions_spark.plans.events import sessionize
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.sources.tables import (
+        materialize_zordered,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    plain = load_table(spark, sf, "events")
+    zpath = str(tmp_path / "events_z")
+    zdf = materialize_zordered(
+        spark, sf, "events", ["user_id", "ts"], zpath, bits=5, num_files=16
+    )
+    spath = str(tmp_path / "events_ts_sorted")
+    # micros for the comparison layout too: the Spark default (INT96)
+    # writes no ts stats at all, which would make the single-sort
+    # baseline look artificially blind on its OWN column
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            plain.repartitionByRange(16, "ts")
+            .sortWithinPartitions("ts")
+            .write.parquet(spath)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+
+    b = plain.selectExpr(
+        "min(user_id) AS lo_u",
+        "max(user_id) AS hi_u",
+        "min(cast(ts AS double)) AS lo_t",
+        "max(cast(ts AS double)) AS hi_t",
+    ).first()
+    u_lo, u_hi = b["lo_u"], b["lo_u"] + max((b["hi_u"] - b["lo_u"]) // 8, 1)
+    t_lo, t_hi = b["lo_t"], b["lo_t"] + max((b["hi_t"] - b["lo_t"]) / 8, 1.0)
+    cond = (
+        (F.col("user_id") >= u_lo)
+        & (F.col("user_id") <= u_hi)
+        & (F.col("ts").cast("double") >= t_lo)
+        & (F.col("ts").cast("double") <= t_hi)
+    )
+    want = sorted(map(tuple, sessionize(plain.where(cond)).collect()))
+    got = sorted(map(tuple, sessionize(zdf.where(cond)).collect()))
+    assert got == want and want, "layout changed answers (or empty slice)"
+
+    zu = zorder_scan_stats(spark, zpath, "user_id", float(u_lo), float(u_hi))
+    zt = zorder_scan_stats(spark, zpath, "ts", t_lo, t_hi)
+    su = zorder_scan_stats(spark, spath, "user_id", float(u_lo), float(u_hi))
+    st = zorder_scan_stats(spark, spath, "ts", t_lo, t_hi)
+    # the z layout prunes on BOTH dims; single-sort only on its own
+    assert zu["skip_frac"] >= 0.4, (zu, su)
+    assert zt["skip_frac"] >= 0.4, (zt, st)
+    assert su["skip_frac"] == 0.0, su
+    assert st["skip_frac"] >= zt["skip_frac"] * 0.8  # ts-sort prunes ts fine

@@ -223,3 +223,143 @@ def test_interlaced_png_rejected_explicitly():
 
     with pytest.raises(ValueError, match="interlaced"):
         _decode_png_stdlib(bytes(payload))
+
+
+# --- perceptual near-dup (phash family, r10) --------------------------------
+
+
+def _rand_img(seed: int, h: int = 64, w: int = 64, channels: int = 3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+
+
+def test_dhash_local_properties():
+    """dhash64 is deterministic, two's-complement-packed, robust to
+    mild perturbation, and separates unrelated images."""
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators.multimodal import dhash64
+
+    img = _rand_img(7)
+    h1 = dhash64(img)
+    assert h1 == dhash64(img.copy())
+    assert -(1 << 63) <= h1 < (1 << 63)
+    # +-2 brightness on every pixel: block means shift together, the
+    # gradient SIGNS barely move — hamming stays small
+    bright = np.clip(img.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    near = bin((dhash64(bright) ^ h1) & ((1 << 64) - 1)).count("1")
+    assert near <= 6, near
+    # an unrelated image is far (64 independent-ish bits, expect ~32)
+    far = bin((dhash64(_rand_img(8)) ^ h1) & ((1 << 64) - 1)).count("1")
+    assert far > 12, far
+    # identical constant rows -> no gradient -> all bits zero
+    assert dhash64(np.full((16, 18), 77, dtype=np.uint8)) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smaller than"):
+        dhash64(np.zeros((4, 4), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="grid"):
+        dhash64(img, grid=9)
+
+
+def test_phash_pipeline_finds_planted_near_identical_images(spark, tmp_path):
+    """End to end through Spark: 6 base images; image 100+i is a
+    lightly-perturbed re-encode of image i (the recompressed-copy
+    case); one corrupt payload rides along. phash_pairs finds exactly
+    the planted (i, 100+i) pairs — unrelated images never pair at the
+    threshold — and the corrupt row surfaces ok=false without failing
+    the job."""
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators.multimodal import (
+        dhash64,
+        phash_assets,
+        phash_pairs,
+    )
+
+    rows = []
+    for i in range(6):
+        img = _rand_img(100 + i)
+        rows.append((i, bytearray(encode_png(img))))
+        # near-identical copy: tiny uniform brightness shift, then a
+        # FRESH encode (different bytes, same perception)
+        pert = np.clip(img.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+        rows.append((100 + i, bytearray(encode_png(pert))))
+    rows.append((999, bytearray(b"not a png at all")))
+    assets = spark.createDataFrame(rows, "asset_id bigint, payload binary")
+    hashes = phash_assets(assets).cache()
+    got = {r["asset_id"]: r for r in hashes.collect()}
+    assert got[999]["ok"] is False and got[999]["err"]
+    assert all(got[i]["ok"] for i in range(6))
+    # executor-side hash == local hash (same decode, same arithmetic)
+    img0 = _rand_img(100)
+    assert got[0]["phash"] == dhash64(img0)
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in phash_pairs(hashes, max_hamming=6).collect()
+    }
+    for i in range(6):
+        assert (i, 100 + i) in pairs, f"planted pair {i} missing: {pairs}"
+    assert all(a % 100 == b % 100 for a, b in pairs), pairs
+    hashes.unpersist()
+
+
+def test_phash_pairs_matches_bruteforce_hamming(spark):
+    """The banded pigeonhole join is EXACT for hamming <= max_hamming:
+    equal to the all-pairs filter on 40 random fingerprints."""
+    import itertools
+    import random
+
+    from map_reduce_using_cloud_functions_spark.operators.multimodal import phash_pairs
+
+    rng = random.Random(5)
+    base = rng.getrandbits(64)
+    fps = []
+    for i in range(40):
+        # half the prints cluster around `base` (flip <= 8 random bits),
+        # half are independent — plenty of in-threshold pairs
+        if i % 2 == 0:
+            v = base
+            for _ in range(rng.randint(0, 8)):
+                v ^= 1 << rng.randrange(64)
+        else:
+            v = rng.getrandbits(64)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        fps.append((i, v))
+    df = spark.createDataFrame(
+        [(i, v, True, None) for i, v in fps],
+        "asset_id bigint, phash bigint, ok boolean, err string",
+    )
+    got = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in phash_pairs(df, max_hamming=5).collect()
+    }
+    want = {}
+    for (ia, va), (ib, vb) in itertools.combinations(fps, 2):
+        d = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        if d <= 5:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+
+
+def test_build_png_assets_pixels_are_text_bytes(spark):
+    """The oracle premise, asserted in code: decode(build_png_assets)
+    returns exactly the first 72 UTF-8 bytes of the text."""
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators.multimodal import (
+        build_png_assets,
+        decode_png_pixels,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    assets = {r["asset_id"]: bytes(r["payload"]) for r in build_png_assets(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert assets, "no eligible docs"
+    for aid, payload in assets.items():
+        pix = decode_png_pixels(payload)
+        want = np.frombuffer(texts[aid].encode("utf-8")[:72], dtype=np.uint8)
+        assert np.array_equal(pix.reshape(-1), want), aid

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import __spark_entry__ as entrymod
 from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
 from map_reduce_using_cloud_functions_spark.operators import semdedup as sdd
 from map_reduce_using_cloud_functions_spark.operators import similarity as sim
 from map_reduce_using_cloud_functions_spark.operators import prep as pp
@@ -162,7 +163,76 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_df=250,
             sep=" ",
         ),
+        # r10: perceptual image near-dup (X5) — REAL PNG encode →
+        # decode → unfilter → dHash → banded hamming pairs; the twin
+        # replays the hash from the pixels (= the text bytes, PNG is
+        # lossless), so any codec bug breaks the hash match.
+        "multimodal_phash_pairs": _q_multimodal_phash_pairs,
+        # r10: the SCALE-SAFE configs of the two judged fixed-resolution
+        # rows (r9 verdict task 2) — the configurations a 100 TB run
+        # would actually use, pinned so a regression in exactly that
+        # path is visible. k ∝ n (resolution tracks corpus growth) and
+        # the r=8,b=8 production banding at a production threshold.
+        "semdedup_survivors_scaled": _q_semdedup_survivors_scaled,
+        "dedup_embedding_pairs_production": _q_dedup_embedding_pairs_production,
     }
+
+
+def _scaled_semdedup_k(n: int) -> int:
+    """The guard-named scale-safe SemDeDup resolution: cluster count
+    grows with the corpus (k = n/625 keeps the expected within-cluster
+    pair volume flat as n grows), floored at the judged fixture's k=8
+    and capped at 96 — the seeded-centroid rule hashes vec_id into 97
+    slots, so more than 96 centroids would need the trained path."""
+    return max(8, min(96, n // 625))
+
+
+def _q_multimodal_phash_pairs(s: SparkSession, d: str) -> DataFrame:
+    """Perceptual near-dup over real PNGs derived from the documents
+    fixture: encode (lossless) → real decode (stdlib or PIL) → dHash →
+    banded hamming pairs via the shared SimHash pigeonhole engine."""
+    docs = load_table(s, d, "documents")
+    hashes = mm.phash_assets(mm.build_png_assets(docs))
+    return mm.phash_pairs(hashes, max_hamming=6)
+
+
+def _q_semdedup_survivors_scaled(s: SparkSession, d: str) -> DataFrame:
+    """semdedup_survivors at the SCALE-SAFE resolution (k ∝ n): one
+    bounded count picks k, everything else is the judged plan. At the
+    fixture SFs this lands on the same k=8 (the floor); at sf1 it is
+    k=80 — the config BASELINE.md measured at 15.4 s where the judged
+    fixed-k row runs 79.7 s."""
+    emb = load_table(s, d, "embeddings")
+    k = _scaled_semdedup_k(emb.count())
+    return sdd.semdedup_survivors(emb, n_clusters=k)
+
+
+def _q_dedup_embedding_pairs_production(s: SparkSession, d: str) -> DataFrame:
+    """pairwise_near_dup at the PRODUCTION banding (r=8, b=8, τ=0.8 —
+    similarity.py's documented production regime). The fixture has no
+    pairs at τ≥0.6, so the query plants deterministic near-duplicates:
+    every 25th vector gets a ±0.05 alternating-sign perturbation clone
+    (cos ≈ 0.92 to its original — above τ, far from every other
+    vector), computable identically by the SQL twin. Pairs are what
+    the production banding FINDS (its ~4% per-pair miss at cos 0.92 is
+    the documented recall contract, replayed identically by the twin)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(s, d, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = emb.where("vec_id % 25 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i % 2 == 0, F.lit(0.05)).otherwise(F.lit(-0.05)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    return sim.pairwise_near_dup(
+        corpus, threshold=0.8, planes_per_band=8, bands=8
+    )
 
 
 def _q_index_lookup_persisted(s: SparkSession, d: str) -> DataFrame:
@@ -1381,4 +1451,97 @@ WHERE v.vec_id NOT IN (
         "FROM embeddings WHERE (vec_id % 97) < 8",
         "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 8",
     )
+    # r10 scale-safe twin: the seeded-centroid slot count becomes the
+    # data-derived k = clamp(n/625, 8, 96) instead of the fixture's
+    # literal 8 — the ONLY difference from the judged row, so the twin
+    # tracks the Spark side's k at every SF it runs at.
+    _scaled_k_sql = "(SELECT greatest(8, least(96, count(*) // 625)) FROM embeddings)"
+    sql["semdedup_survivors_scaled"] = sql["semdedup_survivors"].replace(
+        "(vec_id % 97) < 8", f"(vec_id % 97) < {_scaled_k_sql}"
+    )
+    assert _scaled_k_sql in sql["semdedup_survivors_scaled"]
+
+    # r10 production-banding twin: the judged dedup_embedding_pairs CTE
+    # chain with 64 planes (r=8, b=8), τ=0.8, over the clone-planted
+    # corpus (every 25th vector + its ±0.05 alternating perturbation —
+    # DuckDB list_transform's lambda index is 1-based, hence (i-1)).
+    _plane_h = entrymod._HEX64.format(col="(plane::VARCHAR || '|' || (i-1)::VARCHAR)")
+    _cosp = entrymod._COS.format(a="ea.embedding", b="eb.embedding")
+    sql["dedup_embedding_pairs_production"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding::DOUBLE[],
+                        (x, i) -> x + CASE WHEN (i - 1) % 2 = 0 THEN 0.05 ELSE -0.05 END)
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+comp AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS plane FROM corpus),
+dims AS (
+  SELECT vec_id, plane, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM comp
+),
+dots AS (
+  SELECT vec_id, plane,
+         sum(embedding[i] * (({_plane_h} % 2001 - 1000)::DOUBLE / 1000.0)) AS dot
+  FROM dims GROUP BY 1, 2
+),
+bsk AS (
+  SELECT vec_id, (plane // 8)::INT AS band,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (plane % 8)) ELSE 0 END)::BIGINT AS band_bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bsk a JOIN bsk b ON a.band = b.band AND a.band_bucket = b.band_bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({_cosp}, 6) AS score
+FROM cand c
+JOIN corpus ea ON ea.vec_id = c.vec_a
+JOIN corpus eb ON eb.vec_id = c.vec_b
+WHERE {_cosp} >= 0.8
+"""
+
+    # r10 perceptual-hash twin: PNG is lossless, so the decoded pixels
+    # the Spark side hashes ARE the first 72 text bytes — the twin
+    # recomputes the dHash bit-for-bit from those bytes (two's-
+    # complement BIGINT packing for bit 63) and pairs all-pairs (the
+    # oracle may brute-force what the engine bands).
+    sql["multimodal_phash_pairs"] = _phash_pairs_sql(max_hamming=6)
     return sql
+
+
+def _phash_pairs_sql(
+    max_hamming: int, width: int = 9, height: int = 8, grid: int = 8
+) -> str:
+    """DuckDB twin of build_png_assets → phash_assets → phash_pairs at
+    the default 9×8 grayscale-from-text-bytes fixture: bit k of the
+    dHash is pixel(r,c) > pixel(r,c+1) with k = r·grid + c, pixels
+    being the text's byte values (ASCII fixture — char position ==
+    byte position). Bit 63 lands as the BIGINT sign contribution, the
+    exact two's-complement wrap ``dhash64`` applies."""
+    n = width * height
+    bits = []
+    for k in range(grid * grid):
+        r, c = divmod(k, grid)
+        p1 = r * width + c + 1
+        bits.append(
+            f"(CASE WHEN ord(substr(text,{p1},1)) > ord(substr(text,{p1 + 1},1)) "
+            "THEN 1 ELSE 0 END)"
+        )
+    terms = " + ".join(f"{bits[k]}::BIGINT * {1 << k}" for k in range(63))
+    expr = (
+        f"({terms}) + (CASE WHEN {bits[63]} = 1 "
+        "THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {expr} AS phash
+  FROM documents WHERE octet_length(encode(text)) >= {n}
+)
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       bit_count(xor(a.phash, b.phash))::INT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
