@@ -180,11 +180,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _scaled_semdedup_k(n: int) -> int:
     """The guard-named scale-safe SemDeDup resolution: cluster count
-    grows with the corpus (k = n/625 keeps the expected within-cluster
-    pair volume flat as n grows), floored at the judged fixture's k=8
-    and capped at 96 — the seeded-centroid rule hashes vec_id into 97
+    grows with the corpus (k = n/250 caps the expected cluster at ~250
+    vectors so within-cluster pair volume stays flat as n grows — the
+    configuration BASELINE r9 measured at 15.4 s on the sf1 tree where
+    fixed k=8 ran 79.7 s), floored at the judged fixture's k=8 and
+    capped at 96 — the seeded-centroid rule hashes vec_id into 97
     slots, so more than 96 centroids would need the trained path."""
-    return max(8, min(96, n // 625))
+    return max(8, min(96, n // 250))
 
 
 def _q_multimodal_phash_pairs(s: SparkSession, d: str) -> DataFrame:
@@ -1455,7 +1457,7 @@ WHERE v.vec_id NOT IN (
     # data-derived k = clamp(n/625, 8, 96) instead of the fixture's
     # literal 8 — the ONLY difference from the judged row, so the twin
     # tracks the Spark side's k at every SF it runs at.
-    _scaled_k_sql = "(SELECT greatest(8, least(96, count(*) // 625)) FROM embeddings)"
+    _scaled_k_sql = "(SELECT greatest(8, least(96, count(*) // 250)) FROM embeddings)"
     sql["semdedup_survivors_scaled"] = sql["semdedup_survivors"].replace(
         "(vec_id % 97) < 8", f"(vec_id % 97) < {_scaled_k_sql}"
     )

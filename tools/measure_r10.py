@@ -155,12 +155,16 @@ def semantic_soak():
     # overwritten, semantic append lands exactly once)
     nd.admit_batch(spark, extra, led, out, n_rep, semantic_ledger_path=sled)
     info3 = dd.ledger_info(spark, sled)
-    n_extra = extra.count()
+    n_admitted = spark.read.parquet(f"{out}/release={n_rep}").count()
+    vecs = spark.read.parquet(f"{sled}/vecs")
+    n_vecs, n_distinct = vecs.count(), vecs.select("vec_id").distinct().count()
+    assert n_vecs == n_distinct, "double-append: duplicate vec_ids"
+    assert n_vecs == info2["n_docs"] + n_admitted, "ledger != prior + gated batch"
     print(
         f"semantic_soak[crash-replay]: kill between appends at release "
-        f"{n_rep}, replay converged; semantic ledger now {info3['n_docs']} "
-        f"vecs (= {info2['n_docs']} + {n_extra} batch), "
-        f"releases={info3['releases']}"
+        f"{n_rep}, replay converged exactly-once; semantic ledger "
+        f"{info2['n_docs']} -> {n_vecs} vecs (+{n_admitted} = the batch's "
+        f"gated survivors, all vec_ids distinct), releases={info3['releases']}"
     )
 
 
