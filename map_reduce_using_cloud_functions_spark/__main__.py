@@ -209,6 +209,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="embedding admission ledger path (retracted docs stop "
         "gating semantically)",
     )
+    td.add_argument(
+        "--phash-ledger",
+        default=None,
+        help="perceptual-hash (image) admission ledger path (retracted "
+        "assets stop gating perceptually)",
+    )
 
     ai = sub.add_parser(
         "ann-info",
@@ -553,11 +559,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 ledger_kind,
             )
 
-            compactor = (
-                compact_minhash_ledger
-                if ledger_kind(spark, args.ledger_path) == "minhash"
-                else compact_embedding_ledger
-            )
+            from .operators.dedup import compact_phash_ledger
+
+            compactor = {
+                "minhash": compact_minhash_ledger,
+                "embedding": compact_embedding_ledger,
+                "phash": compact_phash_ledger,
+            }[ledger_kind(spark, args.ledger_path)]
             folded = compactor(
                 spark, args.ledger_path, keep_last=args.keep_last
             )
@@ -573,10 +581,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 or args.ledger
                 or args.survivors
                 or args.semantic_ledger
+                or args.phash_ledger
             ):
                 print(
                     "takedown: pass at least one of --index/--ledger/"
-                    "--survivors/--semantic-ledger (nothing to retract from)",
+                    "--survivors/--semantic-ledger/--phash-ledger "
+                    "(nothing to retract from)",
                     file=sys.stderr,
                 )
                 return 2
@@ -586,7 +596,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 delete_documents(spark, args.index, list(args.doc_ids))
                 print(f"purged {len(args.doc_ids)} doc(s) from index {args.index}")
             numeric = None
-            if args.ledger or args.survivors or args.semantic_ledger:
+            if (
+                args.ledger
+                or args.survivors
+                or args.semantic_ledger
+                or args.phash_ledger
+            ):
                 try:
                     numeric = [int(d) for d in args.doc_ids]
                 except ValueError:
@@ -610,6 +625,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(
                     f"unlisted {len(numeric)} doc(s) from semantic ledger "
                     f"{args.semantic_ledger}"
+                )
+            if args.phash_ledger:
+                from .operators.dedup import delete_from_phash_ledger
+
+                delete_from_phash_ledger(spark, args.phash_ledger, numeric)
+                print(
+                    f"unlisted {len(numeric)} asset(s) from perceptual "
+                    f"ledger {args.phash_ledger}"
                 )
             if args.survivors:
                 from .operators.dedup import delete_from_survivors

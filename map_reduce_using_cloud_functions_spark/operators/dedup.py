@@ -642,6 +642,49 @@ def near_dedup(
     return cluster_survivors(documents, pairs)
 
 
+def _fp_band_layout(max_hamming: int, bits: int) -> tuple[list[int], list[int]]:
+    """Band widths/offsets for the pigeonhole trick: ``max_hamming+1``
+    contiguous bands PARTITION the ``bits``-bit fingerprint, the first
+    (bits % n_bands) bands one bit wider — a fixed ceil-width layout
+    would leave high bands empty (all-zero band_bits ⇒ every row
+    collides ⇒ an accidental all-pairs join)."""
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} non-empty bands "
+            f"from a {bits}-bit fingerprint — impossible; raise bits or "
+            f"lower max_hamming"
+        )
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1 if i < rem else base for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    return widths, offsets
+
+
+def _fp_bands(
+    df: DataFrame, id_col: str, fp_col: str, max_hamming: int, bits: int
+) -> DataFrame:
+    """Explode a fingerprint relation into its pigeonhole bands:
+    (``id_col``, ``fp_col``, band, band_bits). Shift amounts must be
+    literals (Spark's shiftrightunsigned takes no column count), so
+    each band's extraction is a CASE over the exploded band index —
+    all JVM-side integer ops, assembled as ONE parsed SQL string (not
+    n_bands when() Columns — the same py4j plan-build tax fixed in
+    simhash_fingerprints)."""
+    widths, offsets = _fp_band_layout(max_hamming, bits)
+    n_bands = len(widths)
+    band_bits = " + ".join(
+        f"if(band = {i}, shiftrightunsigned({fp_col}, {offsets[i]}) "
+        f"& {(1 << widths[i]) - 1}L, 0L)"
+        for i in range(n_bands)
+    )
+    return df.selectExpr(
+        id_col,
+        fp_col,
+        f"explode(array({', '.join(str(i) for i in range(n_bands))})) AS band",
+    ).selectExpr(id_col, fp_col, "band", f"({band_bits}) AS band_bits")
+
+
 def fingerprint_hamming_pairs(
     prints: DataFrame,
     max_hamming: int,
@@ -666,39 +709,11 @@ def fingerprint_hamming_pairs(
     Returns ``(out[0], out[1], hamming)``, ``out[0] < out[1]``,
     deduplicated across bands by the final aggregation (hamming is
     band-invariant)."""
-    n_bands = max_hamming + 1
-    if n_bands > bits:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs {n_bands} non-empty bands "
-            f"from a {bits}-bit fingerprint — impossible; raise bits or "
-            f"lower max_hamming"
-        )
     out_a, out_b = out
-    # Bands PARTITION the fingerprint: the first (bits % n_bands) bands
-    # get one extra bit, none overruns. A fixed ceil-width layout would
-    # leave high bands empty (all-zero band_bits ⇒ every doc collides ⇒
-    # an accidental all-pairs join) whenever ceil(bits/n_bands)·i ≥ bits.
-    base, rem = divmod(bits, n_bands)
-    widths = [base + 1 if i < rem else base for i in range(n_bands)]
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
     fp = prints.select(
         F.col(id_col).alias("_fpid"), F.col(fp_col).cast("long").alias("_fp")
     )
-    # Shift amounts must be literals (Spark's shiftrightunsigned takes
-    # no column count), so each band's extraction is a CASE over the
-    # exploded band index — all JVM-side integer ops, assembled as ONE
-    # parsed SQL string (not n_bands when() Columns — the same py4j
-    # plan-build tax fixed in simhash_fingerprints above).
-    band_bits = " + ".join(
-        f"if(band = {i}, shiftrightunsigned(_fp, {offsets[i]}) "
-        f"& {(1 << widths[i]) - 1}L, 0L)"
-        for i in range(n_bands)
-    )
-    bands = fp.selectExpr(
-        "_fpid",
-        "_fp",
-        f"explode(array({', '.join(str(i) for i in range(n_bands))})) AS band",
-    ).selectExpr("_fpid", "_fp", "band", f"({band_bits}) AS band_bits")
+    bands = _fp_bands(fp, "_fpid", "_fp", max_hamming, bits)
     a = bands.select(
         F.col("_fpid").alias(out_a), F.col("_fp").alias("fp_a"), "band", "band_bits"
     )
@@ -1142,7 +1157,10 @@ def _delete_from_banded_ledger(
         banded = reband(
             spark.read.parquet(data_path).where(F.col("release") == rel), rel
         )
-        sort_col = "band_hash" if "band_hash" in banded.columns else "band_bucket"
+        sort_col = next(
+            c for c in ("band_hash", "band_bucket", "band_bits")
+            if c in banded.columns
+        )
         (
             banded.repartition("band")
             .sortWithinPartitions(sort_col)
@@ -1311,7 +1329,10 @@ def _compact_banded_ledger(
             F.col("release") == FOLDED_RELEASE
         )
     )
-    sort_col = "band_hash" if "band_hash" in banded.columns else "band_bucket"
+    sort_col = next(
+        c for c in ("band_hash", "band_bucket", "band_bits")
+        if c in banded.columns
+    )
     (
         banded.repartition("band")
         .sortWithinPartitions(sort_col)
@@ -1338,10 +1359,11 @@ def _compact_banded_ledger(
 
 
 def ledger_kind(spark, path: str) -> str:
-    """``"minhash"`` or ``"embedding"`` — sniffed from the meta row's
-    own columns (the flavors share the layout discipline but not the
-    sketch schema, and folding one with the other's parameters would
-    corrupt the band relation). Raises when ``path`` is not a ledger."""
+    """``"minhash"``, ``"embedding"`` or ``"phash"`` — sniffed from the
+    meta row's own columns (the flavors share the layout discipline but
+    not the sketch schema, and folding one with another's parameters
+    would corrupt the band relation). Raises when ``path`` is not a
+    ledger."""
     meta_path = _ledger_meta_path(path)
     from .index import _hadoop_exists
 
@@ -1352,26 +1374,41 @@ def ledger_kind(spark, path: str) -> str:
         return "minhash"
     if "planes_per_band" in cols:
         return "embedding"
+    if "grid" in cols:
+        return "phash"
     raise ValueError(
-        f"{path}/meta has columns {sorted(cols)} — neither the MinHash "
-        "(k, bands, shingle_n) nor the embedding (planes_per_band, "
-        "bands, dim) parameter row"
+        f"{path}/meta has columns {sorted(cols)} — not the MinHash "
+        "(k, bands, shingle_n), embedding (planes_per_band, bands, dim) "
+        "or perceptual-hash (grid, max_hamming) parameter row"
     )
 
 
-# Wrong-flavor refusals name the op that DOES fit the ledger at hand.
-_LEDGER_OP_COUNTERPART = {
-    "compact_minhash_ledger": "compact_embedding_ledger",
-    "compact_embedding_ledger": "compact_minhash_ledger",
-    "delete_from_ledger": "delete_from_embedding_ledger",
-    "delete_from_embedding_ledger": "delete_from_ledger",
+# Wrong-flavor refusals name the op that DOES fit the ledger at hand:
+# per op family, the flavor-specific spelling for every ledger kind.
+_LEDGER_OPS = {
+    "compact": {
+        "minhash": "compact_minhash_ledger",
+        "embedding": "compact_embedding_ledger",
+        "phash": "compact_phash_ledger",
+    },
+    "delete": {
+        "minhash": "delete_from_ledger",
+        "embedding": "delete_from_embedding_ledger",
+        "phash": "delete_from_phash_ledger",
+    },
+}
+_LEDGER_OP_FAMILY = {
+    op: family for family, m in _LEDGER_OPS.items() for op in m.values()
 }
 
 
 def _require_ledger_kind(spark, path: str, want: str, op: str) -> None:
     kind = ledger_kind(spark, path)
     if kind != want:
-        other = _LEDGER_OP_COUNTERPART.get(op, f"the {kind}-flavor op")
+        family = _LEDGER_OP_FAMILY.get(op)
+        other = _LEDGER_OPS.get(family, {}).get(
+            kind, f"the {kind}-flavor op"
+        )
         raise ValueError(
             f"{op}: {path} is an {kind} ledger — use {other} (operating "
             "with the wrong sketch parameters would corrupt the band "
@@ -1380,7 +1417,7 @@ def _require_ledger_kind(spark, path: str, want: str, op: str) -> None:
 
 
 def ledger_info(spark, path: str) -> dict:
-    """Operational snapshot of a ledger (either flavor): sketch
+    """Operational snapshot of a ledger (any flavor): sketch
     parameters, release ids (``-1`` = the folded-history partition),
     doc count, and the band-directory fan-out a probe pays — the
     number compaction resets."""
@@ -1388,9 +1425,12 @@ def ledger_info(spark, path: str) -> dict:
     if kind == "minhash":
         meta = load_ledger_meta(spark, path)
         data_dir = "sigs"
-    else:
+    elif kind == "embedding":
         meta = load_embedding_ledger_meta(spark, path)
         data_dir = "vecs"
+    else:
+        meta = load_phash_ledger_meta(spark, path)
+        data_dir = "prints"
     releases = ledger_releases(spark, path)
     n_docs = 0
     band_dirs = 0
@@ -1748,4 +1788,267 @@ def compact_embedding_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
 
     return _compact_banded_ledger(
         spark, path, keep_last, data_dir="vecs", reband=reband
+    )
+
+
+# ------------------------------------ cross-release PERCEPTUAL-HASH ledger
+#
+# The image-side admission ledger (r10): ``dedup_against_reference``
+# gates on exact content hashes, the MinHash ledger on lexical
+# near-duplicates, the embedding ledger on semantic ones — this one
+# gates IMAGE assets on perceptual near-duplicates (dHash hamming), so
+# a recompressed or lightly-edited copy of an already-shipped image is
+# refused even though it shares no bytes. Same persisted discipline as
+# its siblings, at fingerprint strength:
+#
+# - ``meta/`` — (grid, max_hamming): grid² fingerprint bits and the
+#   band layout (``max_hamming + 1`` pigeonhole bands — the persisted
+#   band relation bakes the layout in, so it IS ledger identity);
+# - ``prints/`` — (asset_id, phash) partitioned by ``release``;
+# - ``bands/`` — (asset_id, band_bits) partitioned by
+#   (``release``, ``band``).
+#
+# The fingerprint is a pure function of pixel content
+# (multimodal.dhash64) and the banding a pure function of the
+# fingerprint, so a ledger probe is EXACT vs the joint relation — not
+# merely sketch-identical: every cross-release pair within
+# ``max_hamming`` is found (pigeonhole guarantee), none is missed.
+# Probing at a SMALLER max_hamming than stored stays exact (d ≤ probe
+# ≤ stored still forces agreement on one stored band); a LARGER one is
+# refused (the stored bands cannot certify it).
+
+
+def init_phash_ledger(
+    spark, path: str, grid: int = 8, max_hamming: int = 6
+) -> None:
+    """Write the perceptual-hash ledger's parameter row."""
+    if not (1 <= grid <= 8):
+        raise ValueError(f"grid must be in [1, 8] (grid² bits ≤ 64), got {grid}")
+    _fp_band_layout(max_hamming, grid * grid)  # validates the layout
+    (
+        spark.createDataFrame(
+            [(grid, max_hamming)], "grid int, max_hamming int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_ledger_meta_path(path))
+    )
+
+
+def load_phash_ledger_meta(spark, path: str) -> dict:
+    row = (
+        spark.read.schema("grid int, max_hamming int")
+        .parquet(_ledger_meta_path(path))
+        .first()
+    )
+    return row.asDict()
+
+
+def _phash_prints(hashes: DataFrame, where: str) -> DataFrame:
+    """Normalize a fingerprint batch to (asset_id, phash): accepts the
+    raw relation or ``multimodal.phash_assets`` output, dropping its
+    ``ok=false`` rows (an undecodable asset has no perceptual identity
+    to gate on — the caller's corrupt-row policy lives upstream)."""
+    cols = set(hashes.columns)
+    if not {"asset_id", "phash"} <= cols:
+        raise ValueError(
+            f"{where}: expected (asset_id, phash[, ok]) columns, got "
+            f"{sorted(cols)}"
+        )
+    if "ok" in cols:
+        hashes = hashes.where(F.col("ok"))
+    return hashes.select("asset_id", F.col("phash").cast("long").alias("phash"))
+
+
+def build_phash_ledger(
+    hashes: DataFrame,
+    path: str,
+    grid: int = 8,
+    max_hamming: int = 6,
+    release: int = 0,
+) -> None:
+    """Create the perceptual-hash ledger at ``path`` from the first
+    release of fingerprints (``multimodal.phash_assets`` output or raw
+    (asset_id, phash) rows)."""
+    init_phash_ledger(
+        hashes.sparkSession, path, grid=grid, max_hamming=max_hamming
+    )
+    append_phash_ledger(hashes, path, release=release)
+
+
+def append_phash_ledger(hashes: DataFrame, path: str, release: int) -> None:
+    """Record a release: write its ``prints/`` partition and band the
+    fingerprints with the stored layout (dynamic partition overwrite —
+    replay-idempotent, the release id in the path IS the watermark)."""
+    spark = hashes.sparkSession
+    meta = load_phash_ledger_meta(spark, path)
+    prints = _phash_prints(hashes, "append_phash_ledger")
+    (
+        prints.withColumn("release", F.lit(release))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(f"{path}/prints")
+    )
+    banded = _fp_bands(
+        spark.read.parquet(f"{path}/prints")
+        .where(F.col("release") == release)
+        .select("asset_id", "phash"),
+        "asset_id",
+        "phash",
+        meta["max_hamming"],
+        meta["grid"] * meta["grid"],
+    ).select(
+        "asset_id", "band", "band_bits", F.lit(release).alias("release")
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("band_bits")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release", "band")
+        .parquet(f"{path}/bands")
+    )
+
+
+def ledger_phash_pairs(
+    spark,
+    hashes: DataFrame,
+    path: str,
+    max_hamming: int | None = None,
+    before_release: int | None = None,
+    exclude_release: int | None = None,
+) -> DataFrame:
+    """Probe the ledger with a NEW batch of fingerprints:
+    ``(asset_id, ledger_asset, hamming)`` for every batch asset within
+    ``max_hamming`` bits of a prior-release asset. Band ONLY the batch
+    (with the ledger's stored layout); candidates meet on the persisted
+    narrow (band, band_bits) relation; each candidate pair verifies
+    exactly once with the popcount. EXACT, not approximate — the
+    pigeonhole property guarantees every in-threshold pair collides on
+    at least one stored band. ``before_release``/``exclude_release``:
+    the MinHash ledger's audit/replay contracts, verbatim."""
+    meta = load_phash_ledger_meta(spark, path)
+    stored_mh, bits = meta["max_hamming"], meta["grid"] * meta["grid"]
+    if max_hamming is None:
+        max_hamming = stored_mh
+    if max_hamming > stored_mh:
+        raise ValueError(
+            f"ledger_phash_pairs: max_hamming={max_hamming} exceeds the "
+            f"ledger's stored band layout (max_hamming={stored_mh}) — the "
+            f"persisted bands can only certify distances ≤ {stored_mh}; "
+            "rebuild the ledger with a wider threshold."
+        )
+
+    def _rel_filter(df):
+        if before_release is not None:
+            df = df.where(F.col("release") < F.lit(before_release))
+        if exclude_release is not None:
+            df = df.where(F.col("release") != F.lit(exclude_release))
+        return df
+
+    batch = _fp_bands(
+        _phash_prints(hashes, "ledger_phash_pairs"),
+        "asset_id",
+        "phash",
+        stored_mh,
+        bits,
+    ).localCheckpoint()
+    ledger_bands = _rel_filter(spark.read.parquet(f"{path}/bands")).select(
+        F.col("asset_id").alias("ledger_asset"), "band", "band_bits"
+    )
+    cands = (
+        batch.select("asset_id", "band", "band_bits")
+        .join(ledger_bands, ["band", "band_bits"])
+        .select("asset_id", "ledger_asset")
+        .distinct()
+    )
+    bfp = batch.select("asset_id", "phash").distinct()
+    lfp = _rel_filter(spark.read.parquet(f"{path}/prints")).select(
+        F.col("asset_id").alias("ledger_asset"),
+        F.col("phash").alias("l_phash"),
+    )
+    return (
+        cands.join(bfp, "asset_id")
+        .join(lfp, "ledger_asset")
+        .withColumn(
+            "hamming", F.bit_count(F.col("phash").bitwiseXOR(F.col("l_phash")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("asset_id", "ledger_asset", "hamming")
+    )
+
+
+def near_dedup_against_phash_ledger(
+    spark,
+    hashes: DataFrame,
+    path: str,
+    max_hamming: int | None = None,
+    before_release: int | None = None,
+    exclude_release: int | None = None,
+) -> DataFrame:
+    """Rows of ``hashes`` whose asset is NOT a perceptual near-duplicate
+    of anything already in the ledger, all columns intact (``ok=false``
+    rows pass — no perceptual identity to gate on). Ship the survivors,
+    then ``append_phash_ledger`` them as the next release."""
+    matched = ledger_phash_pairs(
+        spark,
+        hashes,
+        path,
+        max_hamming=max_hamming,
+        before_release=before_release,
+        exclude_release=exclude_release,
+    ).select("asset_id")
+    return hashes.join(matched, "asset_id", "left_anti")
+
+
+def delete_from_phash_ledger(spark, path: str, asset_ids: list[int]) -> None:
+    """Takedown: remove assets from the perceptual-hash ledger so
+    retracted images stop gating. Cost ∝ touched releases; prints
+    rewrite first, bands second — every intermediate state gates LESS
+    (the gates-less crash direction every ledger takedown documents);
+    replay converges. Shares ``_delete_from_banded_ledger``."""
+    _require_ledger_kind(spark, path, "phash", "delete_from_phash_ledger")
+    meta = load_phash_ledger_meta(spark, path)
+
+    def reband(rel_prints: DataFrame, rel: int) -> DataFrame:
+        return _fp_bands(
+            rel_prints.select("asset_id", "phash"),
+            "asset_id",
+            "phash",
+            meta["max_hamming"],
+            meta["grid"] * meta["grid"],
+        ).select(
+            "asset_id", "band", "band_bits", F.lit(rel).alias("release")
+        )
+
+    _delete_from_banded_ledger(
+        spark, path, asset_ids, "prints", "asset_id", reband
+    )
+
+
+def compact_phash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
+    """Major compaction: fold old releases into ``release=-1`` —
+    ``compact_minhash_ledger``'s contract verbatim (same ``keep_last``
+    replay protection, same over-gate-then-converge crash direction,
+    same foreign-marker refresh)."""
+    _require_ledger_kind(spark, path, "phash", "compact_phash_ledger")
+    meta = load_phash_ledger_meta(spark, path)
+
+    def reband(folded_prints: DataFrame) -> DataFrame:
+        return _fp_bands(
+            folded_prints.select("asset_id", "phash"),
+            "asset_id",
+            "phash",
+            meta["max_hamming"],
+            meta["grid"] * meta["grid"],
+        ).select(
+            "asset_id",
+            "band",
+            "band_bits",
+            F.lit(FOLDED_RELEASE).alias("release"),
+        )
+
+    return _compact_banded_ledger(
+        spark, path, keep_last, data_dir="prints", reband=reband
     )

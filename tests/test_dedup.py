@@ -1027,3 +1027,124 @@ def test_ledger_compaction_random_corpora_probe_invariant(spark, tmp_path, seed)
         )
     )
     assert eafter == ebefore
+
+
+def test_phash_ledger_lifecycle(spark, tmp_path):
+    """The third ledger flavor (perceptual-hash, r10): probe EXACT vs
+    the joint hamming relation (pigeonhole guarantee, not a sketch
+    approximation), replay-idempotent appends, threshold contract
+    (probe at ≤ stored is exact, > stored refuses), survivors,
+    takedown, compaction invariance, kind dispatch + wrong-flavor
+    refusals across all three flavors."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    hashes = mm.phash_assets(mm.build_png_assets(docs)).localCheckpoint()
+    r0 = hashes.where("asset_id % 3 = 0")
+    r1 = hashes.where("asset_id % 3 = 1")
+    batch = hashes.where("asset_id % 3 = 2")
+    path = str(tmp_path / "phled")
+    dd.build_phash_ledger(r0, path, release=0)
+    dd.append_phash_ledger(r1, path, release=1)
+    n_p = spark.read.parquet(f"{path}/prints").count()
+    n_b = spark.read.parquet(f"{path}/bands").count()
+    dd.append_phash_ledger(r1, path, release=1)  # replay
+    assert spark.read.parquet(f"{path}/prints").count() == n_p
+    assert spark.read.parquet(f"{path}/bands").count() == n_b
+    assert dd.ledger_releases(spark, path) == [0, 1]
+    info = dd.ledger_info(spark, path)
+    assert info["kind"] == "phash" and info["grid"] == 8
+    assert dd.ledger_kind(spark, path) == "phash"
+
+    # probe ≡ joint hamming relation restricted to cross-release
+    got = {
+        (r["asset_id"], r["ledger_asset"]): r["hamming"]
+        for r in dd.ledger_phash_pairs(spark, batch, path).collect()
+    }
+    fp = {r["asset_id"]: r["phash"] for r in hashes.where("ok").collect()}
+    want = {}
+    for a in fp:
+        if a % 3 != 2:
+            continue
+        for b in fp:
+            if b % 3 == 2:
+                continue
+            d = bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want and want, "probe != joint hamming relation"
+
+    # smaller probe threshold stays exact; larger refuses
+    got2 = {
+        (r["asset_id"], r["ledger_asset"])
+        for r in dd.ledger_phash_pairs(spark, batch, path, max_hamming=2).collect()
+    }
+    assert got2 == {k for k, v in want.items() if v <= 2}
+    with pytest.raises(ValueError, match="exceeds the"):
+        dd.ledger_phash_pairs(spark, batch, path, max_hamming=7)
+
+    # survivors = batch minus matched (all columns intact)
+    surv = dd.near_dedup_against_phash_ledger(spark, batch, path)
+    assert set(surv.columns) == set(batch.columns)
+    assert {r["asset_id"] for r in surv.collect()} == {
+        r["asset_id"] for r in batch.collect()
+    } - {a for a, _ in want}
+
+    # takedown: delete every gater of one matched batch asset
+    victim = sorted({a for a, _ in want})[0]
+    gaters = sorted({b for (a, b) in want if a == victim})
+    dd.delete_from_phash_ledger(spark, path, gaters)
+    still = {
+        r["asset_id"]
+        for r in dd.ledger_phash_pairs(spark, batch, path).collect()
+    }
+    assert victim not in still
+
+    # compaction: probe answers invariant, releases fold to [-1, kept]
+    before = sorted(
+        map(tuple, dd.ledger_phash_pairs(spark, batch, path).collect())
+    )
+    folded = dd.compact_phash_ledger(spark, path, keep_last=1)
+    assert folded == [0]
+    assert dd.ledger_releases(spark, path) == [-1, 1]
+    after = sorted(
+        map(tuple, dd.ledger_phash_pairs(spark, batch, path).collect())
+    )
+    assert after == before
+
+    # CLI takedown drives the same delete — on the FOLDED partition,
+    # the post-compaction case the fold contract promises keeps working
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    remaining = sorted({b for (_, b) in want if b not in set(gaters)})
+    if remaining:
+        rc = main(
+            ["takedown", str(remaining[0]), "--phash-ledger", path],
+            spark=spark,
+        )
+        assert rc in (0, None)
+        assert (
+            spark.read.parquet(f"{path}/prints")
+            .where(F.col("asset_id") == remaining[0])
+            .count()
+            == 0
+        )
+
+    # wrong-flavor refusals name the right op across all three flavors
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    el = str(tmp_path / "el")
+    dd.build_embedding_ledger(emb, el, planes_per_band=4, bands=4)
+    with pytest.raises(ValueError, match="use compact_phash_ledger"):
+        dd.compact_embedding_ledger(spark, path)
+    with pytest.raises(ValueError, match="use delete_from_phash_ledger"):
+        dd.delete_from_ledger(spark, path, [1])
+    with pytest.raises(ValueError, match="use delete_from_embedding_ledger"):
+        dd.delete_from_phash_ledger(spark, el, [1])
+    # a non-fingerprint batch refuses with the expected-columns message
+    with pytest.raises(ValueError, match="expected \\(asset_id, phash"):
+        dd.ledger_phash_pairs(spark, docs, path)

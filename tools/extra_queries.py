@@ -168,6 +168,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replays the hash from the pixels (= the text bytes, PNG is
         # lossless), so any codec bug breaks the hash match.
         "multimodal_phash_pairs": _q_multimodal_phash_pairs,
+        # r10: the image-side admission ledger — cross-release
+        # perceptual gating (build two releases, probe with a third
+        # batch; EXACT vs the all-pairs twin by the pigeonhole property)
+        "multimodal_phash_ledger_pairs": _q_multimodal_phash_ledger_pairs,
         # r10: the SCALE-SAFE configs of the two judged fixed-resolution
         # rows (r9 verdict task 2) — the configurations a 100 TB run
         # would actually use, pinned so a regression in exactly that
@@ -196,6 +200,24 @@ def _q_multimodal_phash_pairs(s: SparkSession, d: str) -> DataFrame:
     docs = load_table(s, d, "documents")
     hashes = mm.phash_assets(mm.build_png_assets(docs))
     return mm.phash_pairs(hashes, max_hamming=6)
+
+
+def _q_multimodal_phash_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
+    """The perceptual-hash admission ledger end to end: fingerprints of
+    the doc_id%3∈{0,1} assets persist as two ledger releases, the
+    %3==2 batch probes. The probe is EXACT (pigeonhole bands certify
+    every pair within the stored max_hamming), so the twin is the
+    plain cross-release hamming join over the replayed hashes."""
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as ddm
+
+    docs = load_table(s, d, "documents")
+    hashes = mm.phash_assets(mm.build_png_assets(docs)).localCheckpoint()
+    path = tempfile.mkdtemp(prefix="oracle_phled_") + "/led"
+    ddm.build_phash_ledger(hashes.where("asset_id % 3 = 0"), path, release=0)
+    ddm.append_phash_ledger(hashes.where("asset_id % 3 = 1"), path, release=1)
+    return ddm.ledger_phash_pairs(s, hashes.where("asset_id % 3 = 2"), path)
 
 
 def _q_semdedup_survivors_scaled(s: SparkSession, d: str) -> DataFrame:
@@ -1511,7 +1533,26 @@ WHERE {_cosp} >= 0.8
     # complement BIGINT packing for bit 63) and pairs all-pairs (the
     # oracle may brute-force what the engine bands).
     sql["multimodal_phash_pairs"] = _phash_pairs_sql(max_hamming=6)
+    sql["multimodal_phash_ledger_pairs"] = _phash_ledger_pairs_sql(
+        max_hamming=6
+    )
     return sql
+
+
+def _phash_ledger_pairs_sql(
+    max_hamming: int, width: int = 9, height: int = 8, grid: int = 8
+) -> str:
+    """Twin of the perceptual-hash LEDGER probe: the dHash expression
+    of ``_phash_pairs_sql`` over the cross-release split (batch =
+    doc_id%3==2, ledger = %3 in (0,1)) — no a<b constraint, each
+    (batch, ledger) pair once, exactly the probe's output shape."""
+    core = _phash_pairs_sql(max_hamming, width=width, height=height, grid=grid)
+    h_cte = core.split("SELECT a.doc_id")[0]  # the WITH h AS (...) prefix
+    return f"""{h_cte}SELECT b.doc_id AS asset_id, l.doc_id AS ledger_asset,
+       bit_count(xor(b.phash, l.phash))::INT AS hamming
+FROM h b JOIN h l ON b.doc_id % 3 = 2 AND l.doc_id % 3 IN (0, 1)
+WHERE bit_count(xor(b.phash, l.phash)) <= {max_hamming}
+"""
 
 
 def _phash_pairs_sql(
