@@ -1927,7 +1927,16 @@ def ledger_phash_pairs(
     exactly once with the popcount. EXACT, not approximate — the
     pigeonhole property guarantees every in-threshold pair collides on
     at least one stored band. ``before_release``/``exclude_release``:
-    the MinHash ledger's audit/replay contracts, verbatim."""
+    the MinHash ledger's audit/replay contracts, verbatim.
+
+    CALLER CONTRACT: the probe batch must be fingerprinted at the
+    ledger's stored ``meta['grid']`` (use ``multimodal.phash_for_
+    ledger``, which reads it for you, or the streaming
+    ``admit_assets_batch``, which fingerprints internally). A phash is
+    an opaque long — unlike the MinHash sibling, which re-sketches from
+    text with stored parameters, this probe CANNOT detect a batch
+    hashed at a different grid, and cross-grid hamming distances are
+    meaningless."""
     meta = load_phash_ledger_meta(spark, path)
     stored_mh, bits = meta["max_hamming"], meta["grid"] * meta["grid"]
     if max_hamming is None:

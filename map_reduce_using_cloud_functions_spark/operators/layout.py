@@ -38,22 +38,39 @@ from pyspark.sql import Column, DataFrame
 ZKEY = "_zkey"
 
 
-def _bucketize(col: Column, breaks: list[float]) -> Column:
+def _bucketize(col_name: str, breaks: list[float]) -> Column:
     """Bucket number in [0, len(breaks)] — the count of breakpoints at
-    or below the value. NULLs land in bucket 0 (the curve's origin:
-    they carry no range information to preserve). The breakpoints are
-    ONE array literal (not per-row CreateArray), so the scan pays a
-    comparison loop, not an allocation. An empty breaks list (what
-    ``approxQuantile`` returns for an all-NULL column) means a
-    degenerate domain: bucket 0, mirroring ``_bucketize_linear`` —
-    ``F.lit([])`` would otherwise type as ``array<void>`` and fail the
-    lambda comparison at analysis time with an unrelated-looking error."""
+    or below the value, computed as a BALANCED binary-search conditional
+    tree over the boundary literals: ceil(log2(n)) plain comparisons
+    per row, plain codegen'd conditionals, instead of the higher-order
+    array filter this used through r10 (interpreted lambda + per-row
+    array traversal — the 3.2× quantile-write tax BASELINE r9
+    measured). The tree is assembled as ONE parsed SQL string (the
+    ``_fp_bands``/simhash r5 rescue — 2^bits nested ``when()`` Columns
+    would cost seconds of py4j round-trips per z column). Assignment is
+    bit-identical to the filter-count: breaks are sorted (duplicates
+    from skewed quantiles included — upper-bound search counts them
+    correctly), and NULLs take every ELSE branch down to bucket 0 (the
+    curve's origin: they carry no range information to preserve), the
+    same coalesce-to-0 the filter applied. An empty breaks list (what
+    ``approxQuantile`` returns for an all-NULL column) is a degenerate
+    domain: bucket 0, mirroring ``_bucketize_linear``."""
     if not breaks:
         return F.lit(0)
-    arr = F.lit([float(b) for b in breaks])
-    return F.coalesce(
-        F.size(F.filter(arr, lambda b: col.cast("double") >= b)), F.lit(0)
-    )
+    bs = [float(b) for b in breaks]
+    v = f"cast(`{col_name.replace('`', '``')}` as double)"
+
+    def search(lo: int, hi: int) -> str:
+        # invariant: the answer (count of breaks <= value) is in [lo, hi]
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            f"if({v} >= {bs[mid - 1]!r}D, {search(mid, hi)}, "
+            f"{search(lo, mid - 1)})"
+        )
+
+    return F.expr(search(0, len(bs)))
 
 
 def _interleave(buckets: list[Column], bits: int) -> Column:
@@ -86,12 +103,16 @@ def _bucketize_linear(col: Column, lo: float, hi: float, n: int) -> Column:
     ).cast("int")
 
 
+QUANTILE_SAMPLE_ROWS = 100_000
+
+
 def zorder_key(
     df: DataFrame,
     cols: list[str],
     bits: int = 8,
     scaling: str = "linear",
     rel_err: float = 0.01,
+    quantile_sample_rows: int | None = QUANTILE_SAMPLE_ROWS,
 ) -> DataFrame:
     """``df`` plus a ``_zkey`` column — the Morton code of the bucket
     numbers of ``cols`` (``2^bits`` buckets each).
@@ -106,10 +127,15 @@ def zorder_key(
     - ``"quantile"``: bucket boundaries from one bounded driver-side
       ``approxQuantile`` (Greenwald–Khanna, ≤ 2^bits doubles per
       column). Keeps the curve balanced under heavy skew, where linear
-      scaling would collapse most rows into a few codes — at the
-      documented price of an interpreted 2^bits-way comparison per row
-      (a higher-order array filter; ~20 µs/row measured), which is why
-      it is the opt-in and not the default."""
+      scaling would collapse most rows into a few codes. The per-row
+      key cost is a log2(2^bits)-deep binary-search conditional tree
+      (r11; the r9–r10 higher-order array filter ran ~20 µs/row), and
+      the boundary derivation runs over a bounded uniform row sample
+      (``quantile_sample_rows``, default 100k: a 100 TB write cannot
+      GK-sketch every row for 255 boundaries, and boundary error only
+      shifts bucket BALANCE, never answers — pass ``None`` to sketch
+      every row). Linear stays the default because its bounds agg is
+      one cheap pass and its key is pure arithmetic."""
     if not (1 <= bits <= 16):
         raise ValueError(f"bits must be in [1, 16], got {bits}")
     if len(cols) < 2:
@@ -136,10 +162,18 @@ def zorder_key(
     )
     if scaling == "quantile":
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        all_breaks = numeric.stat.approxQuantile(cols, probs, rel_err)
+        src = numeric
+        if quantile_sample_rows is not None:
+            n = numeric.count()
+            if n > quantile_sample_rows:
+                # uniform ROW-level sample (keeps a skewed value's mass
+                # share, unlike a by-value hash sample); seed pinned so
+                # a re-run over the same partitioning derives the same
+                # boundaries
+                src = numeric.sample(quantile_sample_rows / n, seed=42)
+        all_breaks = src.stat.approxQuantile(cols, probs, rel_err)
         buckets = [
-            _bucketize(F.col(c), breaks)
-            for c, breaks in zip(cols, all_breaks)
+            _bucketize(c, breaks) for c, breaks in zip(cols, all_breaks)
         ]
     else:
         bounds = numeric.agg(
@@ -152,7 +186,23 @@ def zorder_key(
             )
             for j, c in enumerate(cols)
         ]
-    return df.withColumn(ZKEY, _interleave(buckets, bits))
+    # Two projections, NOT one: _interleave references each bucket
+    # expression `bits` times, and inlining would copy the quantile
+    # search tree 8× per column into one giant projection (seconds of
+    # analysis, bloated codegen). Materializing the bucket numbers as
+    # temp columns evaluates each tree ONCE per row; CollapseProject
+    # leaves the split alone because the aliases are non-cheap and
+    # multiply referenced.
+    tmp = [f"_zbucket{j}" for j in range(len(cols))]
+    taken = set(df.columns)
+    if any(t in taken for t in tmp):
+        raise ValueError(
+            f"z-order scratch column name collision with {sorted(set(tmp) & taken)}"
+        )
+    keyed = df.select("*", *[b.alias(t) for b, t in zip(buckets, tmp)])
+    return keyed.withColumn(
+        ZKEY, _interleave([F.col(t) for t in tmp], bits)
+    ).drop(*tmp)
 
 
 def write_zordered(
@@ -162,6 +212,7 @@ def write_zordered(
     bits: int = 8,
     num_files: int | None = None,
     scaling: str = "linear",
+    quantile_sample_rows: int | None = QUANTILE_SAMPLE_ROWS,
 ) -> None:
     """Write ``df`` clustered on the Z-order curve of ``cols``: range-
     repartition on the z-key (contiguous curve segments per file), sort
@@ -173,8 +224,22 @@ def write_zordered(
     default ``outputTimestampType=INT96`` writes NO parquet min/max
     statistics at all (deprecated physical type), which would silently
     disable pruning on a time dimension — the most common z column
-    there is. Values are unchanged; only the physical encoding is."""
-    keyed = zorder_key(df, cols, bits=bits, scaling=scaling)
+    there is. Values are unchanged; only the physical encoding is.
+
+    NOT thread-safe with respect to other writers on the SAME
+    SparkSession: the timestamp-type override is a session-wide conf
+    mutated for the duration of this write, so a concurrent write from
+    another thread observes TIMESTAMP_MICROS, and two interleaved
+    ``write_zordered`` calls can restore the temporary value as the
+    "previous" one. Serialize z-ordered writes per session, or give a
+    concurrent writer its own ``spark.newSession()``."""
+    keyed = zorder_key(
+        df,
+        cols,
+        bits=bits,
+        scaling=scaling,
+        quantile_sample_rows=quantile_sample_rows,
+    )
     part = (
         keyed.repartitionByRange(num_files, ZKEY)
         if num_files

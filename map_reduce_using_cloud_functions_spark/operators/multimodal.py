@@ -395,15 +395,34 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 97) -> DataFrame:
 # the text SimHash step does.
 
 
-def decode_png_pixels(payload: bytes):
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401  (optional dependency probe)
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_png_pixels(payload: bytes, use_pil: bool | None = None):
     """Pixel array (h, w, channels) uint8 for a PNG payload — PIL when
     installed (normalized to 8-bit L/LA/RGB/RGBA, the same rule
     ``decode_media`` applies), else the stdlib chunk-walk decoder.
-    Raises on non-PNG/corrupt payloads; callers surface that per-row."""
-    try:
-        from PIL import Image  # optional dependency
-    except ImportError:
+    Raises on non-PNG/corrupt payloads; callers surface that per-row.
+
+    ``use_pil`` pins the decoder choice: fingerprint operators resolve
+    it ONCE on the driver (``_pil_available``) and pass it into their
+    executor closures, so a cluster where PIL is installed on only some
+    executors cannot hash the same payload differently (palette/16-bit
+    PNGs decode under PIL only) — an executor missing the driver-chosen
+    decoder fails loudly instead of silently falling back. ``None``
+    keeps the local auto-probe for direct single-process callers."""
+    if use_pil is None:
+        use_pil = _pil_available()
+    if not use_pil:
         return _png_pixels_stdlib(payload)
+    from PIL import Image  # driver chose PIL: missing here must raise
+
     import io
 
     import numpy as np
@@ -501,14 +520,35 @@ def phash_assets(assets: DataFrame, grid: int = 8) -> DataFrame:
     (asset_id, payload) → Arrow batches → executor-side decode), with
     ``decode_png_pixels`` + ``dhash64`` per payload. Undecodable rows
     surface as ``ok=false`` + ``err`` instead of failing the stage —
-    one corrupt file among billions must not kill the fingerprint job."""
+    one corrupt file among billions must not kill the fingerprint job.
+
+    The PNG decoder (PIL vs stdlib) is resolved ONCE on the driver and
+    pinned into the closure: a mixed cluster can't hash the same
+    payload ``ok=true`` on one executor and ``ok=false`` on another
+    (palette/16-bit PNGs decode under PIL only) — an executor missing
+    the driver-chosen decoder raises OUTSIDE the per-row guard, a loud
+    stage failure instead of a silent admission-gate skew."""
+    use_pil = _pil_available()  # driver-side resolution, pinned below
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_pil:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "phash_assets: the driver resolved the PNG decoder "
+                    "to PIL but this executor cannot import it — PIL "
+                    "availability must be cluster-uniform for admission "
+                    "fingerprints to be environment-independent"
+                ) from e
         for pdf in batches:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    v = dhash64(decode_png_pixels(bytes(payload)), grid=grid)
+                    v = dhash64(
+                        decode_png_pixels(bytes(payload), use_pil=use_pil),
+                        grid=grid,
+                    )
                     rows.append(
                         {"asset_id": asset_id, "phash": v, "ok": True, "err": None}
                     )
@@ -555,3 +595,17 @@ def phash_pairs(
         fp_col="phash",
         out=("asset_a", "asset_b"),
     )
+
+
+def phash_for_ledger(spark, assets: DataFrame, ledger_path: str) -> DataFrame:
+    """Fingerprint raw image assets at the LEDGER's stored grid — the
+    safe on-ramp to ``dedup.ledger_phash_pairs``. A phash is an opaque
+    long: the ledger cannot detect a probe batch hashed at a different
+    grid (a grid-4 batch against a grid-8 ledger yields meaningless
+    hamming distances and wrong gating), so probe batches must be
+    fingerprinted with ``meta['grid']`` — which is exactly what this
+    helper (and the streaming ``admit_assets_batch``) does."""
+    from .dedup import load_phash_ledger_meta
+
+    meta = load_phash_ledger_meta(spark, ledger_path)
+    return phash_assets(assets, grid=meta["grid"])

@@ -200,3 +200,40 @@ def test_zordered_events_serves_judged_slice_with_both_dim_pruning(spark, tmp_pa
     assert zt["skip_frac"] >= 0.4, (zt, st)
     assert su["skip_frac"] == 0.0, su
     assert st["skip_frac"] >= zt["skip_frac"] * 0.8  # ts-sort prunes ts fine
+
+
+def test_bucketize_tree_matches_upper_bound_count(spark):
+    """r11: the quantile bucketizer's binary-search conditional tree
+    assigns EXACTLY count(breaks <= value) — the contract the r10
+    array-filter implementation computed — including duplicate
+    boundaries (skewed quantiles), values equal to a boundary, values
+    outside the break range, and NULLs (bucket 0)."""
+    from map_reduce_using_cloud_functions_spark.operators.layout import (
+        _bucketize,
+    )
+
+    breaks = [-3.0, -1.5, -1.5, 0.0, 0.0, 0.0, 2.5, 7.0, 7.0]
+    values = [
+        None, -10.0, -3.0, -2.9, -1.5, -1.4999, 0.0, 1.0, 2.5, 2.6,
+        7.0, 7.1, 1e18, -1e18, float("nan"),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, v double"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in df.select("i", _bucketize("v", breaks).alias("b")).collect()
+    }
+
+    def upper_bound(v):
+        if v is None:
+            return 0
+        if v != v:  # NaN: Spark orders NaN above every double
+            return len(breaks)
+        return sum(1 for b in breaks if v >= b)
+
+    want = {i: upper_bound(v) for i, v in enumerate(values)}
+    assert got == want
+    # degenerate all-NULL domain: empty breaks list -> bucket 0
+    got0 = df.select(_bucketize("v", []).alias("b")).distinct().collect()
+    assert [r["b"] for r in got0] == [0]

@@ -1476,7 +1476,7 @@ WHERE v.vec_id NOT IN (
         "FROM embeddings WHERE vec_id % 2 = 0 AND (vec_id % 97) < 8",
     )
     # r10 scale-safe twin: the seeded-centroid slot count becomes the
-    # data-derived k = clamp(n/625, 8, 96) instead of the fixture's
+    # data-derived k = clamp(n/250, 8, 96) instead of the fixture's
     # literal 8 — the ONLY difference from the judged row, so the twin
     # tracks the Spark side's k at every SF it runs at.
     _scaled_k_sql = "(SELECT greatest(8, least(96, count(*) // 250)) FROM embeddings)"
