@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "semdedup_survivors_scaled",
     "dedup_embedding_pairs_production",
     "multimodal_phash_pairs",  # r10: perceptual image near-dup (X5)
+    "multimodal_audiohash_pairs",  # r11: audio energy-sign near-dup (X5)
 ]
 
 
@@ -229,6 +230,76 @@ def bench_front_door(
             "batch_secs": batch_secs,
             "admitted": n_admitted,
             "postings": n_postings,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def bench_asset_front_door(
+    spark, sf_dir: str, n_files: int = 4, n_assets: int = 2000
+) -> dict:
+    """Perceptual (image) front-door stream (r11): per-batch cost of
+    phash admission — fingerprint the batch, within-batch near-dedup,
+    probe the phash ledger, two release-partition writes — over
+    ``n_files`` micro-batches of real PNG files (one file per asset,
+    ``maxFilesPerTrigger`` slices them into batches). Fixture images
+    are ``build_png_assets`` over the documents table — the same
+    encode → decode → dHash path the oracle rows verify."""
+    import shutil
+    import tempfile
+
+    from map_reduce_using_cloud_functions_spark.operators import (
+        multimodal as mm,
+    )
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_asset_admission_stream,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        streaming_assets_from_dir,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_afd_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+    try:
+        assets = (
+            mm.build_png_assets(
+                load_table(spark, sf_dir, "documents").limit(n_assets)
+            )
+            .collect()
+        )
+        for r in assets:
+            with open(
+                os.path.join(watch, f"{r['asset_id']}.png"), "wb"
+            ) as f:
+                f.write(bytes(r["payload"]))
+        per_batch = max(1, (len(assets) + n_files - 1) // n_files)
+        t0 = time.perf_counter()
+        q = start_asset_admission_stream(
+            spark,
+            streaming_assets_from_dir(
+                spark, watch, max_files_per_trigger=per_batch
+            ),
+            os.path.join(base, "led"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        q.awaitTermination()
+        total = time.perf_counter() - t0
+        batch_secs = sorted(
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        )
+        n_admitted = spark.read.parquet(os.path.join(base, "out")).count()
+        return {
+            "files": n_files,
+            "assets": len(assets),
+            "total_sec": round(total, 3),
+            "sec_per_batch": round(total / max(1, len(batch_secs)), 3),
+            "batch_secs": batch_secs,
+            "admitted": n_admitted,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -455,6 +526,14 @@ def main() -> None:
             f"{front_door_semantic['error']}",
             file=sys.stderr,
         )
+    try:
+        front_door_phash = bench_asset_front_door(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        front_door_phash = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(
+            f"bench: front_door_phash FAILED: {front_door_phash['error']}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -469,6 +548,7 @@ def main() -> None:
                 "streaming_front_door": front_door,
                 "streaming_front_door_gated": front_door_gated,
                 "streaming_front_door_semantic": front_door_semantic,
+                "streaming_front_door_phash": front_door_phash,
                 **({"errors": errors} if errors else {}),
                 **({"flaky": flaky} if flaky else {}),
             }

@@ -174,6 +174,48 @@ def _build_parser() -> argparse.ArgumentParser:
         help="drain what has landed and exit (availableNow trigger)",
     )
 
+    aa = sub.add_parser(
+        "admit-assets",
+        help="stream: perceptually-gated media-asset admission from a "
+        "landing dir (recompressed/edited copies of admitted assets "
+        "refuse against the phash ledger)",
+    )
+    aa.add_argument("watch_dir")
+    aa.add_argument("ledger_path", help="phash admission ledger path")
+    aa.add_argument("survivors_path")
+    aa.add_argument("checkpoint_dir")
+    aa.add_argument(
+        "--pattern",
+        default="*.png",
+        help="landing-file glob (default *.png; use *.wav with "
+        "--signal audio)",
+    )
+    aa.add_argument(
+        "--grid",
+        type=int,
+        default=8,
+        help="dHash grid (grid² fingerprint bits; ledger meta wins "
+        "once the ledger exists)",
+    )
+    aa.add_argument(
+        "--max-hamming",
+        type=int,
+        default=6,
+        help="near-dup threshold in fingerprint bits (default 6)",
+    )
+    aa.add_argument(
+        "--signal",
+        choices=("image", "audio"),
+        default="image",
+        help="fingerprint modality: image (PNG dHash) or audio "
+        "(WAV energy-sign hash)",
+    )
+    aa.add_argument(
+        "--once",
+        action="store_true",
+        help="drain what has landed and exit (availableNow trigger)",
+    )
+
     h = sub.add_parser("history", help="commit log of a versioned index")
     h.add_argument("index_path")
 
@@ -679,6 +721,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"admitting {args.watch_dir} -> {args.survivors_path} "
                 f"(ledger {args.ledger_path}"
                 + (f", indexing into {args.index_path}" if args.index_path else "")
+                + (", draining once)" if args.once else "; ctrl-c to stop)")
+            )
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
+        elif args.cmd == "admit-assets":
+            from .streaming.near_dedup import start_asset_admission_stream
+            from .streaming.prep import streaming_assets_from_dir
+
+            q = start_asset_admission_stream(
+                spark,
+                streaming_assets_from_dir(
+                    spark, args.watch_dir, pattern=args.pattern
+                ),
+                args.ledger_path,
+                args.survivors_path,
+                args.checkpoint_dir,
+                grid=args.grid,
+                max_hamming=args.max_hamming,
+                signal=args.signal,
+                available_now=args.once,
+            )
+            print(
+                f"admitting {args.signal} assets {args.watch_dir} -> "
+                f"{args.survivors_path} (phash ledger {args.ledger_path}"
                 + (", draining once)" if args.once else "; ctrl-c to stop)")
             )
             try:

@@ -1818,16 +1818,32 @@ def compact_embedding_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
 # refused (the stored bands cannot certify it).
 
 
+PHASH_SIGNALS = ("image", "audio")
+
+
 def init_phash_ledger(
-    spark, path: str, grid: int = 8, max_hamming: int = 6
+    spark,
+    path: str,
+    grid: int = 8,
+    max_hamming: int = 6,
+    signal: str = "image",
 ) -> None:
-    """Write the perceptual-hash ledger's parameter row."""
+    """Write the perceptual-hash ledger's parameter row. ``signal``
+    names the modality the fingerprints were computed from (``image``:
+    ``multimodal.phash_assets`` dHash; ``audio``: ``multimodal.
+    audiohash_assets`` energy-sign hash) — hamming distance between
+    fingerprints of DIFFERENT modalities is meaningless, and the
+    fingerprint itself is an opaque long that cannot reveal the mixup,
+    so the ledger records it and admission refuses a mismatch."""
     if not (1 <= grid <= 8):
         raise ValueError(f"grid must be in [1, 8] (grid² bits ≤ 64), got {grid}")
+    if signal not in PHASH_SIGNALS:
+        raise ValueError(f"signal must be one of {PHASH_SIGNALS}, got {signal!r}")
     _fp_band_layout(max_hamming, grid * grid)  # validates the layout
     (
         spark.createDataFrame(
-            [(grid, max_hamming)], "grid int, max_hamming int"
+            [(grid, max_hamming, signal)],
+            "grid int, max_hamming int, signal string",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1837,11 +1853,14 @@ def init_phash_ledger(
 
 def load_phash_ledger_meta(spark, path: str) -> dict:
     row = (
-        spark.read.schema("grid int, max_hamming int")
+        spark.read.schema("grid int, max_hamming int, signal string")
         .parquet(_ledger_meta_path(path))
         .first()
     )
-    return row.asDict()
+    meta = row.asDict()
+    if meta["signal"] is None:  # pre-r11 ledgers stored no signal column
+        meta["signal"] = "image"
+    return meta
 
 
 def _phash_prints(hashes: DataFrame, where: str) -> DataFrame:
@@ -1866,12 +1885,19 @@ def build_phash_ledger(
     grid: int = 8,
     max_hamming: int = 6,
     release: int = 0,
+    signal: str = "image",
 ) -> None:
     """Create the perceptual-hash ledger at ``path`` from the first
-    release of fingerprints (``multimodal.phash_assets`` output or raw
-    (asset_id, phash) rows)."""
+    release of fingerprints (``multimodal.phash_assets`` output for
+    images, ``multimodal.audiohash_assets`` renamed ``ahash``→``phash``
+    for audio, or raw (asset_id, phash) rows — ``signal`` records
+    which, see ``init_phash_ledger``)."""
     init_phash_ledger(
-        hashes.sparkSession, path, grid=grid, max_hamming=max_hamming
+        hashes.sparkSession,
+        path,
+        grid=grid,
+        max_hamming=max_hamming,
+        signal=signal,
     )
     append_phash_ledger(hashes, path, release=release)
 

@@ -609,3 +609,196 @@ def phash_for_ledger(spark, assets: DataFrame, ledger_path: str) -> DataFrame:
 
     meta = load_phash_ledger_meta(spark, ledger_path)
     return phash_assets(assets, grid=meta["grid"])
+
+
+# --- audio fingerprint (X5, r10 verdict task 2) ------------------------------
+#
+# The audio analog of the image dHash: near-duplicate clips (resampled,
+# gain-shifted, re-encoded copies) share no bytes, so exact hashing
+# misses them. The fingerprint is a 64-bit ENERGY-SIGN hash — split the
+# PCM stream into 65 time blocks and take one bit per adjacent block
+# pair (left block's mean energy greater than right's). Gain is a
+# common scale factor on every block energy, so the comparisons — and
+# the hash — are gain-invariant up to requantization; resampling keeps
+# block boundaries proportional, so block energies (and most bits)
+# survive. Pairs ride the SAME pigeonhole banding engine as SimHash
+# and the image dHash (dedup.fingerprint_hamming_pairs) — never an
+# all-pairs scan. Comparisons are exact integer arithmetic
+# (sum·count cross-multiplication, no float means), which is what lets
+# a SQL twin replay the hash bit-for-bit from decoded samples.
+
+
+def encode_wav(samples, sample_rate: int = 8000, sampwidth: int = 1) -> bytes:
+    """Minimal WAV writer (mono PCM, 8-bit unsigned or 16-bit signed)
+    — the audio fixture builder; pure stdlib (``wave``); round-trips
+    exactly through ``decode_wav_samples``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if sampwidth not in (1, 2):
+        raise ValueError(f"sampwidth must be 1 or 2 bytes, got {sampwidth}")
+    arr = np.asarray(samples)
+    arr = arr.astype(np.uint8 if sampwidth == 1 else "<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_samples(payload: bytes):
+    """Centered integer sample stream (numpy int64, one value per
+    frame) for a WAV payload: 8-bit unsigned PCM centers at 128,
+    16-bit signed is native; multi-channel frames SUM their channels
+    (integer-exact mono mix — a constant scale on the energy, which
+    the energy-SIGN hash is invariant to). Raises on non-WAV/corrupt
+    payloads; callers surface that per-row."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, width = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        v = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif width == 2:
+        v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width} bytes")
+    if nch > 1:
+        v = v[: (len(v) // nch) * nch].reshape(-1, nch).sum(axis=1)
+    return v
+
+
+def audiohash64(samples, blocks: int = 65) -> int:
+    """Energy-sign hash of a centered PCM sample array: ``blocks``
+    time blocks with floor(k·n/blocks) boundaries (the dHash boundary
+    rule over time instead of space), bit k = mean energy of block k
+    exceeds block k+1's — compared EXACTLY as
+    sum_k·count_{k+1} > sum_{k+1}·count_k (integer cross-
+    multiplication, no float division), so the same clip hashes
+    identically on every executor and in a SQL oracle. blocks=65
+    yields 64 bits packed into one signed bigint (two's-complement
+    wrap for bit 63, the image dHash's packing rule)."""
+    import numpy as np
+
+    if blocks != 65:
+        # the banding engine and the ledger machinery are 64-bit; keep
+        # the one supported geometry explicit rather than half-general
+        raise ValueError(f"audiohash64 packs blocks-1=64 bits; got blocks={blocks}")
+    v = np.asarray(samples, dtype=np.int64)
+    n = v.size
+    if n < blocks:
+        raise ValueError(
+            f"clip has {n} frames, fewer than the {blocks} hash blocks — "
+            "no full block partition exists"
+        )
+    bounds = [(k * n) // blocks for k in range(blocks + 1)]
+    e = [int(np.sum(v[bounds[k] : bounds[k + 1]] ** 2)) for k in range(blocks)]
+    c = [bounds[k + 1] - bounds[k] for k in range(blocks)]
+    h = 0
+    for k in range(blocks - 1):
+        if e[k] * c[k + 1] > e[k + 1] * c[k]:
+            h |= 1 << k
+    if h >= 1 << 63:  # two's-complement wrap: numpy/SQL BIGINT semantics
+        h -= 1 << 64
+    return h
+
+
+def build_wav_assets(documents: DataFrame, n_samples: int = 130) -> DataFrame:
+    """Deterministic REAL-WAV fixture: the first ``n_samples`` UTF-8
+    bytes of each document's text as 8-bit unsigned mono PCM, written
+    by ``encode_wav``. PCM is lossless, so the decoded samples ARE
+    those text bytes — a SQL oracle can replay the energy-sign hash
+    downstream of a genuine WAV encode → decode round trip (any codec
+    bug breaks the hash match). Documents shorter than one clip are
+    dropped (no full block partition exists). The default 130 = 2
+    frames per hash block, so every block has equal count and the
+    cross-multiplied comparison reduces to a plain energy comparison —
+    the cheapest shape for the oracle twin."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:n_samples]
+                samples = np.frombuffer(raw, dtype=np.uint8)
+                out.append(
+                    {"asset_id": asset_id, "payload": encode_wav(samples)}
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    eligible = documents.where(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) >= n_samples
+    )
+    return eligible.select("doc_id", "text").mapInPandas(
+        build, schema="asset_id bigint, payload binary"
+    )
+
+
+AUDIOHASH_SCHEMA = "asset_id bigint, ahash bigint, ok boolean, err string"
+
+
+def audiohash_assets(assets: DataFrame) -> DataFrame:
+    """Audio fingerprints: the same ``mapInPandas`` batch shape as
+    ``phash_assets`` (project (asset_id, payload) → Arrow batches →
+    executor-side decode), with ``decode_wav_samples`` +
+    ``audiohash64`` per payload. Undecodable/too-short rows surface as
+    ``ok=false`` + ``err`` instead of failing the stage. The decode is
+    pure stdlib (``wave``) — no optional-dependency skew to pin."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    v = audiohash64(decode_wav_samples(bytes(payload)))
+                    rows.append(
+                        {"asset_id": asset_id, "ahash": v, "ok": True, "err": None}
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "ahash": None,
+                            "ok": False,
+                            "err": str(e)[:200],
+                        }
+                    )
+            if rows:
+                out = pd.DataFrame(rows)
+                out["ahash"] = out["ahash"].astype("Int64")
+                yield out
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hash_batches, schema=AUDIOHASH_SCHEMA
+    )
+
+
+def audiohash_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate audio PAIRS from energy-sign fingerprints —
+    clips whose hashes differ in at most ``max_hamming`` of 64 bits.
+    Same banded pigeonhole engine as SimHash and the image dHash
+    (``dedup.fingerprint_hamming_pairs``) — never an all-pairs scan.
+    ``ok=false`` fingerprint rows are excluded.
+
+    Returns (asset_a, asset_b, hamming), asset_a < asset_b."""
+    from .dedup import fingerprint_hamming_pairs
+
+    prints = hashes.where(F.col("ok")).select("asset_id", "ahash")
+    return fingerprint_hamming_pairs(
+        prints,
+        max_hamming=max_hamming,
+        bits=64,
+        id_col="asset_id",
+        fp_col="ahash",
+        out=("asset_a", "asset_b"),
+    )

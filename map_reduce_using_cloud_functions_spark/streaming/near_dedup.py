@@ -397,6 +397,159 @@ def start_near_dedup_stream(
     return writer.start()
 
 
+# --- image/audio asset admission: the phash-ledger front door -------------
+
+
+def admit_assets_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    ledger_path: str,
+    survivors_path: str,
+    batch_id: int,
+    grid: int = 8,
+    max_hamming: int = 6,
+    signal: str = "image",
+) -> DataFrame:
+    """One PERCEPTUAL admission round over an asset batch
+    (``asset_id``, ``payload`` binary, + any metadata columns) —
+    ``admit_batch``'s exactly-once envelope at fingerprint strength:
+
+        1. fingerprint the batch AT THE LEDGER'S STORED GRID (meta is
+           authoritative — the phash is an opaque long, so a cross-grid
+           probe would be undetectably meaningless);
+        2. within-batch near-dedup: banded hamming pairs → connected
+           components → min-asset_id survivor;
+        3. probe the persisted phash ledger, excluding ONLY
+           ``release=batch_id`` (a crashed attempt's own append — the
+           self-match trap, verbatim from the MinHash front door);
+        4. write admitted assets to ``release=batch_id`` and append
+           their fingerprints as the same release (both dynamic
+           partition overwrites — a replay REPLACES its own partitions).
+
+    Undecodable assets (``ok=false`` fingerprints) are admitted but
+    never gate: they carry no perceptual identity, and refusing them
+    would let one corrupt byte-flip smuggle a duplicate past the door's
+    OTHER strengths downstream. They ship with the survivors so the
+    caller's corrupt-asset policy (quarantine, re-fetch) sees them.
+
+    The reference's trigger path (``filladdtrigger/main.py:5-22`` —
+    new object lands → gate → index) implies exactly this operator for
+    a multimodal corpus; the text side has had it since r8."""
+    from ..operators import multimodal as mm
+    from ..operators.dedup import (
+        append_phash_ledger,
+        cluster_survivors,
+        init_phash_ledger,
+        load_phash_ledger_meta,
+        near_dedup_against_phash_ledger,
+    )
+
+    if ledger_exists(spark, ledger_path):
+        meta = load_phash_ledger_meta(spark, ledger_path)
+        if (grid, max_hamming, signal) != (
+            meta["grid"],
+            meta["max_hamming"],
+            meta["signal"],
+        ):
+            raise ValueError(
+                f"phash ledger {ledger_path} was built with "
+                f"grid={meta['grid']} max_hamming={meta['max_hamming']} "
+                f"signal={meta['signal']!r} but this admission passed "
+                f"grid={grid} max_hamming={max_hamming} "
+                f"signal={signal!r} — fingerprint geometry and modality "
+                "are the ledger's identity; drop the overrides or start "
+                "a new ledger path."
+            )
+    else:
+        init_phash_ledger(
+            spark,
+            ledger_path,
+            grid=grid,
+            max_hamming=max_hamming,
+            signal=signal,
+        )
+    if signal == "image":
+        hashes = mm.phash_assets(batch_df, grid=grid)
+    else:
+        if grid != 8:
+            raise ValueError(
+                "audio admission: the energy-sign hash is 64-bit, so "
+                f"the ledger must use grid=8 (64 = grid² bits); got {grid}"
+            )
+        hashes = mm.audiohash_assets(batch_df).withColumnRenamed(
+            "ahash", "phash"
+        )
+    # materialize the fingerprints once: they feed the within-batch
+    # pair join (both sides), the ledger probe, and the append
+    hashes = hashes.localCheckpoint()
+    pairs = mm.phash_pairs(
+        hashes, max_hamming=max_hamming, grid=grid
+    ).select(
+        F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+    )
+    kept = cluster_survivors(hashes, pairs, id_col="asset_id")
+    if any(r != batch_id for r in ledger_releases(spark, ledger_path)):
+        kept = near_dedup_against_phash_ledger(
+            spark, kept, ledger_path, exclude_release=batch_id
+        )
+    kept = kept.localCheckpoint()
+    admitted = batch_df.join(kept.select("asset_id"), "asset_id", "left_semi")
+    (
+        admitted.withColumn("release", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(survivors_path)
+    )
+    append_phash_ledger(kept, ledger_path, release=batch_id)
+    return admitted
+
+
+def start_asset_admission_stream(
+    spark: SparkSession,
+    assets: DataFrame,
+    ledger_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    grid: int = 8,
+    max_hamming: int = 6,
+    signal: str = "image",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous perceptually-gated admission over a streaming
+    ``assets`` relation (``asset_id``, ``payload`` — e.g.
+    ``streaming_assets_from_dir``): recompressed / lightly-edited
+    copies of anything already admitted (this stream or prior batch
+    releases of the same ledger) are refused; admitted assets land
+    under ``{survivors_path}/release=<batch_id>/`` with all columns
+    intact. Binding, foreign-release refusal, and replay discipline
+    are the MinHash front door's, applied to the phash ledger path."""
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        binding = _guard_ledger_binding(
+            spark, ledger_path, checkpoint_dir, batch_id
+        )
+        admit_assets_batch(
+            spark,
+            batch_df,
+            ledger_path,
+            survivors_path,
+            batch_id,
+            grid=grid,
+            max_hamming=max_hamming,
+            signal=signal,
+        )
+        if binding == "adopting":
+            _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+
+    writer = assets.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- composed front door: admit AND index in one exactly-once batch -------
 
 

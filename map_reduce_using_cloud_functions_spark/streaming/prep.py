@@ -130,3 +130,48 @@ def streaming_corpus_from_jsonl(spark, path: str, max_files_per_trigger: int | N
     return stream.where(
         F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
     ).drop("_corrupt_record")
+
+
+def streaming_assets_from_dir(
+    spark,
+    path: str,
+    pattern: str = "*.png",
+    max_files_per_trigger: int | None = None,
+):
+    """File-source ingest for binary media assets: watch ``path`` for
+    landing files matching ``pattern`` (Spark's ``binaryFile`` format —
+    a streaming source since 3.x) and emit the standard assets stream
+    ``(asset_id, payload, source_path)``.
+
+    ``asset_id`` is the numeric file stem when the producer names
+    files ``<id>.png`` (the deterministic spelling the tests and the
+    survivors' replay discipline prefer), else a stable 64-bit hash of
+    the basename — either way a pure function of the file name, so a
+    replayed batch re-derives identical ids. Compose with
+    ``start_asset_admission_stream`` for the perceptually-gated front
+    door."""
+    from ..functions.hashing import hex64
+
+    # binaryFile's schema is FIXED by the format, but streaming file
+    # sources require it stated explicitly (no inference on streams)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", pattern)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(path)
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    stem = F.regexp_extract(base, r"^(\d+)\.[^.]+$", 1)
+    asset_id = F.when(stem != F.lit(""), stem.cast("long")).otherwise(
+        hex64(base)
+    )
+    return stream.select(
+        asset_id.alias("asset_id"),
+        F.col("content").alias("payload"),
+        F.col("path").alias("source_path"),
+    )

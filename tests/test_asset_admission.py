@@ -1,0 +1,336 @@
+"""Perceptually-gated asset admission (streaming/near_dedup.py
+admit_assets_batch / start_asset_admission_stream): the image side of
+the streaming front door — recompressed / lightly-edited copies of
+admitted assets refuse against the phash ledger, with the MinHash
+front door's exactly-once replay discipline on the phash ledger path.
+Reference analogue: the upload trigger (filladdtrigger/main.py:5-22 —
+new object lands → gate → index), applied to a multimodal corpus."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
+from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+    admit_assets_batch,
+    start_asset_admission_stream,
+)
+from map_reduce_using_cloud_functions_spark.streaming.prep import (
+    streaming_assets_from_dir,
+)
+
+
+def _img(seed: int, h: int = 16, w: int = 16) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def _recompress(png: bytes) -> bytes:
+    """Different FILE bytes, identical pixels: insert an ancillary tEXt
+    chunk before IEND — the shape a re-encoding pipeline produces."""
+    body = b"comment\x00recompressed copy"
+    chunk = (
+        struct.pack(">I", len(body))
+        + b"tEXt"
+        + body
+        + struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+    )
+    return png[:-12] + chunk + png[-12:]
+
+
+def _edited(pixels: np.ndarray) -> np.ndarray:
+    """A light edit: perturb a few pixels just enough to flip 1–6 dHash
+    bits — near the original (refused by the gate at max_hamming=6) but
+    not identical. Found by a deterministic seed search so the fixture
+    stays stable if the hash or image ever changes."""
+    base = mm.dhash64(pixels)
+    for seed in range(1000):
+        rng = np.random.default_rng(10_000 + seed)
+        out = pixels.astype(np.int64)
+        for _ in range(4):
+            r, c = rng.integers(0, pixels.shape[0]), rng.integers(0, pixels.shape[1])
+            out[r, c] += int(rng.integers(-60, 61))
+        out = np.clip(out, 0, 255).astype(np.uint8)
+        ham = bin((mm.dhash64(out) ^ base) & (2**64 - 1)).count("1")
+        if 1 <= ham <= 6:
+            return out
+    raise AssertionError("no light edit with hamming in [1, 6] found")
+
+
+PIX_A = _img(1)
+PIX_B = _img(2)
+PIX_C = _img(3)
+PNG_A = mm.encode_png(PIX_A)
+PNG_A_RECOMP = _recompress(PNG_A)
+PNG_A_EDIT = mm.encode_png(_edited(PIX_A))
+PNG_B = mm.encode_png(PIX_B)
+PNG_C = mm.encode_png(PIX_C)
+
+
+def _write_assets(directory, rows):
+    os.makedirs(directory, exist_ok=True)
+    for asset_id, payload in rows:
+        with open(os.path.join(directory, f"{asset_id}.png"), "wb") as f:
+            f.write(payload)
+
+
+def _run_stream(spark, watch, ledger, survivors, ckpt):
+    q = start_asset_admission_stream(
+        spark,
+        streaming_assets_from_dir(spark, watch),
+        ledger,
+        survivors,
+        ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def _survivor_ids(spark, survivors_path):
+    out = {}
+    rows = spark.read.parquet(survivors_path).select("release", "asset_id")
+    for r in rows.collect():
+        out.setdefault(r["release"], set()).add(r["asset_id"])
+    return out
+
+
+def test_planted_fixture_distances(spark):
+    """The planted near-dups really are near (recompressed: hamming 0;
+    edited: 0 < hamming <= 6) and the distinct images really are far —
+    the preconditions every other test leans on."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(PNG_A)),
+            (2, bytearray(PNG_A_RECOMP)),
+            (3, bytearray(PNG_A_EDIT)),
+            (4, bytearray(PNG_B)),
+            (5, bytearray(PNG_C)),
+        ],
+        "asset_id bigint, payload binary",
+    )
+    h = {
+        r["asset_id"]: r["phash"]
+        for r in mm.phash_assets(df).where("ok").collect()
+    }
+    assert len(h) == 5
+
+    def ham(a, b):
+        return bin((h[a] ^ h[b]) & (2**64 - 1)).count("1")
+
+    assert ham(1, 2) == 0  # recompression never moves pixels
+    assert 0 < ham(1, 3) <= 6  # light edit: near, not identical
+    assert ham(1, 4) > 6 and ham(1, 5) > 6 and ham(4, 5) > 6
+
+
+def test_asset_stream_admits_only_novel_images(spark, tmp_path):
+    """Batch 0: a recompressed within-batch copy collapses to the min
+    asset_id. Batch 1: a lightly-edited copy of an admitted image is
+    refused by the ledger, a fresh image is admitted."""
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    _write_assets(watch, [(1, PNG_A), (2, PNG_A_RECOMP), (3, PNG_B)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}}
+    assert dd.ledger_releases(spark, ledger) == [0]
+
+    _write_assets(watch, [(10, PNG_A_EDIT), (11, PNG_C)])
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}, 1: {11}}
+    assert dd.ledger_releases(spark, ledger) == [0, 1]
+
+    # the stream's ledger serves batch probes identically
+    probe = mm.phash_assets(
+        spark.createDataFrame(
+            [(99, bytearray(PNG_A_EDIT))], "asset_id bigint, payload binary"
+        )
+    )
+    kept = dd.near_dedup_against_phash_ledger(spark, probe, ledger)
+    assert kept.count() == 0
+
+
+def test_admit_assets_batch_is_the_stream_twin(spark, tmp_path):
+    """Driving admit_assets_batch directly (the batch spelling) admits
+    the same sets the stream admitted — stream ≡ batch."""
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [
+            (1, bytearray(PNG_A)),
+            (2, bytearray(PNG_A_RECOMP)),
+            (3, bytearray(PNG_B)),
+        ],
+        "asset_id bigint, payload binary",
+    )
+    b1 = spark.createDataFrame(
+        [(10, bytearray(PNG_A_EDIT)), (11, bytearray(PNG_C))],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(spark, b0, ledger, survivors, batch_id=0)
+    admit_assets_batch(spark, b1, ledger, survivors, batch_id=1)
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}, 1: {11}}
+    meta = dd.load_phash_ledger_meta(spark, ledger)
+    assert meta == {"grid": 8, "max_hamming": 6, "signal": "image"}
+
+
+def test_asset_replay_converges(spark, tmp_path, monkeypatch):
+    """Crash AFTER the phash-ledger append, before the checkpoint
+    commit: the replayed batch must exclude its own release from the
+    probe (else every image self-matches and the replay admits
+    nothing) and converge to the same survivors + single release."""
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    _write_assets(watch, [(1, PNG_A), (3, PNG_B)])
+
+    real_append = dd.append_phash_ledger
+    calls = []
+
+    def crashy(hashes, path, release):
+        real_append(hashes, path, release)
+        calls.append(release)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash AFTER phash ledger append")
+
+    monkeypatch.setattr(dd, "append_phash_ledger", crashy)
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert dd.ledger_releases(spark, ledger) == [0], "append did not land"
+
+    _run_stream(spark, watch, ledger, survivors, ckpt)
+    assert calls == [0, 0], "batch 0 was not replayed"
+    assert _survivor_ids(spark, survivors) == {0: {1, 3}}
+    assert dd.ledger_releases(spark, ledger) == [0]
+
+
+def test_undecodable_assets_admit_but_never_gate(spark, tmp_path):
+    """A corrupt payload (ok=false fingerprint) ships with the
+    survivors — the caller's corrupt-asset policy sees it — but enters
+    no ledger band, so a later identical corrupt payload is NOT
+    perceptually refused (no perceptual identity exists to refuse on).
+    """
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    corrupt = PNG_A[:40]  # truncated: magic ok, undecodable
+    b0 = spark.createDataFrame(
+        [(1, bytearray(PNG_A)), (7, bytearray(corrupt))],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(spark, b0, ledger, survivors, batch_id=0)
+    assert _survivor_ids(spark, survivors) == {0: {1, 7}}
+    prints = spark.read.parquet(f"{ledger}/prints")
+    assert {r["asset_id"] for r in prints.collect()} == {1}
+
+    b1 = spark.createDataFrame(
+        [(8, bytearray(corrupt))], "asset_id bigint, payload binary"
+    )
+    admit_assets_batch(spark, b1, ledger, survivors, batch_id=1)
+    assert _survivor_ids(spark, survivors)[1] == {8}
+
+
+def test_param_and_signal_mismatch_refuse(spark, tmp_path):
+    """The ledger's stored geometry and modality are authoritative:
+    admission with different grid/max_hamming/signal refuses instead
+    of silently comparing incomparable fingerprints."""
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, bytearray(PNG_A))], "asset_id bigint, payload binary"
+    )
+    admit_assets_batch(spark, b0, ledger, survivors, batch_id=0)
+    with pytest.raises(ValueError, match="ledger's identity"):
+        admit_assets_batch(
+            spark, b0, ledger, survivors, batch_id=1, grid=4
+        )
+    with pytest.raises(ValueError, match="ledger's identity"):
+        admit_assets_batch(
+            spark, b0, ledger, survivors, batch_id=1, max_hamming=3
+        )
+    with pytest.raises(ValueError, match="ledger's identity"):
+        admit_assets_batch(
+            spark, b0, ledger, survivors, batch_id=1, signal="audio"
+        )
+
+
+def test_fresh_checkpoint_against_owned_ledger_is_refused(spark, tmp_path):
+    """A new checkpoint restarts batch ids at 0; its release overwrite
+    would silently replace admitted assets — the binding refuses."""
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    _write_assets(watch, [(1, PNG_A)])
+    _run_stream(spark, watch, ledger, survivors, str(tmp_path / "ck1"))
+    with pytest.raises(Exception, match="checkpoint"):
+        _run_stream(spark, watch, ledger, survivors, str(tmp_path / "ck2"))
+
+
+def test_cli_admit_assets_once(spark, tmp_path, capsys):
+    """The admit-assets subcommand drains landed PNGs through the
+    perceptual admission stream: recompressed copy refused within
+    batch, survivors release-partitioned, ledger queryable."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    watch = str(tmp_path / "in")
+    _write_assets(watch, [(1, PNG_A), (2, PNG_A_RECOMP), (3, PNG_B)])
+    rc = main(
+        [
+            "admit-assets",
+            watch,
+            str(tmp_path / "ledger"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            "--once",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1, 3}}
+    info = dd.ledger_info(spark, str(tmp_path / "ledger"))
+    assert info["kind"] == "phash" and info["signal"] == "image"
+
+
+def test_audio_admission_refuses_transformed_copies(spark, tmp_path):
+    """The audio flavor of the same front door (signal="audio" on the
+    shared phash-ledger machinery): a gain-shifted and a decimated copy
+    of an admitted clip refuse; a fresh clip admits."""
+    import tests.test_multimodal as tmm
+
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    base = tmm._clip(31)
+    fresh = tmm._clip(32)
+    b0 = spark.createDataFrame(
+        [(1, bytearray(mm.encode_wav(base)))],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(
+        spark, b0, ledger, survivors, batch_id=0, signal="audio"
+    )
+    meta = dd.load_phash_ledger_meta(spark, ledger)
+    assert meta["signal"] == "audio"
+
+    b1 = spark.createDataFrame(
+        [
+            (10, bytearray(mm.encode_wav(tmm._gain(base, 0.8)))),
+            (11, bytearray(mm.encode_wav(base[::2]))),
+            (12, bytearray(mm.encode_wav(fresh))),
+        ],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(
+        spark, b1, ledger, survivors, batch_id=1, signal="audio"
+    )
+    assert _survivor_ids(spark, survivors) == {0: {1}, 1: {12}}
+
+    # modality is identity: probing this ledger as an image door refuses
+    with pytest.raises(ValueError, match="ledger's identity"):
+        admit_assets_batch(
+            spark, b1, ledger, survivors, batch_id=2, signal="image"
+        )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
 from map_reduce_using_cloud_functions_spark.operators.multimodal import (
     asset_stats,
     build_assets,
@@ -363,3 +364,119 @@ def test_build_png_assets_pixels_are_text_bytes(spark):
         pix = decode_png_pixels(payload)
         want = np.frombuffer(texts[aid].encode("utf-8")[:72], dtype=np.uint8)
         assert np.array_equal(pix.reshape(-1), want), aid
+
+
+# --- audio fingerprint (r11): energy-sign hash over real WAV decode ----------
+
+
+def _clip(seed: int, n: int = 390) -> "np.ndarray":
+    """A structured test clip: per-block amplitude levels drawn wide
+    apart so adjacent block energies compare decisively — the shape a
+    real signal's envelope has, and what makes the hash stable under
+    requantization (uniform noise would leave half the bits marginal).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    amps = rng.integers(5, 120, 66)
+    t = np.arange(n)
+    block = (t * 65) // n
+    wave_sig = amps[block] * np.sin(t * 0.9) + rng.normal(0, 1.5, n)
+    return np.clip(np.round(wave_sig) + 128, 0, 255).astype(np.uint8)
+
+
+def _gain(samples, factor: float):
+    import numpy as np
+
+    centered = samples.astype(np.float64) - 128
+    return np.clip(np.round(centered * factor) + 128, 0, 255).astype(np.uint8)
+
+
+def test_wav_roundtrip_and_hash_determinism():
+    import numpy as np
+
+    s = _clip(7)
+    payload = mm.encode_wav(s)
+    decoded = mm.decode_wav_samples(payload)
+    assert (decoded == s.astype(np.int64) - 128).all()
+    assert mm.audiohash64(decoded) == mm.audiohash64(decoded)
+    # 16-bit path decodes natively signed
+    s16 = (s.astype(np.int64) - 128) * 256
+    d16 = mm.decode_wav_samples(mm.encode_wav(s16, sampwidth=2))
+    assert (d16 == s16).all()
+    # multi-channel mixes by integer channel sum
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([10, 20, 30, 40]))  # frames: (10,20), (30,40)
+    st = mm.decode_wav_samples(buf.getvalue())
+    assert list(st) == [(10 - 128) + (20 - 128), (30 - 128) + (40 - 128)]
+
+
+def test_audiohash_survives_gain_and_resampling():
+    """The invariances the fingerprint exists for: a gain-shifted copy
+    and a 2x-decimated copy hash within the admission threshold; an
+    unrelated clip is far. Pure energy-ORDER comparisons make gain a
+    common factor on every block (invariant up to requantization), and
+    floor-proportional block boundaries make resampling near-neutral."""
+    import numpy as np
+
+    base = _clip(11)
+    h = mm.audiohash64(base.astype(np.int64) - 128)
+
+    def ham(other) -> int:
+        return bin(
+            (mm.audiohash64(other.astype(np.int64) - 128) ^ h) & (2**64 - 1)
+        ).count("1")
+
+    assert ham(_gain(base, 0.7)) <= 6
+    assert ham(_gain(base, 1.3)) <= 6
+    assert ham(base[::2]) <= 6  # decimation (downsample 2x)
+    assert ham(np.repeat(base, 2)) <= 6  # sample-doubling (upsample 2x)
+    assert ham(_clip(12)) > 15  # unrelated clip: far
+
+
+def test_audiohash_assets_error_rows_and_pairs(spark):
+    """Planted near-dups pair through the banded engine; corrupt and
+    too-short payloads surface as ok=false rows, excluded from pairs."""
+    base = _clip(21)
+    rows = [
+        (1, bytearray(mm.encode_wav(base))),
+        (2, bytearray(mm.encode_wav(_gain(base, 0.8)))),  # gain-shifted copy
+        (3, bytearray(mm.encode_wav(_clip(22)))),  # unrelated
+        (4, bytearray(b"RIFFgarbage-not-a-wav")),  # corrupt
+        (5, bytearray(mm.encode_wav(_clip(23)[:40]))),  # too short to hash
+    ]
+    assets = spark.createDataFrame(rows, "asset_id bigint, payload binary")
+    hashes = mm.audiohash_assets(assets)
+    got = {r["asset_id"]: r for r in hashes.collect()}
+    assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"]
+    assert not got[4]["ok"] and got[4]["ahash"] is None
+    assert not got[5]["ok"] and "block" in got[5]["err"]
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in mm.audiohash_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_audiohash_spark_matches_local(spark):
+    """The mapInPandas fingerprint equals a driver-side recompute from
+    the same payloads — no executor-side drift (stdlib-only decode)."""
+    docs = spark.createDataFrame(
+        [(i, "some repeated text content " * 8) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    wavs = mm.build_wav_assets(docs)
+    hashes = {
+        r["asset_id"]: r["ahash"]
+        for r in mm.audiohash_assets(wavs).where("ok").collect()
+    }
+    for r in wavs.collect():
+        local = mm.audiohash64(mm.decode_wav_samples(bytes(r["payload"])))
+        assert hashes[r["asset_id"]] == local

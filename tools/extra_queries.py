@@ -179,6 +179,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r=8,b=8 production banding at a production threshold.
         "semdedup_survivors_scaled": _q_semdedup_survivors_scaled,
         "dedup_embedding_pairs_production": _q_dedup_embedding_pairs_production,
+        # r11: the audio fingerprint family (X5, third modality) —
+        # REAL WAV encode → PCM decode → energy-sign hash → banded
+        # hamming pairs; the twin replays the hash from the samples
+        # (= the text bytes, PCM is lossless), so any codec bug breaks
+        # the hash match. The ledger row runs the same cross-release
+        # split as the image phash ledger row, on the shared machinery
+        # (signal="audio" meta flavor).
+        "multimodal_audiohash_pairs": _q_multimodal_audiohash_pairs,
+        "multimodal_audiohash_ledger_pairs": _q_multimodal_audiohash_ledger_pairs,
     }
 
 
@@ -218,6 +227,38 @@ def _q_multimodal_phash_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
     ddm.build_phash_ledger(hashes.where("asset_id % 3 = 0"), path, release=0)
     ddm.append_phash_ledger(hashes.where("asset_id % 3 = 1"), path, release=1)
     return ddm.ledger_phash_pairs(s, hashes.where("asset_id % 3 = 2"), path)
+
+
+def _q_multimodal_audiohash_pairs(s: SparkSession, d: str) -> DataFrame:
+    """Audio near-dup over real WAV clips derived from the documents
+    fixture: encode (lossless 8-bit PCM) → stdlib wave decode →
+    energy-sign hash → banded hamming pairs via the shared pigeonhole
+    engine."""
+    docs = load_table(s, d, "documents")
+    hashes = mm.audiohash_assets(mm.build_wav_assets(docs))
+    return mm.audiohash_pairs(hashes, max_hamming=6)
+
+
+def _q_multimodal_audiohash_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
+    """The audio admission ledger end to end on the shared phash-ledger
+    machinery (signal="audio"): fingerprints of the doc_id%3∈{0,1}
+    clips persist as two releases, the %3==2 batch probes. EXACT by
+    the pigeonhole property, so the twin is the plain cross-release
+    hamming join over replayed hashes."""
+    import tempfile
+
+    docs = load_table(s, d, "documents")
+    hashes = (
+        mm.audiohash_assets(mm.build_wav_assets(docs))
+        .withColumnRenamed("ahash", "phash")
+        .localCheckpoint()
+    )
+    path = tempfile.mkdtemp(prefix="oracle_ahled_") + "/led"
+    dd.build_phash_ledger(
+        hashes.where("asset_id % 3 = 0"), path, release=0, signal="audio"
+    )
+    dd.append_phash_ledger(hashes.where("asset_id % 3 = 1"), path, release=1)
+    return dd.ledger_phash_pairs(s, hashes.where("asset_id % 3 = 2"), path)
 
 
 def _q_semdedup_survivors_scaled(s: SparkSession, d: str) -> DataFrame:
@@ -1536,7 +1577,69 @@ WHERE {_cosp} >= 0.8
     sql["multimodal_phash_ledger_pairs"] = _phash_ledger_pairs_sql(
         max_hamming=6
     )
+
+    # r11 audio-fingerprint twins: WAV 8-bit PCM is lossless, so the
+    # decoded samples ARE the first 130 text bytes; the twin recomputes
+    # the energy-sign hash bit-for-bit (65 equal 2-frame blocks at
+    # n=130, so the cross-multiplied comparison reduces to a plain
+    # block-energy comparison; two's-complement BIGINT packing for bit
+    # 63) and pairs all-pairs — the oracle may brute-force what the
+    # engine bands.
+    sql["multimodal_audiohash_pairs"] = _audiohash_pairs_sql(max_hamming=6)
+    sql["multimodal_audiohash_ledger_pairs"] = _audiohash_ledger_pairs_sql(
+        max_hamming=6
+    )
     return sql
+
+
+_AUDIOHASH_H_CTE = """
+WITH v AS (
+  SELECT doc_id, i, (ord(substr(text, i::INT + 1, 1)) - 128)::BIGINT AS v
+  FROM (SELECT doc_id, text, unnest(range(0, 130)) AS i
+        FROM documents WHERE octet_length(encode(text)) >= 130)
+),
+e AS (
+  SELECT doc_id, (i // 2)::INT AS block, sum(v * v) AS en
+  FROM v GROUP BY 1, 2
+),
+b AS (
+  SELECT a.doc_id, a.block AS k, (a.en > c.en) AS bit
+  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.block = a.block + 1
+  WHERE a.block < 64
+),
+h AS (
+  SELECT doc_id,
+         sum(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
+       + sum(CASE WHEN bit AND k = 63 THEN (-9223372036854775807 - 1) ELSE 0 END)
+         AS ahash
+  FROM b GROUP BY doc_id
+)
+"""
+
+
+def _audiohash_pairs_sql(max_hamming: int) -> str:
+    """DuckDB twin of build_wav_assets → audiohash_assets →
+    audiohash_pairs at the default 130-sample 8-bit mono fixture: bit k
+    compares block k's energy (sum of squared centered samples, blocks
+    = 2 consecutive text bytes) against block k+1's."""
+    return f"""{_AUDIOHASH_H_CTE}
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}
+"""
+
+
+def _audiohash_ledger_pairs_sql(max_hamming: int) -> str:
+    """Twin of the audio LEDGER probe: the energy-sign hash over the
+    cross-release split (batch = doc_id%3==2, ledger = %3 in (0,1)),
+    each (batch, ledger) pair once — the probe's output shape."""
+    return f"""{_AUDIOHASH_H_CTE}
+SELECT b.doc_id AS asset_id, l.doc_id AS ledger_asset,
+       bit_count(xor(b.ahash, l.ahash))::INT AS hamming
+FROM h b JOIN h l ON b.doc_id % 3 = 2 AND l.doc_id % 3 IN (0, 1)
+WHERE bit_count(xor(b.ahash, l.ahash)) <= {max_hamming}
+"""
 
 
 def _phash_ledger_pairs_sql(
