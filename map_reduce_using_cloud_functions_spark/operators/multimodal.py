@@ -563,7 +563,15 @@ def phash_assets(assets: DataFrame, grid: int = 8) -> DataFrame:
                     )
             if rows:
                 out = pd.DataFrame(rows)
-                out["phash"] = out["phash"].astype("Int64")
+                # build the nullable-int column from the PYTHON ints,
+                # never astype from the inferred column: a batch with
+                # one ok=false row infers float64 (None -> NaN), and a
+                # float64 round-trip silently mangles the low bits of
+                # every hash above 2^53 — found by the r11 corrupt-
+                # payload fuzzer, invisible on all-ok batches
+                out["phash"] = pd.array(
+                    [r["phash"] for r in rows], dtype="Int64"
+                )
                 yield out
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -775,7 +783,11 @@ def audiohash_assets(assets: DataFrame) -> DataFrame:
                     )
             if rows:
                 out = pd.DataFrame(rows)
-                out["ahash"] = out["ahash"].astype("Int64")
+                # from the Python ints, never astype from an inferred
+                # float64 column — see phash_assets (2^53 mangling)
+                out["ahash"] = pd.array(
+                    [r["ahash"] for r in rows], dtype="Int64"
+                )
                 yield out
 
     return assets.select("asset_id", "payload").mapInPandas(

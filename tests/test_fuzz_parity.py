@@ -752,3 +752,147 @@ def test_invalid_json_extraction_contract(spark):
     r = roll[0]
     # all 7 rows counted; only the single valid fragment aggregates
     assert (r["n"], r["sum_k"], r["avg_k"]) == (7, 7, 7.0)
+
+
+# --- r11: fingerprint twins (image dHash / audio energy-sign hash) ---------
+#
+# The phash/audiohash oracle twins replay the hash from the fixture
+# text bytes (PNG/PCM losslessness), so their divergence axes are byte
+# patterns, eligibility-length boundaries (72 pixels / 130 samples),
+# near-identical edits (boundary hamming distances around the
+# max_hamming=6 threshold), and exact duplicates (hamming 0). ASCII
+# only BY CONTRACT: the fixture builders slice text BYTES while the
+# SQL twins index CHARACTERS (ord(substr)) — identical exactly on
+# ASCII, which the shipped fixtures are; multibyte inputs are the
+# documented boundary of the twin, not an engine divergence.
+
+FUZZ_FINGERPRINT_QUERIES = [
+    "multimodal_phash_pairs",
+    "multimodal_phash_ledger_pairs",
+    "multimodal_audiohash_pairs",
+    "multimodal_audiohash_ledger_pairs",
+]
+
+_ASCII = [chr(c) for c in range(32, 127)] + ["\x01", "\x1b", "\x7f"]
+
+
+def _write_ascii_documents(rng: random.Random, path: str, n: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts: list[str | None] = []
+    for _ in range(n):
+        roll = rng.random()
+        if roll < 0.05:
+            texts.append(None)
+            continue
+        # lengths straddling BOTH eligibility boundaries (the 9x8 image
+        # needs 72 bytes, the 65-block clip needs 130)
+        length = rng.choice([0, 5, 71, 72, 73, 100, 129, 130, 131, 200])
+        texts.append("".join(rng.choice(_ASCII) for _ in range(length)))
+    # planted near-identical pairs: 1-3 byte edits of an eligible text —
+    # across seeds the resulting hamming distances bracket the
+    # admission threshold from both sides
+    for _ in range(max(3, n // 8)):
+        i, j = rng.randrange(n), rng.randrange(n)
+        if i != j and texts[i] and len(texts[i]) >= 72:
+            t = list(texts[i])
+            for _ in range(rng.randrange(1, 4)):
+                t[rng.randrange(len(t))] = rng.choice(_ASCII)
+            texts[j] = "".join(t)
+    if n >= 2 and texts[0]:
+        texts[1] = texts[0]  # at least one exact duplicate (hamming 0)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    [rng.choice(LANGS) for _ in range(n)], pa.string()
+                ),
+                "source": pa.array(
+                    [rng.choice(SOURCES) for _ in range(n)], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else None for t in texts],
+                    pa.int64(),
+                ),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 211, 307])
+def test_fuzz_fingerprint_twin_parity(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    _write_ascii_documents(rng, str(tmp_path / "documents.parquet"), 90)
+    _run_twins(spark, str(tmp_path), FUZZ_FINGERPRINT_QUERIES, ["documents"])
+
+
+@pytest.mark.parametrize("seed", [113, 223])
+def test_fuzz_corrupt_media_payloads_never_diverge(spark, tmp_path, seed):
+    """Truncated / bit-flipped / junk-trailed PNG and WAV payloads
+    through the fingerprint operators: every row must either hash
+    ok=true EQUAL to a driver-side recompute (same pinned decoder) or
+    surface ok=false — and the stage must never fail. Undersized media
+    (below the 9x8 pixel grid / 65-sample block partition) must land
+    ok=false, not crash."""
+    import numpy as np
+
+    from map_reduce_using_cloud_functions_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = random.Random(seed)
+    pngs, wavs = [], []
+    for i in range(50):
+        nprng = np.random.default_rng(seed * 1000 + i)
+        h, w = int(nprng.integers(2, 24)), int(nprng.integers(2, 24))
+        shape = (h, w) if nprng.integers(0, 2) else (h, w, 3)
+        png = mm.encode_png(nprng.integers(0, 256, shape, dtype=np.uint8))
+        wav = mm.encode_wav(
+            nprng.integers(0, 256, int(nprng.integers(2, 300)), dtype=np.uint8)
+        )
+        for payloads, payload in ((pngs, png), (wavs, wav)):
+            roll = rng.random()
+            if roll < 0.3:
+                payload = payload[: rng.randrange(1, len(payload))]
+            elif roll < 0.5:
+                b = bytearray(payload)
+                b[rng.randrange(len(b))] ^= 0xFF
+                payload = bytes(b)
+            elif roll < 0.6:
+                payload += bytes([rng.randrange(256)]) * rng.randrange(1, 12)
+            payloads.append((i, payload))
+
+    use_pil = mm._pil_available()
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in pngs], "asset_id bigint, payload binary"
+    )
+    got = {r["asset_id"]: r for r in mm.phash_assets(df).collect()}
+    for i, p in pngs:
+        try:
+            want = mm.dhash64(mm.decode_png_pixels(p, use_pil=use_pil))
+        except Exception:
+            want = None
+        row = got[i]
+        if want is None:
+            assert not row["ok"] and row["phash"] is None, (i, row)
+        else:
+            assert row["ok"] and row["phash"] == want, (i, row)
+
+    dfw = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in wavs], "asset_id bigint, payload binary"
+    )
+    gotw = {r["asset_id"]: r for r in mm.audiohash_assets(dfw).collect()}
+    for i, p in wavs:
+        try:
+            want = mm.audiohash64(mm.decode_wav_samples(p))
+        except Exception:
+            want = None
+        row = gotw[i]
+        if want is None:
+            assert not row["ok"] and row["ahash"] is None, (i, row)
+        else:
+            assert row["ok"] and row["ahash"] == want, (i, row)
