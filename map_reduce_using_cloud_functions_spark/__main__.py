@@ -254,8 +254,15 @@ def _build_parser() -> argparse.ArgumentParser:
     td.add_argument(
         "--phash-ledger",
         default=None,
-        help="perceptual-hash (image) admission ledger path (retracted "
-        "assets stop gating perceptually)",
+        help="perceptual-hash (image/audio) admission ledger path "
+        "(retracted assets stop gating perceptually)",
+    )
+    td.add_argument(
+        "--ann-index",
+        default=None,
+        help="persisted ANN index path (any family with a tombstone "
+        "read path): retracted vectors stop serving at the next "
+        "committed read",
     )
 
     ai = sub.add_parser(
@@ -332,6 +339,19 @@ def _build_parser() -> argparse.ArgumentParser:
         default=0.25,
         help="deterministic hash-sample fraction for the percentiles",
     )
+
+    fr = sub.add_parser(
+        "front-door-report",
+        help="admission accounting from the committed artifacts: "
+        "per-release admitted counts, per-strength ledger state "
+        "(params, release fan-out, docs/release, band fan-in), index "
+        "watermark/pending tail — JSON on stdout",
+    )
+    fr.add_argument("--survivors", default=None)
+    fr.add_argument("--ledger", default=None, help="minhash admission ledger")
+    fr.add_argument("--semantic-ledger", default=None)
+    fr.add_argument("--phash-ledger", default=None)
+    fr.add_argument("--index", default=None, help="composed front door's word index")
 
     li = sub.add_parser(
         "ledger-info",
@@ -587,6 +607,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     sort_keys=True,
                 )
             )
+        elif args.cmd == "front-door-report":
+            import json as _json
+
+            from .streaming.report import front_door_report
+
+            if not (
+                args.survivors
+                or args.ledger
+                or args.semantic_ledger
+                or args.phash_ledger
+                or args.index
+            ):
+                print(
+                    "front-door-report: pass at least one of --survivors/"
+                    "--ledger/--semantic-ledger/--phash-ledger/--index",
+                    file=sys.stderr,
+                )
+                return 2
+            print(
+                _json.dumps(
+                    front_door_report(
+                        spark,
+                        survivors_path=args.survivors,
+                        ledger_path=args.ledger,
+                        semantic_ledger_path=args.semantic_ledger,
+                        phash_ledger_path=args.phash_ledger,
+                        index_path=args.index,
+                    ),
+                    sort_keys=True,
+                )
+            )
         elif args.cmd == "ledger-info":
             import json as _json
 
@@ -624,11 +675,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 or args.survivors
                 or args.semantic_ledger
                 or args.phash_ledger
+                or args.ann_index
             ):
                 print(
                     "takedown: pass at least one of --index/--ledger/"
-                    "--survivors/--semantic-ledger/--phash-ledger "
-                    "(nothing to retract from)",
+                    "--survivors/--semantic-ledger/--phash-ledger/"
+                    "--ann-index (nothing to retract from)",
                     file=sys.stderr,
                 )
                 return 2
@@ -643,13 +695,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 or args.survivors
                 or args.semantic_ledger
                 or args.phash_ledger
+                or args.ann_index
             ):
                 try:
                     numeric = [int(d) for d in args.doc_ids]
                 except ValueError:
                     print(
-                        "takedown: --ledger/--survivors/--semantic-ledger "
-                        "key on numeric doc_id; got a non-numeric id",
+                        "takedown: --ledger/--survivors/--semantic-ledger"
+                        "/--phash-ledger/--ann-index key on numeric "
+                        "doc_id; got a non-numeric id",
                         file=sys.stderr,
                     )
                     return 2
@@ -675,6 +729,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(
                     f"unlisted {len(numeric)} asset(s) from perceptual "
                     f"ledger {args.phash_ledger}"
+                )
+            if args.ann_index:
+                from .operators.ann_commit import delete_vectors
+
+                v = delete_vectors(spark, args.ann_index, numeric)
+                print(
+                    f"tombstoned {len(numeric)} vector(s) in ANN index "
+                    f"{args.ann_index} (v={v})"
                 )
             if args.survivors:
                 from .operators.dedup import delete_from_survivors

@@ -1,0 +1,96 @@
+"""Front-door observability (r11, verdict task 7): one admission
+report over the COMMITTED artifacts — the accounting the r10 semantic
+soak computed ad hoc, as a first-class operator.
+
+Everything here is read from what the door already persists (survivors
+release partitions, each ledger's meta/data/bands, the versioned index
+watermark): deterministic, replayable, zero instrumentation in the hot
+path. Refusals are NOT persisted by design (a refused document leaves
+no artifact — that is the door's storage contract), so the report
+derives them per release when the caller supplies the landing batch
+sizes, and otherwise reports admitted volumes and per-strength ledger
+growth, which at steady state is the same curve.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _ledger_section(spark, path: str) -> dict:
+    from ..operators.dedup import ledger_info
+
+    info = ledger_info(spark, path)
+    data_dir = {"minhash": "sigs", "embedding": "vecs", "phash": "prints"}[
+        info["kind"]
+    ]
+    per_release = {}
+    if info["releases"]:
+        rows = (
+            spark.read.parquet(f"{path}/{data_dir}")
+            .groupBy("release")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_release = {int(r["release"]): int(r["n"]) for r in rows}
+    info["per_release"] = per_release
+    return info
+
+
+def front_door_report(
+    spark,
+    survivors_path: str | None = None,
+    ledger_path: str | None = None,
+    semantic_ledger_path: str | None = None,
+    phash_ledger_path: str | None = None,
+    index_path: str | None = None,
+    batch_sizes: dict[int, int] | None = None,
+) -> dict:
+    """Admission accounting from the committed artifacts: per-release
+    admitted counts (survivors partitions), per-strength ledger state
+    (sketch params, release fan-out, docs per release, band-directory
+    fan-in a probe pays — the number ``ledger-compact`` resets), and
+    the composed index's watermark/pending tail. ``batch_sizes``
+    (release → landed count, e.g. from the producer's manifest) adds
+    per-release refusal counts."""
+    report: dict = {}
+    if survivors_path is not None:
+        rows = (
+            spark.read.parquet(survivors_path)
+            .groupBy("release")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        admitted = {int(r["release"]): int(r["n"]) for r in rows}
+        report["admitted_per_release"] = dict(sorted(admitted.items()))
+        report["admitted_total"] = sum(admitted.values())
+        if batch_sizes:
+            report["refused_per_release"] = {
+                int(rel): int(n) - admitted.get(int(rel), 0)
+                for rel, n in sorted(batch_sizes.items())
+            }
+    strengths = {
+        "minhash_ledger": ledger_path,
+        "semantic_ledger": semantic_ledger_path,
+        "phash_ledger": phash_ledger_path,
+    }
+    for key, path in strengths.items():
+        if path is not None:
+            report[key] = _ledger_section(spark, path)
+    if index_path is not None:
+        from ..operators.index import (
+            _resolve_version,
+            index_size_info,
+            pending_additive_batches,
+        )
+
+        _base, folded, version = _resolve_version(spark, index_path)
+        info = index_size_info(spark, index_path)
+        report["index"] = {
+            "version": version,
+            "folded_through": folded,
+            "pending_batches": pending_additive_batches(spark, index_path),
+            "base_bytes": info["base_bytes"],
+            "tail_bytes": info["tail_bytes"],
+        }
+    return report

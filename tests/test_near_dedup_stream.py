@@ -1030,3 +1030,119 @@ def test_front_door_all_gates_composed(spark, tmp_path):
     } == {"13"}
     assert ix.lookup_persisted(spark, idx, "today").count() == 0  # lexical reject
     assert ix.lookup_persisted(spark, idx, "zz").count() == 0  # quality reject
+
+
+def test_front_door_report_accounts_for_all_artifacts(spark, tmp_path, capsys):
+    """r11 observability: one report over the committed artifacts —
+    per-release admitted counts equal to the survivors partitions,
+    per-strength ledger state, index watermark — plus refusal math when
+    the caller supplies landing batch sizes; the CLI verb prints the
+    same as JSON."""
+    import json as _json
+
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+    from map_reduce_using_cloud_functions_spark.streaming.report import (
+        front_door_report,
+    )
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    index = str(tmp_path / "idx")
+    sled = str(tmp_path / "sled")
+    ckpt = str(tmp_path / "ck")
+
+    batches = [
+        [(1, TEXT_A), (2, TEXT_A), (3, TEXT_B)],  # 2 admitted
+        [(10, TEXT_A_NEAR), (11, TEXT_C)],  # 1 admitted
+        [(20, TEXT_B), (21, TEXT_C + " with a fresh unique tail")],  # 0
+    ]
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_front_door_stream,
+    )
+
+    for i, rows in enumerate(batches):
+        _write_jsonl(watch, f"b{i}.jsonl", rows)
+        q = start_front_door_stream(
+            spark,
+            streaming_corpus_from_jsonl(spark, watch),
+            ledger,
+            survivors,
+            index,
+            ckpt,
+            semantic_ledger_path=sled,
+        )
+        q.awaitTermination(180)
+
+    report = front_door_report(
+        spark,
+        survivors_path=survivors,
+        ledger_path=ledger,
+        semantic_ledger_path=sled,
+        index_path=index,
+        batch_sizes={0: 3, 1: 2, 2: 2},
+    )
+    assert report["admitted_per_release"] == {0: 2, 1: 1}
+    assert report["admitted_total"] == 3
+    assert report["refused_per_release"] == {0: 1, 1: 1, 2: 2}
+    assert report["minhash_ledger"]["kind"] == "minhash"
+    # an all-refused batch ships no rows, so no release partition
+    # exists for it — absence IS the record (dynamic overwrite layout)
+    assert report["minhash_ledger"]["releases"] == [0, 1]
+    assert report["minhash_ledger"]["per_release"] == {0: 2, 1: 1}
+    assert report["semantic_ledger"]["kind"] == "embedding"
+    assert report["index"]["folded_through"] is not None
+    assert report["index"]["base_bytes"] > 0
+
+    rc = main(
+        [
+            "front-door-report",
+            "--survivors",
+            survivors,
+            "--ledger",
+            ledger,
+            "--semantic-ledger",
+            sled,
+            "--index",
+            index,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # JSON round-trip stringifies int keys — compare on values
+    assert out["admitted_total"] == 3
+    assert out["admitted_per_release"] == {"0": 2, "1": 1}
+    assert out["minhash_ledger"]["releases"] == [0, 1]
+    assert "refused_per_release" not in out  # no batch sizes given
+
+    # the phash strength reports through the same door
+    from map_reduce_using_cloud_functions_spark.operators import (
+        multimodal as mm,
+    )
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        admit_assets_batch,
+    )
+    import numpy as np
+
+    pled = str(tmp_path / "pled")
+    psur = str(tmp_path / "pout")
+    png = mm.encode_png(
+        np.random.default_rng(5).integers(0, 256, (16, 16), dtype=np.uint8)
+    )
+    admit_assets_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, bytearray(png))], "asset_id bigint, payload binary"
+        ),
+        pled,
+        psur,
+        batch_id=0,
+    )
+    rep2 = front_door_report(
+        spark, survivors_path=psur, phash_ledger_path=pled
+    )
+    assert rep2["admitted_per_release"] == {0: 1}
+    assert rep2["phash_ledger"]["kind"] == "phash"
+    assert rep2["phash_ledger"]["signal"] == "image"
+    assert rep2["phash_ledger"]["per_release"] == {0: 1}
