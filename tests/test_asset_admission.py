@@ -334,3 +334,44 @@ def test_audio_admission_refuses_transformed_copies(spark, tmp_path):
         admit_assets_batch(
             spark, b1, ledger, survivors, batch_id=2, signal="image"
         )
+
+
+def test_cli_admit_assets_audio_stream(spark, tmp_path):
+    """The audio modality through the FULL streaming path: WAV files
+    land, `admit-assets --pattern '*.wav' --signal audio --once`
+    drains them, a second drain refuses a gain-shifted copy of an
+    admitted clip and admits a fresh one — closing the
+    image/audio × batch/stream matrix."""
+    import tests.test_multimodal as tmm
+
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    base = tmm._clip(41)
+    fresh = tmm._clip(42)
+    with open(os.path.join(watch, "1.wav"), "wb") as f:
+        f.write(mm.encode_wav(base))
+    args = [
+        "admit-assets",
+        watch,
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        "--pattern",
+        "*.wav",
+        "--signal",
+        "audio",
+        "--once",
+    ]
+    assert main(args, spark=spark) == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1}}
+
+    with open(os.path.join(watch, "10.wav"), "wb") as f:
+        f.write(mm.encode_wav(tmm._gain(base, 0.8)))
+    with open(os.path.join(watch, "11.wav"), "wb") as f:
+        f.write(mm.encode_wav(fresh))
+    assert main(args, spark=spark) == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1}, 1: {11}}
+    meta = dd.load_phash_ledger_meta(spark, str(tmp_path / "ledger"))
+    assert meta["signal"] == "audio"
