@@ -193,22 +193,25 @@ def _build_parser() -> argparse.ArgumentParser:
     aa.add_argument(
         "--grid",
         type=int,
-        default=8,
-        help="dHash grid (grid² fingerprint bits; ledger meta wins "
-        "once the ledger exists)",
+        default=None,
+        help="dHash grid (grid² fingerprint bits). Unset: adopt the "
+        "existing ledger's stored grid, or 8 for a fresh ledger. Set: "
+        "must MATCH an existing ledger (geometry is its identity)",
     )
     aa.add_argument(
         "--max-hamming",
         type=int,
-        default=6,
-        help="near-dup threshold in fingerprint bits (default 6)",
+        default=None,
+        help="near-dup threshold in fingerprint bits (unset: stored "
+        "meta, or 6 fresh; set: must match an existing ledger)",
     )
     aa.add_argument(
         "--signal",
         choices=("image", "audio"),
-        default="image",
-        help="fingerprint modality: image (PNG dHash) or audio "
-        "(WAV energy-sign hash)",
+        default=None,
+        help="fingerprint modality: image (PNG dHash) or audio (WAV "
+        "energy-sign hash). Unset: stored meta, or image fresh; set: "
+        "must match an existing ledger",
     )
     aa.add_argument(
         "--once",
@@ -790,9 +793,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             except KeyboardInterrupt:
                 q.stop()
         elif args.cmd == "admit-assets":
+            from .operators.dedup import (
+                ledger_exists,
+                load_phash_ledger_meta,
+            )
             from .streaming.near_dedup import start_asset_admission_stream
             from .streaming.prep import streaming_assets_from_dir
 
+            # unset flags ADOPT an existing ledger's stored meta (the
+            # common restart case needs no flag restating); explicitly
+            # set flags still refuse a mismatch downstream
+            stored = (
+                load_phash_ledger_meta(spark, args.ledger_path)
+                if ledger_exists(spark, args.ledger_path)
+                else {"grid": 8, "max_hamming": 6, "signal": "image"}
+            )
+            grid = args.grid if args.grid is not None else stored["grid"]
+            max_hamming = (
+                args.max_hamming
+                if args.max_hamming is not None
+                else stored["max_hamming"]
+            )
+            signal = (
+                args.signal if args.signal is not None else stored["signal"]
+            )
             q = start_asset_admission_stream(
                 spark,
                 streaming_assets_from_dir(
@@ -801,13 +825,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.ledger_path,
                 args.survivors_path,
                 args.checkpoint_dir,
-                grid=args.grid,
-                max_hamming=args.max_hamming,
-                signal=args.signal,
+                grid=grid,
+                max_hamming=max_hamming,
+                signal=signal,
                 available_now=args.once,
             )
             print(
-                f"admitting {args.signal} assets {args.watch_dir} -> "
+                f"admitting {signal} assets {args.watch_dir} -> "
                 f"{args.survivors_path} (phash ledger {args.ledger_path}"
                 + (", draining once)" if args.once else "; ctrl-c to stop)")
             )

@@ -1416,11 +1416,14 @@ def _require_ledger_kind(spark, path: str, want: str, op: str) -> None:
         )
 
 
-def ledger_info(spark, path: str) -> dict:
+def ledger_info(spark, path: str, count_docs: bool = True) -> dict:
     """Operational snapshot of a ledger (any flavor): sketch
     parameters, release ids (``-1`` = the folded-history partition),
     doc count, and the band-directory fan-out a probe pays — the
-    number compaction resets."""
+    number compaction resets. ``count_docs=False`` skips the data-dir
+    scan (``n_docs`` reads 0) for callers that derive counts from
+    their own pass over the same relation (``front_door_report``
+    aggregates per release and sums — one scan instead of two)."""
     kind = ledger_kind(spark, path)
     if kind == "minhash":
         meta = load_ledger_meta(spark, path)
@@ -1435,7 +1438,8 @@ def ledger_info(spark, path: str) -> dict:
     n_docs = 0
     band_dirs = 0
     if releases:
-        n_docs = spark.read.parquet(f"{path}/{data_dir}").count()
+        if count_docs:
+            n_docs = spark.read.parquet(f"{path}/{data_dir}").count()
         from .index import _hadoop_fs, _hadoop_path
 
         bands = f"{path}/bands"

@@ -60,13 +60,25 @@ def _bucketize(col_name: str, breaks: list[float]) -> Column:
     bs = [float(b) for b in breaks]
     v = f"cast(`{col_name.replace('`', '``')}` as double)"
 
+    def lit(b: float) -> str:
+        # repr() of non-finite doubles ('inf', 'nan') is not SQL — a
+        # column whose quantiles include them (perfectly legal input;
+        # the r10 array filter handled it) must not break the parse
+        if b != b:
+            return "cast('NaN' as double)"
+        if b == float("inf"):
+            return "cast('Infinity' as double)"
+        if b == float("-inf"):
+            return "cast('-Infinity' as double)"
+        return f"{b!r}D"
+
     def search(lo: int, hi: int) -> str:
         # invariant: the answer (count of breaks <= value) is in [lo, hi]
         if lo == hi:
             return str(lo)
         mid = (lo + hi + 1) // 2
         return (
-            f"if({v} >= {bs[mid - 1]!r}D, {search(mid, hi)}, "
+            f"if({v} >= {lit(bs[mid - 1])}, {search(mid, hi)}, "
             f"{search(lo, mid - 1)})"
         )
 
@@ -134,7 +146,10 @@ def zorder_key(
       (``quantile_sample_rows``, default 100k: a 100 TB write cannot
       GK-sketch every row for 255 boundaries, and boundary error only
       shifts bucket BALANCE, never answers — pass ``None`` to sketch
-      every row). Linear stays the default because its bounds agg is
+      every row; deriving the sample fraction costs one ``count()``
+      of the input, metadata-cheap on file sources but a full pass on
+      an expensive uncached lineage, where ``None`` may be the better
+      trade). Linear stays the default because its bounds agg is
       one cheap pass and its key is pure arithmetic."""
     if not (1 <= bits <= 16):
         raise ValueError(f"bits must be in [1, 16], got {bits}")

@@ -612,10 +612,20 @@ def phash_for_ledger(spark, assets: DataFrame, ledger_path: str) -> DataFrame:
     grid (a grid-4 batch against a grid-8 ledger yields meaningless
     hamming distances and wrong gating), so probe batches must be
     fingerprinted with ``meta['grid']`` — which is exactly what this
-    helper (and the streaming ``admit_assets_batch``) does."""
+    helper (and the streaming ``admit_assets_batch``) does. Refuses a
+    non-image ledger: dHashing images against an audio ledger would be
+    exactly the undetectable cross-modality mixup the ``signal`` meta
+    column exists to stop."""
     from .dedup import load_phash_ledger_meta
 
     meta = load_phash_ledger_meta(spark, ledger_path)
+    if meta["signal"] != "image":
+        raise ValueError(
+            f"phash_for_ledger: {ledger_path} is a {meta['signal']!r} "
+            "ledger — image dHashes cannot probe it (hamming between "
+            "modalities is meaningless); fingerprint with "
+            "audiohash_assets instead."
+        )
     return phash_assets(assets, grid=meta["grid"])
 
 

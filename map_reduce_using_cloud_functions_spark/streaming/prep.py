@@ -147,10 +147,12 @@ def streaming_assets_from_dir(
     files ``<id>.png`` (the deterministic spelling the tests and the
     survivors' replay discipline prefer), else a stable 64-bit hash of
     the basename — either way a pure function of the file name, so a
-    replayed batch re-derives identical ids. Compose with
-    ``start_asset_admission_stream`` for the perceptually-gated front
-    door."""
-    from ..functions.hashing import hex64
+    replayed batch re-derives identical ids. Stems longer than 18
+    digits (past bigint range) take the hash path — a bare ``cast``
+    would yield NULL there, and a NULL id silently falls out of the
+    admitted semi-join while its fingerprint still gates (found in the
+    r11 review). Producers relying on numeric stems own their
+    uniqueness (``007.png`` and ``7.png`` are the same id)."""
 
     # binaryFile's schema is FIXED by the format, but streaming file
     # sources require it stated explicitly (no inference on streams)
@@ -165,13 +167,23 @@ def streaming_assets_from_dir(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(path)
-    base = F.element_at(F.split(F.col("path"), "/"), -1)
-    stem = F.regexp_extract(base, r"^(\d+)\.[^.]+$", 1)
-    asset_id = F.when(stem != F.lit(""), stem.cast("long")).otherwise(
-        hex64(base)
-    )
     return stream.select(
-        asset_id.alias("asset_id"),
+        _asset_id_expr(F.col("path")).alias("asset_id"),
         F.col("content").alias("payload"),
         F.col("path").alias("source_path"),
+    )
+
+
+def _asset_id_expr(path_col):
+    """Deterministic asset id from a file path: numeric stem when it
+    fits a bigint (≤ 18 digits — past that a cast returns NULL, and a
+    NULL id would silently drop the asset from the admitted semi-join
+    while its fingerprint still gates), else a stable 64-bit hash of
+    the basename. Coalesce is belt-and-braces under ANSI mode."""
+    from ..functions.hashing import hex64
+
+    base = F.element_at(F.split(path_col, "/"), -1)
+    stem = F.regexp_extract(base, r"^(\d{1,18})\.[^.]+$", 1)
+    return F.coalesce(
+        F.when(stem != F.lit(""), stem.cast("long")), hex64(base)
     )

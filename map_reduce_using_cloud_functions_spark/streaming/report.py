@@ -20,7 +20,9 @@ import pyspark.sql.functions as F
 def _ledger_section(spark, path: str) -> dict:
     from ..operators.dedup import ledger_info
 
-    info = ledger_info(spark, path)
+    # count_docs=False: the per-release groupBy below is the ONE scan
+    # of the data dir — n_docs is its sum, not a second full read
+    info = ledger_info(spark, path, count_docs=False)
     data_dir = {"minhash": "sigs", "embedding": "vecs", "phash": "prints"}[
         info["kind"]
     ]
@@ -34,6 +36,7 @@ def _ledger_section(spark, path: str) -> dict:
         )
         per_release = {int(r["release"]): int(r["n"]) for r in rows}
     info["per_release"] = per_release
+    info["n_docs"] = sum(per_release.values())
     return info
 
 

@@ -375,3 +375,87 @@ def test_cli_admit_assets_audio_stream(spark, tmp_path):
     assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1}, 1: {11}}
     meta = dd.load_phash_ledger_meta(spark, str(tmp_path / "ledger"))
     assert meta["signal"] == "audio"
+
+
+def test_asset_id_expr_overflow_and_fallback(spark):
+    """r11 review finding: a >18-digit numeric stem must take the
+    hash path, not cast to a NULL id (a NULL id silently drops the
+    asset from the admitted semi-join while its fingerprint gates)."""
+    from map_reduce_using_cloud_functions_spark.streaming.prep import (
+        _asset_id_expr,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("dir/7.png",),
+            ("dir/12345678901234567890.png",),  # > bigint range
+            ("dir/banner.png",),  # non-numeric stem
+            ("dir/123456789012345678.png",),  # exactly 18 digits: fits
+        ],
+        "path string",
+    )
+    got = df.select(
+        "path", _asset_id_expr(F.col("path")).alias("asset_id")
+    ).collect()
+    ids = {r["path"].split("/")[-1]: r["asset_id"] for r in got}
+    assert ids["7.png"] == 7
+    assert ids["123456789012345678.png"] == 123456789012345678
+    assert ids["12345678901234567890.png"] is not None  # hashed, not NULL
+    assert ids["banner.png"] is not None
+    assert len(set(ids.values())) == 4
+
+
+def test_phash_for_ledger_refuses_audio_ledger(spark, tmp_path):
+    """r11 review finding: the 'safe on-ramp' must refuse a non-image
+    ledger instead of dHashing images against audio fingerprints."""
+    import tests.test_multimodal as tmm
+
+    led = str(tmp_path / "aled")
+    hashes = mm.audiohash_assets(
+        spark.createDataFrame(
+            [(1, bytearray(mm.encode_wav(tmm._clip(51))))],
+            "asset_id bigint, payload binary",
+        )
+    ).withColumnRenamed("ahash", "phash")
+    dd.build_phash_ledger(hashes, led, signal="audio")
+    img = spark.createDataFrame(
+        [(2, bytearray(PNG_A))], "asset_id bigint, payload binary"
+    )
+    with pytest.raises(ValueError, match="audio"):
+        mm.phash_for_ledger(spark, img, led)
+    # and the image spelling still works on an image ledger
+    iled = str(tmp_path / "iled")
+    dd.build_phash_ledger(mm.phash_assets(img), iled)
+    assert mm.phash_for_ledger(spark, img, iled).count() == 1
+
+
+def test_cli_admit_assets_adopts_stored_meta(spark, tmp_path):
+    """r11 review finding: restarting admit-assets WITHOUT flags must
+    adopt the existing ledger's stored geometry/modality instead of
+    refusing on the defaults."""
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "ledger")
+    _write_assets(watch, [(1, PNG_A)])
+    args = [
+        "admit-assets",
+        watch,
+        ledger,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        "--once",
+    ]
+    assert main(args + ["--grid", "7", "--max-hamming", "5"], spark=spark) == 0
+    meta = dd.load_phash_ledger_meta(spark, ledger)
+    assert (meta["grid"], meta["max_hamming"]) == (7, 5)
+    # restart with NO flags: stored meta adopted, stream drains fine
+    _write_assets(watch, [(2, PNG_B)])
+    assert main(args, spark=spark) == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1}, 1: {2}}
+    # an EXPLICIT mismatching flag still refuses (the ValueError
+    # surfaces wrapped in the stream's failure)
+    _write_assets(watch, [(3, PNG_C)])
+    with pytest.raises(Exception, match="ledger's identity"):
+        main(args + ["--grid", "8"], spark=spark)

@@ -237,3 +237,25 @@ def test_bucketize_tree_matches_upper_bound_count(spark):
     # degenerate all-NULL domain: empty breaks list -> bucket 0
     got0 = df.select(_bucketize("v", []).alias("b")).distinct().collect()
     assert [r["b"] for r in got0] == [0]
+
+
+def test_bucketize_nonfinite_boundaries(spark):
+    """r11 review finding: quantile boundaries containing inf/nan must
+    parse (repr() of non-finite doubles is not SQL) and bucket with the
+    same upper-bound-count semantics as the r10 array filter."""
+    from map_reduce_using_cloud_functions_spark.operators.layout import (
+        _bucketize,
+    )
+
+    breaks = [float("-inf"), -1.0, 1.0, float("inf"), float("inf")]
+    values = [None, float("-inf"), -5.0, 0.0, 5.0, float("inf"), float("nan")]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, v double"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in df.select("i", _bucketize("v", breaks).alias("b")).collect()
+    }
+    # Spark double ordering: -inf >= -inf true; inf >= inf true; NaN
+    # above everything (NaN >= inf true)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 5, 6: 5}
