@@ -823,14 +823,14 @@ def _write_ascii_documents(rng: random.Random, path: str, n: int) -> None:
     )
 
 
-@pytest.mark.parametrize("seed", [101, 211, 307])
+@pytest.mark.parametrize("seed", [101, 211, 307, 401])
 def test_fuzz_fingerprint_twin_parity(spark, tmp_path, seed):
     rng = random.Random(seed)
     _write_ascii_documents(rng, str(tmp_path / "documents.parquet"), 90)
     _run_twins(spark, str(tmp_path), FUZZ_FINGERPRINT_QUERIES, ["documents"])
 
 
-@pytest.mark.parametrize("seed", [113, 223])
+@pytest.mark.parametrize("seed", [113, 223, 331])
 def test_fuzz_corrupt_media_payloads_never_diverge(spark, tmp_path, seed):
     """Truncated / bit-flipped / junk-trailed PNG and WAV payloads
     through the fingerprint operators: every row must either hash
