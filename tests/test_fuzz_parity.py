@@ -802,6 +802,22 @@ def _write_ascii_documents(rng: random.Random, path: str, n: int) -> None:
             texts[j] = "".join(t)
     if n >= 2 and texts[0]:
         texts[1] = texts[0]  # at least one exact duplicate (hamming 0)
+    # planted bit-63 flip (r11 ADVICE): an edit confined to samples
+    # 126-129 flips the energy-sign comparison feeding ahash bit 63
+    # (block 63 = samples 126,127 vs block 64 = samples 128,129) with
+    # hamming <= 2 — exactly the case where a HUGEINT sign-extension in
+    # the twin's sum() would inflate bit_count(xor(..)) by +64 and drop
+    # the pair. '~' centers to -2 (block energy 8), ' ' to -96 (18432).
+    base = next((t for t in texts if t and len(t) >= 130), None)
+    if base is not None and n >= 4:
+        flip_a, flip_b = list(base), list(base)
+        flip_a[126:130] = ["~", "~", " ", " "]  # en63=8  < en64=18432: bit63=0
+        flip_b[126:130] = [" ", " ", "~", "~"]  # en63=18432 > en64=8: bit63=1
+        texts[2], texts[3] = "".join(flip_a), "".join(flip_b)
+    # the twins index CHARACTERS (ord(substr)) while the fixture
+    # builders slice BYTES — identical only on ASCII, so machine-check
+    # the contract at the boundary it protects (r11 ADVICE)
+    assert all(t is None or t.isascii() for t in texts)
     pq.write_table(
         pa.table(
             {

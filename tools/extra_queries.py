@@ -1608,10 +1608,14 @@ b AS (
   WHERE a.block < 64
 ),
 h AS (
+  -- The outer ::BIGINT matters: DuckDB widens sum(BIGINT) to HUGEINT
+  -- (int128), and when exactly one hash of a pair has bit 63 set the
+  -- sign-extension bits 64-127 differ, inflating bit_count(xor(..))
+  -- by +64 and silently dropping in-threshold pairs.
   SELECT doc_id,
-         sum(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
-       + sum(CASE WHEN bit AND k = 63 THEN (-9223372036854775807 - 1) ELSE 0 END)
-         AS ahash
+         (sum(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
+        + sum(CASE WHEN bit AND k = 63 THEN (-9223372036854775807 - 1) ELSE 0 END)
+         )::BIGINT AS ahash
   FROM b GROUP BY doc_id
 )
 """
