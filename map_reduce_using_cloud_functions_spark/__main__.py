@@ -188,7 +188,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--pattern",
         default="*.png",
         help="landing-file glob (default *.png; use *.wav with "
-        "--signal audio)",
+        "--signal audio, *.y4m with --signal video)",
     )
     aa.add_argument(
         "--grid",
@@ -207,11 +207,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     aa.add_argument(
         "--signal",
-        choices=("image", "audio"),
+        choices=("image", "audio", "video"),
         default=None,
-        help="fingerprint modality: image (PNG dHash) or audio (WAV "
-        "energy-sign hash). Unset: stored meta, or image fresh; set: "
-        "must match an existing ledger",
+        help="fingerprint modality: image (PNG dHash), audio (WAV "
+        "energy-sign hash) or video (y4m temporal energy hash). Unset: "
+        "stored meta, or image fresh; set: must match an existing ledger",
     )
     aa.add_argument(
         "--once",

@@ -1822,7 +1822,7 @@ def compact_embedding_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
 # refused (the stored bands cannot certify it).
 
 
-PHASH_SIGNALS = ("image", "audio")
+PHASH_SIGNALS = ("image", "audio", "video")
 
 
 def init_phash_ledger(
@@ -1835,7 +1835,8 @@ def init_phash_ledger(
     """Write the perceptual-hash ledger's parameter row. ``signal``
     names the modality the fingerprints were computed from (``image``:
     ``multimodal.phash_assets`` dHash; ``audio``: ``multimodal.
-    audiohash_assets`` energy-sign hash) — hamming distance between
+    audiohash_assets`` energy-sign hash; ``video``: ``multimodal.
+    videohash_assets`` temporal frame-energy hash) — hamming distance between
     fingerprints of DIFFERENT modalities is meaningless, and the
     fingerprint itself is an opaque long that cannot reveal the mixup,
     so the ledger records it and admission refuses a mismatch."""

@@ -805,6 +805,240 @@ def audiohash_assets(assets: DataFrame) -> DataFrame:
     )
 
 
+# --- video fingerprint (X5, r11 verdict task 2) ------------------------------
+#
+# The temporal analog of the image dHash and the audio energy-sign
+# hash: a re-encoded or contrast-scaled copy of a clip shares no bytes,
+# so exact hashing misses it. The fingerprint is a 64-bit FRAME-ENERGY
+# hash — per-frame energy (sum of squared mid-gray-centered pixels),
+# 65 temporal blocks with the floor-boundary rule, one bit per adjacent
+# block pair, compared exactly by integer cross-multiplication (the
+# audiohash arithmetic over frames instead of samples). Contrast
+# scaling around mid-gray multiplies every block energy by the same
+# factor, so the comparisons — and the hash — survive it; lossless
+# re-encoding preserves pixels and hashes identically. Pairs ride the
+# SAME pigeonhole banding engine as SimHash / dHash / audiohash
+# (dedup.fingerprint_hamming_pairs) — never an all-pairs scan.
+#
+# Container: YUV4MPEG2 (y4m) mono — a real public interchange format
+# (mjpegtools/ffmpeg) that is pure uncompressed plane data behind a
+# text header, encodable and decodable with the stdlib alone. Lossless,
+# so a SQL oracle can replay the hash from the source bytes downstream
+# of a genuine encode → decode round trip.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Minimal YUV4MPEG2 writer (8-bit mono = Y plane only) — the video
+    fixture builder; pure stdlib; round-trips exactly through
+    ``decode_y4m_frames``. ``frames`` is (n_frames, height, width)
+    uint8."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError(
+            f"frames must be (n_frames, height, width), got shape {arr.shape}"
+        )
+    n, h, w = arr.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode(
+        "ascii"
+    )
+    return header + b"".join(
+        b"FRAME\n" + arr[i].tobytes() for i in range(n)
+    )
+
+
+def decode_y4m_frames(payload: bytes):
+    """Frame array (n_frames, height, width) uint8 for a YUV4MPEG2 mono
+    payload. Raises on non-y4m / truncated / non-mono payloads; callers
+    surface that per-row (``ok=false``), never as a stage kill."""
+    import numpy as np
+
+    if payload[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m: unterminated stream header")
+    width = height = None
+    colorspace = "420jpeg"  # the y4m default when no C tag is present
+    for tag in payload[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"C":
+            colorspace = val.decode("ascii")
+    if not width or not height:
+        raise ValueError("y4m: missing W/H in stream header")
+    if colorspace != "mono":
+        raise ValueError(
+            f"mono (Y-plane) y4m only, got colorspace {colorspace!r}"
+        )
+    frame_bytes, pos, frames = width * height, nl + 1, []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("y4m: corrupt FRAME header")
+        pos = fnl + 1
+        plane = payload[pos : pos + frame_bytes]
+        if len(plane) != frame_bytes:
+            raise ValueError(
+                f"y4m: truncated frame ({len(plane)} of {frame_bytes} bytes)"
+            )
+        frames.append(np.frombuffer(plane, dtype=np.uint8).reshape(height, width))
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("y4m: no frames")
+    return np.stack(frames)
+
+
+def videohash64(frames, blocks: int = 65) -> int:
+    """Temporal energy-sign hash of a frame array: per-frame energy =
+    sum of squared pixels centered at mid-gray (128 — contrast scaling
+    about mid-gray multiplies it by a constant, which the sign
+    comparison is invariant to), ``blocks`` temporal blocks with
+    floor(k·n/blocks) boundaries, bit k = block k's mean energy exceeds
+    block k+1's — compared EXACTLY as sum_k·count_{k+1} >
+    sum_{k+1}·count_k (integer cross-multiplication over frame counts;
+    frames share one size, so counts reduce to frame counts). blocks=65
+    yields 64 bits packed into one signed bigint (two's-complement wrap
+    for bit 63, the dHash/audiohash packing rule)."""
+    import numpy as np
+
+    if blocks != 65:
+        raise ValueError(f"videohash64 packs blocks-1=64 bits; got blocks={blocks}")
+    arr = np.asarray(frames, dtype=np.int64)
+    if arr.ndim != 3:
+        raise ValueError(
+            f"frames must be (n_frames, height, width), got shape {arr.shape}"
+        )
+    n = arr.shape[0]
+    if n < blocks:
+        raise ValueError(
+            f"clip has {n} frames, fewer than the {blocks} hash blocks — "
+            "no full block partition exists"
+        )
+    fe = ((arr - 128) ** 2).sum(axis=(1, 2))  # per-frame energy, exact ints
+    bounds = [(k * n) // blocks for k in range(blocks + 1)]
+    e = [int(fe[bounds[k] : bounds[k + 1]].sum()) for k in range(blocks)]
+    c = [bounds[k + 1] - bounds[k] for k in range(blocks)]
+    h = 0
+    for k in range(blocks - 1):
+        if e[k] * c[k + 1] > e[k + 1] * c[k]:
+            h |= 1 << k
+    if h >= 1 << 63:  # two's-complement wrap: numpy/SQL BIGINT semantics
+        h -= 1 << 64
+    return h
+
+
+def build_y4m_assets(
+    documents: DataFrame, width: int = 2, height: int = 2, n_frames: int = 65
+) -> DataFrame:
+    """Deterministic REAL-y4m fixture: the first ``width·height·
+    n_frames`` UTF-8 bytes of each document's text as 8-bit mono frames,
+    written by ``encode_y4m``. The plane data is uncompressed, so the
+    decoded frames ARE those text bytes — a SQL oracle can replay the
+    temporal hash downstream of a genuine y4m encode → decode round
+    trip. Documents shorter than one clip are dropped (no full block
+    partition exists). The default 65 frames = 1 frame per hash block,
+    so every block has equal count and the cross-multiplied comparison
+    reduces to a plain frame-energy comparison — the cheapest shape for
+    the oracle twin."""
+    import numpy as np
+
+    n = width * height * n_frames
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:n]
+                frames = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    n_frames, height, width
+                )
+                out.append(
+                    {"asset_id": asset_id, "payload": encode_y4m(frames)}
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    eligible = documents.where(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) >= n
+    )
+    return eligible.select("doc_id", "text").mapInPandas(
+        build, schema="asset_id bigint, payload binary"
+    )
+
+
+VIDEOHASH_SCHEMA = "asset_id bigint, vhash bigint, ok boolean, err string"
+
+
+def videohash_assets(assets: DataFrame) -> DataFrame:
+    """Video fingerprints: the same ``mapInPandas`` batch shape as
+    ``phash_assets``/``audiohash_assets`` (project (asset_id, payload)
+    → Arrow batches → executor-side decode), with ``decode_y4m_frames``
+    + ``videohash64`` per payload. Undecodable/too-short rows surface
+    as ``ok=false`` + ``err`` instead of failing the stage. The decode
+    is pure stdlib — no optional-dependency skew to pin."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    v = videohash64(decode_y4m_frames(bytes(payload)))
+                    rows.append(
+                        {"asset_id": asset_id, "vhash": v, "ok": True, "err": None}
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "vhash": None,
+                            "ok": False,
+                            "err": str(e)[:200],
+                        }
+                    )
+            if rows:
+                out = pd.DataFrame(rows)
+                # from the Python ints, never astype from an inferred
+                # float64 column — see phash_assets (2^53 mangling)
+                out["vhash"] = pd.array(
+                    [r["vhash"] for r in rows], dtype="Int64"
+                )
+                yield out
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hash_batches, schema=VIDEOHASH_SCHEMA
+    )
+
+
+def videohash_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate video PAIRS from temporal energy fingerprints —
+    clips whose hashes differ in at most ``max_hamming`` of 64 bits.
+    Same banded pigeonhole engine as SimHash, the image dHash and the
+    audio hash (``dedup.fingerprint_hamming_pairs``) — never an
+    all-pairs scan. ``ok=false`` fingerprint rows are excluded.
+
+    Returns (asset_a, asset_b, hamming), asset_a < asset_b."""
+    from .dedup import fingerprint_hamming_pairs
+
+    prints = hashes.where(F.col("ok")).select("asset_id", "vhash")
+    return fingerprint_hamming_pairs(
+        prints,
+        max_hamming=max_hamming,
+        bits=64,
+        id_col="asset_id",
+        fp_col="vhash",
+        out=("asset_a", "asset_b"),
+    )
+
+
 def audiohash_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate audio PAIRS from energy-sign fingerprints —
     clips whose hashes differ in at most ``max_hamming`` of 64 bits.

@@ -473,12 +473,17 @@ def admit_assets_batch(
     else:
         if grid != 8:
             raise ValueError(
-                "audio admission: the energy-sign hash is 64-bit, so "
+                f"{signal} admission: the energy-sign hash is 64-bit, so "
                 f"the ledger must use grid=8 (64 = grid² bits); got {grid}"
             )
-        hashes = mm.audiohash_assets(batch_df).withColumnRenamed(
-            "ahash", "phash"
-        )
+        if signal == "audio":
+            hashes = mm.audiohash_assets(batch_df).withColumnRenamed(
+                "ahash", "phash"
+            )
+        else:  # "video" — init_phash_ledger already refused anything else
+            hashes = mm.videohash_assets(batch_df).withColumnRenamed(
+                "vhash", "phash"
+            )
     # materialize the fingerprints once: they feed the within-batch
     # pair join (both sides), the ledger probe, and the append
     hashes = hashes.localCheckpoint()

@@ -459,3 +459,86 @@ def test_cli_admit_assets_adopts_stored_meta(spark, tmp_path):
     _write_assets(watch, [(3, PNG_C)])
     with pytest.raises(Exception, match="ledger's identity"):
         main(args + ["--grid", "8"], spark=spark)
+
+
+def test_video_admission_refuses_transformed_copies(spark, tmp_path):
+    """The video flavor of the same front door (signal="video" on the
+    shared phash-ledger machinery): a contrast-regraded and a
+    frame-decimated copy of an admitted clip refuse; a fresh clip
+    admits; modality mismatch refuses."""
+    import tests.test_multimodal as tmm
+
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    base = tmm._vid(31)
+    fresh = tmm._vid(32)
+    b0 = spark.createDataFrame(
+        [(1, bytearray(mm.encode_y4m(base)))],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(
+        spark, b0, ledger, survivors, batch_id=0, signal="video"
+    )
+    assert dd.load_phash_ledger_meta(spark, ledger)["signal"] == "video"
+
+    b1 = spark.createDataFrame(
+        [
+            (10, bytearray(mm.encode_y4m(tmm._contrast(base, 0.8)))),
+            (11, bytearray(mm.encode_y4m(base[::2]))),
+            (12, bytearray(mm.encode_y4m(fresh))),
+        ],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(
+        spark, b1, ledger, survivors, batch_id=1, signal="video"
+    )
+    assert _survivor_ids(spark, survivors) == {0: {1}, 1: {12}}
+
+    # modality is identity: probing this ledger as an audio door refuses
+    with pytest.raises(ValueError, match="ledger's identity"):
+        admit_assets_batch(
+            spark, b1, ledger, survivors, batch_id=2, signal="audio"
+        )
+
+
+def test_cli_admit_assets_video_stream(spark, tmp_path):
+    """The video modality through the FULL streaming path: y4m files
+    land, `admit-assets --pattern '*.y4m' --signal video --once`
+    drains them, a second drain refuses a decimated copy of an
+    admitted clip and admits a fresh one — closing the
+    image/audio/video × batch/stream matrix."""
+    import tests.test_multimodal as tmm
+
+    from map_reduce_using_cloud_functions_spark.__main__ import main
+
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    base = tmm._vid(41)
+    fresh = tmm._vid(42)
+    with open(os.path.join(watch, "1.y4m"), "wb") as f:
+        f.write(mm.encode_y4m(base))
+    args = [
+        "admit-assets",
+        watch,
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        "--pattern",
+        "*.y4m",
+        "--signal",
+        "video",
+        "--once",
+    ]
+    assert main(args, spark=spark) == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1}}
+
+    with open(os.path.join(watch, "10.y4m"), "wb") as f:
+        f.write(mm.encode_y4m(base[::2]))
+    with open(os.path.join(watch, "11.y4m"), "wb") as f:
+        f.write(mm.encode_y4m(fresh))
+    assert main(args, spark=spark) == 0
+    assert _survivor_ids(spark, str(tmp_path / "out")) == {0: {1}, 1: {11}}
+    assert (
+        dd.load_phash_ledger_meta(spark, str(tmp_path / "ledger"))["signal"]
+        == "video"
+    )

@@ -771,6 +771,8 @@ FUZZ_FINGERPRINT_QUERIES = [
     "multimodal_phash_ledger_pairs",
     "multimodal_audiohash_pairs",
     "multimodal_audiohash_ledger_pairs",
+    "multimodal_videohash_pairs",
+    "multimodal_videohash_ledger_pairs",
 ]
 
 _ASCII = [chr(c) for c in range(32, 127)] + ["\x01", "\x1b", "\x7f"]
@@ -786,9 +788,12 @@ def _write_ascii_documents(rng: random.Random, path: str, n: int) -> None:
         if roll < 0.05:
             texts.append(None)
             continue
-        # lengths straddling BOTH eligibility boundaries (the 9x8 image
-        # needs 72 bytes, the 65-block clip needs 130)
-        length = rng.choice([0, 5, 71, 72, 73, 100, 129, 130, 131, 200])
+        # lengths straddling ALL THREE eligibility boundaries (the 9x8
+        # image needs 72 bytes, the 65-block audio clip 130, the
+        # 65-frame 2x2 video clip 260)
+        length = rng.choice(
+            [0, 5, 71, 72, 73, 100, 129, 130, 131, 200, 259, 260, 261, 320]
+        )
         texts.append("".join(rng.choice(_ASCII) for _ in range(length)))
     # planted near-identical pairs: 1-3 byte edits of an eligible text —
     # across seeds the resulting hamming distances bracket the
@@ -814,6 +819,14 @@ def _write_ascii_documents(rng: random.Random, path: str, n: int) -> None:
         flip_a[126:130] = ["~", "~", " ", " "]  # en63=8  < en64=18432: bit63=0
         flip_b[126:130] = [" ", " ", "~", "~"]  # en63=18432 > en64=8: bit63=1
         texts[2], texts[3] = "".join(flip_a), "".join(flip_b)
+    # same plant for the VIDEO hash: its bit 63 compares frame 63
+    # (bytes 252-255) against frame 64 (bytes 256-259)
+    vbase = next((t for t in texts if t and len(t) >= 260), None)
+    if vbase is not None and n >= 6:
+        flip_a, flip_b = list(vbase), list(vbase)
+        flip_a[252:260] = ["~"] * 4 + [" "] * 4  # en63 < en64: bit63=0
+        flip_b[252:260] = [" "] * 4 + ["~"] * 4  # en63 > en64: bit63=1
+        texts[4], texts[5] = "".join(flip_a), "".join(flip_b)
     # the twins index CHARACTERS (ord(substr)) while the fixture
     # builders slice BYTES — identical only on ASCII, so machine-check
     # the contract at the boundary it protects (r11 ADVICE)

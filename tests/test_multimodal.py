@@ -480,3 +480,138 @@ def test_audiohash_spark_matches_local(spark):
     for r in wavs.collect():
         local = mm.audiohash64(mm.decode_wav_samples(bytes(r["payload"])))
         assert hashes[r["asset_id"]] == local
+
+
+# --- video fingerprint (r12): y4m codec + temporal energy-sign hash ---------
+
+
+def _vid(seed: int, n: int = 200, h: int = 4, w: int = 4) -> "np.ndarray":
+    """Structured test clip: a fixed ±1 spatial pattern under a SMOOTH
+    random amplitude envelope (random walk, moving-average smoothed) —
+    the temporal shape real footage has, and the one the fingerprint's
+    invariances (decimation, trim) are defined over. Pure-noise frames
+    would make adjacent frame energies coin flips."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pattern = rng.integers(0, 2, (h, w)) * 2 - 1
+    steps = rng.normal(0, 3, n + 40).cumsum()
+    smooth = np.convolve(steps, np.ones(25) / 25, mode="valid")[:n]
+    amp = 45 + 35 * np.tanh(smooth / 30)
+    frames = 128 + amp[:, None, None] * pattern[None]
+    return np.clip(frames, 0, 255).round().astype(np.uint8)
+
+
+def _contrast(frames, c: float):
+    import numpy as np
+
+    out = 128 + c * (frames.astype(np.float64) - 128)
+    return np.clip(out, 0, 255).round().astype(np.uint8)
+
+
+def test_y4m_roundtrip_and_hash_determinism():
+    import numpy as np
+
+    frames = _vid(7)
+    payload = mm.encode_y4m(frames)
+    decoded = mm.decode_y4m_frames(payload)
+    assert decoded.dtype == np.uint8 and (decoded == frames).all()
+    # lossless container: re-encoding hashes identically
+    assert mm.videohash64(decoded) == mm.videohash64(frames)
+    # corrupt / truncated / wrong-colorspace payloads raise (callers
+    # surface that per-row as ok=false)
+    import pytest
+
+    for bad in (
+        payload[:40],
+        b"junk" + payload,
+        payload.replace(b"Cmono", b"C420 "),
+        payload[: len(payload) - 3],  # truncated final frame
+    ):
+        with pytest.raises(ValueError):
+            mm.decode_y4m_frames(bad)
+    with pytest.raises(ValueError):
+        mm.videohash64(_vid(8, n=30))  # fewer frames than hash blocks
+
+
+def test_videohash_survives_contrast_and_resampling():
+    """The invariances the temporal fingerprint exists for: a
+    contrast-scaled (about mid-gray), frame-doubled, 2x-decimated or
+    tail-trimmed copy hashes within the admission threshold; unrelated
+    clips are far. Energy-ORDER comparisons make contrast a common
+    factor on every frame energy; floor-proportional block boundaries
+    make resampling near-neutral."""
+    base = _vid(11)
+    h = mm.videohash64(base)
+
+    def ham(other) -> int:
+        return bin((mm.videohash64(other) ^ h) & (2**64 - 1)).count("1")
+
+    import numpy as np
+
+    assert ham(_contrast(base, 0.7)) <= 6
+    assert ham(_contrast(base, 1.3)) <= 6
+    assert ham(np.repeat(base, 2, axis=0)) <= 6  # frame-doubling
+    assert ham(base[::2]) <= 6  # decimation (drop every other frame)
+    assert ham(base[:-5]) <= 6  # tail trim
+    assert ham(_vid(12)) > 15  # unrelated clip: far
+    assert ham(_vid(13)) > 15
+
+
+def test_videohash_assets_error_rows_and_pairs(spark):
+    """Planted near-dups pair through the banded engine; corrupt and
+    too-short payloads surface as ok=false rows, excluded from pairs."""
+    base = _vid(21)
+    rows = [
+        (1, bytearray(mm.encode_y4m(base))),
+        (2, bytearray(mm.encode_y4m(_contrast(base, 0.8)))),  # re-graded copy
+        (3, bytearray(mm.encode_y4m(_vid(22)))),  # unrelated
+        (4, bytearray(b"YUV4MPEG2 garbage")),  # corrupt header
+        (5, bytearray(mm.encode_y4m(_vid(23)[:30]))),  # too short to hash
+    ]
+    assets = spark.createDataFrame(rows, "asset_id bigint, payload binary")
+    hashes = mm.videohash_assets(assets)
+    got = {r["asset_id"]: r for r in hashes.collect()}
+    assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"]
+    assert not got[4]["ok"] and got[4]["vhash"] is None
+    assert not got[5]["ok"] and "block" in got[5]["err"]
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in mm.videohash_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_videohash_spark_matches_local(spark):
+    """The mapInPandas fingerprint equals a driver-side recompute from
+    the same payloads — no executor-side drift (stdlib-only decode)."""
+    docs = spark.createDataFrame(
+        [(i, "some repeated text content " * 12) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    vids = mm.build_y4m_assets(docs)
+    hashes = {
+        r["asset_id"]: r["vhash"]
+        for r in mm.videohash_assets(vids).where("ok").collect()
+    }
+    for r in vids.collect():
+        local = mm.videohash64(mm.decode_y4m_frames(bytes(r["payload"])))
+        assert hashes[r["asset_id"]] == local
+
+
+def test_build_y4m_assets_frames_are_text_bytes(spark):
+    """y4m planes are uncompressed: the decoded frame bytes ARE the
+    first 260 text bytes (the oracle twin's replay contract); short
+    documents are dropped."""
+    import numpy as np
+
+    long_text = "".join(chr(32 + (i * 7) % 95) for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "too short")], "doc_id bigint, text string"
+    )
+    rows = mm.build_y4m_assets(docs).collect()
+    assert [r["asset_id"] for r in rows] == [1]
+    frames = mm.decode_y4m_frames(bytes(rows[0]["payload"]))
+    assert frames.shape == (65, 2, 2)
+    want = np.frombuffer(long_text.encode()[:260], dtype=np.uint8)
+    assert (frames.reshape(-1) == want).all()

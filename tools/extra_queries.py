@@ -188,6 +188,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (signal="audio" meta flavor).
         "multimodal_audiohash_pairs": _q_multimodal_audiohash_pairs,
         "multimodal_audiohash_ledger_pairs": _q_multimodal_audiohash_ledger_pairs,
+        # r12: the video fingerprint family (X5, fourth modality) —
+        # REAL YUV4MPEG2 encode → frame decode → temporal energy-sign
+        # hash → banded hamming pairs; the twin replays the hash from
+        # the frames (= the text bytes, y4m planes are uncompressed),
+        # so any codec bug breaks the hash match. The ledger row runs
+        # the same cross-release split as the image/audio rows on the
+        # shared machinery (signal="video" meta flavor).
+        "multimodal_videohash_pairs": _q_multimodal_videohash_pairs,
+        "multimodal_videohash_ledger_pairs": _q_multimodal_videohash_ledger_pairs,
     }
 
 
@@ -207,7 +216,12 @@ def _q_multimodal_phash_pairs(s: SparkSession, d: str) -> DataFrame:
     fixture: encode (lossless) → real decode (stdlib or PIL) → dHash →
     banded hamming pairs via the shared SimHash pigeonhole engine."""
     docs = load_table(s, d, "documents")
-    hashes = mm.phash_assets(mm.build_png_assets(docs))
+    # materialize the fingerprints ONCE: both sides of the banded
+    # self-join read this relation, and an uncached lineage would
+    # re-run the full mapInPandas decode chain twice (r11 verdict
+    # efficiency note — the production door already persists,
+    # streaming/near_dedup.py admit_assets_batch)
+    hashes = mm.phash_assets(mm.build_png_assets(docs)).localCheckpoint()
     return mm.phash_pairs(hashes, max_hamming=6)
 
 
@@ -235,7 +249,9 @@ def _q_multimodal_audiohash_pairs(s: SparkSession, d: str) -> DataFrame:
     energy-sign hash → banded hamming pairs via the shared pigeonhole
     engine."""
     docs = load_table(s, d, "documents")
-    hashes = mm.audiohash_assets(mm.build_wav_assets(docs))
+    # one decode chain for both sides of the banded self-join — see
+    # _q_multimodal_phash_pairs
+    hashes = mm.audiohash_assets(mm.build_wav_assets(docs)).localCheckpoint()
     return mm.audiohash_pairs(hashes, max_hamming=6)
 
 
@@ -256,6 +272,39 @@ def _q_multimodal_audiohash_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="oracle_ahled_") + "/led"
     dd.build_phash_ledger(
         hashes.where("asset_id % 3 = 0"), path, release=0, signal="audio"
+    )
+    dd.append_phash_ledger(hashes.where("asset_id % 3 = 1"), path, release=1)
+    return dd.ledger_phash_pairs(s, hashes.where("asset_id % 3 = 2"), path)
+
+
+def _q_multimodal_videohash_pairs(s: SparkSession, d: str) -> DataFrame:
+    """Video near-dup over real y4m clips derived from the documents
+    fixture: encode (uncompressed mono planes) → stdlib frame decode →
+    temporal energy-sign hash → banded hamming pairs via the shared
+    pigeonhole engine. One decode chain for both sides of the self-join
+    (see _q_multimodal_phash_pairs)."""
+    docs = load_table(s, d, "documents")
+    hashes = mm.videohash_assets(mm.build_y4m_assets(docs)).localCheckpoint()
+    return mm.videohash_pairs(hashes, max_hamming=6)
+
+
+def _q_multimodal_videohash_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
+    """The video admission ledger end to end on the shared phash-ledger
+    machinery (signal="video"): fingerprints of the doc_id%3∈{0,1}
+    clips persist as two releases, the %3==2 batch probes. EXACT by
+    the pigeonhole property, so the twin is the plain cross-release
+    hamming join over replayed hashes."""
+    import tempfile
+
+    docs = load_table(s, d, "documents")
+    hashes = (
+        mm.videohash_assets(mm.build_y4m_assets(docs))
+        .withColumnRenamed("vhash", "phash")
+        .localCheckpoint()
+    )
+    path = tempfile.mkdtemp(prefix="oracle_vhled_") + "/led"
+    dd.build_phash_ledger(
+        hashes.where("asset_id % 3 = 0"), path, release=0, signal="video"
     )
     dd.append_phash_ledger(hashes.where("asset_id % 3 = 1"), path, release=1)
     return dd.ledger_phash_pairs(s, hashes.where("asset_id % 3 = 2"), path)
@@ -1589,6 +1638,18 @@ WHERE {_cosp} >= 0.8
     sql["multimodal_audiohash_ledger_pairs"] = _audiohash_ledger_pairs_sql(
         max_hamming=6
     )
+
+    # r12 video-fingerprint twins: y4m mono planes are uncompressed, so
+    # the decoded frames ARE the first 260 text bytes; the twin
+    # recomputes the temporal energy-sign hash bit-for-bit (65 equal
+    # 1-frame blocks of 2x2 pixels at the fixture geometry, so the
+    # cross-multiplied comparison reduces to a plain frame-energy
+    # comparison; two's-complement BIGINT packing for bit 63) and pairs
+    # all-pairs — the oracle may brute-force what the engine bands.
+    sql["multimodal_videohash_pairs"] = _videohash_pairs_sql(max_hamming=6)
+    sql["multimodal_videohash_ledger_pairs"] = _videohash_ledger_pairs_sql(
+        max_hamming=6
+    )
     return sql
 
 
@@ -1643,6 +1704,59 @@ SELECT b.doc_id AS asset_id, l.doc_id AS ledger_asset,
        bit_count(xor(b.ahash, l.ahash))::INT AS hamming
 FROM h b JOIN h l ON b.doc_id % 3 = 2 AND l.doc_id % 3 IN (0, 1)
 WHERE bit_count(xor(b.ahash, l.ahash)) <= {max_hamming}
+"""
+
+
+_VIDEOHASH_H_CTE = """
+WITH v AS (
+  SELECT doc_id, i, (ord(substr(text, i::INT + 1, 1)) - 128)::BIGINT AS v
+  FROM (SELECT doc_id, text, unnest(range(0, 260)) AS i
+        FROM documents WHERE octet_length(encode(text)) >= 260)
+),
+e AS (
+  SELECT doc_id, (i // 4)::INT AS frame, sum(v * v) AS en
+  FROM v GROUP BY 1, 2
+),
+b AS (
+  SELECT a.doc_id, a.frame AS k, (a.en > c.en) AS bit
+  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.frame = a.frame + 1
+  WHERE a.frame < 64
+),
+h AS (
+  -- outer ::BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, whose sign-
+  -- extension bits would inflate bit_count(xor(..)) by +64 whenever
+  -- exactly one hash of a pair has bit 63 set (the r11 ADVICE bug)
+  SELECT doc_id,
+         (sum(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
+        + sum(CASE WHEN bit AND k = 63 THEN (-9223372036854775807 - 1) ELSE 0 END)
+         )::BIGINT AS vhash
+  FROM b GROUP BY doc_id
+)
+"""
+
+
+def _videohash_pairs_sql(max_hamming: int) -> str:
+    """DuckDB twin of build_y4m_assets → videohash_assets →
+    videohash_pairs at the default 65-frame 2x2 mono fixture: bit k
+    compares frame k's energy (sum of squared mid-gray-centered pixels,
+    frames = 4 consecutive text bytes) against frame k+1's."""
+    return f"""{_VIDEOHASH_H_CTE}
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       bit_count(xor(a.vhash, b.vhash))::INT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.vhash, b.vhash)) <= {max_hamming}
+"""
+
+
+def _videohash_ledger_pairs_sql(max_hamming: int) -> str:
+    """Twin of the video LEDGER probe: the temporal energy-sign hash
+    over the cross-release split (batch = doc_id%3==2, ledger = %3 in
+    (0,1)), each (batch, ledger) pair once — the probe's output shape."""
+    return f"""{_VIDEOHASH_H_CTE}
+SELECT b.doc_id AS asset_id, l.doc_id AS ledger_asset,
+       bit_count(xor(b.vhash, l.vhash))::INT AS hamming
+FROM h b JOIN h l ON b.doc_id % 3 = 2 AND l.doc_id % 3 IN (0, 1)
+WHERE bit_count(xor(b.vhash, l.vhash)) <= {max_hamming}
 """
 
 
