@@ -214,6 +214,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "stored meta, or image fresh; set: must match an existing ledger",
     )
     aa.add_argument(
+        "--semantic-ledger",
+        default=None,
+        help="embedding-ledger path: adds the SEMANTIC strength (a "
+        "crop/re-render defeats the perceptual hash; its content "
+        "profile — block-mean luma / block-RMS energy — stays "
+        "cosine-near and refuses)",
+    )
+    aa.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.9,
+        help="cosine refusal threshold for --semantic-ledger (default 0.9)",
+    )
+    aa.add_argument(
         "--once",
         action="store_true",
         help="drain what has landed and exit (availableNow trigger)",
@@ -829,6 +843,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 max_hamming=max_hamming,
                 signal=signal,
                 available_now=args.once,
+                semantic_ledger_path=args.semantic_ledger,
+                semantic_threshold=args.semantic_threshold,
             )
             print(
                 f"admitting {signal} assets {args.watch_dir} -> "

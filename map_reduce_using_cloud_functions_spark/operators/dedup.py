@@ -941,6 +941,8 @@ def append_minhash_ledger(documents: DataFrame, path: str, release: int) -> None
     ``dedup_against_reference``'s append-per-release hash ledger."""
     spark = documents.sparkSession
     meta = load_ledger_meta(spark, path)
+    if not documents.head(1):
+        return  # empty release = no-op (see append_phash_ledger)
     sigs = minhash_signatures_wide(
         documents, k=meta["k"], shingle_n=meta["shingle_n"]
     ).withColumn("release", F.lit(release))
@@ -1128,9 +1130,11 @@ def _delete_from_banded_ledger(
     ids = sorted(set(ids_in))
     if not ids:
         return
-    from .index import _hadoop_delete
+    from .index import _hadoop_delete, _hadoop_exists
 
     data_path, bands_path = f"{path}/{data_dir}", f"{path}/bands"
+    if not _hadoop_exists(spark, data_path):
+        return  # no releases ever banded (e.g. a corrupt-only door)
     data = spark.read.parquet(data_path)
     touched = sorted(
         r["release"]
@@ -1282,15 +1286,22 @@ def compact_minhash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
 
 
 def _compact_banded_ledger(
-    spark, path: str, keep_last: int, data_dir: str, reband
+    spark, path: str, keep_last: int, data_dir: str, reband,
+    extra_plain_dirs: tuple[str, ...] = (),
 ) -> list[int]:
     """Shared fold machinery for the banded ledgers (MinHash ``sigs/``,
-    embedding ``vecs/``): fold the non-kept releases' data partitions
-    into ``release=-1``, recompute that partition's bands via
-    ``reband`` (a folded-data → band-rows function), sweep the old
-    release directories, refresh the foreign-id sidecar. The crash
-    ordering (data → bands → sweep → marker) is the over-gate-then-
-    converge contract both public compactors document."""
+    embedding ``vecs/``, phash ``prints/``): fold the non-kept
+    releases' data partitions into ``release=-1``, recompute that
+    partition's bands via ``reband`` (a folded-data → band-rows
+    function), sweep the old release directories, refresh the
+    foreign-id sidecar. ``extra_plain_dirs`` names plain (band-less)
+    release-partitioned sidecars that fold by the same rule (the phash
+    door's ``corrupt/`` content-hash relation); a sidecar can hold
+    release ids the main relation lacks (a batch whose only admissions
+    were corrupt writes no prints partition), so the kept set is
+    computed over the UNION of release ids. The crash ordering (data →
+    bands → sidecars → sweep → marker) is the over-gate-then-converge
+    contract both public compactors document."""
     import json
 
     from .index import (
@@ -1303,47 +1314,83 @@ def _compact_banded_ledger(
     if keep_last < 0:
         raise ValueError(f"keep_last must be >= 0, got {keep_last}")
     releases = ledger_releases(spark, path)
-    real = [r for r in releases if r >= 0]
-    kept = set(real[len(real) - keep_last :]) if keep_last else set()
+    extra_releases = {
+        d: _plain_dir_releases(spark, f"{path}/{d}") for d in extra_plain_dirs
+    }
+    all_real = sorted(
+        {r for r in releases if r >= 0}
+        | {r for rs in extra_releases.values() for r in rs if r >= 0}
+    )
+    kept = set(all_real[len(all_real) - keep_last :]) if keep_last else set()
     fold = [r for r in releases if r not in kept]
     folded_real = sorted(r for r in fold if r >= 0)
-    if not folded_real:
+    extra_folds = {
+        d: [r for r in rs if r not in kept]
+        for d, rs in extra_releases.items()
+    }
+    folded_extra_real = sorted(
+        {r for rs in extra_folds.values() for r in rs if r >= 0}
+    )
+    if not folded_real and not folded_extra_real:
         return []
     data_path, bands_path = f"{path}/{data_dir}", f"{path}/bands"
-    data = spark.read.parquet(data_path)
-    folded = (
-        data.where(F.col("release").isin(fold))
-        .select(*[c for c in data.columns if c != "release"])
-        .distinct()  # a crashed fold leaves identical rows in -1 and the source release
-        .withColumn("release", F.lit(FOLDED_RELEASE))
-        .localCheckpoint()  # materialize BEFORE overwriting a source partition
-    )
-    (
-        folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("release")
-        .parquet(data_path)
-    )
-    banded = reband(
-        spark.read.parquet(data_path).where(
-            F.col("release") == FOLDED_RELEASE
+    if folded_real:
+        data = spark.read.parquet(data_path)
+        folded = (
+            data.where(F.col("release").isin(fold))
+            .select(*[c for c in data.columns if c != "release"])
+            .distinct()  # a crashed fold leaves identical rows in -1 and the source release
+            .withColumn("release", F.lit(FOLDED_RELEASE))
+            .localCheckpoint()  # materialize BEFORE overwriting a source partition
         )
-    )
-    sort_col = next(
-        c for c in ("band_hash", "band_bucket", "band_bits")
-        if c in banded.columns
-    )
-    (
-        banded.repartition("band")
-        .sortWithinPartitions(sort_col)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("release", "band")
-        .parquet(bands_path)
-    )
+        (
+            folded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release")
+            .parquet(data_path)
+        )
+        banded = reband(
+            spark.read.parquet(data_path).where(
+                F.col("release") == FOLDED_RELEASE
+            )
+        )
+        sort_col = next(
+            c for c in ("band_hash", "band_bucket", "band_bits")
+            if c in banded.columns
+        )
+        (
+            banded.repartition("band")
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release", "band")
+            .parquet(bands_path)
+        )
+    for d, f_rs in extra_folds.items():
+        f_real = sorted(r for r in f_rs if r >= 0)
+        if not f_real:
+            continue
+        dpath = f"{path}/{d}"
+        side = spark.read.parquet(dpath)
+        side_folded = (
+            side.where(F.col("release").isin(f_rs))
+            .select(*[c for c in side.columns if c != "release"])
+            .distinct()
+            .withColumn("release", F.lit(FOLDED_RELEASE))
+            .localCheckpoint()
+        )
+        (
+            side_folded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release")
+            .parquet(dpath)
+        )
+        for rel in f_real:
+            _hadoop_delete(spark, f"{dpath}/release={rel}")
     for rel in folded_real:
         _hadoop_delete(spark, f"{data_path}/release={rel}")
         _hadoop_delete(spark, f"{bands_path}/release={rel}")
+    folded_real = sorted(set(folded_real) | set(folded_extra_real))
     marker = f"{path}/{FOREIGN_RELEASES_MARKER}"
     if _hadoop_exists(spark, marker):
         foreign = set(json.loads(_read_small_file(spark, marker).decode("ascii")))
@@ -1356,6 +1403,23 @@ def _compact_banded_ledger(
             spark, marker, json.dumps(still_foreign).encode("ascii")
         )
     return folded_real
+
+
+def _plain_dir_releases(spark, dir_path: str) -> list[int]:
+    """Release ids recorded in a plain release-partitioned sidecar
+    directory (no bands relation), ascending; [] when absent."""
+    from .index import _hadoop_exists, _hadoop_fs, _hadoop_path
+
+    if not _hadoop_exists(spark, dir_path):
+        return []
+    out = []
+    for st in _hadoop_fs(spark, dir_path).listStatus(
+        _hadoop_path(spark, dir_path)
+    ):
+        name = st.getPath().getName()
+        if name.startswith("release="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def ledger_kind(spark, path: str) -> str:
@@ -1580,6 +1644,8 @@ def append_embedding_ledger(
     spark = embeddings.sparkSession
     meta = load_embedding_ledger_meta(spark, path)
     _emb_check_dim(embeddings, meta["dim"], "append_embedding_ledger")
+    if not embeddings.head(1):
+        return  # empty release = no-op (see append_phash_ledger)
     base = embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<float>").alias("embedding"),
@@ -1914,6 +1980,13 @@ def append_phash_ledger(hashes: DataFrame, path: str, release: int) -> None:
     spark = hashes.sparkSession
     meta = load_phash_ledger_meta(spark, path)
     prints = _phash_prints(hashes, "append_phash_ledger")
+    if not prints.head(1):
+        # an empty release is a no-op, not an empty partition: dynamic
+        # overwrite would write nothing, and reading the release back
+        # for banding would fail on a schema-less directory when this
+        # is the ledger's FIRST append (a door batch whose only
+        # admissions were corrupt ok=false rows takes this path)
+        return
     (
         prints.withColumn("release", F.lit(release))
         .write.mode("overwrite")
@@ -2065,13 +2138,113 @@ def delete_from_phash_ledger(spark, path: str, asset_ids: list[int]) -> None:
     _delete_from_banded_ledger(
         spark, path, asset_ids, "prints", "asset_id", reband
     )
+    # retracted corrupt assets stop exact-gating too (the sidecar is
+    # part of the same door; swept after the banded relation — the
+    # gates-less direction holds for both)
+    delete_from_corrupt_sidecar(spark, path, asset_ids)
+
+
+# --- corrupt-content sidecar (r11 ADVICE): exact-byte gate for assets
+# that decode to NO perceptual identity. An ok=false asset is admitted
+# (the caller's quarantine/re-fetch policy must see it) but cannot
+# enter the banded relation — so without this sidecar the IDENTICAL
+# corrupt payload re-landing in every later batch would be re-admitted
+# forever. The sidecar records the admitted corrupt payloads' content
+# hashes per release (same dynamic-overwrite replay discipline as
+# prints/), and the door refuses exact repeats. Deliberately NOT a
+# perceptual gate: one flipped byte is a different corrupt payload and
+# still admits — the no-perceptual-identity policy stands.
+CORRUPT_SIDECAR_DIR = "corrupt"
+
+
+def corrupt_content_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, content_hash) for an asset batch — the exact-byte
+    identity the corrupt sidecar gates on (xxhash64 of the payload,
+    deterministic across executors and replays)."""
+    return assets.select(
+        "asset_id", F.xxhash64("payload").alias("content_hash")
+    )
+
+
+def refuse_known_corrupt(
+    spark, rows: DataFrame, path: str, exclude_release: int | None = None
+) -> DataFrame:
+    """Rows of ``rows`` (asset_id, content_hash) whose content hash is
+    NOT already recorded in the ledger's corrupt sidecar.
+    ``exclude_release``: the streaming replay contract — a crashed
+    attempt's own append must not self-match (verbatim from the banded
+    probes)."""
+    side = f"{path}/{CORRUPT_SIDECAR_DIR}"
+    from .index import _hadoop_exists
+
+    if not _hadoop_exists(spark, side):
+        return rows
+    led = spark.read.parquet(side)
+    if exclude_release is not None:
+        led = led.where(F.col("release") != F.lit(exclude_release))
+    return rows.join(
+        led.select("content_hash"), "content_hash", "left_anti"
+    )
+
+
+def append_corrupt_hashes(rows: DataFrame, path: str, release: int) -> None:
+    """Record a release's admitted corrupt payloads (asset_id,
+    content_hash) — dynamic partition overwrite, replay-idempotent like
+    every other release append."""
+    (
+        rows.select("asset_id", "content_hash")
+        .withColumn("release", F.lit(release))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(f"{path}/{CORRUPT_SIDECAR_DIR}")
+    )
+
+
+def delete_from_corrupt_sidecar(spark, path: str, asset_ids) -> None:
+    """Takedown for the corrupt sidecar: rewrite only the touched
+    release partitions (emptied directories deleted outright) — the
+    gates-less crash direction of every ledger takedown."""
+    ids = sorted(set(asset_ids))
+    if not ids:
+        return
+    from .index import _hadoop_delete, _hadoop_exists
+
+    side = f"{path}/{CORRUPT_SIDECAR_DIR}"
+    if not _hadoop_exists(spark, side):
+        return
+    data = spark.read.parquet(side)
+    touched = sorted(
+        r["release"]
+        for r in data.where(F.col("asset_id").isin(ids))
+        .select("release")
+        .distinct()
+        .collect()
+    )
+    for rel in touched:
+        remaining = (
+            data.where(
+                (F.col("release") == rel) & ~F.col("asset_id").isin(ids)
+            ).localCheckpoint()  # materialize BEFORE overwriting its source
+        )
+        if not remaining.head(1):
+            _hadoop_delete(spark, f"{side}/release={rel}")
+            continue
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("release")
+            .parquet(side)
+        )
 
 
 def compact_phash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
     """Major compaction: fold old releases into ``release=-1`` —
     ``compact_minhash_ledger``'s contract verbatim (same ``keep_last``
     replay protection, same over-gate-then-converge crash direction,
-    same foreign-marker refresh)."""
+    same foreign-marker refresh), plus the corrupt-content sidecar
+    (which folds by the same rule; it can hold release ids prints/
+    lacks when a batch admitted only corrupt assets)."""
     _require_ledger_kind(spark, path, "phash", "compact_phash_ledger")
     meta = load_phash_ledger_meta(spark, path)
 
@@ -2090,5 +2263,10 @@ def compact_phash_ledger(spark, path: str, keep_last: int = 1) -> list[int]:
         )
 
     return _compact_banded_ledger(
-        spark, path, keep_last, data_dir="prints", reband=reband
+        spark,
+        path,
+        keep_last,
+        data_dir="prints",
+        reband=reband,
+        extra_plain_dirs=(CORRUPT_SIDECAR_DIR,),
     )

@@ -805,6 +805,151 @@ def audiohash_assets(assets: DataFrame) -> DataFrame:
     )
 
 
+# --- asset embeddings (X5, r11 verdict task 3) -------------------------------
+#
+# The SEMANTIC strength for the asset door: perceptual hashes catch
+# recompression and light edits, but a crop or re-render moves every
+# dHash cell boundary and sails through. A coarse content profile —
+# block-mean luma grid for images, block-RMS energy profile for
+# audio/video — survives those transforms (cosine stays high) while
+# unrelated assets decorrelate, which is exactly the embedding-ledger
+# contract the text door already gates on (operators/dedup.py 1411+).
+# Deterministic in asset content (pure integer/float arithmetic over
+# decoded samples), as every admission embedder must be: the replay
+# recomputes the gate. A model featurizer with FROZEN weights slots in
+# through the same (asset_id, embedding) shape.
+
+
+def image_grid_vector(pixels, grid: int = 4) -> list[float]:
+    """Mean-centered block-mean luma grid (grid² doubles) — the
+    contrast PROFILE of the image. Centering matters: raw block means
+    of any two mid-brightness images are near-parallel vectors (cosine
+    ≈ 1 regardless of content); subtracting the global mean leaves the
+    spatial structure, which crops preserve and unrelated content
+    decorrelates. Block boundaries are floor(i·dim/grid) — the dHash
+    boundary rule, replayable in SQL."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    luma = arr.mean(axis=2) if arr.ndim == 3 else arr
+    h, w = luma.shape
+    if h < grid or w < grid:
+        raise ValueError(
+            f"image {w}x{h} smaller than the {grid}x{grid} embedding grid"
+        )
+    rb = [(i * h) // grid for i in range(grid + 1)]
+    cb = [(j * w) // grid for j in range(grid + 1)]
+    cells = [
+        float(luma[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].mean())
+        for i in range(grid)
+        for j in range(grid)
+    ]
+    mean = sum(cells) / len(cells)
+    return [c - mean for c in cells]
+
+
+def audio_block_vector(samples, blocks: int = 16) -> list[float]:
+    """Per-block RMS energy profile (``blocks`` doubles) of a centered
+    PCM stream — gain scales every block by the same factor, so the
+    cosine the ledger gates on is gain-invariant; resampling keeps the
+    floor-proportional block boundaries aligned."""
+    import math
+
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64)
+    n = v.size
+    if n < blocks:
+        raise ValueError(f"clip has {n} frames, fewer than {blocks} blocks")
+    bounds = [(k * n) // blocks for k in range(blocks + 1)]
+    return [
+        math.sqrt(
+            float(np.sum(v[bounds[k] : bounds[k + 1]] ** 2))
+            / (bounds[k + 1] - bounds[k])
+        )
+        for k in range(blocks)
+    ]
+
+
+def video_block_vector(frames, blocks: int = 16) -> list[float]:
+    """Per-block RMS frame-energy profile of a clip (mid-gray-centered
+    pixels) — the temporal shape ``audio_block_vector`` has, with the
+    contrast invariance of ``videohash64``."""
+    import math
+
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.int64)
+    n = arr.shape[0]
+    if n < blocks:
+        raise ValueError(f"clip has {n} frames, fewer than {blocks} blocks")
+    fe = ((arr - 128) ** 2).sum(axis=(1, 2))
+    bounds = [(k * n) // blocks for k in range(blocks + 1)]
+    return [
+        math.sqrt(
+            float(fe[bounds[k] : bounds[k + 1]].sum())
+            / (bounds[k + 1] - bounds[k])
+        )
+        for k in range(blocks)
+    ]
+
+
+ASSET_EMBEDDING_SCHEMA = "asset_id bigint, embedding array<double>"
+
+
+def asset_embeddings(
+    assets: DataFrame, signal: str = "image", dim: int = 16
+) -> DataFrame:
+    """Deterministic content embeddings for an asset batch — the
+    default embedder the asset door's semantic strength uses (the
+    stand-in for a frozen model featurizer, same (asset_id, embedding)
+    shape). Decode failures and too-small assets yield NO row: such
+    assets carry no semantic signal and pass the gate, exactly like
+    the text door's empty-text documents. ``dim`` is the vector length
+    (a grid²=dim block grid for images; dim temporal blocks for
+    audio/video)."""
+    if signal == "image":
+        grid = int(dim**0.5)
+        if grid * grid != dim:
+            raise ValueError(f"image embedding dim must be a square, got {dim}")
+        use_pil = _pil_available()  # driver-pinned, as in phash_assets
+
+        def vec(payload: bytes) -> list[float]:
+            return image_grid_vector(
+                decode_png_pixels(payload, use_pil=use_pil), grid=grid
+            )
+
+    elif signal == "audio":
+
+        def vec(payload: bytes) -> list[float]:
+            return audio_block_vector(decode_wav_samples(payload), blocks=dim)
+
+    elif signal == "video":
+
+        def vec(payload: bytes) -> list[float]:
+            return video_block_vector(decode_y4m_frames(payload), blocks=dim)
+
+    else:
+        raise ValueError(f"unknown asset signal {signal!r}")
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rows.append(
+                        {"asset_id": asset_id, "embedding": vec(bytes(payload))}
+                    )
+                except Exception:
+                    continue  # no semantic signal: the asset passes the gate
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        embed_batches, schema=ASSET_EMBEDDING_SCHEMA
+    )
+
+
 # --- video fingerprint (X5, r11 verdict task 2) ------------------------------
 #
 # The temporal analog of the image dHash and the audio energy-sign

@@ -154,20 +154,22 @@ def _semantic_gate(
     planes_per_band: int,
     bands: int,
     embedder,
+    id_col: str = "doc_id",
 ):
     """The semantic admission stage: refuse survivors whose embedding
     is a cosine near-duplicate of anything already in the embedding
     ledger (or of an earlier batch-mate). Returns (gated survivors,
     admitted (vec_id, embedding) rows to append — None when nothing
-    embeddable).
+    embeddable). Shared by the text door (``id_col='doc_id'``) and the
+    asset door (``id_col='asset_id'``, embedder over payload bytes).
 
     Embeddings come from the batch's own ``embedding`` column when
     present, else from ``embedder`` (default: the deterministic
     ``hashed_doc_vectors`` hashing-trick featurizer — the stand-in for
     a model embedder, which MUST likewise be deterministic in document
     content: the replay recomputes the gate). Documents the embedder
-    yields no vector for (e.g. empty text) carry no semantic signal
-    and pass the gate."""
+    yields no vector for (e.g. empty text, undecodable assets) carry
+    no semantic signal and pass the gate."""
     from ..operators.dedup import (
         init_embedding_ledger,
         ledger_releases as _releases,
@@ -178,14 +180,14 @@ def _semantic_gate(
 
     if "embedding" in survivors.columns:
         emb = survivors.select(
-            F.col("doc_id").alias("vec_id"), "embedding"
+            F.col(id_col).alias("vec_id"), "embedding"
         )
     else:
         from ..operators.text_analysis import hashed_doc_vectors
 
         fn = embedder or hashed_doc_vectors
         emb = fn(survivors).select(
-            F.col("doc_id").alias("vec_id"), "embedding"
+            F.col(id_col).alias("vec_id"), "embedding"
         )
     emb = emb.where(F.col("embedding").isNotNull()).localCheckpoint()
     dim_row = emb.select(F.size("embedding").alias("d")).first()
@@ -219,10 +221,10 @@ def _semantic_gate(
         )
     kept = kept.localCheckpoint()
     no_signal = survivors.join(
-        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+        emb.select(F.col("vec_id").alias(id_col)), id_col, "left_anti"
     )
     gated = survivors.join(
-        kept.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+        kept.select(F.col("vec_id").alias(id_col)), id_col, "left_semi"
     ).unionByName(no_signal)
     return gated, kept.select("vec_id", "embedding")
 
@@ -409,6 +411,11 @@ def admit_assets_batch(
     grid: int = 8,
     max_hamming: int = 6,
     signal: str = "image",
+    semantic_ledger_path: str | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_planes_per_band: int = 8,
+    semantic_bands: int = 8,
+    asset_embedder=None,
 ) -> DataFrame:
     """One PERCEPTUAL admission round over an asset batch
     (``asset_id``, ``payload`` binary, + any metadata columns) —
@@ -426,11 +433,31 @@ def admit_assets_batch(
            their fingerprints as the same release (both dynamic
            partition overwrites — a replay REPLACES its own partitions).
 
-    Undecodable assets (``ok=false`` fingerprints) are admitted but
-    never gate: they carry no perceptual identity, and refusing them
-    would let one corrupt byte-flip smuggle a duplicate past the door's
-    OTHER strengths downstream. They ship with the survivors so the
-    caller's corrupt-asset policy (quarantine, re-fetch) sees them.
+    Undecodable assets (``ok=false`` fingerprints) carry no perceptual
+    identity and never enter the banded ledger — refusing them
+    perceptually would let one corrupt byte-flip smuggle a duplicate
+    past the door's OTHER strengths downstream. They admit and ship
+    with the survivors so the caller's corrupt-asset policy
+    (quarantine, re-fetch) sees them — ONCE per exact payload: the
+    ledger's ``corrupt/`` sidecar records admitted corrupt content
+    hashes, so the identical corrupt bytes re-landing in later batches
+    refuse on the exact-byte gate instead of re-admitting forever
+    (r11 ADVICE). Same replay discipline as every other strength
+    (within-batch min-id survivor, probe excludes ``release=batch_id``,
+    release-partition overwrite append).
+
+    ``semantic_ledger_path`` adds the SEMANTIC strength (r11 verdict
+    task 3): a crop or re-render moves every dHash cell boundary and
+    sails past the perceptual gate, but its coarse content profile
+    (``multimodal.asset_embeddings`` — block-mean luma grid for
+    images, block-RMS energy for audio/video; or a caller-supplied
+    frozen featurizer via ``asset_embedder``) stays cosine-near, and
+    the embedding-ledger machinery the text door gates on refuses it.
+    Undecodable assets yield no vector and pass (they already gate on
+    exact bytes above). Refusal order: perceptual first, semantic on
+    the perceptual survivors; the phash ledger appends only assets
+    that passed BOTH (an asset the door refused must not gate future
+    batches).
 
     The reference's trigger path (``filladdtrigger/main.py:5-22`` —
     new object lands → gate → index) implies exactly this operator for
@@ -487,6 +514,33 @@ def admit_assets_batch(
     # materialize the fingerprints once: they feed the within-batch
     # pair join (both sides), the ledger probe, and the append
     hashes = hashes.localCheckpoint()
+    # corrupt rows (no perceptual identity) gate on exact content bytes
+    # instead: min-id survivor per hash within the batch, then refuse
+    # hashes an EARLIER release already admitted (r11 ADVICE)
+    from ..operators.dedup import (
+        append_corrupt_hashes,
+        corrupt_content_hashes,
+        refuse_known_corrupt,
+    )
+
+    n_bad = hashes.where(~F.col("ok")).count()
+    corrupt_kept = None
+    if n_bad:
+        bad = corrupt_content_hashes(
+            batch_df.join(
+                hashes.where(~F.col("ok")).select("asset_id"),
+                "asset_id",
+                "left_semi",
+            )
+        )
+        corrupt_kept = refuse_known_corrupt(
+            spark,
+            bad.groupBy("content_hash").agg(
+                F.min("asset_id").alias("asset_id")
+            ),
+            ledger_path,
+            exclude_release=batch_id,
+        ).localCheckpoint()
     pairs = mm.phash_pairs(
         hashes, max_hamming=max_hamming, grid=grid
     ).select(
@@ -497,7 +551,39 @@ def admit_assets_batch(
         kept = near_dedup_against_phash_ledger(
             spark, kept, ledger_path, exclude_release=batch_id
         )
+    if corrupt_kept is not None:
+        kept = kept.where(F.col("ok")).unionByName(
+            hashes.where(~F.col("ok")).join(
+                corrupt_kept.select("asset_id"), "asset_id", "left_semi"
+            )
+        )
     kept = kept.localCheckpoint()
+    admitted_emb = None
+    if semantic_ledger_path is not None:
+        sem_candidates = batch_df.join(
+            kept.where(F.col("ok")).select("asset_id"), "asset_id", "left_semi"
+        )
+        embedder = asset_embedder or (
+            lambda df: mm.asset_embeddings(df, signal=signal)
+        )
+        gated, admitted_emb = _semantic_gate(
+            spark,
+            sem_candidates,
+            batch_id,
+            semantic_ledger_path,
+            semantic_threshold,
+            semantic_planes_per_band,
+            semantic_bands,
+            embedder,
+            id_col="asset_id",
+        )
+        # semantic refusals leave the fingerprint relation too: the
+        # phash ledger appends exactly the ADMITTED assets' prints
+        kept = kept.where(~F.col("ok")).unionByName(
+            kept.where(F.col("ok")).join(
+                gated.select("asset_id"), "asset_id", "left_semi"
+            )
+        ).localCheckpoint()
     admitted = batch_df.join(kept.select("asset_id"), "asset_id", "left_semi")
     (
         admitted.withColumn("release", F.lit(batch_id))
@@ -507,6 +593,14 @@ def admit_assets_batch(
         .parquet(survivors_path)
     )
     append_phash_ledger(kept, ledger_path, release=batch_id)
+    if corrupt_kept is not None:
+        append_corrupt_hashes(corrupt_kept, ledger_path, release=batch_id)
+    if admitted_emb is not None:
+        from ..operators.dedup import append_embedding_ledger
+
+        append_embedding_ledger(
+            admitted_emb, semantic_ledger_path, release=batch_id
+        )
     return admitted
 
 
@@ -520,6 +614,11 @@ def start_asset_admission_stream(
     max_hamming: int = 6,
     signal: str = "image",
     available_now: bool = True,
+    semantic_ledger_path: str | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_planes_per_band: int = 8,
+    semantic_bands: int = 8,
+    asset_embedder=None,
 ) -> StreamingQuery:
     """Continuous perceptually-gated admission over a streaming
     ``assets`` relation (``asset_id``, ``payload`` — e.g.
@@ -527,12 +626,21 @@ def start_asset_admission_stream(
     copies of anything already admitted (this stream or prior batch
     releases of the same ledger) are refused; admitted assets land
     under ``{survivors_path}/release=<batch_id>/`` with all columns
-    intact. Binding, foreign-release refusal, and replay discipline
-    are the MinHash front door's, applied to the phash ledger path."""
+    intact. ``semantic_ledger_path`` adds the embedding strength
+    (crops/re-renders — see ``admit_assets_batch``). Binding,
+    foreign-release refusal, and replay discipline are the MinHash
+    front door's, applied to each ledger path."""
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         binding = _guard_ledger_binding(
             spark, ledger_path, checkpoint_dir, batch_id
+        )
+        sem_binding = (
+            _guard_ledger_binding(
+                spark, semantic_ledger_path, checkpoint_dir, batch_id
+            )
+            if semantic_ledger_path is not None
+            else "bound"
         )
         admit_assets_batch(
             spark,
@@ -543,9 +651,16 @@ def start_asset_admission_stream(
             grid=grid,
             max_hamming=max_hamming,
             signal=signal,
+            semantic_ledger_path=semantic_ledger_path,
+            semantic_threshold=semantic_threshold,
+            semantic_planes_per_band=semantic_planes_per_band,
+            semantic_bands=semantic_bands,
+            asset_embedder=asset_embedder,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)
+        if sem_binding == "adopting":
+            _bind_checkpoint(spark, semantic_ledger_path, checkpoint_dir)
 
     writer = assets.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir

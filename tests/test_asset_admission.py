@@ -210,29 +210,101 @@ def test_asset_replay_converges(spark, tmp_path, monkeypatch):
     assert dd.ledger_releases(spark, ledger) == [0]
 
 
-def test_undecodable_assets_admit_but_never_gate(spark, tmp_path):
+def test_undecodable_assets_admit_once_and_never_gate_perceptually(
+    spark, tmp_path
+):
     """A corrupt payload (ok=false fingerprint) ships with the
     survivors — the caller's corrupt-asset policy sees it — but enters
-    no ledger band, so a later identical corrupt payload is NOT
-    perceptually refused (no perceptual identity exists to refuse on).
-    """
+    no ledger band (no perceptual identity exists to refuse on).
+    Since r12 it DOES enter the corrupt/ content-hash sidecar: the
+    identical corrupt bytes re-landing later refuse on the exact-byte
+    gate (r11 ADVICE — previously they re-admitted into every release
+    forever), while a DIFFERENT corrupt payload (one flipped byte)
+    still admits — the no-perceptual-gate policy stands."""
     ledger = str(tmp_path / "ledger")
     survivors = str(tmp_path / "out")
     corrupt = PNG_A[:40]  # truncated: magic ok, undecodable
     b0 = spark.createDataFrame(
-        [(1, bytearray(PNG_A)), (7, bytearray(corrupt))],
+        # two IDENTICAL corrupt payloads in one batch: min-id survives
+        [(1, bytearray(PNG_A)), (7, bytearray(corrupt)), (9, bytearray(corrupt))],
         "asset_id bigint, payload binary",
     )
     admit_assets_batch(spark, b0, ledger, survivors, batch_id=0)
     assert _survivor_ids(spark, survivors) == {0: {1, 7}}
     prints = spark.read.parquet(f"{ledger}/prints")
     assert {r["asset_id"] for r in prints.collect()} == {1}
+    side = spark.read.parquet(f"{ledger}/corrupt")
+    assert {r["asset_id"] for r in side.collect()} == {7}
 
+    other_corrupt = bytes(corrupt[:-1] + bytes([corrupt[-1] ^ 0xFF]))
     b1 = spark.createDataFrame(
-        [(8, bytearray(corrupt))], "asset_id bigint, payload binary"
+        [(8, bytearray(corrupt)), (12, bytearray(other_corrupt))],
+        "asset_id bigint, payload binary",
     )
     admit_assets_batch(spark, b1, ledger, survivors, batch_id=1)
-    assert _survivor_ids(spark, survivors)[1] == {8}
+    # 8 = exact repeat of an admitted corrupt payload: refused;
+    # 12 = novel corrupt bytes: admitted (and recorded)
+    assert _survivor_ids(spark, survivors)[1] == {12}
+    side = spark.read.parquet(f"{ledger}/corrupt")
+    assert {(r["asset_id"], r["release"]) for r in side.collect()} == {
+        (7, 0),
+        (12, 1),
+    }
+
+
+def test_corrupt_sidecar_replay_compaction_and_takedown(spark, tmp_path):
+    """The sidecar rides every ledger discipline: a replayed batch
+    converges (its own release is excluded from the probe, its append
+    overwrites), compaction folds sidecar releases into release=-1
+    (still gating), and takedown removes an asset's hash so the same
+    bytes can land again."""
+    ledger = str(tmp_path / "ledger")
+    survivors = str(tmp_path / "out")
+    # distinct corrupt payloads (NB: PNG_A[:40] == PNG_B[:40] — equal
+    # dims give byte-identical headers, which is itself why an
+    # exact-byte gate needs real content hashes, not prefixes)
+    c1, c2, c3 = PNG_A[:40], PNG_A[:44], PNG_A[:48]
+    assert len({c1, c2, c3}) == 3
+    for bid, (aid, payload) in enumerate([(1, c1), (2, c2), (3, c3)]):
+        df = spark.createDataFrame(
+            [(aid, bytearray(payload))], "asset_id bigint, payload binary"
+        )
+        admit_assets_batch(spark, df, ledger, survivors, batch_id=bid)
+    # replay batch 2 (same content): converges to the same state
+    df = spark.createDataFrame(
+        [(3, bytearray(c3))], "asset_id bigint, payload binary"
+    )
+    admit_assets_batch(spark, df, ledger, survivors, batch_id=2)
+    side = spark.read.parquet(f"{ledger}/corrupt")
+    assert {(r["asset_id"], r["release"]) for r in side.collect()} == {
+        (1, 0),
+        (2, 1),
+        (3, 2),
+    }
+    # compaction folds old sidecar releases (keep_last=1 keeps the
+    # newest); folded hashes still gate
+    folded = dd.compact_phash_ledger(spark, ledger, keep_last=1)
+    assert folded == [0, 1]
+    side = spark.read.parquet(f"{ledger}/corrupt")
+    assert {(r["asset_id"], r["release"]) for r in side.collect()} == {
+        (1, -1),
+        (2, -1),
+        (3, 2),
+    }
+    df = spark.createDataFrame(
+        [(10, bytearray(c1))], "asset_id bigint, payload binary"
+    )
+    admit_assets_batch(spark, df, ledger, survivors, batch_id=3)
+    assert 3 not in _survivor_ids(spark, survivors)  # all refused: no dir
+    # takedown: retract asset 1 → the same bytes admit again
+    dd.delete_from_phash_ledger(spark, ledger, [1])
+    side = spark.read.parquet(f"{ledger}/corrupt")
+    assert {r["asset_id"] for r in side.collect()} == {2, 3}
+    df = spark.createDataFrame(
+        [(20, bytearray(c1))], "asset_id bigint, payload binary"
+    )
+    admit_assets_batch(spark, df, ledger, survivors, batch_id=4)
+    assert _survivor_ids(spark, survivors)[4] == {20}
 
 
 def test_param_and_signal_mismatch_refuse(spark, tmp_path):
@@ -542,3 +614,133 @@ def test_cli_admit_assets_video_stream(spark, tmp_path):
         dd.load_phash_ledger_meta(spark, str(tmp_path / "ledger"))["signal"]
         == "video"
     )
+
+
+# --- semantic strength for the asset door (r12) -----------------------------
+
+
+def _structured_img(seed: int, h: int = 33, w: int = 33) -> np.ndarray:
+    """Vertical-only structure (seed-specific harmonic mix) + pixel
+    noise: a 1-px crop preserves the vertical contrast profile (high
+    embedding cosine) while the noise-decided HORIZONTAL dHash
+    comparisons reshuffle (hamming >> 6) — the transform class the
+    semantic strength exists for."""
+    rng = np.random.default_rng(seed)
+    r = np.arange(h)
+    f1, f2 = rng.uniform(0.7, 1.4), rng.uniform(1.8, 3.2)
+    p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+    vert = 30 * np.sin(2 * np.pi * f1 * r / h + p1) + 20 * np.sin(
+        2 * np.pi * f2 * r / h + p2
+    )
+    noise = rng.integers(-2, 3, (h, w))
+    return np.clip(128 + vert[:, None] + noise, 0, 255).round().astype(np.uint8)
+
+
+def _cosine(a, b) -> float:
+    va, vb = np.asarray(a), np.asarray(b)
+    return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+
+def test_semantic_strength_catches_crops(spark, tmp_path):
+    """A crop sails past the perceptual gate (every dHash cell boundary
+    moves) but its contrast profile stays cosine-near — the embedding
+    ledger refuses it. An unrelated image admits through both
+    strengths; refused assets' prints enter NEITHER ledger."""
+    base, other = _structured_img(5), _structured_img(6)
+    crop = base[1:, 1:]
+    # fixture preconditions: perceptual-pass + semantic-near vs base
+    ham = bin((mm.dhash64(base) ^ mm.dhash64(crop)) & (2**64 - 1)).count("1")
+    assert ham > 6
+    assert _cosine(mm.image_grid_vector(base), mm.image_grid_vector(crop)) >= 0.95
+    assert _cosine(mm.image_grid_vector(base), mm.image_grid_vector(other)) < 0.9
+
+    ledger = str(tmp_path / "led")
+    sled = str(tmp_path / "sled")
+    survivors = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, bytearray(mm.encode_png(base)))], "asset_id bigint, payload binary"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, bytearray(mm.encode_png(crop))),
+            (11, bytearray(mm.encode_png(other))),
+        ],
+        "asset_id bigint, payload binary",
+    )
+    for bid, df in ((0, b0), (1, b1)):
+        admit_assets_batch(
+            spark, df, ledger, survivors, batch_id=bid,
+            semantic_ledger_path=sled,
+        )
+    assert _survivor_ids(spark, survivors) == {0: {1}, 1: {11}}
+    prints = spark.read.parquet(f"{ledger}/prints")
+    assert {r["asset_id"] for r in prints.collect()} == {1, 11}
+    vecs = spark.read.parquet(f"{sled}/vecs")
+    assert {r["vec_id"] for r in vecs.collect()} == {1, 11}
+
+    # without the semantic ledger the same crop would have admitted —
+    # the gate is doing the work, not the perceptual strength
+    ledger2, surv2 = str(tmp_path / "led2"), str(tmp_path / "out2")
+    admit_assets_batch(spark, b0, ledger2, surv2, batch_id=0)
+    admit_assets_batch(spark, b1, ledger2, surv2, batch_id=1)
+    assert _survivor_ids(spark, surv2) == {0: {1}, 1: {10, 11}}
+
+
+def test_semantic_asset_stream_and_crash_replay(spark, tmp_path, monkeypatch):
+    """The semantic strength through the FULL streaming path, with a
+    kill point in the widest window: AFTER the phash-ledger append,
+    BEFORE the embedding-ledger append. The replay must exclude its
+    own release from BOTH probes and converge to the same survivors,
+    single phash release, and single embedding release."""
+    from map_reduce_using_cloud_functions_spark.streaming.near_dedup import (
+        start_asset_admission_stream as start,
+    )
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "led")
+    sled = str(tmp_path / "sled")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base, other = _structured_img(5), _structured_img(6)
+    _write_assets(watch, [(1, mm.encode_png(base))])
+
+    real_append = dd.append_embedding_ledger
+    calls = []
+
+    def crashy(embeddings, path, release):
+        calls.append(release)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash BEFORE embedding append")
+        real_append(embeddings, path, release)
+
+    monkeypatch.setattr(dd, "append_embedding_ledger", crashy)
+
+    def run():
+        q = start(
+            spark,
+            streaming_assets_from_dir(spark, watch),
+            ledger,
+            survivors,
+            ckpt,
+            semantic_ledger_path=sled,
+        )
+        q.awaitTermination(180)
+
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    # the crash window is real: phash release landed, embedding didn't
+    assert dd.ledger_releases(spark, ledger) == [0]
+    assert dd.ledger_releases(spark, sled) == []
+
+    run()
+    assert calls == [0, 0], "batch 0 was not replayed"
+    assert _survivor_ids(spark, survivors) == {0: {1}}
+    assert dd.ledger_releases(spark, ledger) == [0]
+    assert dd.ledger_releases(spark, sled) == [0]
+
+    # batch 1 gates against the converged ledgers: crop refused
+    # semantically, fresh image admitted
+    _write_assets(watch, [(10, mm.encode_png(base[1:, 1:])), (11, mm.encode_png(other))])
+    run()
+    assert _survivor_ids(spark, survivors) == {0: {1}, 1: {11}}
+    assert {r["vec_id"] for r in spark.read.parquet(f"{sled}/vecs").collect()} == {1, 11}

@@ -197,6 +197,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared machinery (signal="video" meta flavor).
         "multimodal_videohash_pairs": _q_multimodal_videohash_pairs,
         "multimodal_videohash_ledger_pairs": _q_multimodal_videohash_ledger_pairs,
+        # r12: the asset door's SEMANTIC strength featurizer — the
+        # mean-centered block-mean luma grid computed from REAL decoded
+        # PNG pixels; the twin replays it from the text bytes with an
+        # ORDER-PINNED list sum (the centering mean must add cells in
+        # the same row-major order the engine does, or last-ulp drift
+        # leaks through the rounding).
+        "multimodal_image_embeddings": _q_multimodal_image_embeddings,
     }
 
 
@@ -308,6 +315,21 @@ def _q_multimodal_videohash_ledger_pairs(s: SparkSession, d: str) -> DataFrame:
     )
     dd.append_phash_ledger(hashes.where("asset_id % 3 = 1"), path, release=1)
     return dd.ledger_phash_pairs(s, hashes.where("asset_id % 3 = 2"), path)
+
+
+def _q_multimodal_image_embeddings(s: SparkSession, d: str) -> DataFrame:
+    """The asset semantic-gate featurizer over real PNGs: encode →
+    decode → 4x4 mean-centered block-mean luma grid. Rounded to 6
+    decimals in BOTH engines (the only float boundary; block means and
+    the ordered centering sum are bit-identical doubles)."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(s, d, "documents")
+    emb = mm.asset_embeddings(mm.build_png_assets(docs), signal="image")
+    return emb.select(
+        "asset_id",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+    )
 
 
 def _q_semdedup_survivors_scaled(s: SparkSession, d: str) -> DataFrame:
@@ -1650,6 +1672,37 @@ WHERE {_cosp} >= 0.8
     sql["multimodal_videohash_ledger_pairs"] = _videohash_ledger_pairs_sql(
         max_hamming=6
     )
+
+    # r12 asset-embedding twin: PNG is lossless, so the decoded pixels
+    # ARE the first 72 text bytes; pixel (r, c) = byte r·9+c. The 9x8
+    # image under the 4x4 grid has EXACT 2-row blocks and [0,2,4,6,9)
+    # column blocks; each block mean is an exact double (sum of <=6
+    # ints / count), and the centering mean is summed in the engine's
+    # row-major cell order via list_sum(list(... ORDER BY bi, bj)) so
+    # the subtraction is bit-identical before the 6-decimal round.
+    sql["multimodal_image_embeddings"] = """
+WITH px AS (
+  SELECT doc_id, (i // 9)::INT AS r, (i % 9)::INT AS c,
+         ord(substr(text, i::INT + 1, 1))::DOUBLE AS v
+  FROM (SELECT doc_id, text, unnest(range(0, 72)) AS i
+        FROM documents WHERE octet_length(encode(text)) >= 72)
+),
+cell AS (
+  SELECT doc_id, (r // 2)::INT AS bi,
+         (CASE WHEN c < 2 THEN 0 WHEN c < 4 THEN 1
+               WHEN c < 6 THEN 2 ELSE 3 END)::INT AS bj,
+         avg(v) AS m
+  FROM px GROUP BY 1, 2, 3
+),
+lst AS (
+  SELECT doc_id, list(m ORDER BY bi, bj) AS cells
+  FROM cell GROUP BY doc_id
+)
+SELECT doc_id AS asset_id,
+       list_transform(cells, x -> round(x - list_sum(cells) / 16, 6))
+         AS embedding
+FROM lst
+"""
     return sql
 
 
