@@ -169,6 +169,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cosine threshold for the semantic gate (default 0.85)",
     )
     ad.add_argument(
+        "--compact-after",
+        type=int,
+        default=None,
+        help="auto-compact the ledger(s) inside an admission round once more than N prior release partitions would be probed (folds history into release=-1 with keep_last=1 — the streaming-replay-safe fold); unset: compaction stays a manual ledger-compact verb",
+    )
+    ad.add_argument(
         "--once",
         action="store_true",
         help="drain what has landed and exit (availableNow trigger)",
@@ -226,6 +232,12 @@ def _build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.9,
         help="cosine refusal threshold for --semantic-ledger (default 0.9)",
+    )
+    aa.add_argument(
+        "--compact-after",
+        type=int,
+        default=None,
+        help="auto-compact the ledger(s) inside an admission round once more than N prior release partitions would be probed (folds history into release=-1 with keep_last=1 — the streaming-replay-safe fold); unset: compaction stays a manual ledger-compact verb",
     )
     aa.add_argument(
         "--once",
@@ -783,6 +795,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     min_quality=args.min_quality,
                     semantic_ledger_path=args.semantic_ledger,
                     semantic_threshold=args.semantic_threshold,
+                    compact_after_releases=args.compact_after,
                 )
             else:
                 q = start_near_dedup_stream(
@@ -795,6 +808,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     available_now=args.once,
                     semantic_ledger_path=args.semantic_ledger,
                     semantic_threshold=args.semantic_threshold,
+                    compact_after_releases=args.compact_after,
                 )
             print(
                 f"admitting {args.watch_dir} -> {args.survivors_path} "
@@ -845,6 +859,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 available_now=args.once,
                 semantic_ledger_path=args.semantic_ledger,
                 semantic_threshold=args.semantic_threshold,
+                compact_after_releases=args.compact_after,
             )
             print(
                 f"admitting {signal} assets {args.watch_dir} -> "

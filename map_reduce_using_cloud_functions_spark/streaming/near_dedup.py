@@ -63,6 +63,48 @@ from ..operators.dedup import (
 )
 from .file_index import _bind_checkpoint, _check_checkpoint_binding
 
+
+def _maybe_compact_ledger(
+    spark, path: str, batch_id: int, compact_after_releases: int | None, kind: str
+) -> None:
+    """Threshold-triggered auto-compaction inside an admission round
+    (r11 verdict task 4): when the ledger's REAL release fan-out (own
+    crashed release and the folded ``-1`` partition excluded) reaches
+    ``compact_after_releases``, fold history with the flavor's major
+    compactor at ``keep_last=1`` BEFORE this round probes or appends.
+
+    Why this point in the round is the safe one: compaction must never
+    fold ``release=batch_id`` (a replayed batch's probe hides exactly
+    that release — folding it would make replayed documents refuse as
+    duplicates of themselves), and ``keep_last=1`` keeps the HIGHEST
+    real release — which is the crashed attempt's own append when one
+    exists. Inside ``foreachBatch`` the stream is the ledger's only
+    writer, satisfying the compactors' writers-quiesced contract; a
+    crash mid-fold replays into the same call and converges (the fold
+    set is recomputed from surviving directories — the compactors'
+    own crash contract)."""
+    if compact_after_releases is None:
+        return
+    from ..operators.dedup import (
+        compact_embedding_ledger,
+        compact_minhash_ledger,
+        compact_phash_ledger,
+    )
+
+    reals = [
+        r
+        for r in ledger_releases(spark, path)
+        if r >= 0 and r != batch_id
+    ]
+    if len(reals) < compact_after_releases:
+        return
+    compactor = {
+        "minhash": compact_minhash_ledger,
+        "embedding": compact_embedding_ledger,
+        "phash": compact_phash_ledger,
+    }[kind]
+    compactor(spark, path, keep_last=1)
+
 # Adoption-time snapshot of the ledger's pre-existing (foreign) release
 # ids. An adopting stream's fresh batch ids start at 0, which can sit
 # BELOW releases the ledger already holds (the exclude_release-by-
@@ -155,6 +197,7 @@ def _semantic_gate(
     bands: int,
     embedder,
     id_col: str = "doc_id",
+    compact_after_releases: int | None = None,
 ):
     """The semantic admission stage: refuse survivors whose embedding
     is a cosine near-duplicate of anything already in the embedding
@@ -212,6 +255,9 @@ def _semantic_gate(
             planes_per_band=planes_per_band,
             bands=bands,
         )
+    _maybe_compact_ledger(
+        spark, path, batch_id, compact_after_releases, "embedding"
+    )
     kept = embedding_near_dedup(
         emb, threshold, planes_per_band=planes_per_band, bands=bands
     )
@@ -244,6 +290,7 @@ def admit_batch(
     semantic_planes_per_band: int = 8,
     semantic_bands: int = 8,
     embedder=None,
+    compact_after_releases: int | None = None,
 ) -> DataFrame:
     """One admission round, callable from foreachBatch or a batch
     driver (the stream ≡ batch equivalence tests drive this directly).
@@ -273,6 +320,9 @@ def admit_batch(
                 "ledger's identity; drop the overrides or start a new "
                 "ledger path."
             )
+        _maybe_compact_ledger(
+            spark, ledger_path, batch_id, compact_after_releases, "minhash"
+        )
         survivors = near_dedup(
             batch_df, threshold=threshold, k=k, bands=bands, shingle_n=shingle_n
         )
@@ -309,6 +359,7 @@ def admit_batch(
             semantic_planes_per_band,
             semantic_bands,
             embedder,
+            compact_after_releases=compact_after_releases,
         )
     # materialize once: the survivor relation feeds two writes, and
     # lazily recomputing it after the ledger append would self-match
@@ -346,6 +397,7 @@ def start_near_dedup_stream(
     semantic_planes_per_band: int = 8,
     semantic_bands: int = 8,
     embedder=None,
+    compact_after_releases: int | None = None,
 ) -> StreamingQuery:
     """Run continuous admission over a streaming ``documents`` relation
     (``doc_id``, ``text``, + any payload columns — e.g.
@@ -385,6 +437,7 @@ def start_near_dedup_stream(
             semantic_planes_per_band=semantic_planes_per_band,
             semantic_bands=semantic_bands,
             embedder=embedder,
+            compact_after_releases=compact_after_releases,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)
@@ -416,6 +469,7 @@ def admit_assets_batch(
     semantic_planes_per_band: int = 8,
     semantic_bands: int = 8,
     asset_embedder=None,
+    compact_after_releases: int | None = None,
 ) -> DataFrame:
     """One PERCEPTUAL admission round over an asset batch
     (``asset_id``, ``payload`` binary, + any metadata columns) —
@@ -495,6 +549,9 @@ def admit_assets_batch(
             max_hamming=max_hamming,
             signal=signal,
         )
+    _maybe_compact_ledger(
+        spark, ledger_path, batch_id, compact_after_releases, "phash"
+    )
     if signal == "image":
         hashes = mm.phash_assets(batch_df, grid=grid)
     else:
@@ -576,6 +633,7 @@ def admit_assets_batch(
             semantic_bands,
             embedder,
             id_col="asset_id",
+            compact_after_releases=compact_after_releases,
         )
         # semantic refusals leave the fingerprint relation too: the
         # phash ledger appends exactly the ADMITTED assets' prints
@@ -619,6 +677,7 @@ def start_asset_admission_stream(
     semantic_planes_per_band: int = 8,
     semantic_bands: int = 8,
     asset_embedder=None,
+    compact_after_releases: int | None = None,
 ) -> StreamingQuery:
     """Continuous perceptually-gated admission over a streaming
     ``assets`` relation (``asset_id``, ``payload`` — e.g.
@@ -656,6 +715,7 @@ def start_asset_admission_stream(
             semantic_planes_per_band=semantic_planes_per_band,
             semantic_bands=semantic_bands,
             asset_embedder=asset_embedder,
+            compact_after_releases=compact_after_releases,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)
@@ -692,6 +752,7 @@ def admit_and_index_batch(
     semantic_planes_per_band: int = 8,
     semantic_bands: int = 8,
     embedder=None,
+    compact_after_releases: int | None = None,
 ) -> None:
     """One composed round: near-dup-gate the batch against the ledger
     (``admit_batch`` — release-partition overwrites) AND fold the
@@ -762,6 +823,7 @@ def admit_and_index_batch(
         semantic_planes_per_band=semantic_planes_per_band,
         semantic_bands=semantic_bands,
         embedder=embedder,
+        compact_after_releases=compact_after_releases,
     )
     corpus = survivors.select(
         F.col("doc_id").cast("string").alias("document"), "text"
@@ -810,6 +872,7 @@ def start_front_door_stream(
     semantic_planes_per_band: int = 8,
     semantic_bands: int = 8,
     embedder=None,
+    compact_after_releases: int | None = None,
 ) -> StreamingQuery:
     """The full training-data front door as ONE stream: documents land,
     near-duplicates of anything already admitted (this stream or prior
@@ -850,6 +913,7 @@ def start_front_door_stream(
             semantic_planes_per_band=semantic_planes_per_band,
             semantic_bands=semantic_bands,
             embedder=embedder,
+            compact_after_releases=compact_after_releases,
         )
         if binding == "adopting":
             _bind_checkpoint(spark, ledger_path, checkpoint_dir)

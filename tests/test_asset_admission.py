@@ -744,3 +744,109 @@ def test_semantic_asset_stream_and_crash_replay(spark, tmp_path, monkeypatch):
     run()
     assert _survivor_ids(spark, survivors) == {0: {1}, 1: {11}}
     assert {r["vec_id"] for r in spark.read.parquet(f"{sled}/vecs").collect()} == {1, 11}
+
+
+# --- threshold-triggered auto-compaction in the door (r12) ------------------
+
+
+def test_door_auto_compaction_resets_fanout(spark, tmp_path):
+    """With compact_after_releases=2 the door folds prior releases into
+    release=-1 before probing once the fan-out crosses the threshold —
+    no operator intervention — and the folded history still gates (a
+    duplicate of the FIRST, long-folded image refuses in the last
+    batch)."""
+    ledger = str(tmp_path / "led")
+    survivors = str(tmp_path / "out")
+    imgs = [_img(60 + i) for i in range(4)]
+    for bid in range(3):
+        df = spark.createDataFrame(
+            [(bid * 10, bytearray(mm.encode_png(imgs[bid])))],
+            "asset_id bigint, payload binary",
+        )
+        admit_assets_batch(
+            spark, df, ledger, survivors, batch_id=bid,
+            compact_after_releases=2,
+        )
+    # batch 2 crossed the threshold: 0 folded, 1 kept, 2 appended
+    assert dd.ledger_releases(spark, ledger) == [-1, 1, 2]
+    b3 = spark.createDataFrame(
+        [
+            (30, bytearray(mm.encode_png(imgs[0]))),  # dup of FOLDED release 0
+            (31, bytearray(mm.encode_png(imgs[3]))),  # novel
+        ],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(
+        spark, b3, ledger, survivors, batch_id=3, compact_after_releases=2
+    )
+    assert dd.ledger_releases(spark, ledger) == [-1, 2, 3]
+    assert _survivor_ids(spark, survivors) == {
+        0: {0},
+        1: {10},
+        2: {20},
+        3: {31},
+    }
+
+
+def test_door_auto_compaction_crash_mid_fold_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill INSIDE the auto-compaction fold (first release-directory
+    sweep): the intermediate state over-gates (folded rows in -1 AND
+    the original release), and the replayed drain re-runs the fold to
+    convergence, then admits the batch."""
+    from map_reduce_using_cloud_functions_spark.operators import index as idx
+
+    watch = str(tmp_path / "in")
+    ledger = str(tmp_path / "led")
+    survivors = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = start_asset_admission_stream(
+            spark,
+            streaming_assets_from_dir(spark, watch),
+            ledger,
+            survivors,
+            ckpt,
+            compact_after_releases=2,
+        )
+        q.awaitTermination(180)
+
+    imgs = [_img(70 + i) for i in range(3)]
+    _write_assets(watch, [(0, mm.encode_png(imgs[0]))])
+    run()
+    _write_assets(watch, [(10, mm.encode_png(imgs[1]))])
+    run()
+    assert dd.ledger_releases(spark, ledger) == [0, 1]
+
+    real_delete = idx._hadoop_delete
+    calls = []
+
+    def crashy(spark_, path_):
+        if not calls:
+            calls.append(path_)
+            raise RuntimeError("injected crash mid-fold")
+        real_delete(spark_, path_)
+
+    monkeypatch.setattr(idx, "_hadoop_delete", crashy)
+    _write_assets(watch, [(20, mm.encode_png(imgs[2]))])
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    # over-gating intermediate state: folded rows AND the source release
+    rels = dd.ledger_releases(spark, ledger)
+    assert -1 in rels and 0 in rels, rels
+    monkeypatch.setattr(idx, "_hadoop_delete", real_delete)
+
+    run()  # replay: fold re-runs to convergence, then batch 2 admits
+    assert dd.ledger_releases(spark, ledger) == [-1, 1, 2]
+    assert _survivor_ids(spark, survivors) == {0: {0}, 1: {10}, 2: {20}}
+    # the folded ledger still refuses a recompressed copy of image 0
+    probe = spark.createDataFrame(
+        [(99, bytearray(_recompress(mm.encode_png(imgs[0]))))],
+        "asset_id bigint, payload binary",
+    )
+    admit_assets_batch(
+        spark, probe, ledger, survivors, batch_id=3, compact_after_releases=2
+    )
+    assert 3 not in _survivor_ids(spark, survivors)

@@ -1146,3 +1146,32 @@ def test_front_door_report_accounts_for_all_artifacts(spark, tmp_path, capsys):
     assert rep2["phash_ledger"]["kind"] == "phash"
     assert rep2["phash_ledger"]["signal"] == "image"
     assert rep2["phash_ledger"]["per_release"] == {0: 1}
+
+
+def test_text_door_auto_compaction(spark, tmp_path):
+    """compact_after_releases on the TEXT door: the MinHash ledger
+    folds into release=-1 once the probe fan-out crosses the
+    threshold, inside the admission round, and folded history still
+    refuses a near-duplicate of the first (long-folded) document."""
+    ledger = str(tmp_path / "led")
+    survivors = str(tmp_path / "out")
+    texts = [TEXT_A, TEXT_B, TEXT_C]
+    for bid in range(3):
+        df = spark.createDataFrame(
+            [(bid * 10, texts[bid])], "doc_id bigint, text string"
+        )
+        admit_batch(
+            spark, df, ledger, survivors, batch_id=bid,
+            compact_after_releases=2,
+        )
+    assert dd.ledger_releases(spark, ledger) == [-1, 1, 2]
+    b3 = spark.createDataFrame(
+        [(30, TEXT_A_NEAR)], "doc_id bigint, text string"
+    )
+    admit_batch(
+        spark, b3, ledger, survivors, batch_id=3, compact_after_releases=2
+    )
+    # batch 3 compacted (1 folded, 2 kept) and was then fully refused —
+    # an all-refused batch records NO release (absence is the record)
+    assert dd.ledger_releases(spark, ledger) == [-1, 2]
+    assert 3 not in _survivor_ids(spark, survivors)  # folded TEXT_A gates
