@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs_production",
     "multimodal_phash_pairs",  # r10: perceptual image near-dup (X5)
     "multimodal_audiohash_pairs",  # r11: audio energy-sign near-dup (X5)
+    "multimodal_videohash_pairs",  # r12: temporal video near-dup (X5)
+    "multimodal_image_embeddings",  # r12: asset semantic-gate featurizer
 ]
 
 
@@ -323,6 +325,157 @@ def bench_asset_front_door(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_multimodal_front_door(
+    spark, sf_dir: str, n_files: int = 4, n_docs: int = 800
+) -> dict:
+    """The multimodal admission ENVELOPE (r12): per-batch cost of one
+    composed round — text strengths gate the record, then per-signal
+    fingerprint doors gate its assets — over parquet record shipments
+    (one file per trigger). Records carry the documents-table text
+    plus derived real-media assets (PNG for every 72-byte-eligible
+    doc, WAV at 130, y4m at 260 — the oracle-verified fixture paths),
+    so a steady-state batch runs every sink the envelope owns: docs
+    release, three signal subtrees, the MinHash ledger and three
+    phash ledgers, under ONE release watermark."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_using_cloud_functions_spark.operators import multimodal as mm
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+    from map_reduce_using_cloud_functions_spark.streaming.envelope import (
+        start_multimodal_front_door_stream,
+        streaming_multimodal_from_dir,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_mmfd_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            (
+                "assets",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("asset_id", pa.int64()),
+                            ("signal", pa.string()),
+                            ("payload", pa.binary()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(n_docs)
+            .collect()
+        )
+        records = []
+        for r in docs:
+            text = r["text"] or ""
+            raw = text.encode("utf-8")
+            assets = []
+            if len(raw) >= 72:
+                import numpy as np
+
+                pix = np.frombuffer(raw[:72], dtype=np.uint8).reshape(8, 9)
+                assets.append(
+                    {
+                        "asset_id": r["doc_id"] * 10,
+                        "signal": "image",
+                        "payload": mm.encode_png(pix),
+                    }
+                )
+            if len(raw) >= 130:
+                import numpy as np
+
+                assets.append(
+                    {
+                        "asset_id": r["doc_id"] * 10 + 1,
+                        "signal": "audio",
+                        "payload": mm.encode_wav(
+                            np.frombuffer(raw[:130], dtype=np.uint8)
+                        ),
+                    }
+                )
+            if len(raw) >= 260:
+                import numpy as np
+
+                frames = np.frombuffer(raw[:260], dtype=np.uint8).reshape(
+                    65, 2, 2
+                )
+                assets.append(
+                    {
+                        "asset_id": r["doc_id"] * 10 + 2,
+                        "signal": "video",
+                        "payload": mm.encode_y4m(frames),
+                    }
+                )
+            records.append((r["doc_id"], text, assets))
+        n_assets = sum(len(rec[2]) for rec in records)
+        for i in range(n_files):
+            ship = records[i::n_files]
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": [x[0] for x in ship],
+                        "text": [x[1] for x in ship],
+                        "assets": [x[2] for x in ship],
+                    },
+                    schema=schema,
+                ),
+                os.path.join(watch, f"b{i}.parquet"),
+            )
+        t0 = time.perf_counter()
+        q = start_multimodal_front_door_stream(
+            spark,
+            streaming_multimodal_from_dir(
+                spark, watch, max_files_per_trigger=1
+            ),
+            os.path.join(base, "mm"),
+            os.path.join(base, "ck"),
+        )
+        q.awaitTermination()
+        total = time.perf_counter() - t0
+        batch_ordered = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        # batch_secs stays SORTED (rank-k batches align across A/B
+        # passes); batch_secs_ordered keeps trigger order so a reader
+        # can see that the big value is batch 0's JIT+init, not
+        # last-batch growth (the r11 misread this key invites)
+        batch_secs = sorted(batch_ordered)
+        n_docs_admitted = spark.read.parquet(
+            os.path.join(base, "mm", "docs")
+        ).count()
+        n_assets_admitted = spark.read.parquet(
+            os.path.join(base, "mm", "assets")
+        ).count()
+        return {
+            "files": n_files,
+            "docs": len(records),
+            "assets": n_assets,
+            "total_sec": round(total, 3),
+            "sec_per_batch": round(total / max(1, len(batch_secs)), 3),
+            "batch_secs": batch_secs,
+            "batch_secs_ordered": batch_ordered,
+            "docs_admitted": n_docs_admitted,
+            "assets_admitted": n_assets_admitted,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _run_tree_bench(tree: str, reps: int) -> dict:
     """One full bench pass of the repo tree at ``tree`` in a fresh
     subprocess (own JVM — no cross-tree session contamination), parsed
@@ -545,6 +698,15 @@ def main() -> None:
             file=sys.stderr,
         )
     try:
+        front_door_multimodal = bench_multimodal_front_door(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        front_door_multimodal = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(
+            f"bench: front_door_multimodal FAILED: "
+            f"{front_door_multimodal['error']}",
+            file=sys.stderr,
+        )
+    try:
         front_door_phash = bench_asset_front_door(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — record and continue
         front_door_phash = {"error": f"{type(exc).__name__}: {exc}"[:500]}
@@ -567,6 +729,7 @@ def main() -> None:
                 "streaming_front_door_gated": front_door_gated,
                 "streaming_front_door_semantic": front_door_semantic,
                 "streaming_front_door_phash": front_door_phash,
+                "streaming_front_door_multimodal": front_door_multimodal,
                 **({"errors": errors} if errors else {}),
                 **({"flaky": flaky} if flaky else {}),
             }

@@ -245,6 +245,49 @@ def _build_parser() -> argparse.ArgumentParser:
         help="drain what has landed and exit (availableNow trigger)",
     )
 
+    am = sub.add_parser(
+        "admit-multimodal",
+        help="stream: ONE admission envelope for documents WITH their "
+        "assets (parquet record shipments land; text strengths gate "
+        "the record, per-signal fingerprint strengths gate its assets; "
+        "every sink exactly-once on one release watermark)",
+    )
+    am.add_argument("watch_dir", help="landing dir of parquet record files")
+    am.add_argument(
+        "base_path", help="envelope base dir (docs/assets/ledgers layout)"
+    )
+    am.add_argument("checkpoint_dir")
+    am.add_argument("--threshold", type=float, default=0.5)
+    am.add_argument(
+        "--min-quality",
+        type=float,
+        default=None,
+        help="drop records whose text quality composite falls below this",
+    )
+    am.add_argument(
+        "--text-semantic",
+        action="store_true",
+        help="add the text embedding-ledger strength ({base}/semantic)",
+    )
+    am.add_argument(
+        "--asset-semantic",
+        action="store_true",
+        help="add the per-signal asset embedding strength "
+        "({base}/asset_semantic/SIGNAL)",
+    )
+    am.add_argument(
+        "--compact-after",
+        type=int,
+        default=None,
+        help="auto-compact every touched ledger once more than N prior "
+        "releases would be probed",
+    )
+    am.add_argument(
+        "--once",
+        action="store_true",
+        help="drain what has landed and exit (availableNow trigger)",
+    )
+
     h = sub.add_parser("history", help="commit log of a versioned index")
     h.add_argument("index_path")
 
@@ -381,6 +424,12 @@ def _build_parser() -> argparse.ArgumentParser:
     fr.add_argument("--semantic-ledger", default=None)
     fr.add_argument("--phash-ledger", default=None)
     fr.add_argument("--index", default=None, help="composed front door's word index")
+    fr.add_argument(
+        "--multimodal",
+        default=None,
+        help="multimodal envelope base dir (streaming/envelope.py "
+        "layout): docs/assets per release + every ledger under it",
+    )
 
     li = sub.add_parser(
         "ledger-info",
@@ -647,10 +696,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 or args.semantic_ledger
                 or args.phash_ledger
                 or args.index
+                or args.multimodal
             ):
                 print(
                     "front-door-report: pass at least one of --survivors/"
-                    "--ledger/--semantic-ledger/--phash-ledger/--index",
+                    "--ledger/--semantic-ledger/--phash-ledger/--index/"
+                    "--multimodal",
                     file=sys.stderr,
                 )
                 return 2
@@ -663,6 +714,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         semantic_ledger_path=args.semantic_ledger,
                         phash_ledger_path=args.phash_ledger,
                         index_path=args.index,
+                        multimodal_base=args.multimodal,
                     ),
                     sort_keys=True,
                 )
@@ -865,6 +917,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"admitting {signal} assets {args.watch_dir} -> "
                 f"{args.survivors_path} (phash ledger {args.ledger_path}"
                 + (", draining once)" if args.once else "; ctrl-c to stop)")
+            )
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
+        elif args.cmd == "admit-multimodal":
+            from .streaming.envelope import (
+                start_multimodal_front_door_stream,
+                streaming_multimodal_from_dir,
+            )
+
+            q = start_multimodal_front_door_stream(
+                spark,
+                streaming_multimodal_from_dir(spark, args.watch_dir),
+                args.base_path,
+                args.checkpoint_dir,
+                available_now=args.once,
+                threshold=args.threshold,
+                min_quality=args.min_quality,
+                text_semantic=args.text_semantic,
+                asset_semantic=args.asset_semantic,
+                compact_after_releases=args.compact_after,
+            )
+            print(
+                f"admitting multimodal records {args.watch_dir} -> "
+                f"{args.base_path}"
+                + (" (draining once)" if args.once else " (ctrl-c to stop)")
             )
             try:
                 q.awaitTermination()

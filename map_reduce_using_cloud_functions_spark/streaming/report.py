@@ -16,9 +16,15 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from ..operators.dedup import ledger_exists
+
 
 def _ledger_section(spark, path: str) -> dict:
-    from ..operators.dedup import ledger_info
+    from ..operators.dedup import (
+        CORRUPT_SIDECAR_DIR,
+        _plain_dir_releases,
+        ledger_info,
+    )
 
     # count_docs=False: the per-release groupBy below is the ONE scan
     # of the data dir — n_docs is its sum, not a second full read
@@ -37,6 +43,20 @@ def _ledger_section(spark, path: str) -> dict:
         per_release = {int(r["release"]): int(r["n"]) for r in rows}
     info["per_release"] = per_release
     info["n_docs"] = sum(per_release.values())
+    if info["kind"] == "phash" and _plain_dir_releases(
+        spark, f"{path}/{CORRUPT_SIDECAR_DIR}"
+    ):
+        # the exact-byte gate's state: admitted-corrupt content hashes
+        # per release (folds into -1 with the rest of the ledger)
+        rows = (
+            spark.read.parquet(f"{path}/{CORRUPT_SIDECAR_DIR}")
+            .groupBy("release")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        info["corrupt_per_release"] = {
+            int(r["release"]): int(r["n"]) for r in rows
+        }
     return info
 
 
@@ -48,15 +68,69 @@ def front_door_report(
     phash_ledger_path: str | None = None,
     index_path: str | None = None,
     batch_sizes: dict[int, int] | None = None,
+    multimodal_base: str | None = None,
 ) -> dict:
     """Admission accounting from the committed artifacts: per-release
     admitted counts (survivors partitions), per-strength ledger state
     (sketch params, release fan-out, docs per release, band-directory
-    fan-in a probe pays — the number ``ledger-compact`` resets), and
-    the composed index's watermark/pending tail. ``batch_sizes``
-    (release → landed count, e.g. from the producer's manifest) adds
-    per-release refusal counts."""
+    fan-in a probe pays — the number ``ledger-compact`` resets, the
+    corrupt exact-gate sidecar for phash ledgers), and the composed
+    index's watermark/pending tail. ``batch_sizes`` (release → landed
+    count, e.g. from the producer's manifest) adds per-release refusal
+    counts. ``multimodal_base``: one envelope root
+    (``streaming/envelope.py`` layout) — reports admitted documents
+    per release, admitted assets per (signal, release), and every
+    ledger under the base, in one call."""
     report: dict = {}
+    if multimodal_base is not None:
+        from ..operators.index import _hadoop_exists
+        from .envelope import multimodal_paths
+
+        paths = multimodal_paths(multimodal_base)
+        mm_sec: dict = {}
+        if _hadoop_exists(spark, paths["docs"]):
+            rows = (
+                spark.read.parquet(paths["docs"])
+                .groupBy("release")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            docs = {int(r["release"]): int(r["n"]) for r in rows}
+            mm_sec["docs_per_release"] = dict(sorted(docs.items()))
+            mm_sec["docs_total"] = sum(docs.values())
+        if _hadoop_exists(spark, paths["assets"]):
+            rows = (
+                spark.read.parquet(paths["assets"])
+                .groupBy("signal", "release")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            per_sig: dict = {}
+            for r in rows:
+                per_sig.setdefault(r["signal"], {})[int(r["release"])] = int(
+                    r["n"]
+                )
+            mm_sec["assets_per_release"] = {
+                s: dict(sorted(v.items())) for s, v in sorted(per_sig.items())
+            }
+            mm_sec["assets_total"] = sum(
+                n for v in per_sig.values() for n in v.values()
+            )
+        if ledger_exists(spark, paths["ledger"]):
+            mm_sec["minhash_ledger"] = _ledger_section(spark, paths["ledger"])
+        if ledger_exists(spark, paths["semantic"]):
+            mm_sec["semantic_ledger"] = _ledger_section(
+                spark, paths["semantic"]
+            )
+        for sig, p in paths["phash"].items():
+            if ledger_exists(spark, p):
+                mm_sec[f"phash_ledger_{sig}"] = _ledger_section(spark, p)
+        for sig, p in paths["asset_semantic"].items():
+            if ledger_exists(spark, p):
+                mm_sec[f"asset_semantic_ledger_{sig}"] = _ledger_section(
+                    spark, p
+                )
+        report["multimodal"] = mm_sec
     if survivors_path is not None:
         rows = (
             spark.read.parquet(survivors_path)
