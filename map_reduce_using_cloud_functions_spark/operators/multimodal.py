@@ -908,11 +908,11 @@ def asset_embeddings(
     the text door's empty-text documents. ``dim`` is the vector length
     (a grid²=dim block grid for images; dim temporal blocks for
     audio/video)."""
+    use_pil = _pil_available()  # driver-pinned, as in phash_assets
     if signal == "image":
         grid = int(dim**0.5)
         if grid * grid != dim:
             raise ValueError(f"image embedding dim must be a square, got {dim}")
-        use_pil = _pil_available()  # driver-pinned, as in phash_assets
 
         def vec(payload: bytes) -> list[float]:
             return image_grid_vector(
@@ -933,6 +933,20 @@ def asset_embeddings(
         raise ValueError(f"unknown asset signal {signal!r}")
 
     def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if signal == "image" and use_pil:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                # OUTSIDE the per-row guard: a swallowed ImportError
+                # would silently pass every asset through the semantic
+                # gate on executors missing the driver-chosen decoder —
+                # the mixed-cluster skew phash_assets refuses loudly
+                raise RuntimeError(
+                    "asset_embeddings: the driver resolved the PNG "
+                    "decoder to PIL but this executor cannot import it "
+                    "— PIL availability must be cluster-uniform for "
+                    "admission gates to be environment-independent"
+                ) from e
         for pdf in batches:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):

@@ -326,9 +326,15 @@ def _q_multimodal_image_embeddings(s: SparkSession, d: str) -> DataFrame:
 
     docs = load_table(s, d, "documents")
     emb = mm.asset_embeddings(mm.build_png_assets(docs), signal="image")
+    # + 0.0 normalizes signed zeros: a centered value one ulp either
+    # side of 0 rounds to +0.0 here and -0.0 there (found at sf1), and
+    # canon stringifies ARRAY elements verbatim — so both engines add
+    # 0.0 after the round (IEEE: -0.0 + 0.0 = +0.0, others unchanged)
     return emb.select(
         "asset_id",
-        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+        F.transform(
+            "embedding", lambda x: F.round(x, 6) + F.lit(0.0)
+        ).alias("embedding"),
     )
 
 
@@ -1699,7 +1705,8 @@ lst AS (
   FROM cell GROUP BY doc_id
 )
 SELECT doc_id AS asset_id,
-       list_transform(cells, x -> round(x - list_sum(cells) / 16, 6))
+       -- + 0.0 normalizes signed zeros (see the Spark twin)
+       list_transform(cells, x -> round(x - list_sum(cells) / 16, 6) + 0.0)
          AS embedding
 FROM lst
 """
