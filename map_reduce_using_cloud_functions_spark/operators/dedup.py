@@ -567,6 +567,55 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # r12 fast path: near-dup edge sets are usually tiny relative to
+    # the corpus (the pair producer already thresholded them). Collect
+    # a BOUNDED edge sample and resolve components with a driver-side
+    # union-find — ONE Spark job instead of 2+ jobs per propagation
+    # round (each round cost a localCheckpoint job + a convergence
+    # count; the admission doors pay this every batch). The limit+1
+    # probe keeps the driver fetch bounded: an oversized edge set falls
+    # through to the iterative min-label propagation below, which
+    # remains the 100 TB path. Same values: union-find's root = the
+    # component-wide min id = the propagation fixpoint.
+    _cap = 200_000
+    head = sym.limit(_cap + 1).collect()
+    if len(head) <= _cap:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in head:
+            a, b = row["src"], row["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so every root is its component's min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = sorted((x, find(x)) for x in parent)
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        t = sym.schema["src"].dataType
+        return spark.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("doc_id", t, False),
+                    StructField("cluster_rep", t, False),
+                ]
+            ),
+        )
     # Materialize the edges once: the pair producer (MinHash etc.) is the
     # expensive subplan and must not re-run every iteration.
     edges = sym.distinct().localCheckpoint()
@@ -1026,8 +1075,15 @@ def ledger_near_dup_pairs(
     ledger_bands = ledger_bands_raw.select(
         F.col("doc_id").alias("ledger_doc"), "band", "band_hash"
     )
+    # r12: the probe batch is trigger-bounded by the streaming-door
+    # contract (the ledger side is the unbounded one), so the batch
+    # side of every join broadcasts — the ledger's narrow bands
+    # relation streams through a BroadcastHashJoin instead of paying a
+    # full exchange per probe (the admission doors pay this every
+    # batch; localCheckpoint sources defeat the planner's size
+    # estimate, so the hint is explicit).
     cands = (
-        batch.select("doc_id", "band", "band_hash")
+        F.broadcast(batch.select("doc_id", "band", "band_hash"))
         .join(ledger_bands, ["band", "band_hash"])
         .select("doc_id", "ledger_doc")
         .distinct()
@@ -1045,7 +1101,7 @@ def ledger_near_dup_pairs(
         F.filter(F.zip_with("sig", "lsig", lambda x, y: x == y), lambda eq: eq)
     )
     return (
-        cands.join(bsigs, "doc_id")
+        cands.join(F.broadcast(bsigs), "doc_id")
         .join(lsigs, "ledger_doc")
         .select(
             "doc_id",
@@ -1079,7 +1135,9 @@ def near_dedup_against_ledger(
         before_release=before_release,
         exclude_release=exclude_release,
     ).select("doc_id")
-    return documents.join(matched, "doc_id", "left_anti")
+    # matched ⊆ the trigger-bounded probe batch — broadcast the anti-
+    # join's right side (r12; see ledger_near_dup_pairs)
+    return documents.join(F.broadcast(matched), "doc_id", "left_anti")
 
 
 def delete_from_ledger(spark, path: str, doc_ids: list[int]) -> None:
@@ -1720,8 +1778,14 @@ def ledger_embedding_pairs(
     if scale_guard not in ("raise", "off"):
         raise ValueError(f"scale_guard must be 'raise' or 'off', got {scale_guard!r}")
     if scale_guard == "raise":
-        n_batch = embeddings.count()
-        n_ledger = ledger_vecs.count()
+        # both counts in ONE action (r12): union of the two 1-row
+        # aggregates — the admission doors pay this guard every batch
+        counts = (
+            embeddings.agg(F.count(F.lit(1)).alias("n"))
+            .unionByName(ledger_vecs.agg(F.count(F.lit(1)).alias("n")))
+            .collect()
+        )
+        n_batch, n_ledger = counts[0]["n"], counts[1]["n"]
         est = b * n_batch * n_ledger / (2 ** r)
         if est > LSH_CANDIDATE_BUDGET:
             raise ValueError(
@@ -1732,6 +1796,14 @@ def ledger_embedding_pairs(
                 "(each +1 halves random collisions), or pass "
                 "scale_guard='off' if this volume is intended."
             )
+    # r12: the sketch is a pure projection against plan-literal
+    # hyperplanes — no checkpoint needed once it has a single consumer
+    # (bvecs now derives straight from the batch relation instead of
+    # distinct-ing the b-way band explode back down). The probe batch
+    # is trigger-bounded by the streaming-door contract, so the batch
+    # side of every join broadcasts; the ledger's narrow bands relation
+    # streams through a BroadcastHashJoin instead of paying a full
+    # exchange per probe.
     batch = _sign_sketch_bands(
         embeddings.select(
             "vec_id",
@@ -1740,18 +1812,21 @@ def ledger_embedding_pairs(
         "embedding",
         planes_per_band=r,
         bands=b,
-    ).localCheckpoint()
+    )
     ledger_bands = _rel_filter(spark.read.parquet(f"{path}/bands")).select(
         F.col("vec_id").alias("ledger_vec"), "band", "band_bucket"
     )
     cands = (
-        batch.select("vec_id", "band", "band_bucket")
+        F.broadcast(batch.select("vec_id", "band", "band_bucket"))
         .join(ledger_bands, ["band", "band_bucket"])
         .select("vec_id", "ledger_vec")
         .distinct()
     )
     bvecs = (
-        batch.select("vec_id", "embedding")
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
         .distinct()
         .withColumn("b_norm", l2_norm(F.col("embedding")))
         .select("vec_id", F.col("embedding").alias("b_emb"), "b_norm")
@@ -1769,7 +1844,7 @@ def ledger_embedding_pairs(
     # would admit pairs in the [threshold - 5e-7, threshold) window
     # and break the probe ≡ joint-sketch contract
     return (
-        cands.join(bvecs, "vec_id")
+        cands.join(F.broadcast(bvecs), "vec_id")
         .join(lvecs, "ledger_vec")
         .select("vec_id", "ledger_vec", score.alias("raw_score"))
         .where(F.col("raw_score") >= threshold)
@@ -1803,7 +1878,9 @@ def near_dedup_against_embedding_ledger(
         exclude_release=exclude_release,
         scale_guard=scale_guard,
     ).select("vec_id")
-    return embeddings.join(matched, "vec_id", "left_anti")
+    # matched ⊆ the trigger-bounded probe batch — broadcast the anti-
+    # join's right side (r12; see ledger_embedding_pairs)
+    return embeddings.join(F.broadcast(matched), "vec_id", "left_anti")
 
 
 def delete_from_embedding_ledger(spark, path: str, vec_ids: list[int]) -> None:

@@ -132,7 +132,13 @@ def train_pq_codebooks(
         sub,
     ).select("subspace", "centroid_id", F.col("subvec").alias("c_subvec"))
     if not train:
-        return books
+        # r12: materialize the m·k-row codebook — every consumer
+        # (encode argmin, LUT build, the geometry .first() peeks)
+        # otherwise re-inlines the corpus-wide seeding aggregation; the
+        # committed ivfpq_residual before-plan carried 10+ copies of
+        # this subtree (guide §3.3: truncate enormous plans by
+        # materializing tiny intermediates). Values unchanged.
+        return books.localCheckpoint()
     subs = _subspace_slices(
         embeddings.select("vec_id", "embedding"), "embedding", m, sub
     )
@@ -605,9 +611,15 @@ def ivf_pq_topk(
     raw-ADC answers (the r8 oracle rows) replay unchanged; books, when
     caller-supplied, must have been trained on the SAME residual
     geometry."""
+    # r12: materialize the tiny centroid table once — it is referenced
+    # by the assignment, the residual relation, the recon-norm join,
+    # the query probe and the qc term; uncached, each reference
+    # re-inlined the whole corpus-scanning seeding subtree (the
+    # committed before-plan ran 269 operators with 14 parquet scans of
+    # the embeddings table). Values unchanged (guide §3.3).
     cents = centroids if centroids is not None else _seed_centroids(
         embeddings, n_centroids
-    )
+    ).localCheckpoint()
     corpus_lists = _assign_nearest_list(embeddings, cents).select(
         "vec_id", "list_id"
     )

@@ -884,10 +884,13 @@ def ivf_topk(
     if centroids is not None:
         cents = centroids
     else:
+        # r12: materialize the tiny centroid table once — the corpus
+        # assignment and the query probe below each re-inlined the
+        # seeding/training subtree otherwise (guide §3.3)
         cents = _train_or_seed(
             embeddings, n_centroids, train, train_iters, train_init,
             train_sample_size=train_sample_size,
-        )
+        ).localCheckpoint()
 
     # Corpus → 1 nearest list: argmax via max_by over the broadcast-join
     # scores — partial-aggregable, ties broken toward the smaller

@@ -266,11 +266,18 @@ def _semantic_gate(
             spark, kept, path, threshold=threshold, exclude_release=batch_id
         )
     kept = kept.localCheckpoint()
+    # kept/emb are trigger-bounded (and checkpointed, which defeats the
+    # planner's size estimate) — broadcast the semi/anti probe sides so
+    # the gate joins never exchange the survivor relation (r12)
     no_signal = survivors.join(
-        emb.select(F.col("vec_id").alias(id_col)), id_col, "left_anti"
+        F.broadcast(emb.select(F.col("vec_id").alias(id_col))),
+        id_col,
+        "left_anti",
     )
     gated = survivors.join(
-        kept.select(F.col("vec_id").alias(id_col)), id_col, "left_semi"
+        F.broadcast(kept.select(F.col("vec_id").alias(id_col))),
+        id_col,
+        "left_semi",
     ).unionByName(no_signal)
     return gated, kept.select("vec_id", "embedding")
 
