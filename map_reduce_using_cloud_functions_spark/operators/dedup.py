@@ -2147,8 +2147,12 @@ def ledger_phash_pairs(
     ledger_bands = _rel_filter(spark.read.parquet(f"{path}/bands")).select(
         F.col("asset_id").alias("ledger_asset"), "band", "band_bits"
     )
+    # r12: the probe batch is trigger-bounded by the streaming-door
+    # contract — broadcast its side of every join so the ledger's
+    # narrow relations stream through BroadcastHashJoins instead of
+    # paying a full exchange per probe (see ledger_near_dup_pairs)
     cands = (
-        batch.select("asset_id", "band", "band_bits")
+        F.broadcast(batch.select("asset_id", "band", "band_bits"))
         .join(ledger_bands, ["band", "band_bits"])
         .select("asset_id", "ledger_asset")
         .distinct()
@@ -2159,7 +2163,7 @@ def ledger_phash_pairs(
         F.col("phash").alias("l_phash"),
     )
     return (
-        cands.join(bfp, "asset_id")
+        cands.join(F.broadcast(bfp), "asset_id")
         .join(lfp, "ledger_asset")
         .withColumn(
             "hamming", F.bit_count(F.col("phash").bitwiseXOR(F.col("l_phash")))
@@ -2189,7 +2193,9 @@ def near_dedup_against_phash_ledger(
         before_release=before_release,
         exclude_release=exclude_release,
     ).select("asset_id")
-    return hashes.join(matched, "asset_id", "left_anti")
+    # matched ⊆ the trigger-bounded probe batch — broadcast the anti-
+    # join's right side (r12; see ledger_phash_pairs)
+    return hashes.join(F.broadcast(matched), "asset_id", "left_anti")
 
 
 def delete_from_phash_ledger(spark, path: str, asset_ids: list[int]) -> None:

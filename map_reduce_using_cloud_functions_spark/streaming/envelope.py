@@ -132,7 +132,8 @@ def admit_multimodal_batch(
             .where(F.col("quality") >= min_quality)
             .select("doc_id")
         )
-        docs = docs.join(keep, "doc_id", "left_semi")
+        # keep is trigger-bounded — broadcast the semi-join probe (r12)
+        docs = docs.join(F.broadcast(keep), "doc_id", "left_semi")
     survivors = admit_batch(
         spark,
         docs,
@@ -156,7 +157,9 @@ def admit_multimodal_batch(
             F.col("a.signal").alias("signal"),
             F.col("a.payload").alias("payload"),
         )
-        .join(survivors.select("doc_id"), "doc_id", "left_semi")
+        # survivors are trigger-bounded and checkpointed (no size
+        # estimate) — broadcast the semi-join probe side (r12)
+        .join(F.broadcast(survivors.select("doc_id")), "doc_id", "left_semi")
     )
     signals = sorted(
         r["signal"] for r in assets.select("signal").distinct().collect()

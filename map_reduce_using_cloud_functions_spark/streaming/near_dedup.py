@@ -592,7 +592,7 @@ def admit_assets_batch(
     if n_bad:
         bad = corrupt_content_hashes(
             batch_df.join(
-                hashes.where(~F.col("ok")).select("asset_id"),
+                F.broadcast(hashes.where(~F.col("ok")).select("asset_id")),
                 "asset_id",
                 "left_semi",
             )
@@ -618,14 +618,18 @@ def admit_assets_batch(
     if corrupt_kept is not None:
         kept = kept.where(F.col("ok")).unionByName(
             hashes.where(~F.col("ok")).join(
-                corrupt_kept.select("asset_id"), "asset_id", "left_semi"
+                F.broadcast(corrupt_kept.select("asset_id")),
+                "asset_id",
+                "left_semi",
             )
         )
     kept = kept.localCheckpoint()
     admitted_emb = None
     if semantic_ledger_path is not None:
         sem_candidates = batch_df.join(
-            kept.where(F.col("ok")).select("asset_id"), "asset_id", "left_semi"
+            F.broadcast(kept.where(F.col("ok")).select("asset_id")),
+            "asset_id",
+            "left_semi",
         )
         embedder = asset_embedder or (
             lambda df: mm.asset_embeddings(df, signal=signal)
@@ -646,10 +650,14 @@ def admit_assets_batch(
         # phash ledger appends exactly the ADMITTED assets' prints
         kept = kept.where(~F.col("ok")).unionByName(
             kept.where(F.col("ok")).join(
-                gated.select("asset_id"), "asset_id", "left_semi"
+                F.broadcast(gated.select("asset_id")), "asset_id", "left_semi"
             )
         ).localCheckpoint()
-    admitted = batch_df.join(kept.select("asset_id"), "asset_id", "left_semi")
+    # kept is trigger-bounded and checkpointed (no size estimate) —
+    # broadcast the semi-join probe side (r12)
+    admitted = batch_df.join(
+        F.broadcast(kept.select("asset_id")), "asset_id", "left_semi"
+    )
     (
         admitted.withColumn("release", F.lit(batch_id))
         .write.mode("overwrite")
@@ -814,7 +822,8 @@ def admit_and_index_batch(
             .where(F.col("quality") >= min_quality)
             .select("doc_id")
         )
-        batch_df = batch_df.join(keep, "doc_id", "left_semi")
+        # keep is trigger-bounded — broadcast the semi-join probe (r12)
+        batch_df = batch_df.join(F.broadcast(keep), "doc_id", "left_semi")
     survivors = admit_batch(
         spark,
         batch_df,
