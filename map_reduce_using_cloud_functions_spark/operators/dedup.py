@@ -545,6 +545,13 @@ def scrub_duplicate_spans(
     )
 
 
+# Directed-edge cap for dedup_clusters' driver-side union-find fast
+# path; an edge set that collects over this bound falls through to the
+# distributed iterative propagation (tests patch it to 0 to drive the
+# iterative path on small fixtures).
+DRIVER_CC_MAX_EDGES = 200_000
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """X2 cluster resolution: near-dup pairs → connected components.
 
@@ -577,7 +584,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # through to the iterative min-label propagation below, which
     # remains the 100 TB path. Same values: union-find's root = the
     # component-wide min id = the propagation fixpoint.
-    _cap = 200_000
+    _cap = DRIVER_CC_MAX_EDGES
     head = sym.limit(_cap + 1).collect()
     if len(head) <= _cap:
         parent: dict = {}

@@ -150,22 +150,36 @@ def test_dedup_clusters_min_label(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
-def test_dedup_clusters_raises_on_non_convergence(spark):
-    """A 6-node chain has diameter 5: min-label needs ~5 rounds, so
-    max_iter=2 must fail loudly instead of returning a split
-    component."""
+def test_dedup_clusters_raises_on_non_convergence(spark, monkeypatch):
+    """A 6-node chain has diameter 5: min-label needs ~5 rounds, so on
+    the ITERATIVE path max_iter=2 must fail loudly instead of returning
+    a split component. The r12 driver union-find fast path resolves any
+    bounded edge set in one shot regardless of max_iter, so the cap is
+    patched to 0 to force the iterative path."""
     import pytest
 
-    from map_reduce_using_cloud_functions_spark.operators.dedup import dedup_clusters
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(5, 0, -1)], "doc_a bigint, doc_b bigint"
     )
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 0)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(chain, max_iter=2)
+        dd.dedup_clusters(chain, max_iter=2)
     # and with enough rounds the same chain is one component
-    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(chain).collect()}
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dd.dedup_clusters(chain, max_iter=25).collect()
+    }
     assert set(got.values()) == {1}
+    # the fast path (default cap) agrees on the same chain even at
+    # max_iter=2 — the bounded union-find needs no rounds
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 200_000)
+    fast = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dd.dedup_clusters(chain, max_iter=2).collect()
+    }
+    assert fast == got
 
 
 def test_near_dedup_keeps_min_id_survivor(corpus_with_dups):
