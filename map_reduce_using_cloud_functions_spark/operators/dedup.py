@@ -551,6 +551,26 @@ def scrub_duplicate_spans(
 # iterative path on small fixtures).
 DRIVER_CC_MAX_EDGES = 200_000
 
+# Row cap above which a ledger probe's batch side is NOT pinned as the
+# broadcast build side (r13, r12 ADVICE): the streaming doors' batches
+# are trigger-bounded by contract (they assert it with
+# ``bounded_batch=True`` and skip the probe job), but the same probes
+# are documented batch APIs — a caller auditing a release history with
+# a huge "batch" must degrade to a planner-chosen shuffle join, not a
+# driver OOM against Spark's 8 GB broadcast hard cap. 4M rows of the
+# narrow band relations is well under that cap; tests patch this to 0
+# to drive the unpinned path on small fixtures.
+LEDGER_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _batch_is_bounded(df: DataFrame) -> bool:
+    """One BOUNDED job: count at most ``LEDGER_BROADCAST_MAX_ROWS + 1``
+    rows of ``df`` (the probes pass their localCheckpoint'ed batch, so
+    this reads materialized blocks) — never a full count of a
+    potentially unbounded relation."""
+    cap = LEDGER_BROADCAST_MAX_ROWS
+    return df.limit(cap + 1).count() <= cap
+
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """X2 cluster resolution: near-dup pairs → connected components.
@@ -574,18 +594,28 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    # r12 fast path: near-dup edge sets are usually tiny relative to
-    # the corpus (the pair producer already thresholded them). Collect
-    # a BOUNDED edge sample and resolve components with a driver-side
-    # union-find — ONE Spark job instead of 2+ jobs per propagation
-    # round (each round cost a localCheckpoint job + a convergence
-    # count; the admission doors pay this every batch). The limit+1
-    # probe keeps the driver fetch bounded: an oversized edge set falls
-    # through to the iterative min-label propagation below, which
-    # remains the 100 TB path. Same values: union-find's root = the
+    # Materialize the DISTINCT edge set once, up front (r13): the pair
+    # producer is the expensive subplan and BOTH paths need its edges,
+    # so probing the raw relation first (the r12 shape) re-ran the
+    # producer from scratch on the fall-through — the declared 100 TB
+    # path paid its most expensive subtree twice. The probe now reads
+    # the checkpointed blocks (bounded driver fetch, near-free job),
+    # and the cap bounds UNIQUE edges, so a duplicate-heavy pair set
+    # with few distinct edges stays on the fast path instead of
+    # spuriously falling through (r12 ADVICE, both items).
+    #
+    # Fast path (r12): near-dup edge sets are usually tiny relative to
+    # the corpus (the pair producer already thresholded them) — resolve
+    # components with a driver-side union-find instead of 2+ jobs per
+    # propagation round (each round cost a localCheckpoint job + a
+    # convergence count; the admission doors pay this every batch). An
+    # oversized edge set falls through to the iterative min-label
+    # propagation below, which remains the 100 TB path — now off the
+    # SAME checkpointed edges. Same values: union-find's root = the
     # component-wide min id = the propagation fixpoint.
     _cap = DRIVER_CC_MAX_EDGES
-    head = sym.limit(_cap + 1).collect()
+    edges = sym.distinct().localCheckpoint()
+    head = edges.limit(_cap + 1).collect()
     if len(head) <= _cap:
         parent: dict = {}
 
@@ -623,9 +653,6 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 ]
             ),
         )
-    # Materialize the edges once: the pair producer (MinHash etc.) is the
-    # expensive subplan and must not re-run every iteration.
-    edges = sym.distinct().localCheckpoint()
     labels = edges.select(
         F.col("src").alias("doc_id"), F.col("src").alias("label")
     ).distinct().localCheckpoint()
@@ -1034,6 +1061,7 @@ def ledger_near_dup_pairs(
     threshold: float = 0.5,
     before_release: int | None = None,
     exclude_release: int | None = None,
+    bounded_batch: bool | None = None,
 ) -> DataFrame:
     """Probe the ledger with a NEW batch: returns
     ``(doc_id, ledger_doc, est_jaccard)`` — each batch document paired
@@ -1062,7 +1090,16 @@ def ledger_near_dup_pairs(
     existing release ids — ``release < batch_id`` would silently skip
     those releases and admit duplicates of admitted content).
     ``streaming/near_dedup.py`` passes its batch id as
-    ``exclude_release``."""
+    ``exclude_release``.
+
+    ``bounded_batch``: whether the probe batch is small enough to pin
+    as the broadcast build side of the ledger joins. ``True`` — the
+    streaming doors' trigger-bounded contract — pins it with no extra
+    job; ``False`` leaves the join strategy to the planner; ``None``
+    (default) decides with one bounded count over the checkpointed
+    batch sketch (``LEDGER_BROADCAST_MAX_ROWS``), so a batch caller
+    probing with a huge relation degrades to a shuffle join instead of
+    a driver OOM (r12 ADVICE)."""
     meta = load_ledger_meta(spark, path)
     batch = _band_hashes(
         minhash_signatures_wide(documents, k=meta["k"], shingle_n=meta["shingle_n"]),
@@ -1070,6 +1107,9 @@ def ledger_near_dup_pairs(
         k=meta["k"],
         keep_sig=True,
     ).localCheckpoint()
+    if bounded_batch is None:
+        bounded_batch = _batch_is_bounded(batch)
+    _hint = F.broadcast if bounded_batch else (lambda df: df)
     ledger_bands_raw = spark.read.parquet(f"{path}/bands")
     if before_release is not None:
         ledger_bands_raw = ledger_bands_raw.where(
@@ -1082,15 +1122,14 @@ def ledger_near_dup_pairs(
     ledger_bands = ledger_bands_raw.select(
         F.col("doc_id").alias("ledger_doc"), "band", "band_hash"
     )
-    # r12: the probe batch is trigger-bounded by the streaming-door
-    # contract (the ledger side is the unbounded one), so the batch
-    # side of every join broadcasts — the ledger's narrow bands
-    # relation streams through a BroadcastHashJoin instead of paying a
-    # full exchange per probe (the admission doors pay this every
-    # batch; localCheckpoint sources defeat the planner's size
-    # estimate, so the hint is explicit).
+    # r12: a BOUNDED probe batch broadcasts as the build side of every
+    # join — the ledger's narrow bands relation streams through a
+    # BroadcastHashJoin instead of paying a full exchange per probe
+    # (the admission doors pay this every batch; localCheckpoint
+    # sources defeat the planner's size estimate, so the hint is
+    # explicit). r13: the pin is guarded by ``bounded_batch`` above.
     cands = (
-        F.broadcast(batch.select("doc_id", "band", "band_hash"))
+        _hint(batch.select("doc_id", "band", "band_hash"))
         .join(ledger_bands, ["band", "band_hash"])
         .select("doc_id", "ledger_doc")
         .distinct()
@@ -1108,7 +1147,7 @@ def ledger_near_dup_pairs(
         F.filter(F.zip_with("sig", "lsig", lambda x, y: x == y), lambda eq: eq)
     )
     return (
-        cands.join(F.broadcast(bsigs), "doc_id")
+        cands.join(_hint(bsigs), "doc_id")
         .join(lsigs, "ledger_doc")
         .select(
             "doc_id",
@@ -1126,6 +1165,7 @@ def near_dedup_against_ledger(
     threshold: float = 0.5,
     before_release: int | None = None,
     exclude_release: int | None = None,
+    bounded_batch: bool | None = None,
 ) -> DataFrame:
     """Cross-release near-dedup: the rows of ``documents`` that are NOT
     a near-duplicate of anything already in the ledger, all columns
@@ -1133,7 +1173,10 @@ def near_dedup_against_ledger(
     strength. Ship the survivors, then ``append_minhash_ledger`` them
     as the next release. ``before_release`` restricts the probe to
     earlier releases; ``exclude_release`` skips exactly one release
-    (the streaming replay contract — see ``ledger_near_dup_pairs``)."""
+    (the streaming replay contract — see ``ledger_near_dup_pairs``).
+    ``bounded_batch``: see ``ledger_near_dup_pairs`` — the anti-join's
+    matched side is pinned as broadcast only under the doors' explicit
+    ``True`` assertion; batch callers keep the planner's choice."""
     matched = ledger_near_dup_pairs(
         spark,
         documents,
@@ -1141,10 +1184,14 @@ def near_dedup_against_ledger(
         threshold,
         before_release=before_release,
         exclude_release=exclude_release,
+        bounded_batch=bounded_batch,
     ).select("doc_id")
-    # matched ⊆ the trigger-bounded probe batch — broadcast the anti-
-    # join's right side (r12; see ledger_near_dup_pairs)
-    return documents.join(F.broadcast(matched), "doc_id", "left_anti")
+    # matched ⊆ the probe batch — broadcast the anti-join's right side
+    # only when the caller ASSERTS the trigger-bounded contract (r13;
+    # probing matched's size here would run the whole probe twice)
+    if bounded_batch:
+        matched = F.broadcast(matched)
+    return documents.join(matched, "doc_id", "left_anti")
 
 
 def delete_from_ledger(spark, path: str, doc_ids: list[int]) -> None:
@@ -1754,6 +1801,7 @@ def ledger_embedding_pairs(
     before_release: int | None = None,
     exclude_release: int | None = None,
     scale_guard: str = "raise",
+    bounded_batch: bool | None = None,
 ) -> DataFrame:
     """Probe the ledger with a NEW batch: ``(vec_id, ledger_vec,
     score)`` for every batch vector whose cosine against a prior-
@@ -1766,7 +1814,11 @@ def ledger_embedding_pairs(
     ``scale_guard``: the banding is frozen in the ledger, so the
     random-collision estimate bands·|batch|·|ledger|/2^r either fits
     the budget or the remedy is a rebuild at higher r — ``"raise"``
-    (default) refuses with that remedy, ``"off"`` proceeds."""
+    (default) refuses with that remedy, ``"off"`` proceeds.
+
+    ``bounded_batch``: see ``ledger_near_dup_pairs``. ``None`` reuses
+    the scale guard's exact batch count when available (no extra job),
+    else one bounded count over the batch ids."""
     from ..functions.vectors import dot, l2_norm
     from .similarity import LSH_CANDIDATE_BUDGET, _sign_sketch_bands
 
@@ -1793,6 +1845,9 @@ def ledger_embedding_pairs(
             .collect()
         )
         n_batch, n_ledger = counts[0]["n"], counts[1]["n"]
+        if bounded_batch is None:
+            # the guard already counted the batch exactly — reuse it
+            bounded_batch = n_batch <= LEDGER_BROADCAST_MAX_ROWS
         est = b * n_batch * n_ledger / (2 ** r)
         if est > LSH_CANDIDATE_BUDGET:
             raise ValueError(
@@ -1803,14 +1858,18 @@ def ledger_embedding_pairs(
                 "(each +1 halves random collisions), or pass "
                 "scale_guard='off' if this volume is intended."
             )
+    if bounded_batch is None:
+        # scale_guard='off' skipped the exact count — one bounded job
+        bounded_batch = _batch_is_bounded(embeddings.select("vec_id"))
+    _hint = F.broadcast if bounded_batch else (lambda df: df)
     # r12: the sketch is a pure projection against plan-literal
     # hyperplanes — no checkpoint needed once it has a single consumer
     # (bvecs now derives straight from the batch relation instead of
-    # distinct-ing the b-way band explode back down). The probe batch
-    # is trigger-bounded by the streaming-door contract, so the batch
-    # side of every join broadcasts; the ledger's narrow bands relation
-    # streams through a BroadcastHashJoin instead of paying a full
-    # exchange per probe.
+    # distinct-ing the b-way band explode back down). A BOUNDED probe
+    # batch broadcasts as the build side of every join; the ledger's
+    # narrow bands relation streams through a BroadcastHashJoin
+    # instead of paying a full exchange per probe (r13: guarded by
+    # ``bounded_batch`` above).
     batch = _sign_sketch_bands(
         embeddings.select(
             "vec_id",
@@ -1824,7 +1883,7 @@ def ledger_embedding_pairs(
         F.col("vec_id").alias("ledger_vec"), "band", "band_bucket"
     )
     cands = (
-        F.broadcast(batch.select("vec_id", "band", "band_bucket"))
+        _hint(batch.select("vec_id", "band", "band_bucket"))
         .join(ledger_bands, ["band", "band_bucket"])
         .select("vec_id", "ledger_vec")
         .distinct()
@@ -1851,7 +1910,7 @@ def ledger_embedding_pairs(
     # would admit pairs in the [threshold - 5e-7, threshold) window
     # and break the probe ≡ joint-sketch contract
     return (
-        cands.join(F.broadcast(bvecs), "vec_id")
+        cands.join(_hint(bvecs), "vec_id")
         .join(lvecs, "ledger_vec")
         .select("vec_id", "ledger_vec", score.alias("raw_score"))
         .where(F.col("raw_score") >= threshold)
@@ -1871,11 +1930,12 @@ def near_dedup_against_embedding_ledger(
     before_release: int | None = None,
     exclude_release: int | None = None,
     scale_guard: str = "raise",
+    bounded_batch: bool | None = None,
 ) -> DataFrame:
     """Rows of ``embeddings`` that are NOT a semantic near-duplicate of
     anything already in the ledger, all columns intact. Ship the
     survivors, then ``append_embedding_ledger`` them as the next
-    release."""
+    release. ``bounded_batch``: see ``near_dedup_against_ledger``."""
     matched = ledger_embedding_pairs(
         spark,
         embeddings,
@@ -1884,10 +1944,14 @@ def near_dedup_against_embedding_ledger(
         before_release=before_release,
         exclude_release=exclude_release,
         scale_guard=scale_guard,
+        bounded_batch=bounded_batch,
     ).select("vec_id")
-    # matched ⊆ the trigger-bounded probe batch — broadcast the anti-
-    # join's right side (r12; see ledger_embedding_pairs)
-    return embeddings.join(F.broadcast(matched), "vec_id", "left_anti")
+    # matched ⊆ the probe batch — broadcast only under the doors'
+    # explicit trigger-bounded assertion (r13; see near_dedup_against_
+    # ledger)
+    if bounded_batch:
+        matched = F.broadcast(matched)
+    return embeddings.join(matched, "vec_id", "left_anti")
 
 
 def delete_from_embedding_ledger(spark, path: str, vec_ids: list[int]) -> None:
@@ -2106,6 +2170,7 @@ def ledger_phash_pairs(
     max_hamming: int | None = None,
     before_release: int | None = None,
     exclude_release: int | None = None,
+    bounded_batch: bool | None = None,
 ) -> DataFrame:
     """Probe the ledger with a NEW batch of fingerprints:
     ``(asset_id, ledger_asset, hamming)`` for every batch asset within
@@ -2124,7 +2189,9 @@ def ledger_phash_pairs(
     an opaque long — unlike the MinHash sibling, which re-sketches from
     text with stored parameters, this probe CANNOT detect a batch
     hashed at a different grid, and cross-grid hamming distances are
-    meaningless."""
+    meaningless.
+
+    ``bounded_batch``: see ``ledger_near_dup_pairs``."""
     meta = load_phash_ledger_meta(spark, path)
     stored_mh, bits = meta["max_hamming"], meta["grid"] * meta["grid"]
     if max_hamming is None:
@@ -2151,15 +2218,18 @@ def ledger_phash_pairs(
         stored_mh,
         bits,
     ).localCheckpoint()
+    if bounded_batch is None:
+        bounded_batch = _batch_is_bounded(batch)
+    _hint = F.broadcast if bounded_batch else (lambda df: df)
     ledger_bands = _rel_filter(spark.read.parquet(f"{path}/bands")).select(
         F.col("asset_id").alias("ledger_asset"), "band", "band_bits"
     )
-    # r12: the probe batch is trigger-bounded by the streaming-door
-    # contract — broadcast its side of every join so the ledger's
-    # narrow relations stream through BroadcastHashJoins instead of
-    # paying a full exchange per probe (see ledger_near_dup_pairs)
+    # r12: a BOUNDED probe batch broadcasts its side of every join so
+    # the ledger's narrow relations stream through BroadcastHashJoins
+    # instead of paying a full exchange per probe (see
+    # ledger_near_dup_pairs; r13: guarded by ``bounded_batch``)
     cands = (
-        F.broadcast(batch.select("asset_id", "band", "band_bits"))
+        _hint(batch.select("asset_id", "band", "band_bits"))
         .join(ledger_bands, ["band", "band_bits"])
         .select("asset_id", "ledger_asset")
         .distinct()
@@ -2170,7 +2240,7 @@ def ledger_phash_pairs(
         F.col("phash").alias("l_phash"),
     )
     return (
-        cands.join(F.broadcast(bfp), "asset_id")
+        cands.join(_hint(bfp), "asset_id")
         .join(lfp, "ledger_asset")
         .withColumn(
             "hamming", F.bit_count(F.col("phash").bitwiseXOR(F.col("l_phash")))
@@ -2187,11 +2257,13 @@ def near_dedup_against_phash_ledger(
     max_hamming: int | None = None,
     before_release: int | None = None,
     exclude_release: int | None = None,
+    bounded_batch: bool | None = None,
 ) -> DataFrame:
     """Rows of ``hashes`` whose asset is NOT a perceptual near-duplicate
     of anything already in the ledger, all columns intact (``ok=false``
     rows pass — no perceptual identity to gate on). Ship the survivors,
-    then ``append_phash_ledger`` them as the next release."""
+    then ``append_phash_ledger`` them as the next release.
+    ``bounded_batch``: see ``near_dedup_against_ledger``."""
     matched = ledger_phash_pairs(
         spark,
         hashes,
@@ -2199,10 +2271,14 @@ def near_dedup_against_phash_ledger(
         max_hamming=max_hamming,
         before_release=before_release,
         exclude_release=exclude_release,
+        bounded_batch=bounded_batch,
     ).select("asset_id")
-    # matched ⊆ the trigger-bounded probe batch — broadcast the anti-
-    # join's right side (r12; see ledger_phash_pairs)
-    return hashes.join(F.broadcast(matched), "asset_id", "left_anti")
+    # matched ⊆ the probe batch — broadcast only under the doors'
+    # explicit trigger-bounded assertion (r13; see near_dedup_against_
+    # ledger)
+    if bounded_batch:
+        matched = F.broadcast(matched)
+    return hashes.join(matched, "asset_id", "left_anti")
 
 
 def delete_from_phash_ledger(spark, path: str, asset_ids: list[int]) -> None:

@@ -262,8 +262,16 @@ def _semantic_gate(
         emb, threshold, planes_per_band=planes_per_band, bands=bands
     )
     if any(rel != batch_id for rel in _releases(spark, path)):
+        # bounded_batch=True: the door ASSERTS the trigger-bounded
+        # contract — the probe keeps its broadcast pins with no
+        # boundedness-probe job (r13)
         kept = near_dedup_against_embedding_ledger(
-            spark, kept, path, threshold=threshold, exclude_release=batch_id
+            spark,
+            kept,
+            path,
+            threshold=threshold,
+            exclude_release=batch_id,
+            bounded_batch=True,
         )
     kept = kept.localCheckpoint()
     # kept/emb are trigger-bounded (and checkpointed, which defeats the
@@ -334,12 +342,15 @@ def admit_batch(
             batch_df, threshold=threshold, k=k, bands=bands, shingle_n=shingle_n
         )
         if any(r != batch_id for r in ledger_releases(spark, ledger_path)):
+            # bounded_batch=True: the door ASSERTS the trigger-bounded
+            # contract — broadcast pins stay, no boundedness-probe job
             survivors = near_dedup_against_ledger(
                 spark,
                 survivors,
                 ledger_path,
                 threshold=threshold,
                 exclude_release=batch_id,
+                bounded_batch=True,
             )
     else:
         survivors = near_dedup(
@@ -612,8 +623,13 @@ def admit_assets_batch(
     )
     kept = cluster_survivors(hashes, pairs, id_col="asset_id")
     if any(r != batch_id for r in ledger_releases(spark, ledger_path)):
+        # bounded_batch=True: trigger-bounded door contract (r13)
         kept = near_dedup_against_phash_ledger(
-            spark, kept, ledger_path, exclude_release=batch_id
+            spark,
+            kept,
+            ledger_path,
+            exclude_release=batch_id,
+            bounded_batch=True,
         )
     if corrupt_kept is not None:
         kept = kept.where(F.col("ok")).unionByName(

@@ -1162,3 +1162,128 @@ def test_phash_ledger_lifecycle(spark, tmp_path):
     # a non-fingerprint batch refuses with the expected-columns message
     with pytest.raises(ValueError, match="expected \\(asset_id, phash"):
         dd.ledger_phash_pairs(spark, docs, path)
+
+
+def test_ledger_probe_broadcast_guard(spark, monkeypatch, tmp_path):
+    """r13 (r12 ADVICE): the ledger probes pin the batch side as the
+    broadcast build side only for a BOUNDED batch. With the row cap
+    patched to 0 every batch counts as unbounded, the pins drop, and
+    the planner falls back to a shuffle join (no driver-OOM path) —
+    with identical pairs. The doors' bounded_batch=True assertion keeps
+    the pinned plan without a probe job."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+    from map_reduce_using_cloud_functions_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prior = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = f"file://{tmp_path}/led"
+    dd.build_minhash_ledger(prior, path)
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["ledger_doc"], round(r["est_jaccard"], 9))
+            for r in df.collect()
+        )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable auto-broadcast so the join strategy reflects ONLY the pin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pinned = dd.ledger_near_dup_pairs(spark, batch, path, threshold=0.25)
+        assert "BroadcastHashJoin" in plan(pinned)
+        monkeypatch.setattr(dd, "LEDGER_BROADCAST_MAX_ROWS", 0)
+        unpinned = dd.ledger_near_dup_pairs(spark, batch, path, threshold=0.25)
+        assert "BroadcastHashJoin" not in plan(unpinned)
+        assert rows(unpinned) == rows(pinned) and len(rows(pinned)) > 0
+        # the doors' explicit contract assertion overrides the cap
+        asserted = dd.ledger_near_dup_pairs(
+            spark, batch, path, threshold=0.25, bounded_batch=True
+        )
+        assert "BroadcastHashJoin" in plan(asserted)
+        # the anti-join wrapper follows the same decision
+        kept = dd.near_dedup_against_ledger(spark, batch, path, threshold=0.25)
+        assert "BroadcastHashJoin" not in plan(kept.select("doc_id"))
+        survivors = sorted(r["doc_id"] for r in kept.collect())
+        matched = {d for (d, _l, _j) in rows(pinned)}
+        assert survivors == sorted(
+            r["doc_id"] for r in batch.collect() if r["doc_id"] not in matched
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_dedup_clusters_producer_evaluated_once(spark, monkeypatch):
+    """r13 (r12 ADVICE): dedup_clusters materializes the distinct edge
+    set ONCE and probes the checkpointed blocks — the expensive pair
+    producer must not re-run on the iterative fall-through (the r12
+    shape probed the raw relation first and re-evaluated the producer
+    from scratch when the cap tripped). The accumulator counts producer
+    evaluations: the symmetrizing union holds two branches of the
+    producer subtree, so one full evaluation of 5 pairs = 10 calls, on
+    BOTH paths."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def counted(x):
+        acc.add(1)
+        return x
+
+    counted = counted.asNondeterministic()  # forbid optimizer duplication
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a bigint, doc_b bigint"
+    ).select(counted("a").alias("doc_a"), "doc_b")
+
+    # iterative fall-through (cap 0): one evaluation, not two
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 0)
+    got = {r["doc_id"]: r["cluster_rep"] for r in dd.dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 6
+    assert acc.value == 10
+
+    # fast path (default cap): same single evaluation, same labels
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 200_000)
+    acc2 = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def counted2(x):
+        acc2.add(1)
+        return x
+
+    counted2 = counted2.asNondeterministic()
+    pairs2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a bigint, doc_b bigint"
+    ).select(counted2("a").alias("doc_a"), "doc_b")
+    fast = {r["doc_id"]: r["cluster_rep"] for r in dd.dedup_clusters(pairs2).collect()}
+    assert fast == got
+    assert acc2.value == 10
+
+
+def test_dedup_clusters_cap_bounds_unique_edges(spark, monkeypatch):
+    """r13 (r12 ADVICE): the fast-path cap bounds DISTINCT edges — a
+    duplicate-heavy pair set with few unique edges stays on the one-
+    collect union-find path instead of spuriously falling through (the
+    r12 probe capped the raw symmetrized relation). cap=4 here: 10 raw
+    pairs symmetrize to 20 rows but only 4 distinct directed edges."""
+    from map_reduce_using_cloud_functions_spark.operators import dedup as dd
+
+    dup_pairs = spark.createDataFrame(
+        [(1, 2)] * 5 + [(3, 4)] * 5, "doc_a bigint, doc_b bigint"
+    )
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 4)
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        # max_iter=0 would make the ITERATIVE path raise before its
+        # first convergence check can run — proving via values alone
+        # that the duplicate-heavy set resolved on the fast path
+        for r in dd.dedup_clusters(dup_pairs, max_iter=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}

@@ -202,7 +202,11 @@ def test_envelope_stream_kill_between_text_and_asset_commit(
     calls = []
 
     def crashy(spark_, batch_df, *a, **kw):
-        if not calls:
+        # r13: the signal doors run CONCURRENTLY — crash BOTH of round
+        # one's doors (not just the first call) so the asserted
+        # mid-state (text committed, NO assets) is deterministic under
+        # any thread interleaving
+        if len(calls) < 2:
             calls.append("crash")
             raise RuntimeError("injected crash BETWEEN text and asset commit")
         calls.append("run")
@@ -235,7 +239,8 @@ def test_envelope_stream_kill_between_text_and_asset_commit(
     assert not os.path.exists(paths["assets"])
 
     run()  # replay converges: same docs (no self-match), assets land once
-    assert calls == ["crash", "run", "run"], calls  # two signals, one round
+    # two signals: both doors crashed in round one, both ran on replay
+    assert calls == ["crash", "crash", "run", "run"], calls
     assert _docs(spark, base) == {0: {1, 2}}
     assert _assets(spark, base) == {("audio", 0): {200}, ("image", 0): {100}}
     assert dd.ledger_releases(spark, paths["ledger"]) == [0]
@@ -259,6 +264,83 @@ def test_envelope_stream_kill_between_text_and_asset_commit(
         ("image", 0): {100},
         ("image", 1): {401},
     }
+
+
+def test_envelope_concurrent_signal_doors_replay(spark, tmp_path, monkeypatch):
+    """r13: the per-signal doors overlap from a driver thread pool, so
+    a crash can now land AFTER a sibling signal committed — an
+    interleaving the old sorted sequential loop could never produce.
+    Pin it deterministically: the audio door commits and signals an
+    event, then the image door crashes. The replay must converge
+    exactly-once on EVERY sink — the audio door's re-run overwrites its
+    own release partitions (no double rows), the image door lands."""
+    import threading
+
+    base = str(tmp_path / "mm")
+    watch = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    paths = multimodal_paths(base)
+
+    real_assets_door = env.admit_assets_batch
+    audio_done = threading.Event()
+    crashed = []
+
+    def crashy(spark_, batch_df, *a, **kw):
+        sig = kw["signal"]
+        if sig == "audio":
+            out = real_assets_door(spark_, batch_df, *a, **kw)
+            audio_done.set()
+            return out
+        if not crashed:
+            # image door: let the sibling commit first, then die
+            assert audio_done.wait(120), "audio door never finished"
+            crashed.append(True)
+            raise RuntimeError("injected crash AFTER sibling signal commit")
+        return real_assets_door(spark_, batch_df, *a, **kw)
+
+    monkeypatch.setattr(env, "admit_assets_batch", crashy)
+
+    def run():
+        q = start_multimodal_front_door_stream(
+            spark,
+            streaming_multimodal_from_dir(spark, watch),
+            base,
+            ckpt,
+        )
+        q.awaitTermination(180)
+
+    _write_records(
+        watch,
+        "b0.parquet",
+        [
+            (1, TEXT_A, [(100, "image", _img(1)), (101, "audio", _wav(1))]),
+            (2, TEXT_B, [(200, "audio", _wav(2))]),
+        ],
+    )
+    with pytest.raises(Exception, match="AFTER sibling signal commit"):
+        run()
+    # the new window is real: text AND the audio signal committed,
+    # image did not
+    assert _docs(spark, base) == {0: {1, 2}}
+    assert _assets(spark, base) == {("audio", 0): {101, 200}}
+    assert dd.ledger_releases(spark, paths["phash"]["audio"]) == [0]
+    assert not os.path.exists(os.path.join(paths["assets"], "signal=image"))
+
+    run()  # replay: every sink converges exactly-once
+    assert _docs(spark, base) == {0: {1, 2}}
+    assert _assets(spark, base) == {
+        ("audio", 0): {101, 200},
+        ("image", 0): {100},
+    }
+    # exactly-once means no duplicate ROWS either (sets would hide them)
+    assert spark.read.parquet(paths["assets"]).count() == 3
+    assert spark.read.parquet(paths["docs"]).count() == 2
+    assert dd.ledger_releases(spark, paths["ledger"]) == [0]
+    assert dd.ledger_releases(spark, paths["phash"]["image"]) == [0]
+    assert dd.ledger_releases(spark, paths["phash"]["audio"]) == [0]
+    assert (
+        spark.read.parquet(f"{paths['phash']['audio']}/prints").count() == 2
+    )
 
 
 def test_envelope_stream_equals_batch(spark, tmp_path):
