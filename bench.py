@@ -673,47 +673,74 @@ def main() -> None:
 
     # Streaming path (O19): timed separately so the batch-query
     # total stays comparable to the BASELINE.md anchor across rounds.
-    try:
-        streaming = bench_streaming(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        streaming = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        print(f"bench: streaming FAILED: {streaming['error']}", file=sys.stderr)
-    try:
-        front_door = bench_front_door(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        front_door = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        print(f"bench: front_door FAILED: {front_door['error']}", file=sys.stderr)
-    try:
-        front_door_gated = bench_front_door(spark, sf_dir, min_quality=0.3)
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        front_door_gated = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        print(f"bench: front_door FAILED: {front_door['error']}", file=sys.stderr)
-    try:
-        front_door_semantic = bench_front_door(spark, sf_dir, semantic=True)
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        front_door_semantic = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        print(
-            f"bench: front_door_semantic FAILED: "
-            f"{front_door_semantic['error']}",
-            file=sys.stderr,
-        )
-    try:
-        front_door_multimodal = bench_multimodal_front_door(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        front_door_multimodal = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        print(
-            f"bench: front_door_multimodal FAILED: "
-            f"{front_door_multimodal['error']}",
-            file=sys.stderr,
-        )
-    try:
-        front_door_phash = bench_asset_front_door(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        front_door_phash = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        print(
-            f"bench: front_door_phash FAILED: {front_door_phash['error']}",
-            file=sys.stderr,
-        )
+    #
+    # r13 measurement fix (r12 verdict task 2): the six streaming
+    # sections were SINGLE-SHOT while every headline row takes
+    # min-of-reps — so the driver's door totals swung 2-3x between
+    # runs with identical code (r12: gated door 116 s at 32 cores vs
+    # 29.7 s at 8 cores, same tree). Each section now runs
+    # SPARK_GRAFT_STREAM_REPS times (default 2) in ALTERNATED full
+    # cycles (all sections pass 1, then all pass 2 — host phases hit
+    # every section, not one), and reports the same min estimator the
+    # headline rows use: min total_sec / sec-per-unit across passes and
+    # ELEMENT-WISE minima over the sorted per-batch durations. Every
+    # pre-r13 key keeps its meaning (additions only: ``reps`` and the
+    # per-pass ``rep_total_secs`` are new); set
+    # SPARK_GRAFT_STREAM_REPS=1 for the old single-shot behavior.
+    stream_reps = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2")))
+    sections: list[tuple[str, object]] = [
+        ("streaming", lambda: bench_streaming(spark, sf_dir)),
+        ("streaming_front_door", lambda: bench_front_door(spark, sf_dir)),
+        (
+            "streaming_front_door_gated",
+            lambda: bench_front_door(spark, sf_dir, min_quality=0.3),
+        ),
+        (
+            "streaming_front_door_semantic",
+            lambda: bench_front_door(spark, sf_dir, semantic=True),
+        ),
+        ("streaming_front_door_phash", lambda: bench_asset_front_door(spark, sf_dir)),
+        (
+            "streaming_front_door_multimodal",
+            lambda: bench_multimodal_front_door(spark, sf_dir),
+        ),
+    ]
+    runs: dict[str, list[dict]] = {name: [] for name, _ in sections}
+    for _ in range(stream_reps):
+        for name, fn in sections:
+            try:
+                runs[name].append(fn())
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                err = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                runs[name].append(err)
+                print(f"bench: {name} FAILED: {err['error']}", file=sys.stderr)
+
+    def _merge_stream_reps(passes: list[dict]) -> dict:
+        ok = [p for p in passes if "error" not in p]
+        if not ok:
+            return passes[0]
+        best = dict(min(ok, key=lambda p: p["total_sec"]))
+        best["total_sec"] = min(p["total_sec"] for p in ok)
+        for key in ("sec_per_file", "sec_per_batch"):
+            if key in best:
+                best[key] = min(p[key] for p in ok)
+        batch_lists = [p["batch_secs"] for p in ok if p.get("batch_secs")]
+        if batch_lists and len({len(b) for b in batch_lists}) == 1:
+            # sorted lists align rank-k batches across passes (the A/B
+            # protocol's unit); element-wise min is the per-batch floor
+            best["batch_secs"] = [round(min(c), 3) for c in zip(*batch_lists)]
+        best["reps"] = len(passes)
+        best["rep_total_secs"] = [p.get("total_sec") for p in passes]
+        return best
+
+    streaming = _merge_stream_reps(runs["streaming"])
+    front_door = _merge_stream_reps(runs["streaming_front_door"])
+    front_door_gated = _merge_stream_reps(runs["streaming_front_door_gated"])
+    front_door_semantic = _merge_stream_reps(runs["streaming_front_door_semantic"])
+    front_door_phash = _merge_stream_reps(runs["streaming_front_door_phash"])
+    front_door_multimodal = _merge_stream_reps(
+        runs["streaming_front_door_multimodal"]
+    )
 
     print(
         json.dumps(

@@ -712,6 +712,13 @@ def assign_splits(
     return documents.withColumn("split", expr)
 
 
+# Row cap for strip_boilerplate_lines' driver-resolved verified set
+# (r13): a verified common-segment relation that collects over this
+# bound falls back to the fully lazy distributed plan (tests patch it
+# to 0 to drive the fallback on small fixtures).
+BOILERPLATE_VERIFIED_CAP = 100_000
+
+
 def strip_boilerplate_lines(
     documents: DataFrame,
     min_df: int | None = None,
@@ -758,7 +765,26 @@ def strip_boilerplate_lines(
     when small, plain hash join otherwise — the corpus-side segment
     text never enters a join key), and one per-doc reassembly shuffle.
     The corpus text shuffles exactly once (the reassembly); everything
-    else moves hashes or the tiny candidate set."""
+    else moves hashes or the tiny candidate set.
+
+    r13 plan collapse: the verified common-segment relation is BOUNDED
+    in practice (boilerplate is, by definition, few distinct lines
+    repeated widely), so it is resolved with one bounded job up front —
+    ``stats.where(df >= min_df).limit(cap + 1).collect()`` — and
+    re-enters the strip as a LocalRelation. That removes the duplicated
+    df-aggregation subtrees the lazy formulation paid (the one-pass
+    plan evaluated ``stats`` under BOTH the clean and colliding
+    branches and re-scanned the corpus for the recount even when no
+    hash collided — 26 exchanges at r12 close), keeps the marked join
+    an auto-broadcast (a LocalRelation has an exact size estimate,
+    which the lazy aggregation never did), and skips the collision
+    recount subtree entirely when the collected head shows no
+    collision (min == max for every common hash — in practice always).
+    A verified set over ``BOILERPLATE_VERIFIED_CAP`` falls back to the
+    UNCHANGED lazy plan (the 100 TB safety: an adversarial corpus
+    could make 'common segments' corpus-scale). Construction therefore
+    runs one bounded Spark job (like ``dedup_clusters``); values are
+    identical on every path (oracle row + fallback-parity test)."""
     other_cols = [c for c in documents.columns if c not in ("doc_id", "text")]
     import re as _re
 
@@ -800,26 +826,78 @@ def strip_boilerplate_lines(
         )
         .crossJoin(F.broadcast(thr))
     )
-    clean = stats.where(
-        (F.col("df") >= F.col("_min_df")) & (F.col("_lo") == F.col("_hi"))
-    ).select("k", F.array(F.col("_lo")).alias("_vts"))
-    # a colliding hash's summed df can clear min_df even when no single
-    # text does — nominate on df, decide on the exact recount
-    colliding = stats.where(
-        (F.col("df") >= F.col("_min_df")) & (F.col("_lo") != F.col("_hi"))
-    ).select("k")
-    recounted = (
-        countable.join(F.broadcast(colliding), "k", "left_semi")
-        .select("k", "t", "doc_id")
-        .distinct()
-        .groupBy("k", "t")
-        .agg(F.count("*").alias("df_exact"))
-        .crossJoin(F.broadcast(thr))
-        .where(F.col("df_exact") >= F.col("_min_df"))
-        .groupBy("k")
-        .agg(F.collect_set("t").alias("_vts"))
+    def _recount(colliding: DataFrame, min_df_pred) -> DataFrame:
+        # a colliding hash's summed df can clear min_df even when no
+        # single text does — nominate on df, decide on the exact recount
+        return (
+            countable.join(F.broadcast(colliding), "k", "left_semi")
+            .select("k", "t", "doc_id")
+            .distinct()
+            .groupBy("k", "t")
+            .agg(F.count("*").alias("df_exact"))
+            .where(min_df_pred)
+            .groupBy("k")
+            .agg(F.collect_set("t").alias("_vts"))
+        )
+
+    spark = documents.sparkSession
+    k_type = keyed.schema["k"].dataType
+    common_head = (
+        stats.where(F.col("df") >= F.col("_min_df"))
+        .limit(BOILERPLATE_VERIFIED_CAP + 1)
+        .collect()
     )
-    verified = clean.unionByName(recounted)
+    if len(common_head) <= BOILERPLATE_VERIFIED_CAP:
+        # bounded fast path (docstring §r13): the verified relation is
+        # already in the driver — re-enter it as a LocalRelation (exact
+        # size estimate ⇒ the marked join auto-broadcasts) and build
+        # the collision-recount subplan ONLY for hashes that actually
+        # collided (min != max — in practice none, so the corpus is
+        # scanned once, not twice)
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        vschema = StructType(
+            [
+                StructField("k", k_type, False),
+                StructField("_vts", ArrayType(StringType()), False),
+            ]
+        )
+        verified = spark.createDataFrame(
+            [(r["k"], [r["_lo"]]) for r in common_head if r["_lo"] == r["_hi"]],
+            vschema,
+        )
+        colliding_keys = [r["k"] for r in common_head if r["_lo"] != r["_hi"]]
+        if colliding_keys:
+            colliding = spark.createDataFrame(
+                [(k,) for k in colliding_keys],
+                StructType([StructField("k", k_type, False)]),
+            )
+            # every common_head row carries the resolved threshold —
+            # reuse it as a literal instead of re-running thr's count
+            min_df_val = common_head[0]["_min_df"]
+            verified = verified.unionByName(
+                _recount(colliding, F.col("df_exact") >= F.lit(min_df_val))
+            )
+    else:
+        # oversized verified set: the UNCHANGED lazy one-pass plan
+        clean = stats.where(
+            (F.col("df") >= F.col("_min_df")) & (F.col("_lo") == F.col("_hi"))
+        ).select("k", F.array(F.col("_lo")).alias("_vts"))
+        colliding = stats.where(
+            (F.col("df") >= F.col("_min_df")) & (F.col("_lo") != F.col("_hi"))
+        ).select("k")
+        recounted = (
+            countable.join(F.broadcast(colliding), "k", "left_semi")
+            .select("k", "t", "doc_id")
+            .distinct()
+            .groupBy("k", "t")
+            .agg(F.count("*").alias("df_exact"))
+            .crossJoin(F.broadcast(thr))
+            .where(F.col("df_exact") >= F.col("_min_df"))
+            .groupBy("k")
+            .agg(F.collect_set("t").alias("_vts"))
+        )
+        verified = clean.unionByName(recounted)
     marked = keyed.join(verified, "k", "left").withColumn(
         "rm",
         (F.length("t") >= min_chars)

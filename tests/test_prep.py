@@ -1208,10 +1208,14 @@ def test_strip_boilerplate_hash_collision_keeps_rare_line(spark, monkeypatch):
     assert got[3] == ("beta", 1)
 
 
-def test_strip_boilerplate_default_threshold_is_lazy(spark):
-    """The default min_df (ceil of max_df_frac · n_docs) resolves
-    INSIDE the plan: constructing the operator must run no Spark job
-    (the old path ran documents.count() eagerly at build)."""
+def test_strip_boilerplate_construction_runs_one_bounded_job(spark):
+    """r13 contract: constructing the operator runs ONE bounded action
+    — the verified-set resolve (stats ∘ limit ∘ collect; CollectLimit's
+    incremental scale-up may split it into a handful of partial jobs,
+    so the pin is a small bound, not an exact count) — which also
+    evaluates the default min_df (ceil of max_df_frac · n_docs) INSIDE
+    that plan as a one-row aggregate (never a separate eager
+    documents.count(), the pre-r7 bug)."""
     from map_reduce_using_cloud_functions_spark.operators.prep import (
         strip_boilerplate_lines,
     )
@@ -1219,13 +1223,38 @@ def test_strip_boilerplate_default_threshold_is_lazy(spark):
     rows = [(i, f"line {i}\nshared") for i in range(6)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     sc = spark.sparkContext
-    sc.setJobGroup("lazy_boilerplate", "construction must schedule no job")
+    sc.setJobGroup("bp_build", "construction = one bounded resolve action")
     try:
         out = strip_boilerplate_lines(df)  # default threshold path
     finally:
         sc.setJobGroup(None, None)
-    assert sc.statusTracker().getJobIdsForGroup("lazy_boilerplate") == []
-    # and the deferred count still resolves correctly on action:
+    assert 1 <= len(sc.statusTracker().getJobIdsForGroup("bp_build")) <= 8
+    # the in-plan count resolved correctly:
     # ceil(0.02 * 6) = 1, floored at 2 -> "shared" (df 6) is struck
     got = {r["doc_id"]: r["n_removed"] for r in out.collect()}
     assert set(got.values()) == {1}
+
+
+def test_strip_boilerplate_fallback_parity(spark, monkeypatch):
+    """r13: an oversized verified set falls back to the fully lazy
+    distributed plan — cap patched to 0 must produce byte-identical
+    results to the bounded fast path, including the n_removed counts
+    and the untouched-document round-trip."""
+    from map_reduce_using_cloud_functions_spark.operators import prep as pp
+
+    rows = [
+        (i, f"unique line {i}\nshared banner\nanother {i % 3}") for i in range(9)
+    ] + [(99, "no repeats here at all")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def result():
+        return sorted(
+            (r["doc_id"], r["text"], r["n_removed"])
+            for r in pp.strip_boilerplate_lines(df, min_df=3).collect()
+        )
+
+    fast = result()
+    monkeypatch.setattr(pp, "BOILERPLATE_VERIFIED_CAP", 0)
+    assert result() == fast
+    assert any(n > 0 for (_d, _t, n) in fast)  # something was struck
+    assert (99, "no repeats here at all", 0) in fast  # round-trip
