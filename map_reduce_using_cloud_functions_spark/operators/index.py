@@ -241,6 +241,11 @@ def _write_base(index: DataFrame, target: str) -> None:
 
 _DOCMAP_BUCKETS = 64
 
+# Row cap for upsert_index's driver-resolved replace-set (r13): a
+# re-indexed document set that collects over this bound falls back to
+# the lazy relation (tests patch it to 0 to drive the fallback).
+UPSERT_DOCS_CAP = 1_000_000
+
 
 def _docmap_path(path: str) -> str:
     return f"{path}/_docmap"
@@ -379,10 +384,6 @@ def upsert_index(
     # whole delta lineage (tokenize/aggregate of the new corpus) per
     # action, 4x.
     delta = delta.localCheckpoint()
-    letters = {
-        r["first"]
-        for r in delta.select(F.substring("word", 1, 1).alias("first")).distinct().collect()
-    }
     docmap = _docmap_path(base_dir)
     have_docmap = _hadoop_exists(spark, docmap)
     # ``documents``: the explicit re-indexed set (see merge_index's
@@ -394,13 +395,40 @@ def upsert_index(
         if documents is not None
         else delta.select("document").distinct()
     )
-    if not letters and (additive or documents is None):
-        # nothing to add, and no explicit replace-set to scrub
-        return
-    buckets = sorted(
-        r["bucket"]
-        for r in _with_bucket(delta_docs).select("bucket").distinct().collect()
-    )
+    # r13 job-count trim, action 1 of 2: ONE bounded collect resolves
+    # the replace-set AND its sidecar buckets driver-side. The
+    # re-indexed document set is batch-sized by contract (the streaming
+    # door's trigger bounds it; batch callers re-index a shipment), so
+    # it re-enters the plan as a LocalRelation — the stale semi-join,
+    # merge anti-join, and docmap anti-join stop re-evaluating the
+    # caller's batch source per consumer and their broadcasts carry an
+    # exact size estimate. A replace-set over UPSERT_DOCS_CAP falls
+    # back to the r12 lazy shape (bounded probe first — never an
+    # unbounded driver fetch).
+    head = _with_bucket(delta_docs).limit(UPSERT_DOCS_CAP + 1).collect()
+    if len(head) <= UPSERT_DOCS_CAP:
+        buckets = sorted({r["bucket"] for r in head})
+        from pyspark.sql.types import StructField, StructType
+
+        delta_docs = spark.createDataFrame(
+            [(r["document"],) for r in head],
+            StructType(
+                [StructField("document", delta.schema["document"].dataType, False)]
+            ),
+        )
+    else:
+        buckets = sorted(
+            r["bucket"]
+            for r in _with_bucket(delta_docs).select("bucket").distinct().collect()
+        )
+    # r13 job-count trim, action 2 of 2: the delta's own first letters
+    # and — under replace semantics — the delta documents' STALE first
+    # letters ride ONE tagged collect instead of two (the early-return
+    # conditions still distinguish the delta's letters from the stale
+    # set via the tag).
+    tagged_letters = delta.select(
+        F.lit(0).alias("src"), F.substring("word", 1, 1).alias("first")
+    ).distinct()
     if not additive:
         if have_docmap:
             # Pruned: only the delta documents' sidecar buckets are read.
@@ -419,7 +447,15 @@ def upsert_index(
                 .select(F.substring("word", 1, 1).alias("first"))
                 .distinct()
             )
-        letters |= {r["first"] for r in stale.collect()}
+        tagged_letters = tagged_letters.unionByName(
+            stale.select(F.lit(1).alias("src"), F.col("first"))
+        )
+    letter_rows = tagged_letters.collect()
+    delta_letters = {r["first"] for r in letter_rows if r["src"] == 0}
+    letters = {r["first"] for r in letter_rows}
+    if not delta_letters and (additive or documents is None):
+        # nothing to add, and no explicit replace-set to scrub
+        return
     if not letters:
         return
     letters = sorted(letters)
@@ -433,8 +469,44 @@ def upsert_index(
         merged.withColumn("first", F.substring("word", 1, 1))
         # same skew-splitting rationale as write_index's REBALANCE
         .hint("rebalance", "first")
-        .localCheckpoint()
     )
+    # The merged-docmap plan (sidecar case) reads only the sidecar and
+    # the checkpointed delta — independent of the postings merge — so
+    # the two materializations run CONCURRENTLY from a driver thread
+    # pool (r13, guide §2.6): one signal's shuffle back-fills the cores
+    # the other's barrier leaves idle. The WRITES stay sequential,
+    # postings first: a crash can then only leave the docmap LAGGING
+    # the postings, and a lagging docmap over-reports stale letters
+    # (extra partitions read and rewritten — safe) where a LEADING one
+    # would under-report them (stale postings surviving a later
+    # replace — wrong).
+    staged = None
+    if have_docmap:
+        old_map = (
+            spark.read.parquet(docmap)
+            .where(F.col("bucket").isin(buckets))
+            .select("document", "first")
+        )
+        new_pairs = _doc_letters(delta)
+        if additive:
+            merged_map = old_map.unionByName(new_pairs).distinct()
+        else:
+            merged_map = old_map.join(
+                F.broadcast(delta_docs), "document", "left_anti"
+            ).unionByName(new_pairs)
+        staged = _with_bucket(merged_map).repartition("bucket")
+    if staged is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            out, staged = pool.map(
+                inheritable_thread_target(lambda df: df.localCheckpoint()),
+                [out, staged],
+            )
+    else:
+        out = out.localCheckpoint()
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -453,20 +525,7 @@ def upsert_index(
     # survive; replace mode drops the delta docs' old rows, additive
     # keeps them). Without one: backfill from the now-merged index —
     # one full scan, once, after which every upsert is pruned.
-    new_pairs = _doc_letters(delta)
-    if have_docmap:
-        old_map = (
-            spark.read.parquet(docmap)
-            .where(F.col("bucket").isin(buckets))
-            .select("document", "first")
-        )
-        if additive:
-            merged_map = old_map.unionByName(new_pairs).distinct()
-        else:
-            merged_map = old_map.join(
-                F.broadcast(delta_docs), "document", "left_anti"
-            ).unionByName(new_pairs)
-        staged = _with_bucket(merged_map).repartition("bucket").localCheckpoint()
+    if staged is not None:
         (
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1220,13 +1279,34 @@ def write_additive_delta(
     docmap = _docmap_path(base_dir)
     new_pairs = _doc_letters(delta)
     if _hadoop_exists(spark, docmap):
-        buckets = sorted(
-            r["bucket"]
-            for r in _with_bucket(new_pairs.select("document").distinct())
-            .select("bucket")
-            .distinct()
-            .collect()
-        )
+        # r13 job-count trim: ONE bounded collect resolves the batch's
+        # (document, first) pairs AND their sidecar buckets driver-side
+        # (the relation is batch-bounded: distinct docs × first
+        # letters); an oversized batch falls back to the lazy shape
+        pair_head = _with_bucket(new_pairs).limit(UPSERT_DOCS_CAP + 1).collect()
+        if len(pair_head) <= UPSERT_DOCS_CAP:
+            buckets = sorted({r["bucket"] for r in pair_head})
+            from pyspark.sql.types import StructField, StructType
+
+            new_pairs = spark.createDataFrame(
+                [(r["document"], r["first"]) for r in pair_head],
+                StructType(
+                    [
+                        StructField(
+                            "document", delta.schema["document"].dataType, False
+                        ),
+                        StructField("first", delta.schema["word"].dataType, False),
+                    ]
+                ),
+            )
+        else:
+            buckets = sorted(
+                r["bucket"]
+                for r in _with_bucket(new_pairs.select("document").distinct())
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
         old_map = (
             spark.read.parquet(docmap)
             .where(F.col("bucket").isin(buckets))
