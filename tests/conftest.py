@@ -1,10 +1,37 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from map_reduce_using_cloud_functions_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "soak: multi-minute soak/fuzz/scale tests, excluded from the "
+        "default run so `pytest tests/` finishes inside the driver's "
+        "verify window (r12 verdict task 1); opt in with `-m soak`, "
+        "`-m 'soak or not soak'` for everything, or "
+        "SPARK_GRAFT_RUN_SOAKS=1.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # An explicit -m expression (or the env opt-in) takes full control;
+    # otherwise soak-marked tests are skipped so the DEFAULT run stays
+    # fast — the skip is visible in the summary (s), never silent.
+    if config.option.markexpr or os.environ.get("SPARK_GRAFT_RUN_SOAKS"):
+        return
+    skip = pytest.mark.skip(
+        reason="soak test — opt in with -m soak or SPARK_GRAFT_RUN_SOAKS=1"
+    )
+    for item in items:
+        if "soak" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
